@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pricing-summary query at sf0.001.
+``queries()`` maps operator names → (spark, sf_dir) → DataFrame.
+``oracle_sql()`` maps the same names → DuckDB SQL over the pre-registered
+views (region nation customer supplier part orders lineitem events documents
+embeddings).
+
+Conventions shared by both sides so the order-insensitive value hash matches:
+  * every computed column is aliased identically in Spark and SQL;
+  * floating-point aggregates are rounded (4-6 decimals for means/ratios,
+    2 for large sums) on BOTH sides to absorb summation-order differences;
+  * counts are cast to bigint; no raw timestamps are returned (formatted as
+    strings instead).
 """
 
 from __future__ import annotations
@@ -12,27 +19,28 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_REGRESSION_LABEL_SQL = "l_extendedprice * (1 - l_discount)"
+
+
+def _registry():
+    from spark_ensemble_spark.queries import SPARK_QUERIES, ORACLES
+
+    return SPARK_QUERIES, ORACLES
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    sq, _ = _registry()
+    return sq["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    sq, _ = _registry()
+    return dict(sq)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    _, oracles = _registry()
+    return dict(oracles)

@@ -1,0 +1,75 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is materialized with a count-style action (no driver collect of
+data rows beyond small results). A short warm-up query absorbs JVM/codegen
+startup so per-query numbers reflect steady-state execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: relational core + ML estimators + data-pipeline operators.
+# Extended as operators land; keep total runtime a few minutes.
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_nation_revenue",
+    "topk_orders_per_priority",
+    "revenue_rollup",
+    "events_hourly",
+    "dummy_mean_regressor",
+    "dummy_prior_classifier",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from spark_ensemble_spark.session import get_spark
+
+    spark = get_spark("spark-ensemble-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    names = [n for n in BENCH_QUERIES if n in qs]
+
+    # Warm-up: JVM + parquet footer caches.
+    qs["q1_pricing_summary"](spark, SF_DIR).count()
+
+    timings = {}
+    for name in names:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        df.count()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(sf)
+    except ValueError:
+        pass
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,111 @@
+"""Local stand-in for the driver's t2 correctness gate.
+
+Runs every ``queries()`` entry on Spark and, where an ``oracle_sql()`` entry
+exists, the oracle on DuckDB over the same parquet tables; compares row count,
+column names, and order-insensitive values. Usage:
+
+    python scripts/check_correctness.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2:])
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.9g}"
+    if v is None:
+        return "<null>"
+    return str(v)
+
+
+def main() -> int:
+    import __spark_entry__ as entrymod
+    from spark_ensemble_spark.session import get_spark
+
+    spark = get_spark("correctness-check", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_pass = n_fail = n_rowsonly = 0
+    for name, fn in qs.items():
+        if ONLY and name not in ONLY:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR)
+            spark_rows = sdf.collect()
+            spark_cols = sdf.columns
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(spark_rows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            n_rowsonly += 1
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            duck_cols = [d[0] for d in rel.description]
+            duck_rows = rel.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+
+        problems = []
+        if sorted(c.lower() for c in spark_cols) != sorted(c.lower() for c in duck_cols):
+            problems.append(f"columns spark={spark_cols} duck={duck_cols}")
+        if len(spark_rows) != len(duck_rows):
+            problems.append(f"rowcount spark={len(spark_rows)} duck={len(duck_rows)}")
+        if not problems:
+            s_sorted = sorted(spark_cols, key=str.lower)
+            d_sorted = sorted(duck_cols, key=str.lower)
+            s_vals = sorted(
+                tuple(norm(row[c]) for c in s_sorted) for row in spark_rows
+            )
+            d_vals = sorted(
+                tuple(norm(v) for v in (dict(zip(duck_cols, row))[c] for c in d_sorted))
+                for row in duck_rows
+            )
+            if s_vals != d_vals:
+                diffs = [
+                    (a, b) for a, b in zip(s_vals, d_vals) if a != b
+                ][:3]
+                problems.append(f"values differ, first diffs: {diffs}")
+        if problems:
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+            n_fail += 1
+        else:
+            print(f"OK    {name}: {len(spark_rows)} rows [{time.time()-t0:.1f}s]")
+            n_pass += 1
+
+    print(f"\n{n_pass} oracle-pass, {n_rowsonly} rows-only, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

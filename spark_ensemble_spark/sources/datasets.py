@@ -1,0 +1,93 @@
+"""Readers for the driver's synthetic tables and ML feature assembly.
+
+Tables (TESTDATA.md): region nation customer supplier part orders lineitem
+events documents embeddings, one parquet each under /root/testdata/sf*/.
+Feature vectors for the ensemble estimators are assembled from lineitem's
+numeric columns (FIXTURES.md F1-F3) with VectorAssembler — deterministic, and
+the assembler writes the ``ml_attr`` metadata the estimators read numFeatures
+from.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.feature import VectorAssembler
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects by default. Read nanos as long (legacy conf) and floor-divide
+    to microseconds — identical to DuckDB's nanos→micros truncation."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+# ---- ML fixtures (FIXTURES.md F1/F2/F3) ------------------------------------
+
+REGRESSION_FEATURES = ["l_quantity", "l_discount", "l_tax", "l_partkey", "l_suppkey"]
+
+
+def regression_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-label training set (cpusmall analog, FIXTURES.md F1):
+    label = extendedprice * (1 - discount)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.select(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("label"),
+        *[F.col(c).cast("double").alias(c) for c in REGRESSION_FEATURES],
+    )
+    assembler = VectorAssembler(inputCols=REGRESSION_FEATURES, outputCol="features")
+    return assembler.transform(df).select("label", "features")
+
+
+def binary_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary training set (adult analog, FIXTURES.md F3):
+    label = 1 when the line was returned."""
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.select(
+        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("label"),
+        *[F.col(c).cast("double").alias(c) for c in REGRESSION_FEATURES],
+    )
+    assembler = VectorAssembler(inputCols=REGRESSION_FEATURES, outputCol="features")
+    return assembler.transform(df).select("label", "features")
+
+
+def multiclass_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-class training set (letter analog, FIXTURES.md F2): label =
+    returnflag/linestatus combination (small K, deterministic)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    label = (
+        F.when((F.col("l_returnflag") == "R"), 2.0)
+        .when(F.col("l_linestatus") == "F", 1.0)
+        .otherwise(0.0)
+    )
+    df = li.select(
+        label.alias("label"),
+        *[F.col(c).cast("double").alias(c) for c in REGRESSION_FEATURES],
+    )
+    assembler = VectorAssembler(inputCols=REGRESSION_FEATURES, outputCol="features")
+    return assembler.transform(df).select("label", "features")

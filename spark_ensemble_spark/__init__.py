@@ -23,10 +23,22 @@ from spark_ensemble_spark.classification.dummy import (
     DummyClassifier,
     DummyClassificationModel,
 )
+from spark_ensemble_spark.regression.bagging import (
+    BaggingRegressor,
+    BaggingRegressionModel,
+)
+from spark_ensemble_spark.classification.bagging import (
+    BaggingClassifier,
+    BaggingClassificationModel,
+)
 
 __all__ = [
     "DummyRegressor",
     "DummyRegressionModel",
     "DummyClassifier",
     "DummyClassificationModel",
+    "BaggingRegressor",
+    "BaggingRegressionModel",
+    "BaggingClassifier",
+    "BaggingClassificationModel",
 ]

@@ -119,3 +119,41 @@ class EnsembleReadWrite(MLWritable, MLReadable):
     @classmethod
     def read(cls) -> MLReader:
         return _FnReader(cls)
+
+
+def save_ensemble(
+    instance,
+    path: str,
+    models: Sequence,
+    data: Dict[str, Any],
+    learner=None,
+    learners: Optional[Sequence] = None,
+    stacker=None,
+    extra_meta: Optional[Dict[str, Any]] = None,
+) -> None:
+    """Reference directory layout for fitted ensembles (SURVEY.md §3.3)."""
+    meta = dict(extra_meta or {})
+    meta["numModels"] = len(models)
+    data = dict(data, numModels=len(models))
+    save_metadata(instance, path, extra=meta)
+    if learner is not None:
+        save_instance(learner, f"{path}/learner")
+    if learners is not None:
+        for i, l in enumerate(learners):
+            save_instance(l, f"{path}/learner-{i}")
+        data = dict(data, numLearners=len(learners))
+    if stacker is not None:
+        save_instance(stacker, f"{path}/stacker")
+    for i, m in enumerate(models):
+        save_instance(m, f"{path}/model-{i}")
+    save_json(f"{path}/data", data)
+
+
+def load_ensemble(path: str):
+    """Returns (metadata, data, models). Learner/stacker loaded on demand via
+    ``load_instance(f"{path}/learner")`` etc."""
+    metadata = load_metadata(path)
+    data = load_json(f"{path}/data")
+    n = int(data["numModels"])
+    models = [load_instance(f"{path}/model-{i}") for i in range(n)]
+    return metadata, data, models

@@ -68,3 +68,43 @@ def sample_bag(
     if not replacement and ratio >= 1.0:
         return df
     return df.sample(withReplacement=replacement, fraction=float(ratio), seed=seed)
+
+
+def fit_bagged_models(
+    instances_df: DataFrame,
+    num_features: int,
+    base_learner,
+    num_learners: int,
+    replacement: bool,
+    subsample_ratio: float,
+    subspace_ratio: float,
+    seed: int,
+    parallelism: int,
+):
+    """Draw per-learner subspaces and fit N base learners on independent
+    SubBags via a bounded thread pool (reference pattern:
+    ``BaggingRegressor.scala:141-166``; seeds vary per learner — see module
+    docstring for the documented deviation).
+
+    Returns ``(subspaces, models)``.
+    """
+    from spark_ensemble_spark.core.instances import FEATURES, LABEL, WEIGHT
+    from spark_ensemble_spark.core.utils import fit_base_learner, run_parallel
+
+    subspaces = [
+        draw_subspace(subspace_ratio, num_features, seed + i) for i in range(num_learners)
+    ]
+
+    def fit_one(i: int):
+        bag = sample_bag(instances_df, replacement, subsample_ratio, seed + i)
+        bag, fcol = slice_features(
+            bag, FEATURES, subspaces[i], num_features, "__sliced"
+        )
+        return fit_base_learner(
+            base_learner, bag, LABEL, fcol, "__pred", weight_col=WEIGHT
+        )
+
+    models = run_parallel(
+        [lambda i=i: fit_one(i) for i in range(num_learners)], parallelism
+    )
+    return subspaces, models

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from spark_ensemble_spark.sources.datasets import (
     binary_dataset,
     load_table,
+    multiclass_dataset,
     regression_dataset,
 )
 
@@ -311,3 +312,103 @@ def dummy_prior_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = DummyClassifier(strategy="prior").fit(ds)
     rows = [(float(c), round(p, 6)) for c, p in enumerate(model.probability)]
     return spark.createDataFrame(rows, "class double, prior double")
+
+
+@query(
+    "bagging_dummy_mean_regressor",
+    f"SELECT round(avg({REVENUE_SQL}), 6) AS prediction FROM lineitem",
+)
+def bagging_dummy_mean_regressor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic bagging config (no row/feature sampling, Dummy(mean) base):
+    every base model predicts the label mean, so the bagged mean equals
+    avg(label) — a true SQL oracle for the fit→sample→slice→combine plumbing."""
+    from spark_ensemble_spark import DummyRegressor
+    from spark_ensemble_spark.regression.bagging import BaggingRegressor
+
+    ds = regression_dataset(spark, sf_dir)
+    model = BaggingRegressor(
+        baseLearner=DummyRegressor(strategy="mean"),
+        numBaseLearners=3,
+        replacement=False,
+        subsampleRatio=1.0,
+        subspaceRatio=1.0,
+    ).fit(ds)
+    return (
+        model.transform(ds)
+        .select(F.round("prediction", 6).alias("prediction"))
+        .distinct()
+    )
+
+
+@query(
+    "bagging_dummy_prior_classifier",
+    """
+    SELECT prediction FROM (
+      SELECT CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS DOUBLE) AS prediction,
+             count(*) AS c
+      FROM lineitem GROUP BY 1 ORDER BY c DESC, prediction ASC LIMIT 1
+    )
+    """,
+)
+def bagging_dummy_prior_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-vote bagging over identical prior classifiers predicts the modal
+    class (argmax ties break to the lowest label, like Vector.argmax)."""
+    from spark_ensemble_spark import DummyClassifier
+    from spark_ensemble_spark.classification.bagging import BaggingClassifier
+
+    ds = binary_dataset(spark, sf_dir)
+    model = BaggingClassifier(
+        baseLearner=DummyClassifier(strategy="prior"),
+        numBaseLearners=3,
+        replacement=False,
+        subsampleRatio=1.0,
+        subspaceRatio=1.0,
+        votingStrategy="hard",
+    ).fit(ds)
+    return model.transform(ds).select("prediction").distinct()
+
+
+@query("bagging_tree_regressor")
+def bagging_tree_regressor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic config (rows-only check): 10 depth-5 trees on SubBags."""
+    from pyspark.ml.regression import DecisionTreeRegressor
+
+    from spark_ensemble_spark.regression.bagging import BaggingRegressor
+
+    train, test = regression_dataset(spark, sf_dir).randomSplit([0.8, 0.2], seed=0)
+    model = BaggingRegressor(
+        baseLearner=DecisionTreeRegressor(maxDepth=5),
+        numBaseLearners=10,
+        subsampleRatio=0.8,
+        subspaceRatio=0.8,
+        parallelism=4,
+        seed=3,
+    ).fit(train)
+    out = model.transform(test)
+    return out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sqrt(F.avg((F.col("prediction") - F.col("label")) ** 2)), 2
+        ).alias("rmse"),
+    )
+
+
+@query("bagging_tree_classifier")
+def bagging_tree_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic config (rows-only check): soft-voted depth-5 trees."""
+    from pyspark.ml.classification import DecisionTreeClassifier
+
+    from spark_ensemble_spark.classification.bagging import BaggingClassifier
+
+    train, test = multiclass_dataset(spark, sf_dir).randomSplit([0.8, 0.2], seed=0)
+    model = BaggingClassifier(
+        baseLearner=DecisionTreeClassifier(maxDepth=5),
+        numBaseLearners=10,
+        subsampleRatio=0.8,
+        subspaceRatio=0.8,
+        votingStrategy="soft",
+        parallelism=4,
+        seed=3,
+    ).fit(train)
+    out = model.transform(test)
+    return out.groupBy("prediction").agg(F.count(F.lit(1)).alias("n"))

@@ -77,14 +77,13 @@ def binary_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multiclass_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K-class training set (letter analog, FIXTURES.md F2): label =
-    returnflag/linestatus combination (small K, deterministic)."""
+    """K-class training set (letter analog, FIXTURES.md F2): label = unit-price
+    bucket. Unit price is a function of l_partkey, so the task is learnable from
+    the features but not trivially (a shallow tree cannot memorize every part),
+    which is what the ensemble-beats-member assertions need."""
     li = load_table(spark, sf_dir, "lineitem")
-    label = (
-        F.when((F.col("l_returnflag") == "R"), 2.0)
-        .when(F.col("l_linestatus") == "F", 1.0)
-        .otherwise(0.0)
-    )
+    unit = F.col("l_extendedprice") / F.col("l_quantity")
+    label = F.when(unit < 1350, 0.0).when(unit < 3125, 1.0).otherwise(2.0)
     df = li.select(
         label.alias("label"),
         *[F.col(c).cast("double").alias(c) for c in REGRESSION_FEATURES],

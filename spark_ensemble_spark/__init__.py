@@ -31,6 +31,14 @@ from spark_ensemble_spark.classification.bagging import (
     BaggingClassifier,
     BaggingClassificationModel,
 )
+from spark_ensemble_spark.regression.boosting import (
+    BoostingRegressor,
+    BoostingRegressionModel,
+)
+from spark_ensemble_spark.classification.boosting import (
+    BoostingClassifier,
+    BoostingClassificationModel,
+)
 
 __all__ = [
     "DummyRegressor",
@@ -41,4 +49,8 @@ __all__ = [
     "BaggingRegressionModel",
     "BaggingClassifier",
     "BaggingClassificationModel",
+    "BoostingRegressor",
+    "BoostingRegressionModel",
+    "BoostingClassifier",
+    "BoostingClassificationModel",
 ]

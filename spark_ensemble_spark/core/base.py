@@ -111,7 +111,19 @@ def score_base_models(
     return df, outs, tmp
 
 
-class EnsembleRegressionModel(Model, PredictorParams):
+class _ModelParamsMixin:
+    def setParams(self, **kwargs):
+        self._set(**kwargs)
+        return self
+
+    def setPredictionCol(self, v: str):
+        return self.setParams(predictionCol=v)
+
+    def setFeaturesCol(self, v: str):
+        return self.setParams(featuresCol=v)
+
+
+class EnsembleRegressionModel(Model, PredictorParams, _ModelParamsMixin):
     """Base for regression ensemble models: subclasses provide a Column with
     the combined prediction via ``_prediction_expr``."""
 
@@ -125,7 +137,7 @@ class EnsembleRegressionModel(Model, PredictorParams):
         return out.drop(*tmp) if tmp else out
 
 
-class EnsembleClassificationModel(Model, ClassifierParams):
+class EnsembleClassificationModel(Model, ClassifierParams, _ModelParamsMixin):
     """Base for probabilistic classification ensembles.
 
     Subclasses produce a raw-prediction array column (``_raw_array_setup``) and

@@ -140,3 +140,46 @@ def sum_arrays(arrs: Sequence[Column]) -> Column:
     for a in arrs[1:]:
         total = add_arrays(total, a)
     return total
+
+
+class DFIterationCache:
+    """Cache manager for iterative driver loops (boosting/GBM).
+
+    DataFrame equivalent of the reference's ``PeriodicRDDCheckpointer``
+    (``BoostingRegressor.scala:202-206``): each iteration's state DataFrame is
+    persisted; every ``interval`` updates the lineage is truncated with
+    ``localCheckpoint`` — without truncation the per-iteration ``withColumn``/
+    ``transform`` chain grows the Catalyst plan unboundedly (SURVEY.md §4).
+    """
+
+    def __init__(self, interval: int = 10, keep: int = 2) -> None:
+        from pyspark.storagelevel import StorageLevel
+
+        self._level = StorageLevel.MEMORY_AND_DISK
+        self.interval = max(int(interval), 1)
+        self.keep = keep
+        self._n = 0
+        self._live: List[DataFrame] = []
+
+    def update(self, df: DataFrame) -> DataFrame:
+        self._n += 1
+        if self._n % self.interval == 0:
+            df = df.localCheckpoint(eager=True)
+        else:
+            df = df.persist(self._level)
+        self._live.append(df)
+        while len(self._live) > self.keep:
+            old = self._live.pop(0)
+            try:
+                old.unpersist()
+            except Exception:
+                pass
+        return df
+
+    def close(self) -> None:
+        for df in self._live:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        self._live.clear()

@@ -412,3 +412,63 @@ def bagging_tree_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).fit(train)
     out = model.transform(test)
     return out.groupBy("prediction").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "boosting_dummy_median_regressor",
+    f"SELECT round(avg({REVENUE_SQL}), 6) AS prediction FROM lineitem",
+)
+def boosting_dummy_median_regressor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic AdaBoost.R2 config: every round's Dummy(mean) base model
+    predicts avg(label), so the weighted median of identical values is
+    avg(label) regardless of how many rounds run — a true SQL oracle for the
+    sequential reweighting loop."""
+    from spark_ensemble_spark import DummyRegressor
+    from spark_ensemble_spark.regression.boosting import BoostingRegressor
+
+    ds = regression_dataset(spark, sf_dir)
+    model = BoostingRegressor(
+        baseLearner=DummyRegressor(strategy="mean"), numBaseLearners=3
+    ).fit(ds)
+    return (
+        model.transform(ds)
+        .select(F.round("prediction", 6).alias("prediction"))
+        .distinct()
+    )
+
+
+@query("boosting_tree_regressor")
+def boosting_tree_regressor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic AdaBoost.R2 (rows-only check): depth-5 trees."""
+    from pyspark.ml.regression import DecisionTreeRegressor
+
+    from spark_ensemble_spark.regression.boosting import BoostingRegressor
+
+    train, test = regression_dataset(spark, sf_dir).randomSplit([0.7, 0.3], seed=0)
+    model = BoostingRegressor(
+        baseLearner=DecisionTreeRegressor(maxDepth=5), numBaseLearners=5
+    ).fit(train)
+    return model.transform(test).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sqrt(F.avg((F.col("prediction") - F.col("label")) ** 2)), 2
+        ).alias("rmse"),
+    )
+
+
+@query("boosting_tree_classifier")
+def boosting_tree_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMME.R over depth-5 trees (rows-only check)."""
+    from pyspark.ml.classification import DecisionTreeClassifier
+
+    from spark_ensemble_spark.classification.boosting import BoostingClassifier
+
+    train, test = multiclass_dataset(spark, sf_dir).randomSplit([0.7, 0.3], seed=0)
+    model = BoostingClassifier(
+        baseLearner=DecisionTreeClassifier(maxDepth=5),
+        numBaseLearners=5,
+        algorithm="real",
+    ).fit(train)
+    return model.transform(test).groupBy("prediction").agg(
+        F.count(F.lit(1)).alias("n")
+    )

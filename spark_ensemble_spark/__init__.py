@@ -54,3 +54,28 @@ __all__ = [
     "BoostingClassifier",
     "BoostingClassificationModel",
 ]
+
+from spark_ensemble_spark.regression.gbm import GBMRegressor, GBMRegressionModel
+from spark_ensemble_spark.classification.gbm import (
+    GBMClassifier,
+    GBMClassificationModel,
+)
+from spark_ensemble_spark.regression.stacking import (
+    StackingRegressor,
+    StackingRegressionModel,
+)
+from spark_ensemble_spark.classification.stacking import (
+    StackingClassifier,
+    StackingClassificationModel,
+)
+
+__all__ += [
+    "GBMRegressor",
+    "GBMRegressionModel",
+    "GBMClassifier",
+    "GBMClassificationModel",
+    "StackingRegressor",
+    "StackingRegressionModel",
+    "StackingClassifier",
+    "StackingClassificationModel",
+]

@@ -1,0 +1,536 @@
+"""GBMClassifier — multiclass gradient boosting over regressor base learners.
+
+Semantic parity with
+``/root/reference/core/src/main/scala/org/apache/spark/ml/classification/GBMClassifier.scala:146-589``:
+
+* dim = K for ``logloss`` (one regressor per class dimension per iteration,
+  fitted in parallel threads), dim = 1 for the binary margin losses
+  (``exponential``, ``bernoulli``, labels encoded 2y−1);
+* init raw scores: ``prior`` → log class priors (binary scalar case: the
+  log-odds of class 1), ``uniform`` → zeros;
+* Newton updates: per-dim hessian-scaled targets and hessian weights
+  (floored at 1e-2);
+* step sizes: L-BFGS-B over x ∈ [0, ∞)^dim minimizing the mean loss of
+  ``praw + x ∘ dir`` with analytic gradient — each optimizer evaluation is ONE
+  ``agg`` computing the loss sum and all dim gradient sums;
+* binary raw output is ``(−r, r)``; probability via the loss link.
+
+The running raw-score vector lives in a ``__praw`` array column.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence
+
+from pyspark.ml.base import Estimator
+from pyspark.ml.param import Param, Params, TypeConverters
+from pyspark.ml.param.shared import HasParallelism
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from spark_ensemble_spark.boosting.gbm_params import GBMParams
+from spark_ensemble_spark.boosting.losses import (
+    LogLoss,
+    classification_loss,
+)
+from spark_ensemble_spark.core.base import (
+    ClassifierParams,
+    EnsembleClassificationModel,
+    score_base_models,
+)
+from spark_ensemble_spark.core.instances import (
+    extract_instances,
+    get_num_classes,
+    get_num_features,
+)
+from spark_ensemble_spark.core.persistence import (
+    EnsembleReadWrite,
+    load_ensemble,
+    load_instance,
+    load_metadata,
+    save_ensemble,
+    save_instance,
+    save_metadata,
+    set_params_from_metadata,
+)
+from spark_ensemble_spark.core.subbag import draw_subspace, sample_bag, slice_features
+from spark_ensemble_spark.core.utils import (
+    DFIterationCache,
+    fit_base_learner,
+    run_parallel,
+)
+
+_LOSSES = ("logloss", "exponential", "bernoulli")
+_INIT = ("prior", "uniform")
+
+
+class _GBMClassifierParams(ClassifierParams, GBMParams, HasParallelism):
+    loss: Param = Param(
+        Params._dummy(),
+        "loss",
+        f"GBM classification loss, one of {_LOSSES}",
+        typeConverter=TypeConverters.toString,
+    )
+
+    def __init__(self) -> None:
+        super().__init__()
+        self._setDefault(loss="logloss", initStrategy="prior", parallelism=1)
+
+    def getLoss(self) -> str:
+        v = self.getOrDefault(self.loss).lower()
+        if v not in _LOSSES:
+            raise ValueError(f"loss must be one of {_LOSSES}, got {v}")
+        return v
+
+
+class GBMClassifier(Estimator, _GBMClassifierParams, EnsembleReadWrite):
+    def __init__(self, **kwargs) -> None:
+        super().__init__()
+        if "baseLearner" in kwargs:
+            self.set(self.baseLearner, kwargs.pop("baseLearner"))
+        self._set(**kwargs)
+
+    def setParams(self, **kwargs) -> "GBMClassifier":
+        if "baseLearner" in kwargs:
+            self.set(self.baseLearner, kwargs.pop("baseLearner"))
+        self._set(**kwargs)
+        return self
+
+    def setBaseLearner(self, v) -> "GBMClassifier":
+        return self.setParams(baseLearner=v)
+
+    def setNumBaseLearners(self, v: int) -> "GBMClassifier":
+        return self.setParams(numBaseLearners=v)
+
+    def setLoss(self, v: str) -> "GBMClassifier":
+        return self.setParams(loss=v)
+
+    def setInitStrategy(self, v: str) -> "GBMClassifier":
+        return self.setParams(initStrategy=v)
+
+    def setLearningRate(self, v: float) -> "GBMClassifier":
+        return self.setParams(learningRate=v)
+
+    def setOptimizedWeights(self, v: bool) -> "GBMClassifier":
+        return self.setParams(optimizedWeights=v)
+
+    def setUpdates(self, v: str) -> "GBMClassifier":
+        return self.setParams(updates=v)
+
+    def setMaxIter(self, v: int) -> "GBMClassifier":
+        return self.setParams(maxIter=v)
+
+    def setTol(self, v: float) -> "GBMClassifier":
+        return self.setParams(tol=v)
+
+    def setSubsampleRatio(self, v: float) -> "GBMClassifier":
+        return self.setParams(subsampleRatio=v)
+
+    def setSubspaceRatio(self, v: float) -> "GBMClassifier":
+        return self.setParams(subspaceRatio=v)
+
+    def setReplacement(self, v: bool) -> "GBMClassifier":
+        return self.setParams(replacement=v)
+
+    def setValidationIndicatorCol(self, v: str) -> "GBMClassifier":
+        return self.setParams(validationIndicatorCol=v)
+
+    def setValidationTol(self, v: float) -> "GBMClassifier":
+        return self.setParams(validationTol=v)
+
+    def setNumRounds(self, v: int) -> "GBMClassifier":
+        return self.setParams(numRounds=v)
+
+    def setCheckpointInterval(self, v: int) -> "GBMClassifier":
+        return self.setParams(checkpointInterval=v)
+
+    def setParallelism(self, v: int) -> "GBMClassifier":
+        return self.setParams(parallelism=v)
+
+    def setSeed(self, v: int) -> "GBMClassifier":
+        return self.setParams(seed=v)
+
+    def setWeightCol(self, v: str) -> "GBMClassifier":
+        return self.setParams(weightCol=v)
+
+    def setLabelCol(self, v: str) -> "GBMClassifier":
+        return self.setParams(labelCol=v)
+
+    def setFeaturesCol(self, v: str) -> "GBMClassifier":
+        return self.setParams(featuresCol=v)
+
+    # ------------------------------------------------------------------
+
+    def _init_raw(self, train: DataFrame, num_classes: int, dim: int) -> List[float]:
+        """Initial raw scores (``GBMClassifier.scala:275-288``)."""
+        strategy = self.getInitStrategy()
+        if strategy not in _INIT:
+            raise ValueError(f"initStrategy must be one of {_INIT}")
+        if strategy == "uniform":
+            return [0.0] * dim
+        counts = {int(r[0]): r[1] for r in train.groupBy("label").count().collect()}
+        total = float(sum(counts.values()))
+        priors = [counts.get(c, 0) / total for c in range(num_classes)]
+        if dim == 1 and num_classes == 2:
+            p1 = min(max(priors[1], 1e-15), 1 - 1e-15)
+            return [math.log(p1 / (1 - p1))]
+        return [math.log(p) if p > 0 else -745.0 for p in priors]
+
+    def _grad_exprs(self, gl, dim: int, label: Column, praw: Column):
+        """(neg_gradient array, hessian array or None) at the current raw."""
+        if isinstance(gl, LogLoss):
+            ng = F.transform(gl.gradient_arr(label, praw), lambda g: -g)
+            hs = gl.hessian_arr(label, praw) if gl.has_hessian else None
+            return ng, hs
+        y = gl.encode_label(label)
+        p = F.element_at(praw, 1)
+        ng = F.array(-gl.gradient(y, p))
+        hs = F.array(gl.hessian(y, p)) if gl.has_hessian else None
+        return ng, hs
+
+    def _loss_expr(self, gl, label: Column, praw: Column) -> Column:
+        if isinstance(gl, LogLoss):
+            return gl.loss_arr(label, praw)
+        return gl.loss(gl.encode_label(label), F.element_at(praw, 1))
+
+    def _fit(self, df: DataFrame) -> "GBMClassificationModel":
+        self._validate_input(df, fitting=True)
+        loss_name = self.getLoss()
+        tol = self.getOrDefault(self.tol)
+        max_iter = self.getOrDefault(self.maxIter)
+        num_learners = self.getNumBaseLearners()
+        learning_rate = self.getLearningRate()
+        newton = self.getUpdates() == "newton"
+        seed = self.getOrDefault(self.seed)
+        parallelism = self.getOrDefault(self.parallelism)
+
+        num_classes = get_num_classes(df, self.getLabelCol())
+        if loss_name in ("exponential", "bernoulli") and num_classes != 2:
+            raise ValueError(f"loss='{loss_name}' supports binary labels only")
+        gl = classification_loss(loss_name, num_classes)
+        dim = gl.dim
+
+        val_col = self._validation_col_or_none()
+        if val_col is not None:
+            train_raw = df.filter(~F.col(val_col))
+            val_raw = df.filter(F.col(val_col))
+        else:
+            train_raw, val_raw = df, None
+
+        train = extract_instances(
+            train_raw, self.getLabelCol(), self.getFeaturesCol(), self._weight_col_or_none()
+        )
+        num_features = get_num_features(train, "features")
+        init_raw = self._init_raw(train, num_classes, dim)
+
+        cache = DFIterationCache(self.getOrDefault(self.checkpointInterval))
+        val_cache = DFIterationCache(self.getOrDefault(self.checkpointInterval))
+
+        praw0 = F.array(*[F.lit(v) for v in init_raw])
+        state = train.withColumn("__praw", praw0)
+        state = cache.update(state)
+
+        val_state = None
+        best_val_error = 0.0
+        if val_raw is not None:
+            val = extract_instances(
+                val_raw, self.getLabelCol(), self.getFeaturesCol(), self._weight_col_or_none()
+            )
+            val_state = val.withColumn("__praw", praw0)
+            val_state = val_cache.update(val_state)
+            best_val_error = (
+                val_state.agg(
+                    F.avg(self._loss_expr(gl, F.col("label"), F.col("__praw")))
+                ).first()[0]
+                or 0.0
+            )
+
+        models: List[List] = []
+        subspaces: List[List[int]] = []
+        weights: List[List[float]] = []
+
+        try:
+            i = 0
+            v = 0
+            while i < num_learners and v < self.getNumRounds():
+                subspace = draw_subspace(self.getSubspaceRatio(), num_features, seed + i)
+                bag = sample_bag(
+                    state, self.getReplacement(), self.getSubsampleRatio(), seed + i
+                )
+                bag, fcol = slice_features(bag, "features", subspace, num_features, "__sf")
+
+                ng, hs = self._grad_exprs(gl, dim, F.col("label"), F.col("__praw"))
+                bag = bag.withColumn("__ng", ng)
+                if newton and hs is not None:
+                    bag = bag.withColumn(
+                        "__hess", F.transform(hs, lambda h: F.greatest(h, F.lit(1e-2)))
+                    ).persist()
+                    sum_hess = bag.agg(
+                        *[
+                            F.sum(F.element_at("__hess", j + 1)).alias(f"h{j}")
+                            for j in range(dim)
+                        ]
+                    ).first()
+                    persisted = bag
+                else:
+                    bag = bag.persist()
+                    sum_hess = None
+                    persisted = bag
+                persisted.count()
+
+                def fit_dim(j: int):
+                    if sum_hess is not None:
+                        target = F.element_at("__ng", j + 1) / F.element_at("__hess", j + 1)
+                        w = (
+                            0.5
+                            * F.element_at("__hess", j + 1)
+                            / F.lit(float(sum_hess[j]))
+                            * F.col("weight")
+                        )
+                    else:
+                        target = F.element_at("__ng", j + 1)
+                        w = F.col("weight")
+                    dfj = persisted.withColumn("__target", target).withColumn("__w", w)
+                    return fit_base_learner(
+                        self.getBaseLearner(), dfj, "__target", fcol, "__dir",
+                        weight_col="__w",
+                    )
+
+                imodels = run_parallel(
+                    [lambda j=j: fit_dim(j) for j in range(dim)], parallelism
+                )
+
+                # Direction array on the bag for the step-size optimization.
+                scored = persisted
+                dir_cols = []
+                for j, m in enumerate(imodels):
+                    scored = m.transform(
+                        scored, {m.getParam("predictionCol"): f"__dir{j}"}
+                    )
+                    dir_cols.append(f"__dir{j}")
+
+                if self.getOptimizedWeights():
+                    opt_df = scored.select(
+                        "label", "weight", "__praw",
+                        F.array(*[F.col(c) for c in dir_cols]).alias("__dir"),
+                    ).persist()
+                    opt_df.count()
+                    solution = self._lbfgsb(opt_df, gl, dim, max_iter, tol)
+                    opt_df.unpersist()
+                else:
+                    solution = [1.0] * dim
+                iweights = [learning_rate * s for s in solution]
+
+                persisted.unpersist()
+                models.append(imodels)
+                subspaces.append(list(subspace))
+                weights.append(iweights)
+
+                state = self._advance(state, imodels, iweights, subspace, num_features)
+                state = cache.update(state)
+
+                if val_state is not None:
+                    val_state = self._advance(
+                        val_state, imodels, iweights, subspace, num_features
+                    )
+                    val_state = val_cache.update(val_state)
+                    val_error = (
+                        val_state.agg(
+                            F.avg(self._loss_expr(gl, F.col("label"), F.col("__praw")))
+                        ).first()[0]
+                        or 0.0
+                    )
+                    if best_val_error - val_error < self.getValidationTol() * max(
+                        val_error, 0.01
+                    ):
+                        v += 1
+                    elif val_error < best_val_error:
+                        best_val_error = val_error
+                        v = 0
+
+                i += 1
+        finally:
+            cache.close()
+            val_cache.close()
+
+        keep = i - v if val_state is not None else i
+        model = GBMClassificationModel(
+            num_classes=num_classes,
+            dim=dim,
+            init_raw=init_raw,
+            weights=weights[:keep],
+            subspaces=subspaces[:keep],
+            models=models[:keep],
+            num_features=num_features,
+        )
+        model._resetUid(self.uid + "_model")
+        self._copyValues(model)
+        return model
+
+    def _advance(self, state, imodels, iweights, subspace, num_features):
+        """praw ← praw + w ∘ model(slice(x)) over a full dataset."""
+        full, fcol = slice_features(state, "features", subspace, num_features, "__sf")
+        dir_cols = []
+        for j, m in enumerate(imodels):
+            full = m.transform(
+                full,
+                {m.getParam("featuresCol"): fcol, m.getParam("predictionCol"): f"__dir{j}"},
+            )
+            dir_cols.append(f"__dir{j}")
+        new_praw = F.zip_with(
+            F.col("__praw"),
+            F.array(*[F.lit(w) * F.col(c) for w, c in zip(iweights, dir_cols)]),
+            lambda p, d: p + d,
+        )
+        return full.withColumn("__praw", new_praw).select(
+            "label", "weight", "features", "__praw"
+        )
+
+    def _lbfgsb(self, opt_df, gl, dim: int, max_iter: int, tol: float) -> List[float]:
+        """Bound-constrained step-size optimization (reference breeze LBFGSB,
+        ``GBMClassifier.scala:290-292,413-431``). One agg per evaluation."""
+        label, praw, d, w = F.col("label"), F.col("__praw"), F.col("__dir"), F.col("weight")
+
+        def fun_and_grad(x):
+            xs = F.array(*[F.lit(float(xi)) for xi in x])
+            newp = F.zip_with(
+                praw, F.zip_with(xs, d, lambda a, b: a * b), lambda p, q: p + q
+            )
+            if isinstance(gl, LogLoss):
+                loss_e = gl.loss_arr(label, newp)
+                grad_arr = gl.gradient_arr(label, newp)
+                grad_sums = [
+                    F.sum(w * F.element_at(d, j + 1) * F.element_at(grad_arr, j + 1))
+                    for j in range(dim)
+                ]
+            else:
+                y = gl.encode_label(label)
+                p = F.element_at(newp, 1)
+                loss_e = gl.loss(y, p)
+                grad_sums = [F.sum(w * F.element_at(d, 1) * gl.gradient(y, p))]
+            row = opt_df.agg(
+                F.sum(w * loss_e).alias("l"), F.sum(w).alias("sw"), *grad_sums
+            ).first()
+            sw = row["sw"] or 1.0
+            f = (row["l"] or 0.0) / sw
+            g = [(row[2 + j] or 0.0) / sw for j in range(dim)]
+            return f, g
+
+        from spark_ensemble_spark.core.optim import minimize_nonneg
+
+        return minimize_nonneg(fun_and_grad, [1.0] * dim, min(max_iter, 25), tol)
+
+    def _save_impl(self, path: str) -> None:
+        save_metadata(self, path)
+        save_instance(self.getBaseLearner(), f"{path}/learner")
+
+    @classmethod
+    def _load_impl(cls, path: str) -> "GBMClassifier":
+        meta = load_metadata(path)
+        inst = cls()
+        set_params_from_metadata(inst, meta)
+        inst.set(inst.baseLearner, load_instance(f"{path}/learner"))
+        return inst
+
+
+class GBMClassificationModel(
+    EnsembleClassificationModel, _GBMClassifierParams, EnsembleReadWrite
+):
+    def __init__(
+        self,
+        num_classes: int = 2,
+        dim: int = 1,
+        init_raw: Optional[Sequence[float]] = None,
+        weights: Optional[Sequence[Sequence[float]]] = None,
+        subspaces: Optional[Sequence[Sequence[int]]] = None,
+        models: Optional[Sequence[Sequence]] = None,
+        num_features: int = 0,
+    ) -> None:
+        super().__init__()
+        self.numClasses = int(num_classes)
+        self.dim = int(dim)
+        self.initRaw = [float(x) for x in (init_raw or [0.0] * dim)]
+        self.weights = [[float(w) for w in ws] for ws in (weights or [])]
+        self.subspaces = [list(s) for s in (subspaces or [])]
+        self.models = [list(ms) for ms in (models or [])]
+        self.numFeatures = int(num_features)
+
+    @property
+    def numModels(self) -> int:
+        return len(self.models)
+
+    def _raw_array_setup(self, df: DataFrame):
+        flat_models = [m for ms in self.models for m in ms]
+        flat_subspaces = [s for s in self.subspaces for _ in range(self.dim)]
+        df, outs, tmp = score_base_models(
+            df,
+            self.getFeaturesCol(),
+            flat_models,
+            flat_subspaces,
+            self.numFeatures,
+            prefix="__gbm_",
+        )
+        comp = []
+        for j in range(self.dim):
+            e = F.lit(self.initRaw[j])
+            for i in range(self.numModels):
+                o = outs[i * self.dim + j]
+                e = e + F.lit(self.weights[i][j]) * F.col(o["prediction"])
+            comp.append(e)
+        if self.dim == 1 and self.numClasses == 2:
+            raw = F.array(-comp[0], comp[0])
+        else:
+            raw = F.array(*comp)
+        return df, raw, tmp
+
+    def _probability_from_raw(self, raw: Column) -> Column:
+        gl = classification_loss(self.getLoss(), self.numClasses)
+        return gl.raw_to_probability(raw, self.numClasses)
+
+    def copy(self, extra=None) -> "GBMClassificationModel":
+        copied = GBMClassificationModel(
+            self.numClasses,
+            self.dim,
+            self.initRaw,
+            self.weights,
+            self.subspaces,
+            self.models,
+            self.numFeatures,
+        )
+        copied._resetUid(self.uid)
+        return self._copyValues(copied, extra)
+
+    def _save_impl(self, path: str) -> None:
+        flat = [m for ms in self.models for m in ms]
+        save_ensemble(
+            self,
+            path,
+            flat,
+            {
+                "weights": self.weights,
+                "subspaces": self.subspaces,
+                "numClasses": self.numClasses,
+                "dim": self.dim,
+                "initRaw": self.initRaw,
+                "numFeatures": self.numFeatures,
+            },
+        )
+
+    @classmethod
+    def _load_impl(cls, path: str) -> "GBMClassificationModel":
+        metadata, data, flat = load_ensemble(path)
+        dim = int(data["dim"])
+        models = [flat[i : i + dim] for i in range(0, len(flat), dim)]
+        inst = cls(
+            data["numClasses"],
+            dim,
+            data["initRaw"],
+            data["weights"],
+            data["subspaces"],
+            models,
+            data["numFeatures"],
+        )
+        inst._resetUid(metadata["uid"])
+        set_params_from_metadata(inst, metadata)
+        return inst

@@ -168,5 +168,9 @@ class EnsembleClassificationModel(Model, ClassifierParams, _ModelParamsMixin):
             out = out.withColumn(self.getRawPredictionCol(), array_to_vector(F.col(raw_col)))
         if self.getProbabilityCol():
             out = out.withColumn(self.getProbabilityCol(), array_to_vector(F.col(prob_col)))
-        out = out.withColumn(self.getPredictionCol(), argmax_array(F.col(prob_col)))
+        # Spark ML semantics (ClassificationModel.transform with a non-empty
+        # rawPredictionCol): prediction = argmax of RAW, not of probability —
+        # they can disagree for non-monotone probability links (GBM margin
+        # losses), and the reference inherits exactly this behavior.
+        out = out.withColumn(self.getPredictionCol(), argmax_array(F.col(raw_col)))
         return out.drop(*tmp)

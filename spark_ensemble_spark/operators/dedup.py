@@ -1,0 +1,379 @@
+"""Deduplication operators for 100 TB training-data pipelines.
+
+Five flavors, all shuffle-frugal:
+
+* :func:`exact_dedup` — hash groupBy on the normalized key; one shuffle, the
+  canonical survivor is the min id per group (window-free formulation).
+* :func:`minhash_signatures` / :func:`minhash_dup_pairs` — char-shingle MinHash
+  with banded LSH. Shingle hashes are computed once (``xxhash64``), the k
+  signatures are affine permutations of that hash (universal hashing), bands
+  are exploded and bucket-joined. Candidate pairs are verified with the
+  estimated Jaccard (matching-signature fraction). Never O(n²): the only join
+  is per-bucket.
+* :func:`simhash_signatures` / :func:`simhash_dup_pairs` — 64-bit SimHash over
+  token hashes; near-dup candidates block on 16-bit chunks (Hamming ≤ 3 ⇒ at
+  least one of 4 chunks equal), verified with an exact popcount.
+* :func:`ngram_jaccard_pairs` — word n-gram Jaccard verified pairwise within
+  cheap blocks (shared normalized text prefix); fully SQL-expressible.
+* :func:`embedding_dup_pairs` — cosine near-duplicates over an embedding
+  column; blocks on sign-random-projection buckets (LSH) to avoid the cross
+  join at scale, with an exact-within-bucket cosine verify.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, key_cols: Sequence[str], id_col: str) -> DataFrame:
+    """Keep one row (min id) per exact key. groupBy+join (broadcast-resistant,
+    AQE-friendly) instead of a global window — at 100 TB a window over the key
+    would funnel every group through one sort; the agg+semi-join shuffles the
+    same data once but aggregates map-side first."""
+    winners = df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
+    return df.join(winners, on=[*key_cols, id_col], how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _shingle_hashes(text: Column, k: int) -> Column:
+    """Distinct xxhash64 values of the k-char shingles of normalized text."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    n = F.length(norm)
+    starts = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
+    return F.array_distinct(
+        F.transform(starts, lambda s: F.xxhash64(norm.substr(s, F.lit(k))))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    shingle_size: int = 5,
+    seed: int = 7,
+) -> DataFrame:
+    """id → array<long> MinHash signature.
+
+    One xxhash64 per shingle, then ``num_hashes`` affine permutations
+    ``(a·h + b) mod p`` reduced with ``array_min`` — all inside one projection,
+    no shuffle at all.
+    """
+    import random
+
+    rng = random.Random(seed)
+    coeffs = [
+        (rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE))
+        for _ in range(num_hashes)
+    ]
+    shingles = _shingle_hashes(F.col(text_col), shingle_size)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("__sh"),
+                    lambda h: (h % _MERSENNE * a + b) % _MERSENNE,
+                )
+            )
+            for a, b in coeffs
+        ]
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), shingles.alias("__sh"))
+        .withColumn("signature", sig)
+        .select("id", "signature")
+    )
+
+
+def minhash_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 5,
+    seed: int = 7,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) with estimated Jaccard >= t.
+
+    Banded LSH: signatures are split into ``bands`` bands of r rows; a pair
+    colliding in any band becomes a candidate (bucket-join, never O(n²));
+    the estimate is the matching-signature fraction.
+    """
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size, seed)
+    sigs = sigs.persist()
+    banded = sigs.select(
+        "id",
+        "signature",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("signature", b * r + j + 1)
+                                    for j in range(r)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "signature", "bb.band", "bb.bucket")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.signature").alias("sig_a"),
+            F.col("r.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")),
+                lambda x: x == 1,
+            )
+        )
+        / float(num_hashes)
+    )
+    out = (
+        cand.withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """id → 64-bit SimHash of the whitespace tokens (one projection)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    bit_counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda b: F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            ),
+            lambda a, x: a + x,
+        ),
+    )
+    sim = F.aggregate(
+        F.zip_with(
+            bit_counts,
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda c, b: F.when(c > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+    return df.select(F.col(id_col).alias("id"), sim.alias("simhash"))
+
+
+def simhash_dup_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming (<= 3 guaranteed
+    found: pigeonhole over 4 16-bit chunks)."""
+    sigs = simhash_signatures(df, text_col, id_col).persist()
+    chunks = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("simhash", c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", "simhash", "cc.chunk", "cc.val")
+    left, right = chunks.alias("l"), chunks.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.simhash").alias("sim_a"),
+            F.col("r.simhash").alias("sim_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (SQL-expressible, prefix-blocked)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 2,
+    threshold: float = 0.5,
+    block_prefix: int = 16,
+) -> DataFrame:
+    """Pairs with word-n-gram Jaccard >= threshold among documents sharing a
+    normalized text prefix (the blocking key). Deterministic and mirrored by a
+    SQL oracle; the block join is an equi-join on the prefix."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    toks = F.split(norm, " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+        )
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.substring(norm, 1, block_prefix).alias("block"),
+        grams.alias("grams"),
+    )
+    left, right = base.alias("l"), base.alias("r")
+    inter = F.size(F.array_intersect(F.col("l.grams"), F.col("r.grams")))
+    union = F.size(F.array_union(F.col("l.grams"), F.col("r.grams")))
+    return (
+        left.join(
+            right,
+            (F.col("l.block") == F.col("r.block")) & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup (sign-random-projection LSH blocks)
+# ---------------------------------------------------------------------------
+
+
+def _cosine(a: Column, b: Column) -> Column:
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+    return dot / (na * nb)
+
+
+def _srp_bucket(vec: Column, planes: List[List[float]]) -> Column:
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(p) for p in plane]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda s, v: s + v,
+            )
+            > 0,
+            F.lit(1 << i),
+        ).otherwise(F.lit(0))
+        for i, plane in enumerate(planes)
+    ]
+    total = bits[0]
+    for b in bits[1:]:
+        total = total + b
+    return total
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    seed: int = 11,
+    brute_force: bool = False,
+) -> DataFrame:
+    """Cosine near-duplicate pairs. ``brute_force=True`` does the full cross
+    join (the small-data oracle path); otherwise sign-random-projection buckets
+    block the join — at 1B vectors the cross join is impossible, the bucketed
+    join is a shuffle on an 8-bit key with exact verify inside buckets (recall
+    < 1 by design; raise num_planes/bands for tighter recall targets)."""
+    import random
+
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(F.col(id_col).alias("id"), vec.alias("v"))
+    if not brute_force:
+        rng = random.Random(seed)
+        dim = len(df.select(vec_col).first()[0])
+        planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(num_planes)]
+        base = base.withColumn("bucket", _srp_bucket(F.col("v"), planes))
+        join_cond = (F.col("l.bucket") == F.col("r.bucket")) & (
+            F.col("l.id") < F.col("r.id")
+        )
+    else:
+        join_cond = F.col("l.id") < F.col("r.id")
+    left, right = base.alias("l"), base.alias("r")
+    cos = _cosine(F.col("l.v"), F.col("r.v"))
+    return (
+        left.join(right, join_cond)
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,84 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video bytes travel as ``binary`` columns with a metadata struct;
+decode / feature-extract / resize / frame-sample run as Arrow-batched
+``mapInPandas`` operators. The decode libraries (PIL/ffmpeg/torchaudio) are
+NOT in this container, so the codec step is stubbed: :func:`decode_stub_features`
+computes deterministic byte-level features (real Arrow plumbing, fake codec),
+and :func:`decode_image` raises ``NotImplementedError`` at the exact seam a
+real codec would plug into. Schema, batching, and partitioning are production
+shaped: batches arrive as pandas DataFrames via Arrow, output schema is
+declared up front, and nothing ever collects to the driver.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def documents_as_binary(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Treat document text bytes as an opaque payload column — the test-table
+    stand-in for real image/audio blobs."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.lit("text/plain").alias("media_type"),
+    ).withColumn("n_bytes", F.octet_length("payload"))
+
+
+FEATURE_SCHEMA = (
+    "doc_id long, n_bytes long, first_byte int, last_byte int, byte_sum long"
+)
+
+
+def decode_stub_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched per-payload 'decode' producing deterministic byte-level
+    features. This is the real mapInPandas seam a codec would use; the math is
+    chosen to be SQL-mirrorable so the plumbing has a true oracle."""
+
+    def op(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len),
+                    "first_byte": payloads.map(lambda b: b[0] if len(b) else -1),
+                    "last_byte": payloads.map(lambda b: b[-1] if len(b) else -1),
+                    "byte_sum": payloads.map(lambda b: int(sum(b))),
+                }
+            )
+
+    return df.mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
+def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Real image decode (resize / pixel stats). Requires an image codec that
+    is not present in this container."""
+    raise NotImplementedError(
+        "image codecs (PIL/opencv) are not available in this environment; "
+        "plug the decoder into the mapInPandas seam used by decode_stub_features"
+    )
+
+
+def frame_sample(df: DataFrame, every_n: int = 30) -> DataFrame:
+    """Video frame sampling stub — same seam as decode_image."""
+    raise NotImplementedError(
+        "video codecs are not available in this environment; "
+        "plug ffmpeg into the mapInPandas seam used by decode_stub_features"
+    )

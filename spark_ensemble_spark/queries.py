@@ -472,3 +472,117 @@ def boosting_tree_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return model.transform(test).groupBy("prediction").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@query(
+    "gbm_dummy_mean_regressor",
+    f"SELECT round(avg({REVENUE_SQL}), 6) AS prediction FROM lineitem",
+)
+def gbm_dummy_mean_regressor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic GBM config: init=constant(mean) under squared loss, and a
+    Dummy(mean) base learner fit on pseudo-residuals predicts the residual mean
+    (0), so every boosting step is a no-op and the final prediction is exactly
+    avg(label) — a true SQL oracle for the full GBM loop."""
+    from spark_ensemble_spark import DummyRegressor
+    from spark_ensemble_spark.regression.gbm import GBMRegressor
+
+    ds = regression_dataset(spark, sf_dir)
+    model = GBMRegressor(
+        baseLearner=DummyRegressor(strategy="mean"),
+        numBaseLearners=2,
+        optimizedWeights=False,
+    ).fit(ds)
+    return (
+        model.transform(ds)
+        .select(F.round("prediction", 6).alias("prediction"))
+        .distinct()
+    )
+
+
+@query("gbm_tree_regressor")
+def gbm_tree_regressor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic GBM over depth-5 trees (rows-only check)."""
+    from pyspark.ml.regression import DecisionTreeRegressor
+
+    from spark_ensemble_spark.regression.gbm import GBMRegressor
+
+    train, test = regression_dataset(spark, sf_dir).randomSplit([0.7, 0.3], seed=0)
+    model = GBMRegressor(
+        baseLearner=DecisionTreeRegressor(maxDepth=5),
+        numBaseLearners=5,
+        learningRate=0.3,
+    ).fit(train)
+    return model.transform(test).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sqrt(F.avg((F.col("prediction") - F.col("label")) ** 2)), 2
+        ).alias("rmse"),
+    )
+
+
+@query("gbm_tree_classifier")
+def gbm_tree_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiclass GBM (logloss, K regressors per round; rows-only check)."""
+    from pyspark.ml.regression import DecisionTreeRegressor
+
+    from spark_ensemble_spark.classification.gbm import GBMClassifier
+
+    train, test = multiclass_dataset(spark, sf_dir).randomSplit([0.7, 0.3], seed=0)
+    model = GBMClassifier(
+        baseLearner=DecisionTreeRegressor(maxDepth=5),
+        numBaseLearners=2,
+        loss="logloss",
+        parallelism=3,
+        learningRate=0.5,
+    ).fit(train)
+    return model.transform(test).groupBy("prediction").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "stacking_dummy_regressor",
+    f"SELECT round(avg({REVENUE_SQL}), 4) AS prediction FROM lineitem",
+)
+def stacking_dummy_regressor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stacking config: both Dummy bases emit constant columns;
+    a linear-regression stacker over constant features reduces to its
+    intercept = weighted label mean. Validates fit→meta-features→stacker
+    plumbing against a SQL oracle."""
+    from pyspark.ml.regression import LinearRegression
+
+    from spark_ensemble_spark import DummyRegressor
+    from spark_ensemble_spark.regression.stacking import StackingRegressor
+
+    ds = regression_dataset(spark, sf_dir)
+    model = StackingRegressor(
+        baseLearners=[DummyRegressor(strategy="mean"), DummyRegressor(strategy="median")],
+        stacker=LinearRegression(),
+    ).fit(ds)
+    return (
+        model.transform(ds)
+        .select(F.round("prediction", 4).alias("prediction"))
+        .distinct()
+    )
+
+
+@query("stacking_tree_classifier")
+def stacking_tree_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heterogeneous stacking with probability meta-features (rows-only)."""
+    from pyspark.ml.classification import DecisionTreeClassifier, LogisticRegression
+
+    from spark_ensemble_spark.classification.stacking import StackingClassifier
+
+    train, test = multiclass_dataset(spark, sf_dir).randomSplit([0.8, 0.2], seed=0)
+    model = StackingClassifier(
+        baseLearners=[
+            DecisionTreeClassifier(maxDepth=5),
+            DecisionTreeClassifier(maxDepth=10),
+        ],
+        stacker=LogisticRegression(maxIter=20),
+        stackMethod="proba",
+        parallelism=2,
+    ).fit(train)
+    return model.transform(test).groupBy("prediction").agg(
+        F.count(F.lit(1)).alias("n")
+    )

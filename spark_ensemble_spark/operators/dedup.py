@@ -45,7 +45,8 @@ def exact_dedup(df: DataFrame, key_cols: Sequence[str], id_col: str) -> DataFram
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-_MERSENNE = (1 << 61) - 1
+# 2^31-1: products a*h stay under 2^62, safe for ANSI long arithmetic
+_MERSENNE = (1 << 31) - 1
 
 
 def _shingle_hashes(text: Column, k: int) -> Column:
@@ -85,7 +86,7 @@ def minhash_signatures(
             F.array_min(
                 F.transform(
                     F.col("__sh"),
-                    lambda h: (h % _MERSENNE * a + b) % _MERSENNE,
+                    lambda h: (F.pmod(h, F.lit(_MERSENNE)) * a + b) % _MERSENNE,
                 )
             )
             for a, b in coeffs
@@ -184,30 +185,38 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """id → 64-bit SimHash of the whitespace tokens (one projection)."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    # shift amounts must be Python ints (F.shiftright takes no Column numBits),
+    # so the 64 bit lanes are unrolled literally
     bit_counts = F.aggregate(
         hashes,
         F.array_repeat(F.lit(0), 64),
         lambda acc, h: F.zip_with(
             acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(63)),
-                lambda b: F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+                    ).otherwise(-1)
+                    for b in range(64)
+                ]
             ),
             lambda a, x: a + x,
         ),
     )
-    sim = F.aggregate(
-        F.zip_with(
-            bit_counts,
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda c, b: F.when(c > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
-                F.lit(0).cast("long")
-            ),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseOR(x),
+    bits = [
+        F.when(
+            F.element_at("__bc", b + 1) > 0,
+            F.lit(1 << b if b < 63 else -(1 << 63)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for b in range(64)
+    ]
+    sim = bits[0]
+    for b in bits[1:]:
+        sim = sim.bitwiseOR(b)
+    return (
+        df.select(F.col(id_col).alias("id"), bit_counts.alias("__bc"))
+        .select("id", sim.alias("simhash"))
     )
-    return df.select(F.col(id_col).alias("id"), sim.alias("simhash"))
 
 
 def simhash_dup_pairs(

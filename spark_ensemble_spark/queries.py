@@ -28,7 +28,8 @@ from spark_ensemble_spark.sources.datasets import (
 SPARK_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: Dict[str, str] = {}
 
-REVENUE = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+def REVENUE():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 REVENUE_SQL = "l_extendedprice * (1 - l_discount)"
 
 
@@ -71,8 +72,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(REVENUE), 2).alias("sum_disc_price"),
-        F.round(F.sum(REVENUE * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.sum(REVENUE()), 2).alias("sum_disc_price"),
+        F.round(F.sum(REVENUE() * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
         F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
         F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
         F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -105,7 +106,7 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         joined.groupBy("o_orderkey", "o_orderpriority")
-        .agg(F.sum(REVENUE).alias("__rev"))
+        .agg(F.sum(REVENUE()).alias("__rev"))
         .orderBy(F.desc("__rev"), "o_orderkey")
         .limit(10)
         .select(
@@ -148,7 +149,7 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
     )
-    return joined.groupBy("n_name").agg(F.round(F.sum(REVENUE), 2).alias("revenue"))
+    return joined.groupBy("n_name").agg(F.round(F.sum(REVENUE()), 2).alias("revenue"))
 
 
 @query(
@@ -586,3 +587,324 @@ def stacking_tree_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return model.transform(test).groupBy("prediction").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-pipeline operators: text analysis, dedup, similarity, multimodal,
+# streaming (BASELINE.json north-star extensions).
+# ---------------------------------------------------------------------------
+
+_TEXT_TOKENS_SQL = "string_split_regex(lower(trim(text)), '\\s+')"
+_STOPWORDS_SQL = "['the','a','an','and','or','of','to','in','is','it']"
+
+
+@query(
+    "text_analysis",
+    f"""
+    SELECT doc_id,
+           len({_TEXT_TOKENS_SQL}) AS n_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]{{1,4}}|[0-9]|[^a-z0-9\\s]')) AS n_bpe_tokens,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+           round(len(list_filter({_TEXT_TOKENS_SQL}, t -> list_contains({_STOPWORDS_SQL}, t)))
+                 * 1.0 / greatest(len({_TEXT_TOKENS_SQL}), 1), 6) AS stopword_ratio,
+           round(len(regexp_extract_all(text, '[.,!?;:]')) * 1.0 / greatest(length(text), 1), 6) AS punct_ratio
+    FROM documents
+    """,
+)
+def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_ensemble_spark.operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        T.token_count(t).alias("n_tokens"),
+        T.bpe_ish_token_count(t).alias("n_bpe_tokens"),
+        T.fingerprint(t).alias("fingerprint"),
+        F.round(T.stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(T.punct_ratio(t), 6).alias("punct_ratio"),
+    )
+
+
+@query(
+    "text_language_id",
+    """
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\\s+')),
+                 ['the','and','of','to','a','in','is','that'])) AS s_en,
+             len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\\s+')),
+                 ['der','die','das','und','ist','nicht','ein'])) AS s_de,
+             len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\\s+')),
+                 ['le','la','les','et','est','un','une'])) AS s_fr,
+             len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\\s+')),
+                 ['el','la','los','y','es','un','una','que'])) AS s_es,
+             len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\\s+')),
+                 ['de','shi','bu','le','wo','ni'])) AS s_zh
+      FROM documents
+    )
+    SELECT lang_pred, count(*) AS n FROM (
+      SELECT CASE
+        WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+        WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+        WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+        WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+        ELSE 'zh' END AS lang_pred
+      FROM scored
+    ) GROUP BY lang_pred
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_ensemble_spark.operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(T.language_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "text_quality",
+    f"""
+    SELECT doc_id,
+           round(least(len({_TEXT_TOKENS_SQL}) / 100.0, 1.0) * 0.5
+                 + (len(list_filter({_TEXT_TOKENS_SQL}, t -> list_contains({_STOPWORDS_SQL}, t)))
+                    * 1.0 / greatest(len({_TEXT_TOKENS_SQL}), 1)) * 0.3
+                 + (1.0 - least(len(regexp_extract_all(text, '[.,!?;:]')) * 10.0
+                                / greatest(length(text), 1), 1.0)) * 0.2, 6) AS quality
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_ensemble_spark.operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(T.quality_score(F.col("text")), 6).alias("quality")
+    )
+
+
+@query(
+    "dedup_exact",
+    "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_ensemble_spark.operators.dedup import exact_dedup
+    from spark_ensemble_spark.operators.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "fp", fingerprint(F.col("text"))
+    )
+    return exact_dedup(docs, ["fp"], "doc_id").select("doc_id")
+
+
+@query("dedup_minhash_pairs")
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs (rows-only: xxhash64 signatures
+    are engine-specific)."""
+    from spark_ensemble_spark.operators.dedup import minhash_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_dup_pairs(docs, "text", "doc_id", threshold=0.5)
+
+
+@query("dedup_simhash_pairs")
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming<=3 near-dup pairs (rows-only)."""
+    from spark_ensemble_spark.operators.dedup import simhash_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_dup_pairs(docs, "text", "doc_id")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    """
+    WITH base AS (
+      SELECT doc_id AS id,
+             substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), 1, 16) AS block,
+             list_distinct([
+               array_to_string(toks[i : i + 1], ' ')
+               FOR i IN range(1, greatest(len(toks) - 1, 1) + 1)
+             ]) AS grams
+      FROM (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks, text FROM documents)
+    )
+    SELECT l.id AS id_a, r.id AS id_b,
+           round(len(list_intersect(l.grams, r.grams)) * 1.0
+                 / len(list_distinct(list_concat(l.grams, r.grams))), 6) AS jaccard
+    FROM base l JOIN base r ON l.block = r.block AND l.id < r.id
+    WHERE len(list_intersect(l.grams, r.grams)) * 1.0
+          / len(list_distinct(list_concat(l.grams, r.grams))) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_ensemble_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "text", "doc_id", n=2, threshold=0.5)
+
+
+@query(
+    "similarity_bruteforce_topk",
+    """
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 5),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  round(list_dot_product(c.v, q.v)
+                        / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.v, q.v))), 6) AS cosine
+           FROM c CROSS JOIN q WHERE c.vec_id != q.vec_id
+         )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_ensemble_spark.operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return brute_force_topk(emb, queries_df, k=5)
+
+
+@query("similarity_ivf_topk")
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (KMeans-partitioned) approximate top-k (rows-only: centroids are
+    engine-specific)."""
+    from spark_ensemble_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(emb, queries_df, k=5, num_clusters=8, nprobe=3)
+
+
+@query(
+    "embedding_dup_pairs",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+           round(list_dot_product(l.v, r.v)
+                 / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))), 6) AS cosine
+    FROM e l JOIN e r ON l.vec_id < r.vec_id
+    WHERE round(list_dot_product(l.v, r.v)
+                / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))), 6) >= 0.9
+    """,
+)
+def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_ensemble_spark.operators.dedup import embedding_dup_pairs as dup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dup(emb, "embedding", "vec_id", threshold=0.9, brute_force=True)
+
+
+@query("embedding_dup_pairs_lsh")
+def embedding_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection-blocked near-dup pairs (rows-only; the scale
+    path of embedding_dup_pairs)."""
+    from spark_ensemble_spark.operators.dedup import embedding_dup_pairs as dup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dup(emb, "embedding", "vec_id", threshold=0.9, num_planes=6)
+
+
+@query(
+    "multimodal_decode",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           ascii(substr(text, 1, 1)) AS first_byte,
+           ascii(substr(text, length(text), 1)) AS last_byte
+    FROM documents
+    """,
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas 'decode' over binary payloads; byte-level
+    features are SQL-mirrorable so the plumbing has a true oracle."""
+    from spark_ensemble_spark.operators.multimodal import (
+        decode_stub_features,
+        documents_as_binary,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = documents_as_binary(docs)
+    return decode_stub_features(payloads).select(
+        "doc_id",
+        "n_bytes",
+        F.col("first_byte").cast("int").alias("first_byte"),
+        F.col("last_byte").cast("int").alias("last_byte"),
+    )
+
+
+@query(
+    "streaming_event_counts",
+    """
+    SELECT event_type,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           count(*) AS n,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window counts computed by a REAL Structured Streaming query
+    (file source → watermark → window agg → memory sink), oracle-checked
+    against the equivalent batch SQL."""
+    from spark_ensemble_spark.streaming.events import streaming_windowed_counts
+
+    return streaming_windowed_counts(spark, sf_dir)
+
+
+@query(
+    "events_sessionize",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    with_id AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM ordered
+    )
+    SELECT user_id, session_seq, count(*) AS n_events,
+           round(sum(value), 4) AS session_value,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+    FROM with_id GROUP BY user_id, session_seq
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_ensemble_spark.streaming.events import sessionize_batch
+
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize_batch(ev, gap_minutes=30)
+
+
+@query(
+    "weighted_median_price",
+    """
+    WITH cum AS (
+      SELECT l_extendedprice AS v, l_quantity AS w,
+             sum(l_quantity) OVER (ORDER BY l_extendedprice, l_quantity
+                                   ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(l_quantity) OVER () AS total
+      FROM lineitem
+    )
+    SELECT v AS weighted_median FROM cum WHERE cum >= 0.5 * total ORDER BY v LIMIT 1
+    """,
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The boosting combiner's weighted-median semantics as a standalone
+    distributed statistic, oracle-checked."""
+    from spark_ensemble_spark.functions.stats import weighted_median_of
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return weighted_median_of(li, "l_extendedprice", "l_quantity")

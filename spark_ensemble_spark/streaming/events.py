@@ -40,9 +40,11 @@ def streaming_windowed_counts(
     query (file source → watermark → window agg → memory sink), returned as a
     batch DataFrame once the backlog is fully processed."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file stream source wants a directory/glob, not a single file path.
     events = (
         spark.readStream.schema(EVENT_SCHEMA)
-        .parquet(f"{sf_dir}/events.parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
         .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     agg = (

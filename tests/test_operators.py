@@ -1,0 +1,178 @@
+"""Data-pipeline operator tests: dedup finds planted duplicates, similarity
+search returns the planted nearest neighbor, text analysis invariants,
+multimodal Arrow plumbing, streaming equals batch."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_ensemble_spark.operators.dedup import (
+    embedding_dup_pairs,
+    exact_dedup,
+    minhash_dup_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_dup_pairs,
+)
+from spark_ensemble_spark.operators.multimodal import (
+    decode_stub_features,
+    documents_as_binary,
+)
+from spark_ensemble_spark.operators.similarity import brute_force_topk, ivf_topk
+from spark_ensemble_spark.operators.text import analyze_documents
+from spark_ensemble_spark.sources.datasets import load_table
+from spark_ensemble_spark.streaming.events import sessionize_batch
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(100).cache()
+    # plant near-duplicates: copy of doc text with one word appended
+    dups = docs.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    exact = docs.filter(F.col("doc_id") < 3).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    return docs.unionByName(dups).unionByName(exact).cache()
+
+
+def test_exact_dedup(docs_with_dups):
+    out = exact_dedup(docs_with_dups, ["text"], "doc_id")
+    assert out.count() == 105  # 100 originals + 5 near-dups (not exact)
+    # survivors are the min ids
+    assert out.filter(F.col("doc_id") >= 200000).count() == 0
+
+
+def test_minhash_finds_planted_near_dups(docs_with_dups):
+    pairs = minhash_dup_pairs(
+        docs_with_dups, "text", "doc_id", threshold=0.5, num_hashes=64, bands=16
+    )
+    found = {
+        (r.id_a, r.id_b) for r in pairs.collect()
+    }
+    # exact copies must collide with certainty
+    for i in range(3):
+        assert (i, i + 200000) in found
+    # appended-word near-dups should mostly be caught
+    near = sum(1 for i in range(5) if (i, i + 100000) in found)
+    assert near >= 4
+
+
+def test_minhash_signature_shape(docs_with_dups):
+    sigs = minhash_signatures(docs_with_dups, "text", "doc_id", num_hashes=32)
+    row = sigs.first()
+    assert len(row.signature) == 32
+
+
+def test_simhash_finds_exact_dups(docs_with_dups):
+    pairs = simhash_dup_pairs(docs_with_dups, "text", "doc_id", max_hamming=3)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    for i in range(3):
+        assert (i, i + 200000) in found
+
+
+def test_ngram_jaccard(docs_with_dups):
+    pairs = ngram_jaccard_pairs(
+        docs_with_dups, "text", "doc_id", n=2, threshold=0.5
+    ).collect()
+    found = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    for i in range(3):
+        assert found.get((i, i + 200000)) == pytest.approx(1.0)
+
+
+def test_brute_force_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    out = brute_force_topk(emb, q, k=3).collect()
+    assert len(out) == 3
+    assert [r.rank for r in out] == [1, 2, 3]
+    assert out[0].cosine >= out[1].cosine >= out[2].cosine
+    assert all(r.neighbor_id != 0 for r in out)
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, q, k=1).collect()
+    approx = ivf_topk(emb, q, k=1, num_clusters=8, nprobe=4).collect()
+    exact_top = {r.query_id: r.neighbor_id for r in exact}
+    approx_top = {r.query_id: r.neighbor_id for r in approx}
+    hits = sum(1 for k, v in exact_top.items() if approx_top.get(k) == v)
+    assert hits >= 6  # recall@1 >= 0.6 with nprobe=4/8
+
+
+def test_embedding_dup_pairs_consistency(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(200).cache()
+    brute = embedding_dup_pairs(emb, "embedding", "vec_id", 0.8, brute_force=True)
+    lsh = embedding_dup_pairs(emb, "embedding", "vec_id", 0.8, num_planes=4)
+    b = {(r.id_a, r.id_b) for r in brute.collect()}
+    l = {(r.id_a, r.id_b) for r in lsh.collect()}
+    assert l <= b  # LSH candidates are a subset (verified exactly)
+
+
+def test_text_analysis(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = analyze_documents(docs).cache()
+    row = out.first()
+    assert row.n_tokens > 0
+    assert row.n_bpe_tokens >= row.n_tokens  # BPE splits are finer
+    assert len(row.fingerprint) == 32
+    assert 0.0 <= row.quality <= 1.0
+    assert row.lang_pred in ("en", "de", "fr", "es", "zh")
+    # fingerprint is whitespace-insensitive
+    fp2 = analyze_documents(
+        docs.withColumn("text", F.concat(F.lit("  "), F.col("text")))
+    ).select("doc_id", "fingerprint")
+    joined = out.select("doc_id", "fingerprint").join(
+        fp2.withColumnRenamed("fingerprint", "fp2"), "doc_id"
+    )
+    assert joined.filter(F.col("fingerprint") != F.col("fp2")).count() == 0
+
+
+def test_multimodal_stub(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    feats = decode_stub_features(documents_as_binary(docs))
+    rows = feats.collect()
+    assert len(rows) == 50
+    for r in rows[:5]:
+        assert r.n_bytes > 0 and 0 <= r.first_byte < 256 and r.byte_sum > 0
+
+
+def test_multimodal_codec_stubs_raise(spark, sf_dir):
+    from spark_ensemble_spark.operators.multimodal import decode_image, frame_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    with pytest.raises(NotImplementedError):
+        decode_image(docs)
+    with pytest.raises(NotImplementedError):
+        frame_sample(docs)
+
+
+def test_streaming_equals_batch(spark, sf_dir):
+    from spark_ensemble_spark.streaming.events import streaming_windowed_counts
+
+    stream_out = streaming_windowed_counts(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    batch = (
+        ev.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .collect()
+    )
+    assert sorted(map(tuple, stream_out)) == sorted(map(tuple, batch))
+
+
+def test_sessionize(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    sessions = sessionize_batch(ev, gap_minutes=30)
+    total_events = sessions.agg(F.sum("n_events")).first()[0]
+    assert total_events == ev.count()
+    assert sessions.filter(F.col("n_events") < 1).count() == 0

@@ -22,14 +22,30 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # Headline set: relational core + ML estimators + data-pipeline operators.
 # Extended as operators land; keep total runtime a few minutes.
 BENCH_QUERIES = [
+    # relational core
     "q1_pricing_summary",
     "q3_top_revenue_orders",
     "q5_nation_revenue",
     "topk_orders_per_priority",
     "revenue_rollup",
     "events_hourly",
+    # ensemble estimators (fit + transform at the bench SF)
     "dummy_mean_regressor",
-    "dummy_prior_classifier",
+    "bagging_tree_regressor",
+    "boosting_tree_regressor",
+    "gbm_tree_regressor",
+    "stacking_tree_classifier",
+    # data-pipeline operators
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_simhash_pairs",
+    "text_analysis",
+    "similarity_bruteforce_topk",
+    "similarity_ivf_topk",
+    "multimodal_decode",
+    "events_sessionize",
+    "weighted_median_price",
+    "streaming_event_counts",
 ]
 
 

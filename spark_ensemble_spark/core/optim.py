@@ -104,3 +104,43 @@ def minimize_nonneg(
         if not improved:
             break
     return x
+
+
+def minimize_scalar_batched(
+    fun_batch: Callable[[Sequence[float]], List[float]],
+    lo: float = 0.0,
+    hi: float = 100.0,
+    rounds: int = 2,
+    points: int = 9,
+) -> float:
+    """Scalar minimization where the objective can evaluate a BATCH of
+    candidates in one call (for Spark: one agg computing N loss sums instead
+    of N sequential aggs — golden-section's eval count at 1/10 the job count).
+
+    Round 1 scans a log-ish grid over [lo, hi]; each later round re-grids
+    linearly around the incumbent. Precision after 2 rounds ≈ (hi−lo)/points²,
+    plenty for a GBM step size multiplied by a learning rate.
+    """
+    # log-spaced-ish first grid (denser near the typical optimum ~1)
+    grid = sorted(
+        {
+            lo,
+            *(lo + (hi - lo) * (i / (points - 1)) ** 3 for i in range(points)),
+            1.0,
+            hi,
+        }
+    )
+    best_x, best_f = None, None
+    for _ in range(rounds):
+        fs = fun_batch(list(grid))
+        for x, fx in zip(grid, fs):
+            if best_f is None or fx < best_f:
+                best_x, best_f = x, fx
+        # linear re-grid around the incumbent (which may be from a prior grid)
+        i = min(range(len(grid)), key=lambda j: abs(grid[j] - best_x))
+        a = grid[max(i - 1, 0)]
+        b = grid[min(i + 1, len(grid) - 1)]
+        if b - a < 1e-9:
+            break
+        grid = sorted({a + (b - a) * j / (points - 1) for j in range(points)})
+    return float(best_x)

@@ -77,6 +77,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 13,
+    kmeans_max_iter: int = 8,
 ) -> DataFrame:
     """IVF approximate top-k: assign corpus rows to their nearest KMeans
     centroid, probe only the ``nprobe`` closest centroids per query."""
@@ -86,7 +87,13 @@ def ivf_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
     ).withColumn("feat", array_to_vector("cv"))
-    km = KMeans(k=num_clusters, seed=seed, featuresCol="feat", predictionCol="cluster")
+    km = KMeans(
+        k=num_clusters,
+        seed=seed,
+        maxIter=kmeans_max_iter,  # coarse quantizer: convergence precision is wasted here
+        featuresCol="feat",
+        predictionCol="cluster",
+    )
     model = km.fit(c)
     assigned = model.transform(c).select("neighbor_id", "cv", "cluster")
 

@@ -47,6 +47,7 @@ from spark_ensemble_spark.core.persistence import (
     save_metadata,
     set_params_from_metadata,
 )
+from spark_ensemble_spark.core.optim import minimize_scalar_batched
 from spark_ensemble_spark.core.subbag import draw_subspace, sample_bag, slice_features
 from spark_ensemble_spark.core.utils import DFIterationCache, fit_base_learner
 
@@ -71,17 +72,6 @@ class _GBMRegressorParams(PredictorParams, GBMParams):
         if v not in _LOSSES:
             raise ValueError(f"loss must be one of {_LOSSES}, got {v}")
         return v
-
-
-def _brent_minimize(fun, max_iter: int, tol: float) -> float:
-    """Bounded scalar minimization on [0, 100] (reference uses commons-math3
-    Brent with SearchInterval(0, 100, 1), ``GBMRegressor.scala:311,412-421``).
-    Every evaluation is one Spark agg, so the eval budget is capped."""
-    from spark_ensemble_spark.core.optim import minimize_scalar_bounded
-
-    # step-size precision below 1e-3 never changes the fitted ensemble
-    # measurably but each extra eval is a full pass over the bag
-    return minimize_scalar_bounded(fun, 0.0, 100.0, min(max_iter, 30), max(tol, 1e-3))
 
 
 class GBMRegressor(Estimator, _GBMRegressorParams, EnsembleReadWrite):
@@ -305,20 +295,28 @@ class GBMRegressor(Estimator, _GBMRegressorParams, EnsembleReadWrite):
                     opt_df = opt_df.persist()
                     opt_df.count()
 
-                    def objective(x: float) -> float:
+                    def objective_batch(xs):
+                        # ONE agg evaluates every candidate step size — a grid
+                        # of loss sums instead of Brent's sequential passes
+                        # (each pass is a full scan of the bag at scale).
                         row = opt_df.agg(
-                            F.sum(
-                                F.col("weight")
-                                * gl.loss(
-                                    F.col("label"),
-                                    F.col("__gpred") + F.lit(float(x)) * F.col("__dir"),
-                                )
-                            ),
-                            F.sum("weight"),
+                            F.sum("weight").alias("sw"),
+                            *[
+                                F.sum(
+                                    F.col("weight")
+                                    * gl.loss(
+                                        F.col("label"),
+                                        F.col("__gpred")
+                                        + F.lit(float(x)) * F.col("__dir"),
+                                    )
+                                ).alias(f"l{k}")
+                                for k, x in enumerate(xs)
+                            ],
                         ).first()
-                        return (row[0] or 0.0) / (row[1] or 1.0)
+                        sw = row["sw"] or 1.0
+                        return [(row[k + 1] or 0.0) / sw for k in range(len(xs))]
 
-                    solution = _brent_minimize(objective, max_iter, tol)
+                    solution = minimize_scalar_batched(objective_batch, 0.0, 100.0)
                     opt_df.unpersist()
                 else:
                     solution = 1.0

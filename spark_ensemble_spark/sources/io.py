@@ -1,0 +1,66 @@
+"""Sources & sinks.
+
+The reference reads libsvm for every test fixture
+(``classification/BaggingClassifierSuite.scala:50-54``) and writes/reads JSON
+for model aux data (``BaggingRegressor.scala:258-284``). Spark has native
+connectors for both; these wrappers pin the conventions (schema, column
+names) the estimators expect.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_libsvm(
+    spark: SparkSession, path: str, num_features: Optional[int] = None
+) -> DataFrame:
+    """``(label double, features vector)`` from svmlight/libsvm files — the
+    reference's fixture format. ``numFeatures`` skips the extra inference pass
+    when known (always set it at scale: inference reads the whole file)."""
+    reader = spark.read.format("libsvm")
+    if num_features is not None:
+        reader = reader.option("numFeatures", str(num_features))
+    return reader.load(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema=None, header: bool = True) -> DataFrame:
+    reader = spark.read.option("header", str(header).lower())
+    # never inferSchema at scale - it is a full extra pass over the data
+    return (reader.schema(schema) if schema is not None else reader.option(
+        "inferSchema", "true"
+    )).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Optional[list] = None,
+    max_records_per_file: Optional[int] = None,
+) -> None:
+    """Partitioned parquet sink. ``partition_by`` should be a low-cardinality
+    column (date, source) — per-key output pruning for downstream readers."""
+    writer = df.write.mode(mode)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)

@@ -1,0 +1,95 @@
+"""Plan-shape assertions (the 100 TB design contract) + IO + pipeline
+composability + weighted-instance (FIXTURES.md F4) coverage."""
+
+import pytest
+from pyspark.ml import Pipeline
+from pyspark.ml.feature import VectorAssembler
+from pyspark.ml.linalg import Vectors
+from pyspark.ml.regression import DecisionTreeRegressor
+from pyspark.sql import functions as F
+
+from spark_ensemble_spark.plans.explain import (
+    has_broadcast_join,
+    has_cartesian,
+    pushed_filters,
+    scan_columns,
+)
+from spark_ensemble_spark.queries import SPARK_QUERIES
+from spark_ensemble_spark.sources.io import read_libsvm
+
+
+def test_q3_plan_shape(spark, sf_dir):
+    df = SPARK_QUERIES["q3_top_revenue_orders"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert not has_cartesian(df)
+    # the segment filter must reach the customer scan
+    assert any("BUILDING" in f for f in pushed_filters(df))
+    # lineitem scan reads only the join key + money columns
+    li_scan = [c for c in scan_columns(df) if "l_orderkey" in c][0]
+    assert set(li_scan) <= {"l_orderkey", "l_extendedprice", "l_discount"}
+
+
+def test_q1_column_pruning(spark, sf_dir):
+    df = SPARK_QUERIES["q1_pricing_summary"](spark, sf_dir)
+    cols = scan_columns(df)[0]
+    assert "l_orderkey" not in cols and "l_shipdate" not in cols
+
+
+def test_exact_dedup_no_cartesian(spark, sf_dir):
+    df = SPARK_QUERIES["dedup_exact"](spark, sf_dir)
+    assert not has_cartesian(df)
+
+
+def test_read_libsvm(spark, tmp_path):
+    p = tmp_path / "sample.svm"
+    p.write_text("1.0 1:0.5 3:1.5\n0.0 2:2.0\n")
+    df = read_libsvm(spark, str(p), num_features=3)
+    rows = df.orderBy(F.desc("label")).collect()
+    assert rows[0].label == 1.0
+    assert list(rows[0].features) == [0.5, 0.0, 1.5]
+
+
+def test_pipeline_composability(spark, sf_dir):
+    """Our estimators are pyspark.ml stages: they compose in a Pipeline after
+    a VectorAssembler, like any built-in estimator."""
+    from spark_ensemble_spark import BaggingRegressor
+    from spark_ensemble_spark.sources.datasets import REGRESSION_FEATURES, load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("label"),
+        *[F.col(c).cast("double").alias(c) for c in REGRESSION_FEATURES],
+    )
+    pipe = Pipeline(
+        stages=[
+            VectorAssembler(inputCols=REGRESSION_FEATURES, outputCol="features"),
+            BaggingRegressor(
+                baseLearner=DecisionTreeRegressor(maxDepth=3), numBaseLearners=2
+            ),
+        ]
+    )
+    model = pipe.fit(li)
+    out = model.transform(li)
+    assert out.select("prediction").first()[0] is not None
+
+
+def test_weighted_instances(spark):
+    """FIXTURES.md F4: a weight column reaches the base learner; zero-weight
+    rows must not influence the fit (Dummy-mean ignores weights by reference
+    semantics, so use the boosting path where weights enter the fit)."""
+    from spark_ensemble_spark import BaggingRegressor
+
+    rows = [(1.0, 1.0, Vectors.dense([1.0]))] * 50 + [
+        (100.0, 0.0001, Vectors.dense([1.0]))
+    ] * 50
+    df = spark.createDataFrame(rows, ["label", "w", "features"])
+    base = DecisionTreeRegressor(maxDepth=2)
+    model = BaggingRegressor(
+        baseLearner=base,
+        numBaseLearners=2,
+        replacement=False,
+        subsampleRatio=1.0,
+        weightCol="w",
+    ).fit(df)
+    pred = model.transform(df).select("prediction").first()[0]
+    # nearly all weight on label 1.0 → prediction close to 1, far from mean 50.5
+    assert pred < 10.0

@@ -110,7 +110,7 @@ def minimize_scalar_batched(
     fun_batch: Callable[[Sequence[float]], List[float]],
     lo: float = 0.0,
     hi: float = 100.0,
-    rounds: int = 2,
+    rounds: int = 3,
     points: int = 9,
 ) -> float:
     """Scalar minimization where the objective can evaluate a BATCH of
@@ -118,7 +118,7 @@ def minimize_scalar_batched(
     of N sequential aggs — golden-section's eval count at 1/10 the job count).
 
     Round 1 scans a log-ish grid over [lo, hi]; each later round re-grids
-    linearly around the incumbent. Precision after 2 rounds ≈ (hi−lo)/points²,
+    linearly around the incumbent. Precision after 3 rounds ≈ (hi−lo)/points³,
     plenty for a GBM step size multiplied by a learning rate.
     """
     # log-spaced-ish first grid (denser near the typical optimum ~1)

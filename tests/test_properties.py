@@ -1,0 +1,160 @@
+"""Property-based tests mirroring the reference's ScalaCheck suites
+(``HasSubBagSuite.scala:60-105``, ``UtilsSuite.scala:29-67``) plus optimizer
+contracts. Pure-python properties run under hypothesis; Spark expression
+properties evaluate a batch of random cases in one DataFrame."""
+
+import math
+import random
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from spark_ensemble_spark.core.optim import (
+    minimize_nonneg,
+    minimize_scalar_bounded,
+)
+from spark_ensemble_spark.core.subbag import draw_subspace, is_identity
+
+
+@given(
+    ratio=st.floats(min_value=0.05, max_value=1.0),
+    num_features=st.integers(min_value=1, max_value=200),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=200, deadline=None)
+def test_subspace_properties(ratio, num_features, seed):
+    idx = draw_subspace(ratio, num_features, seed)
+    assert idx == sorted(idx)  # sorted
+    assert len(set(idx)) == len(idx)  # distinct
+    assert all(0 <= i < num_features for i in idx)  # in range
+    assert len(idx) >= 1  # documented deviation: never empty
+    # deterministic given the seed
+    assert idx == draw_subspace(ratio, num_features, seed)
+
+
+def test_subspace_identity_at_ratio_one():
+    for d in (1, 5, 64):
+        assert draw_subspace(1.0, d, 42) == list(range(d))
+        assert is_identity(draw_subspace(1.0, d, 42), d)
+
+
+def test_subspace_expected_size():
+    """E[size] = ratio·d within 10% over many draws (reference property)."""
+    d, ratio, n = 100, 0.6, 300
+    sizes = [len(draw_subspace(ratio, d, s)) for s in range(n)]
+    assert abs(sum(sizes) / n - ratio * d) < 0.1 * d
+
+
+@given(
+    center=st.floats(min_value=0.0, max_value=50.0),
+    scale=st.floats(min_value=0.1, max_value=10.0),
+)
+@settings(max_examples=50, deadline=None)
+def test_scalar_minimizer_parabola(center, scale):
+    got = minimize_scalar_bounded(
+        lambda x: scale * (x - center) ** 2, 0.0, 100.0, max_iter=60, tol=1e-6
+    )
+    assert got == pytest.approx(center, abs=1e-2)
+
+
+@given(
+    centers=st.lists(
+        st.floats(min_value=-2.0, max_value=5.0), min_size=1, max_size=6
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_nonneg_minimizer_quadratic(centers):
+    """min Σ (x_i − c_i)² s.t. x ≥ 0 has solution max(c_i, 0)."""
+
+    def fg(x):
+        f = sum((xi - ci) ** 2 for xi, ci in zip(x, centers))
+        g = [2 * (xi - ci) for xi, ci in zip(x, centers)]
+        return f, g
+
+    got = minimize_nonneg(fg, [1.0] * len(centers), max_iter=100, tol=1e-10)
+    expected = [max(c, 0.0) for c in centers]
+    for g, e in zip(got, expected):
+        assert g == pytest.approx(e, abs=0.05)
+
+
+def test_batched_minimizer_matches_sequential():
+    from spark_ensemble_spark.core.optim import minimize_scalar_batched
+
+    rng = random.Random(0)
+    for _ in range(20):
+        c = rng.uniform(0, 20)
+
+        def fb(xs, c=c):
+            return [(x - c) ** 2 for x in xs]
+
+        got = minimize_scalar_batched(fb, 0.0, 100.0)
+        assert got == pytest.approx(c, abs=max(0.03 * c, 0.05))
+
+
+def test_weighted_median_expression(spark):
+    """Catalyst weighted-median == reference semantics (sort, cumulative
+    weight >= half total) over random cases, evaluated as one DataFrame."""
+    from pyspark.sql import functions as F
+
+    from spark_ensemble_spark.core.utils import weighted_median
+
+    rng = random.Random(7)
+    n_models = 5
+    for trial in range(4):
+        weights = [rng.uniform(0.1, 2.0) for _ in range(n_models)]
+        rows = [
+            tuple(rng.uniform(-100, 100) for _ in range(n_models)) for _ in range(60)
+        ]
+        df = spark.createDataFrame(rows, [f"p{i}" for i in range(n_models)])
+        out = df.withColumn(
+            "wm", weighted_median([f"p{i}" for i in range(n_models)], weights)
+        ).collect()
+
+        def expected(vals):
+            pairs = sorted(zip(vals, weights))
+            half = 0.5 * sum(weights)
+            cum = 0.0
+            for v, w in pairs:
+                cum += w
+                if cum >= half:
+                    return v
+
+        for row in out:
+            vals = [row[f"p{i}"] for i in range(n_models)]
+            assert row["wm"] == pytest.approx(expected(vals)), vals
+
+        # reference properties: uniform weights → lower median; scale invariance
+        df2 = df.withColumn(
+            "uniform", weighted_median([f"p{i}" for i in range(n_models)], [1.0] * n_models)
+        ).withColumn(
+            "scaled", weighted_median([f"p{i}" for i in range(n_models)], [w * 3.0 for w in weights])
+        ).withColumn(
+            "orig", weighted_median([f"p{i}" for i in range(n_models)], weights)
+        )
+        for row in df2.collect():
+            vals = sorted(row[f"p{i}"] for i in range(n_models))
+            assert row["uniform"] == pytest.approx(vals[(n_models - 1) // 2])
+            assert row["scaled"] == pytest.approx(row["orig"])
+
+
+def test_softmax_argmax_invariants(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from spark_ensemble_spark.core.utils import argmax_array, softmax_array
+
+    rng = np.random.default_rng(3)
+    rows = [(rng.normal(0, 5, size=6).tolist(),) for _ in range(50)]
+    rows.append(([1.0, 3.0, 3.0, 0.0, 3.0, -1.0],))  # tie case
+    df = spark.createDataFrame(rows, ["arr"])
+    out = df.select(
+        "arr",
+        softmax_array(F.col("arr")).alias("sm"),
+        argmax_array(F.col("arr")).alias("am"),
+    ).collect()
+    for row in out:
+        assert sum(row.sm) == pytest.approx(1.0, abs=1e-9)
+        assert all(s > 0 for s in row.sm)
+        mx = max(row.arr)
+        assert row.am == float(row.arr.index(mx))  # first-max tie-break

@@ -908,3 +908,118 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return weighted_median_of(li, "l_extendedprice", "l_quantity")
+
+
+# ---------------------------------------------------------------------------
+# Relational breadth: distinct aggregation, anti-join set ops, pivot,
+# date/string scalar functions.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "distinct_users_daily",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           count(DISTINCT user_id) AS users,
+           count(*) AS events
+    FROM events GROUP BY 1
+    """,
+)
+def distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.countDistinct("user_id").alias("users"),
+        F.count(F.lit(1)).alias("events"),
+    )
+
+
+@query(
+    "clickers_never_purchased",
+    """
+    SELECT count(*) AS n FROM (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+      EXCEPT
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    )
+    """,
+)
+def clickers_never_purchased(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return clickers.join(buyers, "user_id", "left_anti").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "pivot_flag_by_status",
+    """
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 2) AS qty_O,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 2) AS qty_F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_flag_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .select(
+            "l_returnflag",
+            F.coalesce("O", F.lit(0.0)).alias("qty_O"),
+            F.coalesce("F", F.lit(0.0)).alias("qty_F"),
+        )
+    )
+
+
+@query(
+    "orders_monthly_stats",
+    """
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+           count(*) AS n_orders,
+           count(DISTINCT o_custkey) AS n_customers,
+           round(avg(o_totalprice), 4) AS avg_price,
+           round(max(o_totalprice), 2) AS max_price
+    FROM orders
+    WHERE o_orderstatus <> 'P'
+    GROUP BY 1
+    """,
+)
+def orders_monthly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "P")
+    return orders.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+@query(
+    "part_brand_stats",
+    """
+    SELECT upper(p_brand) AS brand,
+           substr(p_type, 1, 6) AS type_prefix,
+           count(*) AS n,
+           round(avg(p_retailprice), 4) AS avg_price
+    FROM part
+    WHERE p_name LIKE '%a%'
+    GROUP BY 1, 2
+    """,
+)
+def part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%a%"))
+    return part.groupBy(
+        F.upper("p_brand").alias("brand"),
+        F.substring("p_type", 1, 6).alias("type_prefix"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+    )

@@ -93,3 +93,20 @@ def test_weighted_instances(spark):
     pred = model.transform(df).select("prediction").first()[0]
     # nearly all weight on label 1.0 → prediction close to 1, far from mean 50.5
     assert pred < 10.0
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from spark_ensemble_spark.functions.skew import salted_join
+    from spark_ensemble_spark.sources.datasets import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    plain = li.join(orders, "l_orderkey").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("q")
+    ).first()
+    salted = salted_join(li, orders, "l_orderkey", salt=4).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("q")
+    ).first()
+    assert (plain.n, plain.q) == (salted.n, salted.q)

@@ -419,7 +419,9 @@ class GBMClassifier(Estimator, _GBMClassifierParams, EnsembleReadWrite):
 
         from spark_ensemble_spark.core.optim import minimize_nonneg
 
-        return minimize_nonneg(fun_and_grad, [1.0] * dim, min(max_iter, 25), tol)
+        # every evaluation is a cluster-wide agg; 15 projected-gradient
+        # steps locate the step-size vector to ~1% which shrinkage absorbs
+        return minimize_nonneg(fun_and_grad, [1.0] * dim, min(max_iter, 15), tol)
 
     def _save_impl(self, path: str) -> None:
         save_metadata(self, path)

@@ -4,10 +4,11 @@ Five flavors, all shuffle-frugal:
 
 * :func:`exact_dedup` — hash groupBy on the normalized key; one shuffle, the
   canonical survivor is the min id per group (window-free formulation).
-* :func:`minhash_signatures` / :func:`minhash_dup_pairs` — char-shingle MinHash
-  with banded LSH. Shingle hashes are computed once (``xxhash64``), the k
-  signatures are affine permutations of that hash (universal hashing), bands
-  are exploded and bucket-joined. Candidate pairs are verified with the
+* :func:`minhash_signatures` / :func:`minhash_dup_pairs` — shingle MinHash
+  (word n-grams by default, char k-grams selectable) with banded LSH. Shingle
+  hashes are computed once (``xxhash64``), the k signatures are affine
+  permutations of that hash (universal hashing), bands are exploded and
+  bucket-joined. Candidate pairs are verified with the
   estimated Jaccard (matching-signature fraction). Never O(n²): the only join
   is per-bucket.
 * :func:`simhash_signatures` / :func:`simhash_dup_pairs` — 64-bit SimHash over

@@ -110,3 +110,62 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
         F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("q")
     ).first()
     assert (plain.n, plain.q) == (salted.n, salted.q)
+
+
+def test_pipeline_model_save_load(spark, sf_dir, tmp_path):
+    """PipelineModel persistence with our python-native stage inside."""
+    from pyspark.ml import Pipeline, PipelineModel
+
+    from spark_ensemble_spark import BaggingRegressor
+    from spark_ensemble_spark.sources.datasets import REGRESSION_FEATURES, load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("label"),
+        *[F.col(c).cast("double").alias(c) for c in REGRESSION_FEATURES],
+    )
+    pipe = Pipeline(
+        stages=[
+            VectorAssembler(inputCols=REGRESSION_FEATURES, outputCol="features"),
+            BaggingRegressor(
+                baseLearner=DecisionTreeRegressor(maxDepth=2), numBaseLearners=2
+            ),
+        ]
+    )
+    model = pipe.fit(li)
+    p = str(tmp_path / "pipe_model")
+    model.save(p)
+    loaded = PipelineModel.load(p)
+    orig = model.transform(li).select("prediction").collect()
+    re = loaded.transform(li).select("prediction").collect()
+    assert orig == re
+
+
+def test_cross_validator_compat(spark, sf_dir):
+    """Our estimators work inside pyspark.ml tuning (copy(extra) + fit with
+    ParamMaps), so existing model-selection code ports unchanged."""
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    from spark_ensemble_spark import BaggingRegressor
+    from spark_ensemble_spark.sources.datasets import regression_dataset
+
+    ds = regression_dataset(spark, sf_dir).limit(2000).cache()
+    est = BaggingRegressor(
+        baseLearner=DecisionTreeRegressor(maxDepth=3), numBaseLearners=2
+    )
+    grid = (
+        ParamGridBuilder()
+        .addGrid(est.subsampleRatio, [0.5, 1.0])
+        .build()
+    )
+    cv = CrossValidator(
+        estimator=est,
+        estimatorParamMaps=grid,
+        evaluator=RegressionEvaluator(metricName="rmse"),
+        numFolds=2,
+        parallelism=2,
+        seed=1,
+    )
+    model = cv.fit(ds)
+    assert len(model.avgMetrics) == 2
+    assert model.bestModel.numModels == 2

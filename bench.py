@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "events_sessionize",
     "weighted_median_price",
     "streaming_event_counts",
+    "curation_pipeline",
 ]
 
 

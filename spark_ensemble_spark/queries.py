@@ -1023,3 +1023,60 @@ def part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
     )
+
+
+@query(
+    "curation_pipeline",
+    f"""
+    WITH enriched AS (
+      SELECT doc_id, lang, text,
+             len({_TEXT_TOKENS_SQL}) AS n_tokens,
+             round(least(len({_TEXT_TOKENS_SQL}) / 100.0, 1.0) * 0.5
+                   + (len(list_filter({_TEXT_TOKENS_SQL}, t -> list_contains({_STOPWORDS_SQL}, t)))
+                      * 1.0 / greatest(len({_TEXT_TOKENS_SQL}), 1)) * 0.3
+                   + (1.0 - least(len(regexp_extract_all(text, '[.,!?;:]')) * 10.0
+                                  / greatest(length(text), 1), 1.0)) * 0.2, 6) AS quality,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents
+    ),
+    filtered AS (
+      SELECT * FROM enriched WHERE quality >= 0.3 AND n_tokens >= 20
+    ),
+    deduped AS (
+      SELECT * FROM filtered
+      WHERE doc_id IN (SELECT min(doc_id) FROM filtered GROUP BY fp)
+    )
+    SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+           round(avg(quality), 6) AS avg_quality
+    FROM deduped GROUP BY lang
+    """,
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation: quality/length filter → exact dedup →
+    per-language token accounting. Every stage is one of this engine's
+    operators composed as a single lazy DataFrame program (one scan, one
+    dedup shuffle, one final agg) — the 100 TB shape of a pretraining-data
+    cleaning job."""
+    from spark_ensemble_spark.operators.dedup import exact_dedup
+    from spark_ensemble_spark.operators.text import (
+        fingerprint,
+        quality_score,
+        token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    enriched = docs.select(
+        "doc_id",
+        "lang",
+        token_count(t).alias("n_tokens"),
+        F.round(quality_score(t), 6).alias("quality"),
+        fingerprint(t).alias("fp"),
+    )
+    filtered = enriched.filter((F.col("quality") >= 0.3) & (F.col("n_tokens") >= 20))
+    deduped = exact_dedup(filtered, ["fp"], "doc_id")
+    return deduped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+    )

@@ -411,3 +411,62 @@ def embedding_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# pair → cluster resolution (connected components)
+# ---------------------------------------------------------------------------
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    max_rounds: int = 10,
+) -> DataFrame:
+    """Resolve near-dup pairs (id_a, id_b) into clusters: every member maps to
+    the minimum id reachable through the pair graph (connected components).
+
+    Iterative min-label propagation: each round joins the current labels
+    across the edge list and takes the per-node min; converges in
+    O(log(diameter)) rounds and stops early when no label changes. Each round
+    is one shuffle on the node id — no driver-side graph, so it scales to
+    billions of edges. Result: (id, cluster_id) with cluster_id = min member.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_rounds):
+        # candidate label for each node: min over neighbors' labels and its own
+        neighbor_labels = (
+            edges.join(labels, edges.dst == labels.id)
+            .select(F.col("src").alias("id"), "cluster_id")
+        )
+        new_labels = (
+            labels.select("id", "cluster_id")
+            .union(neighbor_labels)
+            .groupBy("id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels

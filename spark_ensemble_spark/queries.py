@@ -1080,3 +1080,34 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.round(F.avg("quality"), 6).alias("avg_quality"),
     )
+
+
+@query(
+    "streaming_sessionize",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    with_id AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM ordered
+    )
+    SELECT user_id, session_seq, count(*) AS n_events,
+           round(sum(value), 4) AS session_value,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+    FROM with_id GROUP BY user_id, session_seq
+    """,
+)
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STATEFUL streaming operator (applyInPandasWithState): per-user
+    session state across micro-batches, verified against the batch-SQL oracle
+    on a full file replay."""
+    from spark_ensemble_spark.streaming.events import streaming_sessionize as ss
+
+    return ss(spark, sf_dir, gap_minutes=30)

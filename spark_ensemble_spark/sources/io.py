@@ -64,3 +64,21 @@ def write_parquet(
 
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 16,
+    sort_col: Optional[str] = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (and optionally sorted) table: joins/aggregations
+    on ``bucket_col`` between tables bucketed the same way need NO shuffle —
+    the co-location is decided at write time. This is the pattern for a fact
+    table that will be joined on the same key by many downstream jobs."""
+    writer = df.write.mode(mode).bucketBy(num_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table)

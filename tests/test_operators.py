@@ -176,3 +176,37 @@ def test_sessionize(spark, sf_dir):
     total_events = sessions.agg(F.sum("n_events")).first()[0]
     assert total_events == ev.count()
     assert sessions.filter(F.col("n_events") < 1).count() == 0
+
+
+def test_dup_clusters(spark):
+    from spark_ensemble_spark.operators.dedup import dup_clusters
+
+    # two components: {1,2,3,4} via a chain, {10,11}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    out = {r.id: r.cluster_id for r in dup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dup_clusters_on_planted(docs_with_dups):
+    from spark_ensemble_spark.operators.dedup import dup_clusters, minhash_dup_pairs
+
+    pairs = minhash_dup_pairs(docs_with_dups, "text", "doc_id", threshold=0.5)
+    clusters = dup_clusters(pairs)
+    got = {r.id: r.cluster_id for r in clusters.collect()}
+    # exact copies resolve to the original id as canonical representative
+    for i in range(3):
+        assert got.get(i + 200000) == i
+
+
+def test_streaming_sessionize_equals_batch(spark, sf_dir):
+    from spark_ensemble_spark.streaming.events import (
+        sessionize_batch,
+        streaming_sessionize,
+    )
+
+    stream = streaming_sessionize(spark, sf_dir).collect()
+    batch = sessionize_batch(load_table(spark, sf_dir, "events"), 30).collect()
+    key = lambda r: (r.user_id, r.session_seq, r.n_events, r.session_value, r.session_start)
+    assert sorted(map(key, stream)) == sorted(map(key, batch))

@@ -169,3 +169,27 @@ def test_cross_validator_compat(spark, sf_dir):
     model = cv.fit(ds)
     assert len(model.avgMetrics) == 2
     assert model.bestModel.numModels == 2
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    from spark_ensemble_spark.plans.explain import executed_plan
+    from spark_ensemble_spark.sources.datasets import load_table
+    from spark_ensemble_spark.sources.io import write_bucketed_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    write_bucketed_table(li, "li_bucketed", "l_orderkey", 8)
+    write_bucketed_table(orders, "orders_bucketed", "o_orderkey", 8)
+    a = spark.table("li_bucketed")
+    b = spark.table("orders_bucketed")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = a.join(b, a.l_orderkey == b.o_orderkey)
+        joined.count()
+        plan = executed_plan(joined)
+        # co-located buckets: the join runs with no shuffle exchange
+        assert "Exchange hashpartitioning" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS orders_bucketed")

@@ -1111,3 +1111,50 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_ensemble_spark.streaming.events import streaming_sessionize as ss
 
     return ss(spark, sf_dir, gap_minutes=30)
+
+
+@query(
+    "events_json_props",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+    FROM events GROUP BY event_type
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar-function coverage: extract a field from the props JSON
+    column and aggregate it."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+    )
+
+
+@query(
+    "top_tokens",
+    """
+    SELECT token, count(*) AS n FROM (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents
+    )
+    GROUP BY token ORDER BY n DESC, token LIMIT 20
+    """,
+)
+def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode/unnest coverage: corpus-wide token frequencies (the word-count
+    shape: explode → shuffle on token → count → top-k)."""
+    from spark_ensemble_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )

@@ -193,3 +193,17 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS li_bucketed")
         spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+
+
+def test_partitioned_parquet_roundtrip(spark, sf_dir, tmp_path):
+    from spark_ensemble_spark.sources.datasets import load_table
+    from spark_ensemble_spark.sources.io import read_parquet, write_parquet
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "orders_part")
+    write_parquet(orders, out, partition_by=["o_orderstatus"])
+    back = read_parquet(spark, out)
+    assert back.count() == orders.count()
+    # partition pruning: a status filter should scan only one directory
+    pruned = back.filter(F.col("o_orderstatus") == "F")
+    assert pruned.count() == orders.filter(F.col("o_orderstatus") == "F").count()

@@ -109,7 +109,6 @@ def test_gbm_regressor_prefix_improvement(reg_splits):
             model.init,
             model.numFeatures,
         )
-        prefix._copyValues_from = None  # no params copied: defaults are fine
         rmses.append(ev.evaluate(prefix.transform(train)))
     improving = sum(1 for a, b in zip(rmses, rmses[1:]) if b <= a + 1e-9)
     assert improving == len(rmses) - 1, rmses
@@ -233,3 +232,22 @@ def test_gbm_classifier_save_load(clf_splits, tmp_path):
         model.transform(test).select("prediction").collect()
         == loaded.transform(test).select("prediction").collect()
     )
+
+
+def test_gbm_classifier_early_stopping(clf_splits):
+    train, _ = clf_splits
+    with_val = train.withColumn("val", F.rand(seed=5) > 0.8)
+    model = GBMClassifier(
+        baseLearner=DecisionTreeRegressor(maxDepth=2),
+        numBaseLearners=8,
+        loss="logloss",
+        learningRate=1.0,
+        validationIndicatorCol="val",
+        validationTol=0.05,
+        numRounds=1,
+        optimizedWeights=False,
+        parallelism=3,
+    ).fit(with_val)
+    # depth-2 stumps stall fast on this task; validation must truncate
+    assert model.numModels < 8
+    assert len(model.weights) == model.numModels

@@ -1158,3 +1158,27 @@ def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("token"))
         .limit(20)
     )
+
+
+@query(
+    "q6_revenue_forecast",
+    f"""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue_delta,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.04 AND 0.06 AND l_quantity < 24
+    """,
+)
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape, expressed through the SQL API (temp view + spark.sql) —
+    Catalyst produces the same plan as the DataFrame API; both surfaces are
+    first-class in this engine."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue_delta,
+               count(*) AS n
+        FROM lineitem_v
+        WHERE l_discount BETWEEN 0.04 AND 0.06 AND l_quantity < 24
+        """
+    )

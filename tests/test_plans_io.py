@@ -207,3 +207,19 @@ def test_partitioned_parquet_roundtrip(spark, sf_dir, tmp_path):
     # partition pruning: a status filter should scan only one directory
     pruned = back.filter(F.col("o_orderstatus") == "F")
     assert pruned.count() == orders.filter(F.col("o_orderstatus") == "F").count()
+
+
+def test_csv_and_orc_roundtrip(spark, sf_dir, tmp_path):
+    from spark_ensemble_spark.sources.datasets import load_table
+    from spark_ensemble_spark.sources.io import read_csv
+
+    nation = load_table(spark, sf_dir, "nation")
+    csv_path = str(tmp_path / "nation_csv")
+    nation.write.mode("overwrite").option("header", "true").csv(csv_path)
+    back = read_csv(spark, csv_path, schema=nation.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+
+    orc_path = str(tmp_path / "nation_orc")
+    nation.write.mode("overwrite").orc(orc_path)
+    back_orc = spark.read.orc(orc_path)
+    assert back_orc.count() == nation.count()

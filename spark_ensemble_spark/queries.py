@@ -735,8 +735,8 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(len(list_intersect(l.grams, r.grams)) * 1.0
                  / len(list_distinct(list_concat(l.grams, r.grams))), 6) AS jaccard
     FROM base l JOIN base r ON l.block = r.block AND l.id < r.id
-    WHERE len(list_intersect(l.grams, r.grams)) * 1.0
-          / len(list_distinct(list_concat(l.grams, r.grams))) >= 0.5
+    WHERE round(len(list_intersect(l.grams, r.grams)) * 1.0
+          / len(list_distinct(list_concat(l.grams, r.grams))), 6) >= 0.5
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

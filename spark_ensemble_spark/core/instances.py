@@ -80,7 +80,11 @@ def get_num_classes(df: DataFrame, label_col: str, max_num_classes: int = 100) -
         F.min(F.col(label_col).cast("double")).alias("mn"),
         F.sum(
             F.when(
-                F.col(label_col).cast("double") != F.floor(F.col(label_col).cast("double")),
+                F.isnan(F.col(label_col).cast("double"))
+                | (
+                    F.col(label_col).cast("double")
+                    != F.floor(F.col(label_col).cast("double"))
+                ),
                 1,
             ).otherwise(0)
         ).alias("bad"),
@@ -88,7 +92,9 @@ def get_num_classes(df: DataFrame, label_col: str, max_num_classes: int = 100) -
     if row is None or row["mx"] is None:
         raise ValueError("empty dataset: cannot infer numClasses")
     if row["bad"]:
-        raise ValueError("classification labels must be integral doubles 0..K-1")
+        raise ValueError(
+            "classification labels must be integral (non-NaN) doubles 0..K-1"
+        )
     if row["mn"] < 0:
         raise ValueError(f"negative label {row['mn']}: labels must be in [0, K)")
     num_classes = int(row["mx"]) + 1

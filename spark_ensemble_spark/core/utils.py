@@ -110,7 +110,15 @@ def weighted_median(cols: Sequence[str], weights: Sequence[float]) -> Column:
             )
         )
 
-    return F.aggregate(pairs, zero, step, lambda acc: acc["ans"])
+    # Negative model weights (a kept worse-than-chance boosting round) can
+    # leave every prefix below half the total; fall back to the largest value
+    # instead of emitting NULL (the reference crashes on this same input).
+    return F.aggregate(
+        pairs,
+        zero,
+        step,
+        lambda acc: F.coalesce(acc["ans"], F.element_at(pairs, -1)["p"]),
+    )
 
 
 def argmax_array(arr: Column) -> Column:

@@ -25,6 +25,11 @@ def salted_join(
     salt in [0, salt), the small side is exploded ``salt`` times, and the join
     key becomes (key, salt) — one hot key now spreads across ``salt``
     reducers. The small side grows by ``salt``× (keep it broadcast-sized)."""
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join does not support how='{how}': the exploded small side "
+            "would duplicate unmatched rows in right/full outer joins"
+        )
     salted_large = large.withColumn(
         "__salt", (F.rand(seed=0) * salt).cast("int")
     )

@@ -196,7 +196,10 @@ def minhash_dup_pairs(
         cand.withColumn("est_jaccard", F.round(est, 6))
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
+        .persist()
     )
+    out.count()  # materialize, then release the (much larger) signature cache
+    sigs.unpersist()
     return out
 
 
@@ -284,11 +287,15 @@ def simhash_dup_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return (
+    out = (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .persist()
     )
+    out.count()  # materialize, then release the signature cache
+    sigs.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -420,17 +427,22 @@ def embedding_dup_pairs(
 
 def dup_clusters(
     pairs: DataFrame,
-    max_rounds: int = 10,
+    max_rounds: int = 30,
 ) -> DataFrame:
     """Resolve near-dup pairs (id_a, id_b) into clusters: every member maps to
     the minimum id reachable through the pair graph (connected components).
 
     Iterative min-label propagation: each round joins the current labels
-    across the edge list and takes the per-node min; converges in
-    O(log(diameter)) rounds and stops early when no label changes. Each round
-    is one shuffle on the node id — no driver-side graph, so it scales to
-    billions of edges. Result: (id, cluster_id) with cluster_id = min member.
+    across the edge list and takes the per-node min. The label travels one hop
+    per round, so convergence takes O(component diameter) rounds — near-dup
+    clusters are almost always shallow (star-shaped around a popular doc), and
+    the loop stops early the first round nothing changes. Each round is one
+    shuffle on the node id — no driver-side graph, so it scales to billions of
+    edges. Result: (id, cluster_id) with cluster_id = min member. A warning is
+    logged if max_rounds is hit before convergence (pathologically long
+    chains); raise max_rounds or add pointer-jumping for such graphs.
     """
+    import warnings
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -468,5 +480,10 @@ def dup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        warnings.warn(
+            f"dup_clusters did not converge within {max_rounds} rounds; "
+            "cluster ids may be split for very long chains"
+        )
     edges.unpersist()
     return labels

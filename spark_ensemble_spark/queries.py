@@ -100,8 +100,11 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # orders and customer are fact-scale: no broadcast hints — AQE picks
+    # broadcast at test SFs and sort-merge at production scale; only the
+    # filtered customer side is hinted (post-filter it is dimension-sized)
     joined = li.join(
-        F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
         li.l_orderkey == F.col("o_orderkey"),
     )
     return (
@@ -138,9 +141,11 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region").filter(
         F.col("r_name").isin("EUROPE", "ASIA")
     )
+    # broadcast hints only on the true dimensions (supplier/nation/region);
+    # orders and customer are fact-scale — AQE decides those join strategies
     joined = (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(
             F.broadcast(supp),
             (F.col("l_suppkey") == supp.s_suppkey)
@@ -864,7 +869,7 @@ def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH ordered AS (
       SELECT user_id, ts, value,
-             CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events
@@ -1087,7 +1092,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH ordered AS (
       SELECT user_id, ts, value,
-             CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events

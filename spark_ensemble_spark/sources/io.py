@@ -32,10 +32,15 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 
 def read_csv(spark: SparkSession, path: str, schema=None, header: bool = True) -> DataFrame:
     reader = spark.read.option("header", str(header).lower())
-    # never inferSchema at scale - it is a full extra pass over the data
-    return (reader.schema(schema) if schema is not None else reader.option(
-        "inferSchema", "true"
-    )).csv(path)
+    if schema is not None:
+        return reader.schema(schema).csv(path)
+    # no schema: infer from a 10% sample — full inference is an extra
+    # complete pass over the data; always pass a schema at scale
+    return (
+        reader.option("inferSchema", "true")
+        .option("samplingRatio", "0.1")
+        .csv(path)
+    )
 
 
 def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:

@@ -83,10 +83,12 @@ def sessionize_batch(
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # exact microsecond gaps: casting to long truncates to seconds and
+    # disagrees with fractional-second oracles at the gap boundary
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
     with_break = df.withColumn(
         "__new_session",
-        F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0),
+        F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1).otherwise(0),
     )
     with_id = with_break.withColumn(
         "session_seq",
@@ -105,7 +107,13 @@ SESSION_OUTPUT_SCHEMA = (
     "user_id long, session_seq long, n_events long, "
     "session_value double, session_start string"
 )
-SESSION_STATE_SCHEMA = "last_ts long, session_seq long"
+# last_ts in MICROSECONDS (exact; second-truncation would disagree with the
+# SQL oracle on sub-second gap boundaries) + the open session's accumulators
+# so a session spanning micro-batches resumes instead of crashing.
+SESSION_STATE_SCHEMA = (
+    "last_ts long, session_seq long, n_events long, "
+    "session_value double, session_start string"
+)
 
 
 def streaming_sessionize(
@@ -132,21 +140,31 @@ def streaming_sessionize(
         .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
 
-    gap_s = gap_minutes * 60
+    gap_us = gap_minutes * 60 * 1_000_000
 
     def sessionize(key, pdfs, state):
         import pandas as pd
 
         rows = pd.concat(list(pdfs)).sort_values("ts")
         if state.exists:
-            last_ts, seq = state.get
+            last_ts, seq, n_events, session_value, session_start = state.get
+            cur = (
+                {
+                    "user_id": key[0],
+                    "session_seq": seq,
+                    "n_events": n_events,
+                    "session_value": session_value,
+                    "session_start": session_start,
+                }
+                if n_events
+                else None
+            )
         else:
-            last_ts, seq = None, 0
+            last_ts, seq, cur = None, 0, None
         out = []
-        cur = None
         for ts, value in zip(rows["ts"], rows["value"]):
-            epoch = int(ts.timestamp())
-            if last_ts is None or epoch - last_ts > gap_s:
+            epoch_us = ts.value // 1000  # pandas ns → µs, exact
+            if last_ts is None or epoch_us - last_ts > gap_us:
                 if cur is not None:
                     out.append(cur)
                 seq += 1
@@ -159,10 +177,20 @@ def streaming_sessionize(
                 }
             cur["n_events"] += 1
             cur["session_value"] = round(cur["session_value"] + value, 10)
-            last_ts = epoch
+            last_ts = epoch_us
         if cur is not None:
-            out.append(cur)  # single-batch replay: emit the open session too
-        state.update((last_ts, seq))
+            # Emit the still-open session each batch; a later batch extending
+            # it re-emits the superseding row with the same (user, seq) key.
+            out.append(cur)
+        state.update(
+            (
+                last_ts,
+                seq,
+                cur["n_events"] if cur else 0,
+                cur["session_value"] if cur else 0.0,
+                cur["session_start"] if cur else "",
+            )
+        )
         if out:
             yield pd.DataFrame(out)
 

@@ -432,15 +432,13 @@ def dup_clusters(
     """Resolve near-dup pairs (id_a, id_b) into clusters: every member maps to
     the minimum id reachable through the pair graph (connected components).
 
-    Iterative min-label propagation: each round joins the current labels
-    across the edge list and takes the per-node min. The label travels one hop
-    per round, so convergence takes O(component diameter) rounds — near-dup
-    clusters are almost always shallow (star-shaped around a popular doc), and
-    the loop stops early the first round nothing changes. Each round is one
-    shuffle on the node id — no driver-side graph, so it scales to billions of
+    Iterative min-label propagation with pointer jumping: each round (a) takes
+    the per-node min over neighbors' labels (one hop) and (b) replaces every
+    label by its label's label (path halving) — so label distances shrink
+    geometrically and convergence is O(log diameter) rounds, each round two
+    shuffles on the node id. No driver-side graph: scales to billions of
     edges. Result: (id, cluster_id) with cluster_id = min member. A warning is
-    logged if max_rounds is hit before convergence (pathologically long
-    chains); raise max_rounds or add pointer-jumping for such graphs.
+    logged if max_rounds is hit before convergence.
     """
     import warnings
     edges = (
@@ -456,19 +454,36 @@ def dup_clusters(
         .persist()
     )
     labels.count()
-    for _ in range(max_rounds):
+    for round_no in range(max_rounds):
         # candidate label for each node: min over neighbors' labels and its own
         neighbor_labels = (
             edges.join(labels, edges.dst == labels.id)
             .select(F.col("src").alias("id"), "cluster_id")
         )
-        new_labels = (
+        hop = (
             labels.select("id", "cluster_id")
             .union(neighbor_labels)
             .groupBy("id")
             .agg(F.min("cluster_id").alias("cluster_id"))
-            .persist()
         )
+        # pointer jumping: follow my label to ITS label (path halving)
+        parent = hop.select(
+            F.col("id").alias("pid"), F.col("cluster_id").alias("pcluster")
+        )
+        new_labels = hop.join(parent, hop.cluster_id == parent.pid, "left").select(
+            "id",
+            F.least(
+                F.col("cluster_id"), F.coalesce("pcluster", "cluster_id")
+            ).alias("cluster_id"),
+        )
+        # persist caches the data but the logical plan still nests one
+        # union+agg+join per round; truncate lineage periodically or Catalyst
+        # planning time grows superlinearly (same discipline as the
+        # boosting/GBM loops' DFIterationCache)
+        if (round_no + 1) % 3 == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")

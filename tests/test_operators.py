@@ -210,3 +210,15 @@ def test_streaming_sessionize_equals_batch(spark, sf_dir):
     batch = sessionize_batch(load_table(spark, sf_dir, "events"), 30).collect()
     key = lambda r: (r.user_id, r.session_seq, r.n_events, r.session_value, r.session_start)
     assert sorted(map(key, stream)) == sorted(map(key, batch))
+
+
+def test_dup_clusters_long_chain(spark):
+    """A 60-node chain converges well within max_rounds thanks to pointer
+    jumping (plain one-hop propagation would need 60 rounds)."""
+    from spark_ensemble_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], ["id_a", "id_b"]
+    )
+    out = dup_clusters(pairs, max_rounds=12)
+    assert {r.cluster_id for r in out.collect()} == {0}

@@ -26,10 +26,13 @@ TABLES = (
 
 
 def norm(v):
+    # Full-precision compare: the driver hashes exact values, so the local
+    # gate must not be weaker (r1 verdict: 9-sig-fig normalization masked
+    # sub-ulp round() drift in 5 queries). repr() is exact for doubles.
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.9g}"
+        return repr(v)
     if v is None:
         return "<null>"
     return str(v)

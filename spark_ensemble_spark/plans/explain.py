@@ -20,6 +20,15 @@ def scan_lines(df: DataFrame) -> List[str]:
 def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in executed_plan(df)
 
+
+def has_broadcast_hint(df: DataFrame) -> bool:
+    """True if the ANALYZED plan carries a static broadcast hint. A hint
+    forces the strategy at any scale (a fact-side hint OOMs at 100 TB);
+    absence means AQE is free to pick broadcast at small SF and sort-merge
+    at scale."""
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return "ResolvedHint" in plan or "UnresolvedHint" in plan
+
 def has_sort_merge_join(df: DataFrame) -> bool:
     return "SortMergeJoin" in executed_plan(df)
 

@@ -100,11 +100,11 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    # orders and customer are fact-scale: no broadcast hints — AQE picks
-    # broadcast at test SFs and sort-merge at production scale; only the
-    # filtered customer side is hinted (post-filter it is dimension-sized)
+    # orders and customer are both fact-scale (the mktsegment filter keeps a
+    # constant ~1/5 of customer, still SF-proportional): no broadcast hints —
+    # AQE picks broadcast at test SFs and sort-merge at production scale.
     joined = li.join(
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+        orders.join(cust, orders.o_custkey == cust.c_custkey),
         li.l_orderkey == F.col("o_orderkey"),
     )
     return (
@@ -141,13 +141,14 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region").filter(
         F.col("r_name").isin("EUROPE", "ASIA")
     )
-    # broadcast hints only on the true dimensions (supplier/nation/region);
-    # orders and customer are fact-scale — AQE decides those join strategies
+    # broadcast hints only on the truly bounded dimensions (nation: 25 rows,
+    # region: 5 rows); supplier/orders/customer scale with SF — AQE decides
+    # those join strategies (broadcast at test SFs, sort-merge at 100 TB).
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (F.col("l_suppkey") == supp.s_suppkey)
             & (F.col("c_nationkey") == supp.s_nationkey),
         )
@@ -881,7 +882,7 @@ def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ordered
     )
     SELECT user_id, session_seq, count(*) AS n_events,
-           round(sum(value), 4) AS session_value,
+           printf('%.4f', round(sum(value), 4)) AS session_value,
            strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
     FROM with_id GROUP BY user_id, session_seq
     """,
@@ -988,8 +989,8 @@ def pivot_flag_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
            count(*) AS n_orders,
            count(DISTINCT o_custkey) AS n_customers,
-           round(avg(o_totalprice), 4) AS avg_price,
-           round(max(o_totalprice), 2) AS max_price
+           printf('%.4f', round(avg(o_totalprice), 4)) AS avg_price,
+           printf('%.2f', round(max(o_totalprice), 2)) AS max_price
     FROM orders
     WHERE o_orderstatus <> 'P'
     GROUP BY 1
@@ -1002,8 +1003,11 @@ def orders_monthly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.countDistinct("o_custkey").alias("n_customers"),
-        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
-        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        # round() then fixed-format: identical strings across engines even
+        # when the rounded doubles differ in the last ulp (driver hashes
+        # exact values; see VERDICT r1 "What's wrong" #1).
+        F.format_string("%.4f", F.round(F.avg("o_totalprice"), 4)).alias("avg_price"),
+        F.format_string("%.2f", F.round(F.max("o_totalprice"), 2)).alias("max_price"),
     )
 
 
@@ -1052,7 +1056,7 @@ def part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE doc_id IN (SELECT min(doc_id) FROM filtered GROUP BY fp)
     )
     SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
-           round(avg(quality), 6) AS avg_quality
+           printf('%.6f', round(avg(quality), 6)) AS avg_quality
     FROM deduped GROUP BY lang
     """,
 )
@@ -1083,7 +1087,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deduped.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
-        F.round(F.avg("quality"), 6).alias("avg_quality"),
+        F.format_string("%.6f", F.round(F.avg("quality"), 6)).alias("avg_quality"),
     )
 
 
@@ -1104,7 +1108,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ordered
     )
     SELECT user_id, session_seq, count(*) AS n_events,
-           round(sum(value), 4) AS session_value,
+           printf('%.4f', round(sum(value), 4)) AS session_value,
            strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
     FROM with_id GROUP BY user_id, session_seq
     """,
@@ -1124,7 +1128,7 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            count(*) AS n,
            sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+           printf('%.4f', round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)) AS avg_k
     FROM events GROUP BY event_type
     """,
 )
@@ -1136,7 +1140,7 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(k).alias("sum_k"),
-        F.round(F.avg(k), 4).alias("avg_k"),
+        F.format_string("%.4f", F.round(F.avg(k), 4)).alias("avg_k"),
     )
 
 

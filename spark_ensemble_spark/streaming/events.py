@@ -98,7 +98,10 @@ def sessionize_batch(
     )
     return with_id.groupBy("user_id", "session_seq").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 4).alias("session_value"),
+        # round() then fixed-format: the string is identical across engines
+        # even when the rounded doubles differ in the last ulp (Spark rounds
+        # through BigDecimal, DuckDB through double arithmetic).
+        F.format_string("%.4f", F.round(F.sum("value"), 4)).alias("session_value"),
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
     )
 
@@ -203,7 +206,7 @@ def streaming_sessionize(
             "append",
             GroupStateTimeout.NoTimeout,
         )
-        .withColumn("session_value", F.round("session_value", 4))
+        .withColumn("session_value", F.format_string("%.4f", F.round("session_value", 4)))
     )
     _QUERY_SEQ[0] += 1
     name = f"stream_sessions_{_QUERY_SEQ[0]}"

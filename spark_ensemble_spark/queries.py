@@ -463,6 +463,38 @@ def boosting_tree_regressor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "boosting_dummy_prior_classifier",
+    """
+    SELECT prediction, (SELECT count(*) FROM lineitem) AS n FROM (
+      SELECT CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS DOUBLE) AS prediction,
+             count(*) AS c
+      FROM lineitem GROUP BY 1 ORDER BY c DESC, prediction ASC LIMIT 1
+    )
+    """,
+)
+def boosting_dummy_prior_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic SAMME config: every round's DummyClassifier(prior) base
+    (weight-blind by reference semantics) predicts the modal class. Round 1 has
+    error 1−p_modal < 1−1/K and positive model weight; the reweighting then
+    drives round 2's error to exactly 1−1/K, which discards it and stops
+    boosting (reference BoostingClassifier.scala:231-259) — so the ensemble is
+    one model voting the modal class on every row. Oracle: modal class ×
+    dataset row count (verifies one output row per input row)."""
+    from spark_ensemble_spark import DummyClassifier
+    from spark_ensemble_spark.classification.boosting import BoostingClassifier
+
+    ds = binary_dataset(spark, sf_dir)
+    model = BoostingClassifier(
+        baseLearner=DummyClassifier(strategy="prior"),
+        numBaseLearners=3,
+        algorithm="discrete",
+    ).fit(ds)
+    return model.transform(ds).groupBy("prediction").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
 @query("boosting_tree_classifier")
 def boosting_tree_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SAMME.R over depth-5 trees (rows-only check)."""
@@ -527,6 +559,41 @@ def gbm_tree_regressor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "gbm_dummy_prior_classifier",
+    """
+    SELECT prediction, (SELECT count(*) FROM lineitem) AS n FROM (
+      SELECT CASE WHEN l_extendedprice / l_quantity < 1350 THEN 0.0
+                  WHEN l_extendedprice / l_quantity < 3125 THEN 1.0
+                  ELSE 2.0 END AS prediction,
+             count(*) AS c
+      FROM lineitem GROUP BY 1 ORDER BY c DESC, prediction ASC LIMIT 1
+    )
+    """,
+)
+def gbm_dummy_prior_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic K-class GBM config: init=prior gives raw=log(priors), so
+    logloss pseudo-residuals y_k − softmax(raw)_k have mean 0 per class; a
+    DummyRegressor(mean) fit on them predicts ~0 and every boosting step is a
+    no-op, leaving prediction = argmax(prior) = the modal class for all rows
+    (reference GBMClassifier.scala:275-288). Oracle: modal unit-price bucket ×
+    dataset row count."""
+    from spark_ensemble_spark import DummyRegressor
+    from spark_ensemble_spark.classification.gbm import GBMClassifier
+
+    ds = multiclass_dataset(spark, sf_dir)
+    model = GBMClassifier(
+        baseLearner=DummyRegressor(strategy="mean"),
+        numBaseLearners=2,
+        loss="logloss",
+        initStrategy="prior",
+        optimizedWeights=False,
+    ).fit(ds)
+    return model.transform(ds).groupBy("prediction").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
 @query("gbm_tree_classifier")
 def gbm_tree_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiclass GBM (logloss, K regressors per round; rows-only check)."""
@@ -570,6 +637,43 @@ def stacking_dummy_regressor(spark: SparkSession, sf_dir: str) -> DataFrame:
         model.transform(ds)
         .select(F.round("prediction", 4).alias("prediction"))
         .distinct()
+    )
+
+
+@query(
+    "stacking_dummy_prior_classifier",
+    """
+    SELECT prediction, (SELECT count(*) FROM lineitem) AS n FROM (
+      SELECT CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS DOUBLE) AS prediction,
+             count(*) AS c
+      FROM lineitem GROUP BY 1 ORDER BY c DESC, prediction ASC LIMIT 1
+    )
+    """,
+)
+def stacking_dummy_prior_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stacking config: both DummyClassifier(prior) bases emit
+    the modal class as a constant stackMethod='class' meta-feature, so the
+    logistic-regression stacker sees zero-variance features, fits an
+    intercept-only model whose probabilities are the class priors, and
+    predicts the modal class on every row (reference
+    StackingClassifier.scala:188-205). Oracle: modal class × dataset row
+    count."""
+    from pyspark.ml.classification import LogisticRegression
+
+    from spark_ensemble_spark import DummyClassifier
+    from spark_ensemble_spark.classification.stacking import StackingClassifier
+
+    ds = binary_dataset(spark, sf_dir)
+    model = StackingClassifier(
+        baseLearners=[
+            DummyClassifier(strategy="prior"),
+            DummyClassifier(strategy="prior"),
+        ],
+        stacker=LogisticRegression(maxIter=25),
+        stackMethod="class",
+    ).fit(ds)
+    return model.transform(ds).groupBy("prediction").agg(
+        F.count(F.lit(1)).alias("n")
     )
 
 
@@ -791,7 +895,12 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embedding_dup_pairs",
     """
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    WITH planted AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 20
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM planted)
     SELECT l.vec_id AS id_a, r.vec_id AS id_b,
            round(list_dot_product(l.v, r.v)
                  / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))), 6) AS cosine
@@ -801,20 +910,37 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine near-dup pairs. The synthetic embeddings are random
+    (no organic pair reaches 0.9), so the fixture plants exact duplicates of
+    the first 20 vectors under offset ids — the oracle then has content (20
+    cosine≈1 pairs) instead of being vacuously green on 0 rows (VERDICT r1
+    "What's wrong" #4)."""
     from spark_ensemble_spark.operators.dedup import embedding_dup_pairs as dup
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    return dup(emb, "embedding", "vec_id", threshold=0.9, brute_force=True)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.unionByName(
+        emb.filter(F.col("vec_id") < 20).withColumn(
+            "vec_id", F.col("vec_id") + F.lit(1_000_000)
+        )
+    )
+    return dup(planted, "embedding", "vec_id", threshold=0.9, brute_force=True)
 
 
 @query("embedding_dup_pairs_lsh")
 def embedding_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-random-projection-blocked near-dup pairs (rows-only; the scale
-    path of embedding_dup_pairs)."""
+    path of embedding_dup_pairs). Same planted-duplicate fixture as the brute
+    path: identical vectors always share an SRP bucket, so the blocked join
+    must recover all 20 planted pairs."""
     from spark_ensemble_spark.operators.dedup import embedding_dup_pairs as dup
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    return dup(emb, "embedding", "vec_id", threshold=0.9, num_planes=6)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.unionByName(
+        emb.filter(F.col("vec_id") < 20).withColumn(
+            "vec_id", F.col("vec_id") + F.lit(1_000_000)
+        )
+    )
+    return dup(planted, "embedding", "vec_id", threshold=0.9, num_planes=6)
 
 
 @query(

@@ -212,6 +212,70 @@ def test_streaming_sessionize_equals_batch(spark, sf_dir):
     assert sorted(map(key, stream)) == sorted(map(key, batch))
 
 
+def test_streaming_sessionize_event_time_timeout(spark, tmp_path):
+    """An idle user's open session is finalized by the EVENT-TIME TIMEOUT when
+    the watermark (advanced by other users' later events in a later batch)
+    passes last_event + gap — the session closes even though the user never
+    sends another event. Also covers multi-batch replay: provisional
+    open-session rows are superseded via latest_sessions."""
+    import pandas as pd
+
+    from spark_ensemble_spark.streaming.events import (
+        latest_sessions,
+        read_events_stream,
+        sessionized_stream,
+    )
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+    t0 = 1_700_000_000_000_000_000  # epoch nanos
+
+    def write_file(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+        )
+        pdf["props"] = "{}"
+        df = spark.createDataFrame(
+            pdf,
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    # batch 1: user 1 has two events 10 min apart (one open session)
+    write_file("f1", [(1, t0, 1, "click", 1.0), (2, t0 + 600 * 10**9, 1, "click", 2.0)])
+    stream = sessionized_stream(
+        read_events_stream(spark, str(src) + "/*", glob=None),
+        gap_minutes=30,
+        watermark="1 hour",
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_ett_sessions")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: user 2 events 10 hours later -> watermark advances to
+        # t0+9h, far past user 1's timeout (last_ts + 30 min)
+        write_file("f2", [(3, t0 + 36_000 * 10**9, 2, "click", 5.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    raw = spark.table("t_ett_sessions")
+    u1_raw = raw.filter(F.col("user_id") == 1).collect()
+    # provisional emission (batch 1) + timeout emission (no-data batch after
+    # the watermark advanced) -> the same (user, seq) key appears twice
+    assert len(u1_raw) == 2, u1_raw
+    final = latest_sessions(raw).filter(F.col("user_id") == 1).collect()
+    assert len(final) == 1
+    r = final[0]
+    assert (r.session_seq, r.n_events, r.session_value) == (1, 2, "3.0000")
+
+
 def test_dup_clusters_long_chain(spark):
     """A 60-node chain converges well within max_rounds thanks to pointer
     jumping (plain one-hop propagation would need 60 rounds)."""

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from pyspark.ml.param import Param, Params, TypeConverters
 from pyspark.ml.param.shared import (
+    HasAggregationDepth,
     HasCheckpointInterval,
     HasMaxIter,
     HasSeed,
@@ -23,6 +24,10 @@ class GBMParams(
     HasSeed,
     HasCheckpointInterval,
     HasValidationIndicatorCol,
+    # Reference API parity (GBMParams.scala / treeAggregate depth). A no-op
+    # here: DataFrame aggregation has no user-facing tree depth — Spark SQL
+    # plans partial aggregation itself (SURVEY.md §2.4).
+    HasAggregationDepth,
 ):
     learningRate: Param = Param(
         Params._dummy(),

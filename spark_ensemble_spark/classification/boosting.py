@@ -25,7 +25,11 @@ from typing import List, Optional, Sequence
 from pyspark.ml.base import Estimator
 from pyspark.ml.functions import vector_to_array
 from pyspark.ml.param import Param, Params, TypeConverters
-from pyspark.ml.param.shared import HasCheckpointInterval, HasSeed
+from pyspark.ml.param.shared import (
+    HasAggregationDepth,
+    HasCheckpointInterval,
+    HasSeed,
+)
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -63,7 +67,14 @@ _ALGORITHMS = ("real", "discrete")
 
 
 class _BoostingClassifierParams(
-    ClassifierParams, HasBaseLearner, HasNumBaseLearners, HasCheckpointInterval, HasSeed
+    ClassifierParams,
+    HasBaseLearner,
+    HasNumBaseLearners,
+    HasCheckpointInterval,
+    HasSeed,
+    # Reference API parity (BoostingParams.scala treeAggregate depth); no-op
+    # under DataFrame aggregation (SURVEY.md §2.4).
+    HasAggregationDepth,
 ):
     algorithm: Param = Param(
         Params._dummy(),
@@ -122,6 +133,10 @@ class BoostingClassifier(Estimator, _BoostingClassifierParams, EnsembleReadWrite
 
     def setCheckpointInterval(self, v: int) -> "BoostingClassifier":
         return self.setParams(checkpointInterval=v)
+
+    def setAggregationDepth(self, v: int) -> "BoostingClassifier":
+        """Accepted for reference API parity; no-op under DataFrame aggs."""
+        return self.setParams(aggregationDepth=v)
 
     def setWeightCol(self, v: str) -> "BoostingClassifier":
         return self.setParams(weightCol=v)

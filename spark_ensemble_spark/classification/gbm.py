@@ -145,6 +145,10 @@ class GBMClassifier(Estimator, _GBMClassifierParams, EnsembleReadWrite):
     def setCheckpointInterval(self, v: int) -> "GBMClassifier":
         return self.setParams(checkpointInterval=v)
 
+    def setAggregationDepth(self, v: int) -> "GBMClassifier":
+        """Accepted for reference API parity; no-op under DataFrame aggs."""
+        return self.setParams(aggregationDepth=v)
+
     def setParallelism(self, v: int) -> "GBMClassifier":
         return self.setParams(parallelism=v)
 
@@ -389,7 +393,12 @@ class GBMClassifier(Estimator, _GBMClassifierParams, EnsembleReadWrite):
 
     def _lbfgsb(self, opt_df, gl, dim: int, max_iter: int, tol: float) -> List[float]:
         """Bound-constrained step-size optimization (reference breeze LBFGSB,
-        ``GBMClassifier.scala:290-292,413-431``). One agg per evaluation."""
+        ``GBMClassifier.scala:290-292,413-431``). One agg per evaluation.
+
+        DELIBERATE DEVIATION: loss and gradient are instance-WEIGHTED
+        (Σ w·f / Σ w), while the reference's GBMLossAggregator accumulates
+        unweighted and divides by weightSum — step sizes differ when
+        weightCol is set (same convention as GBMRegressor's line search)."""
         label, praw, d, w = F.col("label"), F.col("__praw"), F.col("__dir"), F.col("weight")
 
         def fun_and_grad(x):

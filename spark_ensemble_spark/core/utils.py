@@ -155,9 +155,15 @@ class DFIterationCache:
 
     DataFrame equivalent of the reference's ``PeriodicRDDCheckpointer``
     (``BoostingRegressor.scala:202-206``): each iteration's state DataFrame is
-    persisted; every ``interval`` updates the lineage is truncated with
-    ``localCheckpoint`` — without truncation the per-iteration ``withColumn``/
-    ``transform`` chain grows the Catalyst plan unboundedly (SURVEY.md §4).
+    persisted; every ``interval`` updates the lineage is truncated — without
+    truncation the per-iteration ``withColumn``/``transform`` chain grows the
+    Catalyst plan unboundedly (SURVEY.md §4).
+
+    Truncation strategy: when the application has a checkpoint dir
+    (``spark.sparkContext.setCheckpointDir``), use RELIABLE ``checkpoint()``
+    (survives executor loss — required on a real cluster for long fits,
+    matching the reference's checkpointer semantics); otherwise fall back to
+    ``localCheckpoint()``, which is fast but tied to executor liveness.
     """
 
     def __init__(self, interval: int = 10, keep: int = 2) -> None:
@@ -169,10 +175,22 @@ class DFIterationCache:
         self._n = 0
         self._live: List[DataFrame] = []
 
+    @staticmethod
+    def _has_checkpoint_dir(df: DataFrame) -> bool:
+        try:
+            sc = df.sparkSession.sparkContext
+            d = sc.getCheckpointDir() if hasattr(sc, "getCheckpointDir") else None
+            return d is not None
+        except Exception:
+            return False
+
     def update(self, df: DataFrame) -> DataFrame:
         self._n += 1
         if self._n % self.interval == 0:
-            df = df.localCheckpoint(eager=True)
+            if self._has_checkpoint_dir(df):
+                df = df.checkpoint(eager=True)
+            else:
+                df = df.localCheckpoint(eager=True)
         else:
             df = df.persist(self._level)
         self._live.append(df)

@@ -192,13 +192,17 @@ def minhash_dup_pairs(
         )
         / float(num_hashes)
     )
+    # Materialize with truncated lineage, then release the (much larger)
+    # signature cache. localCheckpoint rather than persist: its storage is
+    # reclaimed by the ContextCleaner when the returned handle is GC'd, so a
+    # long-lived pipeline doesn't accumulate pinned pair sets that only an
+    # explicit caller-side unpersist() would free.
     out = (
         cand.withColumn("est_jaccard", F.round(est, 6))
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    out.count()  # materialize, then release the (much larger) signature cache
     sigs.unpersist()
     return out
 
@@ -287,13 +291,14 @@ def simhash_dup_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    # localCheckpoint (not persist): see minhash_dup_pairs — storage is
+    # auto-reclaimed when the handle is GC'd instead of leaking in cache.
     out = (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    out.count()  # materialize, then release the signature cache
     sigs.unpersist()
     return out
 

@@ -19,7 +19,11 @@ from typing import List, Optional, Sequence
 
 from pyspark.ml.base import Estimator
 from pyspark.ml.param import Param, Params, TypeConverters
-from pyspark.ml.param.shared import HasCheckpointInterval, HasSeed
+from pyspark.ml.param.shared import (
+    HasAggregationDepth,
+    HasCheckpointInterval,
+    HasSeed,
+)
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -74,6 +78,9 @@ class _BoostingRegressorParams(
     HasVotingStrategy,
     HasCheckpointInterval,
     HasSeed,
+    # Reference API parity (BoostingParams.scala treeAggregate depth); no-op
+    # under DataFrame aggregation (SURVEY.md §2.4).
+    HasAggregationDepth,
 ):
     lossType: Param = Param(
         Params._dummy(),
@@ -131,6 +138,10 @@ class BoostingRegressor(Estimator, _BoostingRegressorParams, EnsembleReadWrite):
 
     def setCheckpointInterval(self, v: int) -> "BoostingRegressor":
         return self.setParams(checkpointInterval=v)
+
+    def setAggregationDepth(self, v: int) -> "BoostingRegressor":
+        """Accepted for reference API parity; no-op under DataFrame aggs."""
+        return self.setParams(aggregationDepth=v)
 
     def setWeightCol(self, v: str) -> "BoostingRegressor":
         return self.setParams(weightCol=v)

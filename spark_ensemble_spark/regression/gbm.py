@@ -138,6 +138,10 @@ class GBMRegressor(Estimator, _GBMRegressorParams, EnsembleReadWrite):
     def setCheckpointInterval(self, v: int) -> "GBMRegressor":
         return self.setParams(checkpointInterval=v)
 
+    def setAggregationDepth(self, v: int) -> "GBMRegressor":
+        """Accepted for reference API parity; no-op under DataFrame aggs."""
+        return self.setParams(aggregationDepth=v)
+
     def setSeed(self, v: int) -> "GBMRegressor":
         return self.setParams(seed=v)
 
@@ -299,6 +303,13 @@ class GBMRegressor(Estimator, _GBMRegressorParams, EnsembleReadWrite):
                         # ONE agg evaluates every candidate step size — a grid
                         # of loss sums instead of Brent's sequential passes
                         # (each pass is a full scan of the bag at scale).
+                        # DELIBERATE DEVIATION from the reference: the
+                        # objective is the WEIGHTED mean loss Σ(w·loss)/Σw,
+                        # while GBMLossAggregator accumulates loss unweighted
+                        # and divides by weightSum — so step sizes differ from
+                        # the reference when weightCol is set. Weighted is the
+                        # consistent choice (the gradient the base learner
+                        # fits is weighted the same way).
                         row = opt_df.agg(
                             F.sum("weight").alias("sw"),
                             *[

@@ -212,6 +212,45 @@ def test_partitioned_parquet_roundtrip(spark, sf_dir, tmp_path):
     assert pruned.count() == orders.filter(F.col("o_orderstatus") == "F").count()
 
 
+def test_iteration_cache_checkpoint_paths(spark, tmp_path):
+    """DFIterationCache truncates lineage with localCheckpoint by default and
+    with RELIABLE checkpoint() when a checkpoint dir is set (the fault-
+    tolerant path a real cluster needs for long iterative fits)."""
+    from spark_ensemble_spark.core.utils import DFIterationCache
+
+    df = spark.range(100).withColumn("x", F.col("id") * 2)
+
+    def truncated(d):
+        # a checkpointed DataFrame's lineage collapses to a LogicalRDD scan
+        return "LogicalRDD" in d._jdf.queryExecution().analyzed().toString()
+
+    # local path (no checkpoint dir set)
+    cache = DFIterationCache(interval=1)
+    out = cache.update(df)
+    assert out.count() == 100
+    assert truncated(out)
+    cache.close()
+
+    # reliable path
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        cache = DFIterationCache(interval=1)
+        out = cache.update(df)
+        assert out.count() == 100
+        assert truncated(out)
+        # reliable checkpoints materialize files under the checkpoint dir
+        import glob
+
+        assert glob.glob(str(tmp_path / "ckpt" / "*")), "no checkpoint files written"
+        cache.close()
+    finally:
+        # unset so other tests stay on the fast localCheckpoint path (the
+        # Python API has no unsetter; clear the Scala field via py4j)
+        getattr(spark.sparkContext._jsc.sc(), "checkpointDir_$eq")(
+            spark.sparkContext._jvm.scala.Option.apply(None)
+        )
+
+
 def test_csv_and_orc_roundtrip(spark, sf_dir, tmp_path):
     from spark_ensemble_spark.sources.datasets import load_table
     from spark_ensemble_spark.sources.io import read_csv

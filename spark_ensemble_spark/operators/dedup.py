@@ -315,10 +315,27 @@ def ngram_jaccard_pairs(
     n: int = 2,
     threshold: float = 0.5,
     block_prefix: int = 16,
+    block_on: str = "prefix",
+    num_hashes: int = 32,
+    bands: int = 16,
 ) -> DataFrame:
-    """Pairs with word-n-gram Jaccard >= threshold among documents sharing a
-    normalized text prefix (the blocking key). Deterministic and mirrored by a
-    SQL oracle; the block join is an equi-join on the prefix."""
+    """Pairs with EXACT word-n-gram Jaccard >= threshold among candidates from
+    a blocking join. Two blocking modes:
+
+    * ``block_on='prefix'`` (default): candidates share the first
+      ``block_prefix`` chars of normalized text. Fully deterministic and
+      mirrored 1:1 by the SQL oracle — but it is a VERIFICATION-HARNESS
+      blocker: near-dups whose openings differ (a prepended word, a changed
+      headline) are never compared, so production recall is poor.
+    * ``block_on='minhash'``: candidates collide in at least one of ``bands``
+      MinHash bands over the same n-gram set (r = num_hashes/bands rows per
+      band). With the 32/16 default, a pair at Jaccard 0.5 is blocked
+      together with p = 1−(1−0.5²)¹⁶ ≈ 0.99 regardless of where the edit
+      falls — the production path. Precision is unaffected in both modes (the
+      final filter recomputes exact Jaccard on the gram sets).
+    """
+    if block_on not in ("prefix", "minhash"):
+        raise ValueError(f"block_on must be prefix|minhash, got {block_on}")
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     toks = F.split(norm, " ")
     grams = F.array_distinct(
@@ -327,19 +344,64 @@ def ngram_jaccard_pairs(
             lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
         )
     )
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.substring(norm, 1, block_prefix).alias("block"),
-        grams.alias("grams"),
-    )
-    left, right = base.alias("l"), base.alias("r")
+    if block_on == "prefix":
+        base = df.select(
+            F.col(id_col).alias("id"),
+            F.substring(norm, 1, block_prefix).alias("block"),
+            grams.alias("grams"),
+        )
+        join_cond = (F.col("l.block") == F.col("r.block")) & (
+            F.col("l.id") < F.col("r.id")
+        )
+        left, right = base.alias("l"), base.alias("r")
+    else:
+        r_rows = num_hashes // bands
+
+        def _minhash(i: int) -> Column:
+            # factory keeps the transform lambda single-arg: a 2-arg lambda
+            # would receive (element, array_index) and shadow the hash seed
+            return F.array_min(
+                F.transform(F.col("grams"), lambda g: F.xxhash64(F.lit(i), g))
+            )
+
+        sig = F.array(*[_minhash(i) for i in range(num_hashes)])
+        base = (
+            df.select(F.col(id_col).alias("id"), grams.alias("grams"))
+            .withColumn("__sig", sig)
+            .withColumn(
+                "bb",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(b).alias("band"),
+                                F.xxhash64(
+                                    F.concat_ws(
+                                        ",",
+                                        *[
+                                            F.element_at("__sig", b * r_rows + j + 1)
+                                            for j in range(r_rows)
+                                        ],
+                                    )
+                                ).alias("bucket"),
+                            )
+                            for b in range(bands)
+                        ]
+                    )
+                ),
+            )
+            .select("id", "grams", "bb.band", "bb.bucket")
+        )
+        join_cond = (
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id"))
+        )
+        left, right = base.alias("l"), base.alias("r")
     inter = F.size(F.array_intersect(F.col("l.grams"), F.col("r.grams")))
     union = F.size(F.array_union(F.col("l.grams"), F.col("r.grams")))
-    return (
-        left.join(
-            right,
-            (F.col("l.block") == F.col("r.block")) & (F.col("l.id") < F.col("r.id")),
-        )
+    out = (
+        left.join(right, join_cond)
         .select(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
@@ -347,6 +409,9 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    if block_on == "minhash":
+        out = out.dropDuplicates(["id_a", "id_b"])
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -926,6 +926,45 @@ def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup(planted, "embedding", "vec_id", threshold=0.9, brute_force=True)
 
 
+@query(
+    "dedup_clusters",
+    """
+    WITH RECURSIVE edges AS (
+      SELECT d.doc_id AS src, d.doc_id + 1 AS dst
+      FROM documents d JOIN documents e ON e.doc_id = d.doc_id + 1
+      WHERE d.doc_id % 100 <= 29
+    ),
+    undirected AS (
+      SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ),
+    reach(id, r) AS (
+      SELECT src, src FROM undirected
+      UNION
+      SELECT u.src, r.r FROM undirected u JOIN reach r ON r.id = u.dst
+    )
+    SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component cluster resolution (pointer-jumping min-label
+    propagation, operators/dedup.py dup_clusters) on a deterministic chain
+    fixture: doc ids n→n+1 are linked when n%100 ≤ 29, giving 31-node chains —
+    deep enough to exercise multi-round propagation + path halving. The DuckDB
+    oracle computes the same components with a recursive transitive-closure
+    CTE."""
+    from spark_ensemble_spark.operators.dedup import dup_clusters
+
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    cand = ids.filter(F.col("doc_id") % 100 <= 29).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    # keep only edges whose endpoint exists (table may end mid-chain)
+    edges = cand.join(
+        ids.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi"
+    )
+    return dup_clusters(edges)
+
+
 @query("embedding_dup_pairs_lsh")
 def embedding_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-random-projection-blocked near-dup pairs (rows-only; the scale

@@ -212,6 +212,52 @@ def test_streaming_sessionize_equals_batch(spark, sf_dir):
     assert sorted(map(key, stream)) == sorted(map(key, batch))
 
 
+def test_ngram_jaccard_blocking_recall(spark, sf_dir):
+    """Planted-dup recall vs brute force: prefix blocking (the SQL-oracle
+    harness mode) misses near-dups whose opening differs; minhash-band
+    blocking (the production mode) recovers them."""
+    from spark_ensemble_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = (
+        load_table(spark, sf_dir, "documents").limit(50).select("doc_id", "text")
+    ).cache()
+    # near-dups whose OPENING differs: one word prepended to the copy
+    dups = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("prepended "), F.col("text")).alias("text"),
+    )
+    data = docs.unionByName(dups).cache()
+    planted = {(i, i + 100000) for i in range(10)}
+
+    # ground truth: brute force (block_prefix=0 -> one block -> all pairs)
+    truth = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            data, "text", "doc_id", threshold=0.5, block_prefix=0
+        ).collect()
+    }
+    assert planted <= truth  # prepending one word keeps jaccard >= 0.5
+
+    prefix_found = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(data, "text", "doc_id", threshold=0.5).collect()
+    }
+    # the documented prefix-block limitation: changed openings are never compared
+    assert not (planted & prefix_found)
+
+    minhash_found = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            data, "text", "doc_id", threshold=0.5, block_on="minhash"
+        ).collect()
+    }
+    assert planted <= minhash_found
+    recall = len(minhash_found & truth) / max(len(truth), 1)
+    assert recall >= 0.9, f"minhash-block recall {recall} vs brute force"
+    # exact-verify inside blocks: no false positives in either mode
+    assert minhash_found <= truth and prefix_found <= truth
+
+
 def test_streaming_sessionize_event_time_timeout(spark, tmp_path):
     """An idle user's open session is finalized by the EVENT-TIME TIMEOUT when
     the watermark (advanced by other users' later events in a later batch)

@@ -813,11 +813,15 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("dedup_minhash_pairs")
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs (rows-only: xxhash64 signatures
-    are engine-specific)."""
+    are engine-specific). 48 hashes / 16 bands (r=3): band-collision
+    probability at Jaccard 0.5 is 1−(1−0.5³)¹⁶ ≈ 0.88 — better recall than
+    the old 64/16 (r=4, 0.64) at 25% less signature cost."""
     from spark_ensemble_spark.operators.dedup import minhash_dup_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_dup_pairs(docs, "text", "doc_id", threshold=0.5)
+    return minhash_dup_pairs(
+        docs, "text", "doc_id", threshold=0.5, num_hashes=48, bands=16
+    )
 
 
 @query("dedup_simhash_pairs")

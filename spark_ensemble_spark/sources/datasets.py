@@ -54,29 +54,54 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict:
 
 REGRESSION_FEATURES = ["l_quantity", "l_discount", "l_tax", "l_partkey", "l_suppkey"]
 
+# Assembled ML fixtures are requested by many registry queries in one process
+# (four estimator bench queries fit on the same table): persist the assembled
+# DataFrame once per (session, sf_dir) so repeated fits read columnar cache
+# instead of re-scanning parquet + re-assembling vectors. Keyed on the
+# SparkContext identity so a restarted session rebuilds instead of holding a
+# stale plan.
+_FIXTURE_CACHE: dict = {}
+
+
+def _cached_fixture(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFrame:
+    key = (id(spark.sparkContext), sf_dir, kind)
+    df = _FIXTURE_CACHE.get(key)
+    if df is None:
+        df = build().persist()
+        _FIXTURE_CACHE[key] = df
+    return df
+
 
 def regression_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-label training set (cpusmall analog, FIXTURES.md F1):
     label = extendedprice * (1 - discount)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    df = li.select(
-        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("label"),
-        *[F.col(c).cast("double").alias(c) for c in REGRESSION_FEATURES],
-    )
-    assembler = VectorAssembler(inputCols=REGRESSION_FEATURES, outputCol="features")
-    return assembler.transform(df).select("label", "features")
+
+    def build() -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem")
+        df = li.select(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("label"),
+            *[F.col(c).cast("double").alias(c) for c in REGRESSION_FEATURES],
+        )
+        assembler = VectorAssembler(inputCols=REGRESSION_FEATURES, outputCol="features")
+        return assembler.transform(df).select("label", "features")
+
+    return _cached_fixture(spark, sf_dir, "regression", build)
 
 
 def binary_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary training set (adult analog, FIXTURES.md F3):
     label = 1 when the line was returned."""
-    li = load_table(spark, sf_dir, "lineitem")
-    df = li.select(
-        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("label"),
-        *[F.col(c).cast("double").alias(c) for c in REGRESSION_FEATURES],
-    )
-    assembler = VectorAssembler(inputCols=REGRESSION_FEATURES, outputCol="features")
-    return assembler.transform(df).select("label", "features")
+
+    def build() -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem")
+        df = li.select(
+            F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("label"),
+            *[F.col(c).cast("double").alias(c) for c in REGRESSION_FEATURES],
+        )
+        assembler = VectorAssembler(inputCols=REGRESSION_FEATURES, outputCol="features")
+        return assembler.transform(df).select("label", "features")
+
+    return _cached_fixture(spark, sf_dir, "binary", build)
 
 
 def multiclass_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -84,12 +109,16 @@ def multiclass_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket. Unit price is a function of l_partkey, so the task is learnable from
     the features but not trivially (a shallow tree cannot memorize every part),
     which is what the ensemble-beats-member assertions need."""
-    li = load_table(spark, sf_dir, "lineitem")
-    unit = F.col("l_extendedprice") / F.col("l_quantity")
-    label = F.when(unit < 1350, 0.0).when(unit < 3125, 1.0).otherwise(2.0)
-    df = li.select(
-        label.alias("label"),
-        *[F.col(c).cast("double").alias(c) for c in REGRESSION_FEATURES],
-    )
-    assembler = VectorAssembler(inputCols=REGRESSION_FEATURES, outputCol="features")
-    return assembler.transform(df).select("label", "features")
+
+    def build() -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem")
+        unit = F.col("l_extendedprice") / F.col("l_quantity")
+        label = F.when(unit < 1350, 0.0).when(unit < 3125, 1.0).otherwise(2.0)
+        df = li.select(
+            label.alias("label"),
+            *[F.col(c).cast("double").alias(c) for c in REGRESSION_FEATURES],
+        )
+        assembler = VectorAssembler(inputCols=REGRESSION_FEATURES, outputCol="features")
+        return assembler.transform(df).select("label", "features")
+
+    return _cached_fixture(spark, sf_dir, "multiclass", build)

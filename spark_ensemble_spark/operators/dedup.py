@@ -50,8 +50,24 @@ def exact_dedup(df: DataFrame, key_cols: Sequence[str], id_col: str) -> DataFram
 _MERSENNE = (1 << 31) - 1
 
 
-def _shingle_hashes(text: Column, k: int, kind: str = "word") -> Column:
-    """Distinct xxhash64 values of the k-shingles of normalized text.
+def _hash64(col: Column, hash_fn: str) -> Column:
+    """64-bit-ish string hash. ``xxhash64`` is the fast production default
+    (JVM-native, engine-specific). ``md5`` is a 60-bit hash (first 15 hex
+    digits of md5) that DuckDB reproduces bit-for-bit with
+    ``('0x' || substring(md5(x), 1, 15))::BIGINT`` — the cross-engine
+    verification mode. 15 hex digits (not 16) keeps the value inside a signed
+    long under ANSI arithmetic."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col)
+    if hash_fn == "md5":
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"hash_fn must be xxhash64|md5, got {hash_fn}")
+
+
+def _shingle_hashes(
+    text: Column, k: int, kind: str = "word", hash_fn: str = "xxhash64"
+) -> Column:
+    """Distinct hash values of the k-shingles of normalized text.
 
     ``word`` shingles (the standard for corpus dedup — one shingle per token)
     are ~10× fewer than ``char`` shingles on natural text, which directly
@@ -61,18 +77,38 @@ def _shingle_hashes(text: Column, k: int, kind: str = "word") -> Column:
         n = F.length(norm)
         starts = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
         return F.array_distinct(
-            F.transform(starts, lambda s: F.xxhash64(norm.substr(s, F.lit(k))))
+            F.transform(starts, lambda s: _hash64(norm.substr(s, F.lit(k)), hash_fn))
         )
     toks = F.split(norm, " ")
     starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
+    # try_element_at (not element_at): a doc shorter than k tokens indexes past
+    # the end — ANSI element_at throws, try_element_at yields NULL and
+    # concat_ws skips it, which is also exactly DuckDB's out-of-range + NULL
+    # semantics, so the md5 oracle mirrors this 1:1.
     return F.array_distinct(
         F.transform(
             starts,
-            lambda i: F.xxhash64(
-                F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)])
+            lambda i: _hash64(
+                F.concat_ws(
+                    " ", *[F.try_element_at(toks, i + F.lit(j + 1)) for j in range(k)]
+                ),
+                hash_fn,
             ),
         )
     )
+
+
+def _minhash_coeffs(num_hashes: int, seed: int) -> List[tuple]:
+    """The (a, b) affine-permutation coefficients. Deterministic in (seed,
+    num_hashes) and importable without a SparkSession, so the DuckDB oracle
+    builder embeds the exact same constants."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE))
+        for _ in range(num_hashes)
+    ]
 
 
 def minhash_signatures(
@@ -83,21 +119,16 @@ def minhash_signatures(
     shingle_size: int = 3,
     seed: int = 7,
     shingle_kind: str = "word",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """id → array<long> MinHash signature.
 
-    One xxhash64 per shingle, then ``num_hashes`` affine permutations
-    ``(a·h + b) mod p`` reduced with ``array_min`` — all inside one projection,
-    no shuffle at all.
+    One shingle hash (xxhash64, or cross-engine md5 — see :func:`_hash64`),
+    then ``num_hashes`` affine permutations ``(a·h + b) mod p`` reduced with
+    ``array_min`` — all inside one projection, no shuffle at all.
     """
-    import random
-
-    rng = random.Random(seed)
-    coeffs = [
-        (rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE))
-        for _ in range(num_hashes)
-    ]
-    shingles = _shingle_hashes(F.col(text_col), shingle_size, shingle_kind)
+    coeffs = _minhash_coeffs(num_hashes, seed)
+    shingles = _shingle_hashes(F.col(text_col), shingle_size, shingle_kind, hash_fn)
     sig = F.array(
         *[
             F.array_min(
@@ -126,6 +157,7 @@ def minhash_dup_pairs(
     shingle_size: int = 3,
     seed: int = 7,
     shingle_kind: str = "word",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) with estimated Jaccard >= t.
 
@@ -135,7 +167,7 @@ def minhash_dup_pairs(
     """
     r = num_hashes // bands
     sigs = minhash_signatures(
-        df, text_col, id_col, num_hashes, shingle_size, seed, shingle_kind
+        df, text_col, id_col, num_hashes, shingle_size, seed, shingle_kind, hash_fn
     )
     # Materialize before the self-join: signature computation (64 permutations
     # over the shingle array) is the expensive projection, and both join sides
@@ -212,15 +244,26 @@ def minhash_dup_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """id → 64-bit SimHash of the whitespace tokens (one projection)."""
+def _simhash_bits(hash_fn: str) -> int:
+    """xxhash64 fills all 64 bit lanes; the cross-engine md5 hash has 60
+    usable bits (15 hex digits), so md5-mode SimHash runs 60 lanes — the top
+    4 lanes would be constant-zero noise otherwise."""
+    return 64 if hash_fn == "xxhash64" else 60
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """id → 64-bit (60-bit for md5 mode) SimHash of the whitespace tokens
+    (one projection)."""
+    num_bits = _simhash_bits(hash_fn)
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    hashes = F.transform(toks, lambda t: _hash64(t, hash_fn))
     # shift amounts must be Python ints (F.shiftright takes no Column numBits),
-    # so the 64 bit lanes are unrolled literally
+    # so the bit lanes are unrolled literally
     bit_counts = F.aggregate(
         hashes,
-        F.array_repeat(F.lit(0), 64),
+        F.array_repeat(F.lit(0), num_bits),
         lambda acc, h: F.zip_with(
             acc,
             F.array(
@@ -228,7 +271,7 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
                     F.when(
                         F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
                     ).otherwise(-1)
-                    for b in range(64)
+                    for b in range(num_bits)
                 ]
             ),
             lambda a, x: a + x,
@@ -239,7 +282,7 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             F.element_at("__bc", b + 1) > 0,
             F.lit(1 << b if b < 63 else -(1 << 63)).cast("long"),
         ).otherwise(F.lit(0).cast("long"))
-        for b in range(64)
+        for b in range(num_bits)
     ]
     sim = bits[0]
     for b in bits[1:]:
@@ -251,11 +294,17 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def simhash_dup_pairs(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming (<= 3 guaranteed
-    found: pigeonhole over 4 16-bit chunks)."""
-    sigs = simhash_signatures(df, text_col, id_col).persist()
+    found: pigeonhole over 4 chunks of num_bits/4)."""
+    chunk_bits = _simhash_bits(hash_fn) // 4
+    chunk_mask = (1 << chunk_bits) - 1
+    sigs = simhash_signatures(df, text_col, id_col, hash_fn).persist()
     sigs.count()
     chunks = sigs.select(
         "id",
@@ -265,8 +314,8 @@ def simhash_dup_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright("simhash", c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright("simhash", c * chunk_bits)
+                        .bitwiseAND(F.lit(chunk_mask))
                         .alias("val"),
                     )
                     for c in range(4)
@@ -301,6 +350,108 @@ def simhash_dup_pairs(
     )
     sigs.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# cross-engine oracle SQL builders (md5 hash mode)
+# ---------------------------------------------------------------------------
+
+
+def minhash_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = 48,
+    bands: int = 16,
+    shingle_size: int = 3,
+    seed: int = 7,
+) -> str:
+    """DuckDB SQL that reproduces ``minhash_dup_pairs(..., hash_fn='md5')``
+    exactly: same normalization, same shingling (NULL-skipping concat_ws past
+    the end), the same md5-60-bit shingle hash, and the same affine
+    permutation constants (shared via :func:`_minhash_coeffs`). The oracle
+    brute-forces all pairs and applies the band-collision predicate as a
+    WHERE clause — O(n²) is fine at oracle SF; the Spark side stays
+    bucket-joined."""
+    coeffs = _minhash_coeffs(num_hashes, seed)
+    k = shingle_size
+    r = num_hashes // bands
+    gram = ", ".join(f"t[i+{j}]" for j in range(k))
+    sig_elems = ",\n             ".join(
+        f"list_min(list_transform(h, x -> ((x % {_MERSENNE}) * {a} + {b}) % {_MERSENNE}))"
+        for a, b in coeffs
+    )
+    band_cond = "\n         OR ".join(
+        f"a.s[{b * r + 1}:{(b + 1) * r}] = b.s[{b * r + 1}:{(b + 1) * r}]"
+        for b in range(bands)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT {id_col} AS id,
+             string_split(regexp_replace(lower(trim({text_col})), '\\s+', ' ', 'g'), ' ') AS t
+      FROM {table}
+    ), sh AS (
+      SELECT id,
+             list_transform(
+               range(1, greatest(len(t) - {k}, 0) + 2),
+               i -> ('0x' || substring(md5(concat_ws(' ', {gram})), 1, 15))::BIGINT
+             ) AS h
+      FROM toks
+    ), sig AS (
+      SELECT id, [{sig_elems}] AS s FROM sh
+    ), cand AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             len(list_filter(range(1, {num_hashes + 1}), i -> a.s[i] = b.s[i])) AS n_match
+      FROM sig a JOIN sig b ON a.id < b.id
+      WHERE {band_cond}
+    )
+    SELECT id_a, id_b,
+           printf('%.6f', round(n_match * 1.0 / {num_hashes}, 6)) AS est_jaccard
+    FROM cand
+    WHERE round(n_match * 1.0 / {num_hashes}, 6) >= {threshold}
+    """
+
+
+def simhash_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> str:
+    """DuckDB SQL reproducing ``simhash_dup_pairs(..., hash_fn='md5')``: the
+    60 bit lanes are materialized as a 0/1 list per doc (majority vote of
+    token-hash bits, the same >0 tie rule), hamming is the lane-disagreement
+    count, and the 4×15-bit pigeonhole blocking becomes an exists-equal-chunk
+    predicate over list slices."""
+    num_bits = 60
+    chunk = num_bits // 4
+    chunk_cond = "\n         OR ".join(
+        f"a.bv[{c * chunk + 1}:{(c + 1) * chunk}] = b.bv[{c * chunk + 1}:{(c + 1) * chunk}]"
+        for c in range(4)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT {id_col} AS id,
+             regexp_split_to_array(lower(trim({text_col})), '\\s+') AS t
+      FROM {table}
+    ), hs AS (
+      SELECT id, list_transform(t, w -> ('0x' || substring(md5(w), 1, 15))::BIGINT) AS h
+      FROM tok
+    ), bits AS (
+      SELECT id,
+             list_transform(range(0, {num_bits}),
+               bpos -> CASE WHEN list_sum(list_transform(h,
+                 x -> CASE WHEN (x >> bpos) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+               THEN 1 ELSE 0 END) AS bv
+      FROM hs
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           len(list_filter(range(1, {num_bits + 1}), i -> a.bv[i] <> b.bv[i])) AS hamming
+    FROM bits a JOIN bits b ON a.id < b.id
+    WHERE ({chunk_cond})
+      AND len(list_filter(range(1, {num_bits + 1}), i -> a.bv[i] <> b.bv[i])) <= {max_hamming}
+    """
 
 
 # ---------------------------------------------------------------------------

@@ -18,6 +18,7 @@ from typing import Callable, Dict
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spark_ensemble_spark.operators import dedup as _dedup
 from spark_ensemble_spark.sources.datasets import (
     binary_dataset,
     load_table,
@@ -831,6 +832,37 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return simhash_dup_pairs(docs, "text", "doc_id")
+
+
+@query("dedup_minhash_md5", _dedup.minhash_oracle_sql())
+def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH with the cross-engine md5 hash: the full pipeline
+    (normalize → word-3-gram shingles → 60-bit hash → 48 affine permutations →
+    16-band LSH → estimated-Jaccard verify) is deterministic and reproduced
+    bit-for-bit by the DuckDB oracle, so the LSH math itself is hash-checked —
+    not just row counts. xxhash64 stays the production default
+    (``dedup_minhash_pairs``); only the shingle hash differs here."""
+    from spark_ensemble_spark.operators.dedup import minhash_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_dup_pairs(
+        docs, "text", "doc_id", threshold=0.5, num_hashes=48, bands=16, hash_fn="md5"
+    )
+    return pairs.select(
+        "id_a", "id_b", F.format_string("%.6f", "est_jaccard").alias("est_jaccard")
+    )
+
+
+@query("dedup_simhash_md5", _dedup.simhash_oracle_sql())
+def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash with the cross-engine md5 hash (60 bit lanes, 4×15-bit
+    pigeonhole blocking): signature construction, hamming distances, and the
+    blocking predicate are all verified against the DuckDB oracle's
+    bit-vector reconstruction."""
+    from spark_ensemble_spark.operators.dedup import simhash_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_dup_pairs(docs, "text", "doc_id", hash_fn="md5")
 
 
 @query(

@@ -75,6 +75,54 @@ def test_simhash_finds_exact_dups(docs_with_dups):
         assert (i, i + 200000) in found
 
 
+def test_md5_hash_mode_matches_duckdb(spark):
+    """The md5 hash mode exists so DuckDB can replay the whole MinHash/SimHash
+    pipeline bit-for-bit; verify the signatures match on a tiny corpus (the
+    registry gate re-checks the full pair output at every SF)."""
+    import duckdb
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "short doc"),  # fewer tokens than shingle_size: try_element_at path
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = {
+        r.id: list(r.signature)
+        for r in minhash_signatures(
+            df, "text", "doc_id", num_hashes=8, seed=7, hash_fn="md5"
+        ).collect()
+    }
+    from spark_ensemble_spark.operators.dedup import _MERSENNE, _minhash_coeffs
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + ") t(doc_id, text)"
+    )
+    sig_elems = ", ".join(
+        f"list_min(list_transform(h, x -> ((x % {_MERSENNE}) * {a} + {b}) % {_MERSENNE}))"
+        for a, b in _minhash_coeffs(8, 7)
+    )
+    oracle = con.execute(
+        f"""
+        WITH toks AS (
+          SELECT doc_id AS id,
+                 string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+          FROM documents
+        ), sh AS (
+          SELECT id, list_transform(range(1, greatest(len(t) - 3, 0) + 2),
+                 i -> ('0x' || substring(md5(concat_ws(' ', t[i+0], t[i+1], t[i+2])), 1, 15))::BIGINT) AS h
+          FROM toks
+        )
+        SELECT id, [{sig_elems}] AS s FROM sh
+        """
+    ).fetchall()
+    assert {i: list(s) for i, s in oracle} == sigs
+
+
 def test_ngram_jaccard(docs_with_dups):
     pairs = ngram_jaccard_pairs(
         docs_with_dups, "text", "doc_id", n=2, threshold=0.5

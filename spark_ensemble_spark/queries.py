@@ -1162,6 +1162,148 @@ def clickers_never_purchased(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q4_priority_exists",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (EXISTS subquery → left-semi join). The semi join keeps
+    only the order key from the fact side before the aggregate — no payload
+    columns shuffle, and AQE picks the join strategy by actual size."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    returned = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    """
+    SELECT printf('%.2f', round(sum(l_extendedprice) / 7.0, 2)) AS avg_yearly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey AND p_brand = 'Brand#23'
+      AND l_quantity < (SELECT 0.5 * avg(l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (correlated scalar subquery), DECORRELATED by hand the
+    way a 100 TB plan must run it: per-part averages come from one grouped
+    aggregate joined back to the brand-filtered lineitem — the correlated
+    per-row subquery becomes a broadcastable per-key lookup instead of a
+    rescan per outer row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    per_part_avg = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.5).alias("__half_avg")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(per_part_avg.withColumnRenamed("l_partkey", "__pk"),
+              F.col("l_partkey") == F.col("__pk"))
+        .filter(F.col("l_quantity") < F.col("__half_avg"))
+        .agg(
+            F.format_string(
+                "%.2f", F.round(F.sum("l_extendedprice") / 7.0, 2)
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "q18_large_orders",
+    """
+    SELECT c_name, o_orderkey,
+           printf('%.2f', round(o_totalprice, 2)) AS total_price,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+      AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+    GROUP BY c_name, o_orderkey, o_totalprice
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (IN subquery over a grouped HAVING). The qualifying-key
+    set is a semi join from the grouped aggregate — the large-order keys are a
+    tiny fraction of orders, so AQE broadcasts the key set against the fact
+    tables at any SF."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big.withColumnRenamed("l_orderkey", "__ok"),
+                li.l_orderkey == F.col("__ok"), "left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_name", "o_orderkey", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.format_string("%.2f", F.round("o_totalprice", 2)).alias("total_price"),
+            "sum_qty",
+        )
+    )
+
+
+@query(
+    "monthly_revenue_trend",
+    """
+    WITH m AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+             sum(o_totalprice) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT month,
+           printf('%.2f', round(rev, 2)) AS revenue,
+           printf('%.2f', round(rev - coalesce(lag(rev) OVER (ORDER BY month), 0), 2)) AS delta
+    FROM m
+    """,
+)
+def monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue deltas (lag window over a grouped aggregate).
+    The window runs over ~tens of month rows post-aggregation — a single-
+    partition sort of a tiny input, safe at any SF."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    w = Window.orderBy("month")
+    return m.select(
+        "month",
+        F.format_string("%.2f", F.round("rev", 2)).alias("revenue"),
+        F.format_string(
+            "%.2f",
+            F.round(F.col("rev") - F.coalesce(F.lag("rev").over(w), F.lit(0.0)), 2),
+        ).alias("delta"),
+    )
+
+
+@query(
     "pivot_flag_by_status",
     """
     SELECT l_returnflag,
@@ -1321,6 +1463,20 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_ensemble_spark.streaming.events import streaming_sessionize as ss
 
     return ss(spark, sf_dir, gap_minutes=30)
+
+
+@query(
+    "streaming_dedup",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion dedup (dropDuplicatesWithinWatermark): bounded
+    per-key state with watermark eviction — the exact-dedup front of a
+    streaming corpus-ingest pipeline. The delay covers the dataset span, so
+    the emitted key set equals batch DISTINCT regardless of micro-batching."""
+    from spark_ensemble_spark.streaming.events import streaming_dedup as sd
+
+    return sd(spark, sf_dir)
 
 
 @query(

@@ -75,6 +75,58 @@ def streaming_windowed_counts(
     return spark.table(name)
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str],
+    delay: str = "45 days",
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence per key wins, duplicate
+    arrivals within ``delay`` of the watermark are dropped, and — the point,
+    versus a bare ``dropDuplicates`` — per-key state is EVICTED once the
+    watermark passes the stored event's ts + delay, so state stays bounded by
+    the key arrival rate × delay instead of growing forever. This is the
+    standard ingestion-dedup front of a streaming training-data pipeline
+    (exact dedup before the heavier MinHash/SimHash passes run downstream).
+
+    Only the key columns are projected: which full row survives depends on
+    arrival order (nondeterministic across partitions), but the emitted key
+    SET is deterministic whenever each key's occurrences span less than
+    ``delay`` — which makes the operator oracle-checkable as SELECT DISTINCT.
+    """
+    return (
+        events.withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark(keys)
+        .select(*keys)
+    )
+
+
+def streaming_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    keys: tuple = ("user_id", "event_type"),
+    delay: str = "45 days",
+) -> DataFrame:
+    """File-replay harness for :func:`dedup_stream` over the events table.
+    ``delay`` covers the dataset's full 30-day span, so the key set equals the
+    batch DISTINCT regardless of how the replay is micro-batched; a production
+    deployment tunes it down to its real lateness/duplication horizon."""
+    deduped = dedup_stream(read_events_stream(spark, sf_dir), list(keys), delay)
+    _QUERY_SEQ[0] += 1
+    name = f"stream_dedup_{_QUERY_SEQ[0]}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ses-dedup-"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def sessionize_batch(
     df: DataFrame, gap_minutes: int = 30
 ) -> DataFrame:

@@ -370,6 +370,59 @@ def test_streaming_sessionize_event_time_timeout(spark, tmp_path):
     assert (r.session_seq, r.n_events, r.session_value) == (1, 2, "3.0000")
 
 
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    """Duplicate keys arriving in LATER micro-batches are dropped (state
+    carries across batches); keys whose state the watermark evicted would
+    re-emit — the delay is sized to the data span so the output equals batch
+    DISTINCT."""
+    import pandas as pd
+
+    from spark_ensemble_spark.streaming.events import dedup_stream, read_events_stream
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    t0 = 1_700_000_000_000_000_000
+
+    def write_file(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+        )
+        pdf["props"] = "{}"
+        spark.createDataFrame(
+            pdf,
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    write_file("f1", [(1, t0, 1, "click", 1.0), (2, t0 + 10**9, 1, "view", 1.0)])
+    stream = dedup_stream(
+        read_events_stream(spark, str(src) + "/*", glob=None),
+        ["user_id", "event_type"],
+        delay="2 days",
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_stream_dedup")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: one duplicate key (1, click) an hour later + one new key
+        write_file(
+            "f2",
+            [(3, t0 + 3600 * 10**9, 1, "click", 9.0), (4, t0 + 3600 * 10**9, 2, "click", 1.0)],
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = {(r.user_id, r.event_type) for r in spark.table("t_stream_dedup").collect()}
+    assert out == {(1, "click"), (1, "view"), (2, "click")}
+    assert spark.table("t_stream_dedup").count() == 3  # no duplicate emission
+
+
 def test_dup_clusters_long_chain(spark):
     """A 60-node chain converges well within max_rounds thanks to pointer
     jumping (plain one-hop propagation would need 60 rounds)."""

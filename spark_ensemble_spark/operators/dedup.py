@@ -570,6 +570,30 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+def srp_planes(dim: int, num_planes: int, seed: int) -> List[List[float]]:
+    """Deterministic Gaussian hyperplanes for sign-random-projection.
+    Importable without a SparkSession so DuckDB oracle builders can embed the
+    exact same float literals (repr() round-trips doubles bit-for-bit)."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(num_planes)]
+
+
+def srp_bucket_sql(vec_expr: str, planes: List[List[float]]) -> str:
+    """DuckDB expression reproducing :func:`_srp_bucket` exactly: the dot
+    product is written as an explicit left-to-right addition chain, which is
+    the same IEEE evaluation order as Spark's ``F.aggregate`` left fold, so
+    the sign test (and therefore the bucket id) cannot drift."""
+    terms = []
+    for i, plane in enumerate(planes):
+        chain = " + ".join(
+            f"{vec_expr}[{j + 1}]*({x!r})" for j, x in enumerate(plane)
+        )
+        terms.append(f"CASE WHEN {chain} > 0 THEN {1 << i} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
 def _cosine(a: Column, b: Column) -> Column:
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
     na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
@@ -614,14 +638,11 @@ def embedding_dup_pairs(
     block the join — at 1B vectors the cross join is impossible, the bucketed
     join is a shuffle on an 8-bit key with exact verify inside buckets (recall
     < 1 by design; raise num_planes/bands for tighter recall targets)."""
-    import random
-
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = df.select(F.col(id_col).alias("id"), vec.alias("v"))
     if not brute_force:
-        rng = random.Random(seed)
         dim = len(df.select(vec_col).first()[0])
-        planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(num_planes)]
+        planes = srp_planes(dim, num_planes, seed)
         base = base.withColumn("bucket", _srp_bucket(F.col("v"), planes))
         join_cond = (F.col("l.bucket") == F.col("r.bucket")) & (
             F.col("l.id") < F.col("r.id")

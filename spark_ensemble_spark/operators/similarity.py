@@ -7,6 +7,11 @@
   on a sample), corpus partitioned by nearest centroid, queries probe the
   ``nprobe`` nearest centroids only. At 100 TB the scan is cut by
   ``nprobe/num_clusters`` and the shuffle key is the centroid id.
+* :func:`srp_topk` — sign-random-projection LSH top-k with Hamming-1
+  multiprobe: fully deterministic given the seed (no trained quantizer), so
+  unlike IVF the whole approximate pipeline is DuckDB-oracle-checkable; the
+  scan is cut to the probed buckets' share of the corpus and the shuffle key
+  is the bucket id.
 """
 
 from __future__ import annotations
@@ -66,6 +71,146 @@ def brute_force_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def srp_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_planes: int = 8,
+    num_tables: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 17,
+    dim: Optional[int] = None,
+) -> DataFrame:
+    """Multi-table SRP-LSH approximate top-k with Hamming-1 multiprobe.
+
+    ``num_tables`` independent plane sets (the classic LSH recall lever — a
+    single table's recall collapses for moderate-similarity neighbors); in
+    each table a query probes its own bucket plus every bucket one bit away.
+    The join is an equi-join on (table, bucket); candidates found in several
+    tables dedup on (query, neighbor) before scoring. Nothing is trained, so
+    results are deterministic in the seed and the DuckDB oracle replays them
+    exactly — unlike IVF, whose KMeans quantizer is engine-specific.
+
+    Scan share ≈ num_tables × (num_planes+1) / 2^num_planes of the corpus
+    (~14% at 4×8-bit) versus 100% for brute force; at 1B vectors both sides
+    shuffle on the bucket id and each bucket's pairs stay local."""
+    from spark_ensemble_spark.operators.dedup import _srp_bucket, srp_planes
+
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    # one seed stream, num_tables disjoint plane sets
+    all_planes = srp_planes(dim, num_planes * num_tables, seed)
+    tables = [
+        all_planes[t * num_planes : (t + 1) * num_planes] for t in range(num_tables)
+    ]
+
+    def bucketed(df: DataFrame, idc: str, vc: str, probe: bool) -> DataFrame:
+        codes = []
+        for t, planes in enumerate(tables):
+            code = _srp_bucket(F.col(vc), planes)
+            if probe:
+                codes.append(F.struct(F.lit(t).alias("t"), code.alias("b")))
+                codes.extend(
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        code.bitwiseXOR(F.lit(1 << i)).alias("b"),
+                    )
+                    for i in range(num_planes)
+                )
+            else:
+                codes.append(F.struct(F.lit(t).alias("t"), code.alias("b")))
+        return df.withColumn("__tb", F.explode(F.array(*codes))).select(
+            idc, vc, F.col("__tb.t").alias("t"), F.col("__tb.b").alias("b")
+        )
+
+    c = bucketed(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+        ),
+        "neighbor_id",
+        "cv",
+        probe=False,
+    )
+    q = bucketed(
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+        ),
+        "query_id",
+        "qv",
+        probe=True,
+    )
+    cand = (
+        c.join(q, on=["t", "b"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "cv", "qv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("cv"), F.col("qv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def srp_topk_oracle_sql(
+    dim: int,
+    k: int = 5,
+    num_planes: int = 8,
+    num_tables: int = 4,
+    seed: int = 17,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred: str = "vec_id < 5",
+) -> str:
+    """DuckDB SQL reproducing :func:`srp_topk`: per-table bucket ids come from
+    :func:`srp_bucket_sql`'s fold-order-exact sign chains with the same plane
+    literals; probes are each table's bucket plus its single-bit XORs."""
+    from spark_ensemble_spark.operators.dedup import srp_bucket_sql, srp_planes
+
+    all_planes = srp_planes(dim, num_planes * num_tables, seed)
+    corpus_structs = []
+    probe_structs = []
+    for t in range(num_tables):
+        planes = all_planes[t * num_planes : (t + 1) * num_planes]
+        code = srp_bucket_sql("v", planes)
+        corpus_structs.append(f"{{'t': {t}, 'b': {code}}}")
+        probe_structs.append(f"{{'t': {t}, 'b': {code}}}")
+        probe_structs.extend(
+            f"{{'t': {t}, 'b': xor({code}, {1 << i})}}" for i in range(num_planes)
+        )
+    return f"""
+    WITH e AS (SELECT {id_col} AS id, {vec_col}::DOUBLE[] AS v FROM {table}),
+    c AS (SELECT id AS neighbor_id, v AS cv, unnest([{', '.join(corpus_structs)}], recursive := true)
+          FROM e),
+    q AS (SELECT id AS query_id, v AS qv, unnest([{', '.join(probe_structs)}], recursive := true)
+          FROM e WHERE {query_pred.replace(id_col, 'id')}),
+    cand AS (
+      SELECT DISTINCT ON (query_id, neighbor_id) query_id, neighbor_id, cv, qv
+      FROM c JOIN q USING (t, b)
+      WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT query_id, neighbor_id,
+             round(list_dot_product(cv, qv)
+                   / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 6) AS cosine,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY round(list_dot_product(cv, qv)
+                        / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 6) DESC,
+                        neighbor_id) AS rank
+      FROM cand
+    ) WHERE rank <= {k}
+    """
 
 
 def ivf_topk(

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_ensemble_spark.operators import dedup as _dedup
+from spark_ensemble_spark.operators import similarity as _similarity
 from spark_ensemble_spark.sources.datasets import (
     binary_dataset,
     load_table,
@@ -1001,12 +1002,36 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_clusters(edges)
 
 
-@query("embedding_dup_pairs_lsh")
+def _embedding_lsh_oracle() -> str:
+    """The SRP planes are seed-deterministic and the bucket sign chains are
+    fold-order-exact (srp_bucket_sql), so the LSH-blocked dedup output —
+    including which pairs the blocking recovers — is fully oracle-checkable."""
+    planes = _dedup.srp_planes(dim=64, num_planes=6, seed=11)
+    return f"""
+    WITH planted AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 20
+    ),
+    e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM planted),
+    b AS (SELECT id, v, {_dedup.srp_bucket_sql('v', planes)} AS bucket FROM e)
+    SELECT l.id AS id_a, r.id AS id_b,
+           round(list_dot_product(l.v, r.v)
+                 / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))), 6) AS cosine
+    FROM b l JOIN b r ON l.bucket = r.bucket AND l.id < r.id
+    WHERE round(list_dot_product(l.v, r.v)
+          / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))), 6) >= 0.9
+    """
+
+
+@query("embedding_dup_pairs_lsh", _embedding_lsh_oracle())
 def embedding_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-random-projection-blocked near-dup pairs (rows-only; the scale
-    path of embedding_dup_pairs). Same planted-duplicate fixture as the brute
-    path: identical vectors always share an SRP bucket, so the blocked join
-    must recover all 20 planted pairs."""
+    """Sign-random-projection-blocked near-dup pairs (the scale path of
+    embedding_dup_pairs). Same planted-duplicate fixture as the brute path:
+    identical vectors always share an SRP bucket, so the blocked join must
+    recover all 20 planted pairs. The DuckDB oracle replays bucket assignment
+    with the same plane literals and fold order, so the whole LSH pipeline —
+    blocking recall included — is hash-checked."""
     from spark_ensemble_spark.operators.dedup import embedding_dup_pairs as dup
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -1016,6 +1041,19 @@ def embedding_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return dup(planted, "embedding", "vec_id", threshold=0.9, num_planes=6)
+
+
+# embeddings are 64-dim at every SF (TESTDATA.md)
+@query("similarity_srp_topk", _similarity.srp_topk_oracle_sql(dim=64))
+def similarity_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH approximate top-k with Hamming-1 multiprobe — the
+    deterministic ANN scale path (nothing trained, unlike IVF), so the full
+    approximate pipeline has a true DuckDB oracle."""
+    from spark_ensemble_spark.operators.similarity import srp_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return srp_topk(emb, queries_df, k=5, num_planes=8, dim=64)
 
 
 @query(

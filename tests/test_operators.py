@@ -153,6 +153,33 @@ def test_ivf_topk_recall(spark, sf_dir):
     assert hits >= 6  # recall@1 >= 0.6 with nprobe=4/8
 
 
+def test_srp_topk_recall(spark, sf_dir):
+    """Multi-table SRP-LSH: planted exact duplicates are ALWAYS found (equal
+    vectors share every bucket), and real top-1 recall on the near-random
+    synthetic embeddings (hard case: moderate-similarity neighbors) has a
+    stable deterministic floor."""
+    from spark_ensemble_spark.operators.similarity import srp_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    # planted exact copies: the copy's nearest neighbor is its original
+    copies = emb.filter(F.col("vec_id") < 10).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1_000_000)
+    )
+    planted = emb.unionByName(copies)
+    out = srp_topk(planted, copies, k=1, num_planes=8, num_tables=4, dim=64)
+    top1 = {r.query_id: r.neighbor_id for r in out.collect()}
+    assert all(top1[i + 1_000_000] == i for i in range(10)), top1
+
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {r.query_id: r.neighbor_id for r in brute_force_topk(emb, q, k=1).collect()}
+    approx = {
+        r.query_id: r.neighbor_id
+        for r in srp_topk(emb, q, k=1, num_planes=8, num_tables=4, dim=64).collect()
+    }
+    hits = sum(1 for k, v in exact.items() if approx.get(k) == v)
+    assert hits >= 4, f"recall@1 {hits}/10"
+
+
 def test_embedding_dup_pairs_consistency(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").limit(200).cache()
     brute = embedding_dup_pairs(emb, "embedding", "vec_id", 0.8, brute_force=True)

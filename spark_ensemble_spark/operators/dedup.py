@@ -127,23 +127,32 @@ def minhash_signatures(
     then ``num_hashes`` affine permutations ``(a·h + b) mod p`` reduced with
     ``array_min`` — all inside one projection, no shuffle at all.
     """
+    from spark_ensemble_spark.sources.datasets import spread_to_parallelism
+
     coeffs = _minhash_coeffs(num_hashes, seed)
     shingles = _shingle_hashes(F.col(text_col), shingle_size, shingle_kind, hash_fn)
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    F.col("__sh"),
-                    lambda h: (F.pmod(h, F.lit(_MERSENNE)) * a + b) % _MERSENNE,
-                )
-            )
-            for a, b in coeffs
-        ]
-    )
+    # Single-row-group test files scan as ONE partition; shingle hashing is
+    # the cost center, so spread it across the cluster first (no-op at scale).
+    df = spread_to_parallelism(df)
+    # Explode + grouped min()s, NOT k × array_min(transform(...)): Spark
+    # evaluates higher-order-function lambdas interpreted per element, so k
+    # permutations over the shingle arrays cost k·|shingles| interpreted calls
+    # per doc (~10× slower at corpus scale). The exploded form runs entirely
+    # inside whole-stage codegen; map-side partial aggregation means the
+    # shuffle carries only distinct-ids × k longs.
+    exploded = df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("__h"))
+    hm = F.pmod(F.col("__h"), F.lit(_MERSENNE))
+    aggs = [
+        F.min((hm * a + b) % _MERSENNE).alias(f"__s{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
     return (
-        df.select(F.col(id_col).alias("id"), shingles.alias("__sh"))
-        .withColumn("signature", sig)
-        .select("id", "signature")
+        exploded.groupBy("id")
+        .agg(*aggs)
+        .select(
+            "id",
+            F.array(*[F.col(f"__s{i}") for i in range(num_hashes)]).alias("signature"),
+        )
     )
 
 
@@ -256,30 +265,30 @@ def simhash_signatures(
 ) -> DataFrame:
     """id → 64-bit (60-bit for md5 mode) SimHash of the whitespace tokens
     (one projection)."""
+    from spark_ensemble_spark.sources.datasets import spread_to_parallelism
+
     num_bits = _simhash_bits(hash_fn)
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    hashes = F.transform(toks, lambda t: _hash64(t, hash_fn))
-    # shift amounts must be Python ints (F.shiftright takes no Column numBits),
-    # so the bit lanes are unrolled literally
-    bit_counts = F.aggregate(
-        hashes,
-        F.array_repeat(F.lit(0), num_bits),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.array(
-                *[
-                    F.when(
-                        F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
-                    ).otherwise(-1)
-                    for b in range(num_bits)
-                ]
-            ),
-            lambda a, x: a + x,
-        ),
+    df = spread_to_parallelism(df)
+    # Explode + grouped ±1 sums, NOT F.aggregate over the token array: the
+    # higher-order fold evaluates interpreted per element (num_bits lane
+    # updates per token, all outside codegen). The exploded form hashes each
+    # token once in a codegen'd projection and the bit-lane majority votes are
+    # num_bits partial-aggregated sum() columns; shift amounts must be Python
+    # ints (F.shiftright takes no Column numBits), so lanes unroll literally.
+    exploded = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("__t")).select(
+        "id", _hash64(F.col("__t"), hash_fn).alias("__h")
     )
+    aggs = [
+        F.sum(
+            F.when(F.shiftright("__h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"__b{b}")
+        for b in range(num_bits)
+    ]
+    agged = exploded.groupBy("id").agg(*aggs)
     bits = [
         F.when(
-            F.element_at("__bc", b + 1) > 0,
+            F.col(f"__b{b}") > 0,
             F.lit(1 << b if b < 63 else -(1 << 63)).cast("long"),
         ).otherwise(F.lit(0).cast("long"))
         for b in range(num_bits)
@@ -287,10 +296,7 @@ def simhash_signatures(
     sim = bits[0]
     for b in bits[1:]:
         sim = sim.bitwiseOR(b)
-    return (
-        df.select(F.col(id_col).alias("id"), bit_counts.alias("__bc"))
-        .select("id", sim.alias("simhash"))
-    )
+    return agged.select("id", sim.alias("simhash"))
 
 
 def simhash_dup_pairs(
@@ -487,6 +493,9 @@ def ngram_jaccard_pairs(
     """
     if block_on not in ("prefix", "minhash"):
         raise ValueError(f"block_on must be prefix|minhash, got {block_on}")
+    from spark_ensemble_spark.sources.datasets import spread_to_parallelism
+
+    df = spread_to_parallelism(df)
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     toks = F.split(norm, " ")
     grams = F.array_distinct(

@@ -1,0 +1,97 @@
+"""Temporal join operators Spark lacks natively.
+
+:func:`asof_join` — "latest right row at or before the left row's time" per
+key: the workhorse of feature/training-data pipelines (attach the most recent
+account state / price / label to every event). Spark has no ASOF JOIN;
+the scalable formulation is union-tag + carry-forward window:
+
+* tag right rows 0 and left rows 1, union them on (key, ts, tag);
+* one window per key ordered by (ts, tag) carries the last non-null right
+  payload forward (``F.last(ignorenulls=True)`` over an unbounded-preceding
+  running frame);
+* keep only left rows.
+
+One shuffle + sort on the key — same cost as a sort-merge join — and no
+per-key driver state, so it scales to fact-sized both sides. A
+broadcast-right variant is intentionally NOT special-cased: AQE already
+broadcasts the union's small side when sizes allow.
+
+Ties are inclusive (right_ts == left_ts matches) because the right tag sorts
+first at equal ts — the same semantics as DuckDB's ``ASOF JOIN`` (>=), which
+is what the registry oracle uses.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: Optional[Sequence[str]] = None,
+    direction: str = "backward",
+) -> DataFrame:
+    """For every left row, attach ``payload_cols`` from the temporally
+    nearest right row per ``on`` key: the latest with ``right_ts <= left_ts``
+    (``backward``, default) or the earliest with ``right_ts >= left_ts``
+    (``forward``). Unmatched left rows keep NULL payloads (left-join
+    semantics).
+
+    If several right rows share (key, ts), the carried value is the last in
+    the underlying sort — pre-aggregate right to one row per (key, ts) when
+    a deterministic winner matters (the registry query does).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
+    if payload_cols is None:
+        payload_cols = [c for c in right.columns if c not in (on, right_ts)]
+    dup = set(payload_cols) & set(left.columns)
+    if dup:
+        raise ValueError(f"payload columns collide with left columns: {sorted(dup)}")
+
+    left_cols: List[str] = left.columns
+    r = right.select(
+        F.col(on).alias(on),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__tag"),
+        *[F.col(c) for c in payload_cols],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols if c != on],
+    )
+    l = left.select(
+        F.col(on).alias(on),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__tag"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload_cols],
+        *[F.col(c) for c in left_cols if c != on],
+    )
+    unioned = r.unionByName(l)
+
+    order = (
+        [F.asc("__ts"), F.asc("__tag")]
+        if direction == "backward"
+        else [F.desc("__ts"), F.asc("__tag")]
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(f"__filled_{c}")
+            for c in payload_cols
+        ],
+    )
+    return filled.filter(F.col("__tag") == 1).select(
+        *[F.col(c) for c in left_cols if c != on],
+        F.col(on),
+        *[F.col(f"__filled_{c}").alias(c) for c in payload_cols],
+    )

@@ -1365,6 +1365,58 @@ def pivot_flag_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_asof_last_order",
+    """
+    WITH r AS (
+      SELECT o_custkey AS user_id, o_orderdate AS ots, max(o_totalprice) AS last_order_price
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.user_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           r.last_order_price,
+           strftime(r.ots, '%Y-%m-%d') AS last_order_date
+    FROM events e ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts >= r.ots
+    """,
+)
+def events_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN (operators/joins.asof_join): every event gets the
+    customer's most recent order at event time — the canonical
+    feature-attachment join of a training-data pipeline. Spark lacks ASOF;
+    the union-tag + carry-forward-window formulation is one shuffle+sort on
+    the key. DuckDB's native ASOF LEFT JOIN is the oracle. Right side is
+    pre-aggregated to one row per (customer, date) so the matched row is
+    deterministic in both engines."""
+    from spark_ensemble_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    last_orders = (
+        orders.groupBy(
+            F.col("o_custkey").alias("user_id"), F.col("o_orderdate").alias("ots")
+        )
+        .agg(F.max("o_totalprice").alias("last_order_price"))
+        .withColumn("last_order_date", F.col("ots"))
+    )
+    out = asof_join(
+        ev,
+        last_orders,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ots",
+        payload_cols=["last_order_price", "last_order_date"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "last_order_price",
+        F.date_format("last_order_date", "yyyy-MM-dd").alias("last_order_date"),
+    )
+
+
+@query(
     "orders_monthly_stats",
     """
     SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,

@@ -28,6 +28,23 @@ TABLES = (
 )
 
 
+def spread_to_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's parallelism when the scan yields fewer
+    partitions. The test tables are single-row-group parquet files, so the
+    file reader cannot split them and a compute-heavy stage (shingle hashing,
+    signature permutations) runs on ONE core of 32. At production scale the
+    input has thousands of splits, the gate is never taken, and no shuffle is
+    added. Applied ONLY inside operators whose per-row compute dwarfs the
+    exchange (measured: a blanket load-time spread made tree fits and
+    mapInPandas seams 2-3× SLOWER — 10 thread-parallel fits × 32 tasks thrash
+    the scheduler, and each extra partition spins another Arrow worker)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # The oracle comparison formats timestamps; pin the session timezone so
     # results don't depend on the harness session's locale.
@@ -67,7 +84,17 @@ def _cached_fixture(spark: SparkSession, sf_dir: str, kind: str, build) -> DataF
     key = (id(spark.sparkContext), sf_dir, kind)
     df = _FIXTURE_CACHE.get(key)
     if df is None:
-        df = build().persist()
+        df = build()
+        # The single-row-group test files scan as ~3 partitions; sequential
+        # tree-fit loops (GBM/boosting) then run every stats pass 3-wide.
+        # Measured at sf0.1: repartition(8) halves GBM (29→14s) and boosting
+        # (43→21s) fits and is neutral for thread-parallel bagging (whose 10
+        # concurrent fits already saturate the box — wider repartition makes
+        # it WORSE, 10×32 queued tasks). Gated: a production-scale input
+        # already has ≥8 splits and is left alone.
+        if df.rdd.getNumPartitions() < 8:
+            df = df.repartition(8)
+        df = df.persist()
         _FIXTURE_CACHE[key] = df
     return df
 

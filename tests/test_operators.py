@@ -450,6 +450,35 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
     assert spark.table("t_stream_dedup").count() == 3  # no duplicate emission
 
 
+def test_asof_join_semantics(spark):
+    """Backward: latest right at-or-before left ts (inclusive tie); miss →
+    NULL payload. Forward: earliest right at-or-after."""
+    from spark_ensemble_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 5, "a"), (1, 10, "b"), (1, 2, "c"), (2, 7, "d")],
+        ["k", "lts", "tag"],
+    )
+    right = spark.createDataFrame(
+        [(1, 3, 30.0), (1, 5, 50.0), (1, 9, 90.0), (3, 1, 10.0)],
+        ["k", "rts", "val"],
+    )
+    back = {
+        (r.k, r.lts): r.val
+        for r in asof_join(left, right, "k", "lts", "rts").collect()
+    }
+    # ts=5 ties right ts=5 → inclusive; ts=2 has no earlier right → NULL
+    assert back == {(1, 5): 50.0, (1, 10): 90.0, (1, 2): None, (2, 7): None}
+
+    fwd = {
+        (r.k, r.lts): r.val
+        for r in asof_join(
+            left, right, "k", "lts", "rts", direction="forward"
+        ).collect()
+    }
+    assert fwd == {(1, 5): 50.0, (1, 10): None, (1, 2): 30.0, (2, 7): None}
+
+
 def test_dup_clusters_long_chain(spark):
     """A 60-node chain converges well within max_rounds thanks to pointer
     jumping (plain one-hop propagation would need 60 rounds)."""

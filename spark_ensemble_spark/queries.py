@@ -1556,6 +1556,28 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_click_attribution",
+    """
+    SELECT c.user_id, c.event_id AS click_id, p.value AS purchase_value,
+           epoch_us(p.ts) - epoch_us(c.ts) AS us_to_purchase
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND epoch_us(p.ts) >= epoch_us(c.ts)
+     AND epoch_us(p.ts) <= epoch_us(c.ts) + {window_us}
+    """.replace("{window_us}", str(30 * 60 * 1_000_000)),
+)
+def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join (watermarked both sides, bounded state):
+    clicks attributed to purchases within 30 minutes. The replay's pair set
+    equals the batch interval join, which is the DuckDB oracle (µs-exact
+    bounds on both engines)."""
+    from spark_ensemble_spark.streaming.events import streaming_click_attribution as sa
+
+    return sa(spark, sf_dir, window_minutes=30)
+
+
+@query(
     "streaming_dedup",
     "SELECT DISTINCT user_id, event_type FROM events",
 )

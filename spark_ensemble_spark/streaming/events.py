@@ -127,6 +127,82 @@ def streaming_dedup(
     return spark.table(name)
 
 
+def click_purchase_stream(
+    events: DataFrame,
+    window_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """STREAM-STREAM interval join: every click joined to the same user's
+    purchases within ``window_minutes`` after it. Both sides carry a
+    watermark and the join condition bounds purchase_ts to
+    [click_ts, click_ts + window], so Spark can evict click state once the
+    purchase-side watermark passes click_ts + window and purchase state once
+    the click-side watermark passes purchase_ts — bounded state, the
+    attribution-join pattern of a production event pipeline."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {window_minutes} MINUTES")
+        ),
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_value",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias(
+            "us_to_purchase"
+        ),
+    )
+
+
+def streaming_click_attribution(
+    spark: SparkSession,
+    sf_dir: str,
+    window_minutes: int = 30,
+) -> DataFrame:
+    """File-replay harness for :func:`click_purchase_stream` (memory sink,
+    processAllAvailable). The emitted pair set equals the batch interval
+    join — inner stream-stream joins emit exactly the matching pairs once
+    both sides have arrived, independent of micro-batching."""
+    pairs = click_purchase_stream(
+        read_events_stream(spark, sf_dir), window_minutes=window_minutes
+    )
+    _QUERY_SEQ[0] += 1
+    name = f"stream_attr_{_QUERY_SEQ[0]}"
+    q = (
+        pairs.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ses-attr-"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def sessionize_batch(
     df: DataFrame, gap_minutes: int = 30
 ) -> DataFrame:

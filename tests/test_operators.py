@@ -450,6 +450,66 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
     assert spark.table("t_stream_dedup").count() == 3  # no duplicate emission
 
 
+def test_stream_stream_join_across_batches(spark, tmp_path):
+    """A click buffered in batch 1 joins a purchase that only arrives in
+    batch 2 (stream-stream state held across micro-batches); out-of-window
+    purchases don't match."""
+    import pandas as pd
+
+    from spark_ensemble_spark.streaming.events import (
+        click_purchase_stream,
+        read_events_stream,
+    )
+
+    src = tmp_path / "attr_src"
+    src.mkdir()
+    t0 = 1_700_000_000_000_000_000
+
+    def write_file(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+        )
+        pdf["props"] = "{}"
+        spark.createDataFrame(
+            pdf,
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    write_file("f1", [(1, t0, 1, "click", 0.0)])
+    stream = click_purchase_stream(
+        read_events_stream(spark, str(src) + "/*", glob=None), window_minutes=30
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_attr")
+        .option("checkpointLocation", str(tmp_path / "ckpt_attr"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: one purchase inside the window, one outside
+        write_file(
+            "f2",
+            [
+                (2, t0 + 600 * 10**9, 1, "purchase", 42.0),
+                (3, t0 + 7200 * 10**9, 1, "purchase", 99.0),
+            ],
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.table("t_attr").collect()
+    assert len(rows) == 1
+    assert (rows[0].click_id, rows[0].purchase_value, rows[0].us_to_purchase) == (
+        1,
+        42.0,
+        600_000_000,
+    )
+
+
 def test_asof_join_semantics(spark):
     """Backward: latest right at-or-before left ts (inclusive tie); miss →
     NULL payload. Forward: earliest right at-or-after."""

@@ -26,9 +26,12 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_top_revenue_orders",
     "q5_nation_revenue",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
     "topk_orders_per_priority",
     "revenue_rollup",
     "events_hourly",
+    "events_asof_last_order",
     # ensemble estimators (fit + transform at the bench SF)
     "dummy_mean_regressor",
     "bagging_tree_regressor",
@@ -42,10 +45,12 @@ BENCH_QUERIES = [
     "text_analysis",
     "similarity_bruteforce_topk",
     "similarity_ivf_topk",
+    "similarity_srp_topk",
     "multimodal_decode",
     "events_sessionize",
     "weighted_median_price",
     "streaming_event_counts",
+    "streaming_dedup",
     "curation_pipeline",
 ]
 

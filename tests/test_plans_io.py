@@ -43,6 +43,41 @@ def test_exact_dedup_no_cartesian(spark, sf_dir):
     assert not has_cartesian(df)
 
 
+def test_q17_decorrelated_plan(spark, sf_dir):
+    """The correlated scalar subquery must run as ONE grouped aggregate
+    joined back — no per-outer-row rescan, no nested loop, brand filter
+    pushed to the part scan."""
+    df = SPARK_QUERIES["q17_small_quantity_revenue"](spark, sf_dir)
+    assert not has_cartesian(df)
+    assert not has_broadcast_hint(df)
+    assert any("Brand#23" in f for f in pushed_filters(df))
+
+
+def test_q18_semi_join_plan(spark, sf_dir):
+    from spark_ensemble_spark.plans.explain import executed_plan
+
+    df = SPARK_QUERIES["q18_large_orders"](spark, sf_dir)
+    plan = executed_plan(df)
+    assert "LeftSemi" in plan  # IN-subquery ran as a semi join
+    assert not has_cartesian(df)
+
+
+def test_asof_join_plan(spark, sf_dir):
+    """as-of join: single exchange on the key, window sort, no join node at
+    all (union + carry-forward formulation) — in particular no nested loop."""
+    df = SPARK_QUERIES["events_asof_last_order"](spark, sf_dir)
+    assert not has_cartesian(df)
+    from spark_ensemble_spark.plans.explain import executed_plan
+
+    plan = executed_plan(df)
+    assert "Window" in plan and "Union" in plan
+
+
+def test_srp_topk_no_cartesian(spark, sf_dir):
+    df = SPARK_QUERIES["similarity_srp_topk"](spark, sf_dir)
+    assert not has_cartesian(df)
+
+
 def test_read_libsvm(spark, tmp_path):
     p = tmp_path / "sample.svm"
     p.write_text("1.0 1:0.5 3:1.5\n0.0 2:2.0\n")

@@ -56,22 +56,41 @@ BENCH_QUERIES = [
 
 
 def main() -> None:
-    import __spark_entry__ as entrymod
+    # Resolve bench queries from the module's functions, not the driver
+    # registry: the registry is curated to the driver's 50-entry verification
+    # window, while the bench keeps timing the full headline set (including
+    # production-default variants like the xxhash64 MinHash/SimHash paths
+    # that the registry replaced with their cross-engine md5 twins).
+    import spark_ensemble_spark.queries as qmod
     from spark_ensemble_spark.session import get_spark
+    from spark_ensemble_spark.sources.datasets import (
+        binary_dataset,
+        multiclass_dataset,
+        regression_dataset,
+    )
 
     spark = get_spark("spark-ensemble-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    qs = entrymod.queries()
-    names = [n for n in BENCH_QUERIES if n in qs]
+    names = [n for n in BENCH_QUERIES if hasattr(qmod, n)]
 
     # Warm-up: JVM + parquet footer caches.
-    qs["q1_pricing_summary"](spark, SF_DIR).count()
+    qmod.q1_pricing_summary(spark, SF_DIR).count()
+
+    # Materialize the shared ML fixture caches OUTSIDE the timed region and
+    # report the build as its own line item: otherwise whichever estimator
+    # query happens to run first absorbs the one-time assembly cost and its
+    # per-query number stops meaning anything (r2: dummy_mean_regressor
+    # "regressed" 3× purely by running first).
+    t0 = time.time()
+    for build in (regression_dataset, binary_dataset, multiclass_dataset):
+        build(spark, SF_DIR).count()
+    fixture_sec = round(time.time() - t0, 3)
 
     timings = {}
     for name in names:
         t0 = time.time()
-        df = qs[name](spark, SF_DIR)
+        df = getattr(qmod, name)(spark, SF_DIR)
         df.count()
         timings[name] = round(time.time() - t0, 3)
 
@@ -87,6 +106,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "fixture_warm_sec": fixture_sec,
                 "sf": sf,
             }
         )

@@ -3,28 +3,65 @@ generalized from model combining to data columns)."""
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def weighted_median_of(df: DataFrame, value_col: str, weight_col: str) -> DataFrame:
+def weighted_median_of(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    num_ranges: Optional[int] = None,
+) -> DataFrame:
     """Global weighted median: first value whose running weight reaches half
-    the total (``ensemble/Utils.scala:26-40`` semantics, expressed as a window
-    program so any SQL engine computes the identical answer).
+    the total (``ensemble/Utils.scala:26-40`` semantics).
 
-    One sort-shuffle; for grouped medians partition the windows by the group
-    key instead of using a global order.
+    Scalable formulation: a naive global window (``Window.orderBy(v)``) pulls
+    EVERY row into one partition — the single-sort scale-killer. Instead:
+
+    1. range-repartition on (v, w) into ``num_ranges`` ordered partitions;
+    2. per-partition weight sums → a tiny (num_ranges-row) frame whose prefix
+       sums give each partition's starting offset and the grand total;
+    3. broadcast the offsets back; the running weight is offset + a window
+       partitioned BY RANGE-PARTITION (each sorts locally, all in parallel);
+    4. the answer is min(v) among rows whose running weight reaches half the
+       total — no global sort, no single-partition funnel, no driver state.
+
+    Summation note: partial-sums-then-offset reassociates the addition; with
+    integer-valued weights (exact in doubles, any order) the running weights
+    are bit-identical to a sequential scan, so the boundary row cannot flip
+    versus a sequential-window SQL oracle. For fractional weights at extreme
+    scale, cast the weight to DECIMAL first for the same guarantee.
     """
-    w_order = Window.orderBy(F.col("v"), F.col("w"))
-    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    with_cum = df.select(
+    spark = df.sparkSession
+    n = num_ranges or spark.sparkContext.defaultParallelism
+    base = df.select(
         F.col(value_col).alias("v"), F.col(weight_col).cast("double").alias("w")
-    ).withColumn("cum", F.sum("w").over(w_order.rowsBetween(Window.unboundedPreceding, 0))).withColumn(
-        "total", F.sum("w").over(w_all)
+    )
+    parts = base.repartitionByRange(n, "v", "w").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    per = parts.groupBy("pid").agg(F.sum("w").alias("pw"))
+    # prefix offsets + total over the num_ranges-row summary: a single-
+    # partition window here is fine (tiny input), the data never funnels.
+    w_prev = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    offs = per.select(
+        "pid",
+        F.coalesce(F.sum("pw").over(w_prev), F.lit(0.0)).alias("off"),
+        F.sum("pw").over(w_all).alias("total"),
+    )
+    w_local = (
+        Window.partitionBy("pid")
+        .orderBy(F.col("v"), F.col("w"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    with_cum = parts.join(F.broadcast(offs), "pid").withColumn(
+        "cum", F.col("off") + F.sum("w").over(w_local)
     )
     return (
         with_cum.filter(F.col("cum") >= 0.5 * F.col("total"))
-        .orderBy("v")
-        .limit(1)
-        .select(F.col("v").alias("weighted_median"))
+        .agg(F.min("v").alias("weighted_median"))
     )

@@ -56,42 +56,58 @@ def asof_join(
     if dup:
         raise ValueError(f"payload columns collide with left columns: {sorted(dup)}")
 
+    # Helper columns get collision-free names so a left/right frame that
+    # already contains "__ts"/"__tag"/"__filled_*" cannot be clobbered.
+    taken = set(left.columns) | set(right.columns)
+
+    def fresh(base: str) -> str:
+        name, i = base, 0
+        while name in taken:
+            i += 1
+            name = f"{base}_{i}"
+        taken.add(name)
+        return name
+
+    ts_c, tag_c = fresh("__ts"), fresh("__tag")
+    filled = {c: fresh(f"__filled_{c}") for c in payload_cols}
+
     left_cols: List[str] = left.columns
     r = right.select(
         F.col(on).alias(on),
-        F.col(right_ts).alias("__ts"),
-        F.lit(0).alias("__tag"),
+        F.col(right_ts).alias(ts_c),
+        F.lit(0).alias(tag_c),
         *[F.col(c) for c in payload_cols],
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols if c != on],
     )
     l = left.select(
         F.col(on).alias(on),
-        F.col(left_ts).alias("__ts"),
-        F.lit(1).alias("__tag"),
+        F.col(left_ts).alias(ts_c),
+        F.lit(1).alias(tag_c),
         *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload_cols],
         *[F.col(c) for c in left_cols if c != on],
     )
     unioned = r.unionByName(l)
 
     order = (
-        [F.asc("__ts"), F.asc("__tag")]
+        [F.asc(ts_c), F.asc(tag_c)]
         if direction == "backward"
-        else [F.desc("__ts"), F.asc("__tag")]
+        else [F.desc(ts_c), F.asc(tag_c)]
     )
     w = (
         Window.partitionBy(on)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = unioned.select(
+    carried = unioned.select(
         "*",
         *[
-            F.last(c, ignorenulls=True).over(w).alias(f"__filled_{c}")
+            F.last(c, ignorenulls=True).over(w).alias(filled[c])
             for c in payload_cols
         ],
     )
-    return filled.filter(F.col("__tag") == 1).select(
-        *[F.col(c) for c in left_cols if c != on],
-        F.col(on),
-        *[F.col(f"__filled_{c}").alias(c) for c in payload_cols],
+    # Left frame's original column order (including the position of `on`),
+    # then the attached payloads.
+    return carried.filter(F.col(tag_c) == 1).select(
+        *[F.col(c) for c in left_cols],
+        *[F.col(filled[c]).alias(c) for c in payload_cols],
     )

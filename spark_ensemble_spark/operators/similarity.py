@@ -108,11 +108,19 @@ def srp_topk(
     ]
 
     def bucketed(df: DataFrame, idc: str, vc: str, probe: bool) -> DataFrame:
+        # Each table's sign chain is computed ONCE into a named column; the
+        # probe structs (own bucket + num_planes single-bit XORs) then
+        # reference that cheap attribute. Building the XOR probes directly on
+        # the chain expression would copy the ~dim·num_planes-term chain 9×
+        # per table — an expression-tree blowup Catalyst chews minutes on.
+        with_codes = df.select(
+            idc, vc, *[_srp_bucket(vc, planes).alias(f"__c{t}") for t, planes in enumerate(tables)]
+        )
         codes = []
-        for t, planes in enumerate(tables):
-            code = _srp_bucket(F.col(vc), planes)
+        for t in range(num_tables):
+            code = F.col(f"__c{t}")
+            codes.append(F.struct(F.lit(t).alias("t"), code.alias("b")))
             if probe:
-                codes.append(F.struct(F.lit(t).alias("t"), code.alias("b")))
                 codes.extend(
                     F.struct(
                         F.lit(t).alias("t"),
@@ -120,9 +128,7 @@ def srp_topk(
                     )
                     for i in range(num_planes)
                 )
-            else:
-                codes.append(F.struct(F.lit(t).alias("t"), code.alias("b")))
-        return df.withColumn("__tb", F.explode(F.array(*codes))).select(
+        return with_codes.withColumn("__tb", F.explode(F.array(*codes))).select(
             idc, vc, F.col("__tb.t").alias("t"), F.col("__tb.b").alias("b")
         )
 
@@ -213,6 +219,64 @@ def srp_topk_oracle_sql(
     """
 
 
+def ivf_fixed_centroids(dim: int, num_clusters: int, seed: int = 23) -> list:
+    """Deterministic unit-norm pseudo-random centroids (no training).
+    Importable without a SparkSession, so DuckDB oracle builders can embed
+    the exact same float literals — this is what makes the IVF probe/scan
+    path oracle-checkable, unlike the engine-specific KMeans quantizer.
+    Unit-norm matches the unit-norm embedding fixtures, so assignments
+    actually partition the corpus instead of collapsing to one cell."""
+    import math
+    import random
+
+    rng = random.Random(seed)
+    out = []
+    for _ in range(num_clusters):
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        out.append([x / n for x in v])
+    return out
+
+
+def _centroid_dist_chains(vec_sql: str, centroids: list) -> list:
+    """Squared-L2 distance to each centroid as a left ``F.aggregate`` fold
+    over ``zip_with`` — the same IEEE evaluation order as the left-to-right
+    SQL chains :func:`ivf_oracle_sql` writes (``(0.0 + x) ≡ x``), so
+    nearest-centroid ranks cannot drift between engines. A fully unrolled
+    codegen chain was benchmarked and loses: at 64 dims × 8+ centroids it
+    blows Janino's 64 KB method limit and falls back to interpreting a
+    ~100× larger expression tree (see dedup._srp_bucket)."""
+    vec = F.col(vec_sql)
+    dists = []
+    for c in centroids:
+        dists.append(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(x) for x in c]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda s, v: s + v,
+            )
+        )
+    return dists
+
+
+def _centroid_ranking(vec_sql: str, centroids: list) -> Column:
+    """Array of centroid ids sorted by (distance, id) ascending."""
+    dists = _centroid_dist_chains(vec_sql, centroids)
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(d.alias("d"), F.lit(i).alias("i"))
+                for i, d in enumerate(dists)
+            ]
+        )
+    )
+    return F.transform(ranked, lambda s: s["i"])
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -223,56 +287,45 @@ def ivf_topk(
     id_col: str = "vec_id",
     seed: int = 13,
     kmeans_max_iter: int = 8,
+    centroids: Optional[list] = None,
 ) -> DataFrame:
-    """IVF approximate top-k: assign corpus rows to their nearest KMeans
-    centroid, probe only the ``nprobe`` closest centroids per query."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    """IVF approximate top-k: assign corpus rows to their nearest centroid,
+    probe only the ``nprobe`` closest centroids per query.
 
+    The coarse quantizer is KMeans by default (the production trainer), or —
+    when ``centroids`` is passed explicitly (e.g. from
+    :func:`ivf_fixed_centroids`, or centroids exported from a previous fit) —
+    a fixed list of centroid literals, which makes the probe/scan path fully
+    deterministic and DuckDB-oracle-checkable (:func:`ivf_oracle_sql`)."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("feat", array_to_vector("cv"))
-    km = KMeans(
-        k=num_clusters,
-        seed=seed,
-        maxIter=kmeans_max_iter,  # coarse quantizer: convergence precision is wasted here
-        featuresCol="feat",
-        predictionCol="cluster",
     )
-    model = km.fit(c)
-    assigned = model.transform(c).select("neighbor_id", "cv", "cluster")
-
-    centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
-    centroid_arr = F.array(
-        *[F.array(*[F.lit(x) for x in ctr]) for ctr in centroids]
-    )
-
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
-    # distances to every centroid → nprobe nearest cluster ids
-    dists = F.transform(
-        centroid_arr,
-        lambda ctr: F.aggregate(
-            F.zip_with(F.col("qv"), ctr, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda s, v: s + v,
-        ),
-    )
-    probes = F.slice(
-        F.transform(
-            F.array_sort(
-                F.zip_with(
-                    dists,
-                    F.sequence(F.lit(0), F.lit(num_clusters - 1)),
-                    lambda d, i: F.struct(d.alias("d"), i.alias("i")),
-                )
-            ),
-            lambda s: s["i"],
-        ),
-        1,
-        nprobe,
-    )
+    if centroids is None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feat = c.withColumn("feat", array_to_vector("cv"))
+        km = KMeans(
+            k=num_clusters,
+            seed=seed,
+            maxIter=kmeans_max_iter,  # coarse quantizer: convergence precision is wasted here
+            featuresCol="feat",
+            predictionCol="cluster",
+        )
+        model = km.fit(feat)
+        assigned = model.transform(feat).select("neighbor_id", "cv", "cluster")
+        centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
+    else:
+        num_clusters = len(centroids)
+        assigned = c.withColumn(
+            "cluster", F.element_at(_centroid_ranking("cv", centroids), 1)
+        )
+
+    # nprobe nearest cluster ids per query
+    probes = F.slice(_centroid_ranking("qv", centroids), 1, nprobe)
     q = q.withColumn("cluster", F.explode(probes))
 
     joined = assigned.join(q, on="cluster").filter(
@@ -289,3 +342,58 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def ivf_oracle_sql(
+    centroids: list,
+    k: int = 5,
+    nprobe: int = 3,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred: str = "vec_id < 5",
+) -> str:
+    """DuckDB SQL reproducing ``ivf_topk(..., centroids=...)`` exactly: the
+    per-centroid squared-L2 distances are explicit left-to-right chains with
+    the same literals and IEEE order as :func:`_centroid_dist_chains`, so
+    corpus assignment (rank 1) and query probes (rank <= nprobe) match
+    bit-for-bit; ties break on centroid id on both engines."""
+    arms = []
+    for cid, c in enumerate(centroids):
+        chain = " + ".join(
+            f"(v[{j + 1}]-({x!r}))*(v[{j + 1}]-({x!r}))" for j, x in enumerate(c)
+        )
+        arms.append(f"SELECT id, v, {cid} AS cid, {chain} AS d FROM e")
+    dist_union = "\n      UNION ALL ".join(arms)
+    cos = (
+        "round(list_dot_product(cv, qv) / (sqrt(list_dot_product(cv, cv)) "
+        "* sqrt(list_dot_product(qv, qv))), 6)"
+    )
+    return f"""
+    WITH e AS (SELECT {id_col} AS id, {vec_col}::DOUBLE[] AS v FROM {table}),
+    d AS (
+      {dist_union}
+    ),
+    assigned AS (
+      SELECT id AS neighbor_id, v AS cv, cid AS cluster FROM (
+        SELECT *, row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn FROM d
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT id AS query_id, v AS qv, cid AS cluster FROM (
+        SELECT *, row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+        FROM d WHERE {query_pred.replace(id_col, 'id')}
+      ) WHERE rn <= {nprobe}
+    ),
+    cand AS (
+      SELECT query_id, neighbor_id, cv, qv
+      FROM assigned JOIN probes USING (cluster)
+      WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT query_id, neighbor_id, {cos} AS cosine,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY {cos} DESC, neighbor_id) AS rank
+      FROM cand
+    ) WHERE rank <= {k}
+    """

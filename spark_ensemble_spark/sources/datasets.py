@@ -81,7 +81,17 @@ _FIXTURE_CACHE: dict = {}
 
 
 def _cached_fixture(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFrame:
-    key = (id(spark.sparkContext), sf_dir, kind)
+    sc = spark.sparkContext
+    # applicationId+startTime is stable for a context's lifetime and never
+    # recycled (unlike id(), which CPython can reuse after GC of a stopped
+    # context). On a context change, drop every cached frame: their persisted
+    # blocks died with the old executors, and unpersist() on a dead session
+    # would throw.
+    ctx = (sc.applicationId, sc.startTime)
+    if _FIXTURE_CACHE.get("__ctx__") != ctx:
+        _FIXTURE_CACHE.clear()
+        _FIXTURE_CACHE["__ctx__"] = ctx
+    key = (sf_dir, kind)
     df = _FIXTURE_CACHE.get(key)
     if df is None:
         df = build()

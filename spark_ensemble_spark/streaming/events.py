@@ -51,7 +51,14 @@ def streaming_windowed_counts(
     agg = (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # DECIMAL sum: order-independent, so the rounded value cannot
+            # flip with partial-agg order (see sessionize_batch)
+            F.round(F.sum(F.col("value").cast("decimal(38,6)")), 4)
+            .cast("double")
+            .alias("total_value"),
+        )
         .select(
             "event_type",
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
@@ -227,25 +234,44 @@ def sessionize_batch(
     )
     return with_id.groupBy("user_id", "session_seq").agg(
         F.count(F.lit(1)).alias("n_events"),
-        # round() then fixed-format: the string is identical across engines
-        # even when the rounded doubles differ in the last ulp (Spark rounds
-        # through BigDecimal, DuckDB through double arithmetic).
-        F.format_string("%.4f", F.round(F.sum("value"), 4)).alias("session_value"),
+        # Sum as DECIMAL(38,6): decimal addition is order-independent, so the
+        # rounded string cannot flip with partial-aggregation order (a double
+        # sum landing within 1 ulp of a .00005 tick can round either way
+        # depending on which partition finishes first).
+        F.format_string(
+            "%.4f",
+            F.round(F.sum(F.col("value").cast("decimal(38,6)")), 4).cast("double"),
+        ).alias("session_value"),
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
     )
 
 
+# session_value is accumulated in exact integer MICRO-UNITS (value × 10^6,
+# matching a DECIMAL(38,6) cast): integer addition is order-independent, so
+# the final rounded string agrees with the batch/DuckDB decimal-sum oracle
+# regardless of micro-batch boundaries or partial-agg order.
 SESSION_OUTPUT_SCHEMA = (
     "user_id long, session_seq long, n_events long, "
-    "session_value double, session_start string"
+    "session_value long, session_start string"
 )
 # last_ts in MICROSECONDS (exact; second-truncation would disagree with the
 # SQL oracle on sub-second gap boundaries) + the open session's accumulators
 # so a session spanning micro-batches resumes instead of crashing.
 SESSION_STATE_SCHEMA = (
     "last_ts long, session_seq long, n_events long, "
-    "session_value double, session_start string"
+    "session_value long, session_start string"
 )
+
+
+def _micro_units(value: float) -> int:
+    """Exact value×10^6 as an int, matching Spark's double→DECIMAL(38,6) cast
+    (BigDecimal(Double.toString(v)).setScale(6, HALF_UP)): go through the
+    shortest round-trip repr, then quantize half-up."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(
+        Decimal(repr(value)).scaleb(6).to_integral_value(rounding=ROUND_HALF_UP)
+    )
 
 
 def read_events_stream(
@@ -296,7 +322,7 @@ def sessionized_stream(
             if n_events:
                 # Open session timed out: finalize it, keep a closed-marker
                 # state (preserves seq numbering) with a long GC horizon.
-                state.update((last_ts, seq, 0, 0.0, ""))
+                state.update((last_ts, seq, 0, 0, ""))
                 state.setTimeoutTimestamp(
                     max(
                         last_ts // 1000 + state_ttl_gaps * gap_ms,
@@ -353,11 +379,11 @@ def sessionized_stream(
                     "user_id": key[0],
                     "session_seq": seq,
                     "n_events": 0,
-                    "session_value": 0.0,
+                    "session_value": 0,
                     "session_start": ts.strftime("%Y-%m-%d %H:%M:%S"),
                 }
             cur["n_events"] += 1
-            cur["session_value"] = round(cur["session_value"] + value, 10)
+            cur["session_value"] += _micro_units(value)
             last_ts = max(last_ts, epoch_us) if last_ts is not None else epoch_us
         # Emit the still-open session as a provisional row; a later batch
         # extending it (or its timeout) re-emits the superseding row with the
@@ -381,7 +407,18 @@ def sessionized_stream(
             "append",
             GroupStateTimeout.EventTimeTimeout,
         )
-        .withColumn("session_value", F.format_string("%.4f", F.round("session_value", 4)))
+        .withColumn(
+            "session_value",
+            # exact micro-units → DECIMAL, divide back, round half-up: the
+            # same value path as the batch decimal sum, bit-for-bit.
+            F.format_string(
+                "%.4f",
+                F.round(
+                    F.col("session_value").cast("decimal(38,6)") / F.lit(1_000_000),
+                    4,
+                ).cast("double"),
+            ),
+        )
     )
 
 

@@ -304,31 +304,33 @@ def test_ngram_jaccard_blocking_recall(spark, sf_dir):
     data = docs.unionByName(dups).cache()
     planted = {(i, i + 100000) for i in range(10)}
 
-    # ground truth: brute force (block_prefix=0 -> one block -> all pairs)
+    # ground truth: brute force (prefix mode with block_prefix=0 -> one
+    # block -> all pairs compared)
     truth = {
         (r.id_a, r.id_b)
         for r in ngram_jaccard_pairs(
-            data, "text", "doc_id", threshold=0.5, block_prefix=0
+            data, "text", "doc_id", threshold=0.5, block_on="prefix", block_prefix=0
         ).collect()
     }
     assert planted <= truth  # prepending one word keeps jaccard >= 0.5
 
     prefix_found = {
         (r.id_a, r.id_b)
-        for r in ngram_jaccard_pairs(data, "text", "doc_id", threshold=0.5).collect()
+        for r in ngram_jaccard_pairs(
+            data, "text", "doc_id", threshold=0.5, block_on="prefix"
+        ).collect()
     }
     # the documented prefix-block limitation: changed openings are never compared
     assert not (planted & prefix_found)
 
+    # the DEFAULT path is the minhash-band blocker (production mode)
     minhash_found = {
         (r.id_a, r.id_b)
-        for r in ngram_jaccard_pairs(
-            data, "text", "doc_id", threshold=0.5, block_on="minhash"
-        ).collect()
+        for r in ngram_jaccard_pairs(data, "text", "doc_id", threshold=0.5).collect()
     }
     assert planted <= minhash_found
     recall = len(minhash_found & truth) / max(len(truth), 1)
-    assert recall >= 0.9, f"minhash-block recall {recall} vs brute force"
+    assert recall >= 0.95, f"default (minhash-block) recall {recall} vs brute force"
     # exact-verify inside blocks: no false positives in either mode
     assert minhash_found <= truth and prefix_found <= truth
 
@@ -549,3 +551,101 @@ def test_dup_clusters_long_chain(spark):
     )
     out = dup_clusters(pairs, max_rounds=12)
     assert {r.cluster_id for r in out.collect()} == {0}
+
+
+def test_asof_join_helper_name_collisions_and_column_order(spark):
+    """Frames that already contain __ts/__tag/__filled_* columns must not be
+    clobbered, and the output preserves the left frame's column order
+    (including the position of the join key) followed by the payloads."""
+    from spark_ensemble_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [("x", 1, 5, 99), ("y", 1, 10, 98)],
+        ["__ts", "k", "lts", "__tag"],
+    )
+    right = spark.createDataFrame(
+        [(1, 3, 30.0, 7)], ["k", "rts", "val", "__filled_val"]
+    )
+    out = asof_join(left, right, "k", "lts", "rts", payload_cols=["val"])
+    assert out.columns == ["__ts", "k", "lts", "__tag", "val"]
+    rows = {r["lts"]: r for r in out.collect()}
+    assert rows[5]["val"] == 30.0 and rows[5]["__ts"] == "x" and rows[5]["__tag"] == 99
+    assert rows[10]["val"] == 30.0 and rows[10]["__ts"] == "y"
+
+
+def _planted_cosine_pairs(spark, n_pairs, dim, target_cos, seed=5):
+    """(vectors df, planted pair set): each planted copy has EXACT cosine
+    ``target_cos`` to its original (rotate toward an orthogonalized random
+    direction), ids are originals 0..n-1, copies i+1_000_000."""
+    import math
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    planted = set()
+    for i in range(n_pairs):
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        nv = math.sqrt(sum(x * x for x in v))
+        v = [x / nv for x in v]
+        u = [rng.gauss(0, 1) for _ in range(dim)]
+        d = sum(a * b for a, b in zip(u, v))
+        w = [a - d * b for a, b in zip(u, v)]
+        nw = math.sqrt(sum(x * x for x in w))
+        w = [x / nw for x in w]
+        s = math.sqrt(1 - target_cos * target_cos)
+        vp = [target_cos * a + s * b for a, b in zip(v, w)]
+        rows.append((i, v))
+        rows.append((i + 1_000_000, vp))
+        planted.add((i, i + 1_000_000))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    return df, planted
+
+
+def test_embedding_dup_pairs_multitable_recall(spark):
+    """Multi-table SRP blocking recall at cosine 0.9 (the pairs a single
+    table loses for good when they straddle one hyperplane): with 8 tables
+    of 6 planes, expected recall is 1-(1-p^6)^8 ≈ 0.98 at p = 1-θ/π ≈ 0.856.
+    Deterministic: fixed vector seed + fixed plane seed."""
+    dim = 32
+    data, planted = _planted_cosine_pairs(spark, 40, dim, 0.9)
+    data = data.cache()
+    found = {
+        (r.id_a, r.id_b)
+        for r in embedding_dup_pairs(
+            data,
+            "embedding",
+            "vec_id",
+            threshold=0.88,
+            num_planes=6,
+            num_tables=8,
+            dim=dim,
+        ).collect()
+    }
+    brute = {
+        (r.id_a, r.id_b)
+        for r in embedding_dup_pairs(
+            data, "embedding", "vec_id", threshold=0.88, brute_force=True
+        ).collect()
+    }
+    assert planted <= brute  # construction sanity: every planted pair is real
+    assert found <= brute  # exact verify inside buckets: no false positives
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.95, f"multi-table recall {recall} on planted 0.9-cos pairs"
+
+
+def test_ivf_fixed_centroids_deterministic_subset(spark, sf_dir):
+    """Fixed-centroid IVF: deterministic across runs, candidates come from
+    probed cells only (a subset of brute force answers per query), and
+    recall@1 with nprobe=4/8 matches the KMeans path's floor."""
+    from spark_ensemble_spark.operators.similarity import ivf_fixed_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    q = emb.filter(F.col("vec_id") < 10)
+    ctr = ivf_fixed_centroids(64, 8, seed=23)
+    a = ivf_topk(emb, q, k=3, nprobe=4, centroids=ctr).collect()
+    b = ivf_topk(emb, q, k=3, nprobe=4, centroids=ctr).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    exact = {r.query_id: r.neighbor_id for r in brute_force_topk(emb, q, k=1).collect()}
+    top1 = {r.query_id: r.neighbor_id for r in a if r.rank == 1}
+    hits = sum(1 for k, v in exact.items() if top1.get(k) == v)
+    assert hits >= 5, f"fixed-centroid recall@1 {hits}/10"

@@ -300,3 +300,41 @@ def test_csv_and_orc_roundtrip(spark, sf_dir, tmp_path):
     nation.write.mode("overwrite").orc(orc_path)
     back_orc = spark.read.orc(orc_path)
     assert back_orc.count() == nation.count()
+
+
+def test_weighted_median_no_global_window(spark, sf_dir):
+    """The lineitem-sized side must never funnel through a single-partition
+    global window: the running-weight Window is partitioned by the range-
+    partition id, and the input is range-repartitioned (parallel local
+    sorts). Only the tiny per-partition summary may use an unpartitioned
+    window."""
+    from spark_ensemble_spark.plans.explain import executed_plan
+
+    df = SPARK_QUERIES["weighted_median_price"](spark, sf_dir)
+    plan = executed_plan(df)
+    assert "rangepartitioning" in plan.lower() or "REPARTITION" in plan
+    # the running-weight window over the big side carries the pid partition key
+    big_windows = [l for l in plan.split("\n") if "Window" in l and "pid" in l]
+    assert big_windows, plan
+
+
+def test_multimodal_no_exchange_before_arrow(spark, sf_dir):
+    """decode_stub_features maps straight over the pruned scan: no forced
+    repartition/exchange feeding the Arrow worker (measured ~10x overhead at
+    bench scale for zero win once the byte math is vectorized)."""
+    from spark_ensemble_spark.operators.multimodal import (
+        decode_stub_features,
+        documents_as_binary,
+    )
+    from spark_ensemble_spark.plans.explain import executed_plan
+    from spark_ensemble_spark.sources.datasets import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = executed_plan(decode_stub_features(documents_as_binary(docs)))
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
+
+
+def test_embedding_lsh_plan_no_cartesian(spark, sf_dir):
+    df = SPARK_QUERIES["embedding_dup_pairs_lsh"](spark, sf_dir)
+    assert not has_cartesian(df)

@@ -637,27 +637,22 @@ def _srp_bucket(vec_sql: str, planes: List[List[float]]) -> Column:
     explode + grouped-sum signature pass (the MinHash pattern) — sign
     flips from reassociated float sums are ~1e-12-probability events that
     only matter for bit-exact replay, not dedup quality."""
-    vec = F.col(vec_sql)
-    bits = [
-        F.when(
-            F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.array(*[F.lit(p) for p in plane]),
-                    lambda x, y: x * y,
-                ),
-                F.lit(0.0),
-                lambda s, v: s + v,
-            )
-            > 0,
-            F.lit(1 << i),
-        ).otherwise(F.lit(0))
-        for i, plane in enumerate(planes)
-    ]
-    total = bits[0]
-    for b in bits[1:]:
-        total = total + b
-    return total
+    terms = []
+    for i, plane in enumerate(planes):
+        arr = "array(" + ",".join(f"CAST('{x!r}' AS DOUBLE)" for x in plane) + ")"
+        dot = (
+            f"aggregate(zip_with({vec_sql}, {arr}, (x, y) -> x * y), "
+            "CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
+    # ONE F.expr per plane set: composing the same tree out of
+    # F.aggregate/F.zip_with/F.lit Column operators costs ~300 Py4J
+    # roundtrips per plane set (~5s of srp_topk's wall clock was expression
+    # CONSTRUCTION). The SQL string parses to the identical Catalyst fold,
+    # so evaluation order — and the srp_bucket_sql oracle replay — is
+    # unchanged. CAST('repr' AS DOUBLE) round-trips doubles exactly and
+    # folds to constants at plan time.
+    return F.expr("(" + " + ".join(terms) + ")")
 
 
 def embedding_dup_pairs(

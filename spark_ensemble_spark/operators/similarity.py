@@ -246,18 +246,16 @@ def _centroid_dist_chains(vec_sql: str, centroids: list) -> list:
     codegen chain was benchmarked and loses: at 64 dims × 8+ centroids it
     blows Janino's 64 KB method limit and falls back to interpreting a
     ~100× larger expression tree (see dedup._srp_bucket)."""
-    vec = F.col(vec_sql)
+    # ONE F.expr per centroid (see dedup._srp_bucket: Column-operator
+    # composition of the same fold costs hundreds of Py4J roundtrips each);
+    # identical Catalyst tree and evaluation order as the Column form.
     dists = []
     for c in centroids:
+        arr = "array(" + ",".join(f"CAST('{x!r}' AS DOUBLE)" for x in c) + ")"
         dists.append(
-            F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.array(*[F.lit(x) for x in c]),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0.0),
-                lambda s, v: s + v,
+            F.expr(
+                f"aggregate(zip_with({vec_sql}, {arr}, (a, b) -> (a - b) * (a - b)), "
+                "CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
             )
         )
     return dists

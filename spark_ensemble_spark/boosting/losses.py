@@ -43,6 +43,16 @@ class GBMLoss:
     def neg_gradient(self, y: Column, p: Column) -> Column:
         return -self.gradient(y, p)
 
+    def loss_sql(self, y: str, p: str) -> Optional[str]:
+        """SQL-string mirror of :meth:`loss` over expression strings, or
+        None when no exact mirror is defined. Used by the batched line
+        search to build its candidate grid as ONE selectExpr: composing the
+        grid out of Column operators costs ~10 Py4J roundtrips per operator
+        per candidate, which measured as ~25% of a GBM fit's wall clock.
+        Mirrors MUST parse to the identical Catalyst expression as
+        :meth:`loss` (same functions, same literal types)."""
+        return None
+
     # scalar mirrors (driver-side; used in tests and optimizers)
     def loss_py(self, y: float, p: float) -> float:
         raise NotImplementedError
@@ -64,6 +74,9 @@ class SquaredLoss(GBMLoss):
     def loss(self, y, p):
         return (y - p) ** 2 / 2.0
 
+    def loss_sql(self, y, p):
+        return f"power(({y}) - ({p}), 2.0D) / 2.0D"
+
     def gradient(self, y, p):
         return -(y - p)
 
@@ -84,6 +97,9 @@ class AbsoluteLoss(GBMLoss):
     def loss(self, y, p):
         return F.abs(y - p)
 
+    def loss_sql(self, y, p):
+        return f"abs(({y}) - ({p}))"
+
     def gradient(self, y, p):
         return -F.signum(y - p)
 
@@ -99,6 +115,9 @@ class LogCoshLoss(GBMLoss):
 
     def loss(self, y, p):
         return F.log(F.cosh(y - p))
+
+    def loss_sql(self, y, p):
+        return f"ln(cosh(({y}) - ({p})))"
 
     def gradient(self, y, p):
         return -F.tanh(y - p)
@@ -187,6 +206,13 @@ class QuantileLoss(GBMLoss):
     def loss(self, y, p):
         q = F.lit(self.quantile)
         return F.when(y > p, q * (y - p)).otherwise((q - 1.0) * (y - p))
+
+    def loss_sql(self, y, p):
+        q = repr(self.quantile)
+        return (
+            f"CASE WHEN ({y}) > ({p}) THEN CAST('{q}' AS DOUBLE) * (({y}) - ({p})) "
+            f"ELSE (CAST('{q}' AS DOUBLE) - 1.0D) * (({y}) - ({p})) END"
+        )
 
     def gradient(self, y, p):
         q = self.quantile

@@ -310,20 +310,40 @@ class GBMRegressor(Estimator, _GBMRegressorParams, EnsembleReadWrite):
                         # the reference when weightCol is set. Weighted is the
                         # consistent choice (the gradient the base learner
                         # fits is weighted the same way).
-                        row = opt_df.agg(
-                            F.sum("weight").alias("sw"),
-                            *[
-                                F.sum(
-                                    F.col("weight")
-                                    * gl.loss(
-                                        F.col("label"),
-                                        F.col("__gpred")
-                                        + F.lit(float(x)) * F.col("__dir"),
-                                    )
-                                ).alias(f"l{k}")
+                        if gl.loss_sql("label", "__p") is not None:
+                            # one selectExpr builds the whole grid in a single
+                            # Py4J roundtrip (the Column form costs ~10
+                            # roundtrips per operator per candidate — measured
+                            # ~25% of the fit's wall clock); the SQL mirrors
+                            # parse to the same expressions
+                            exprs = ["sum(weight) AS sw"] + [
+                                "sum(weight * ({})) AS l{}".format(
+                                    gl.loss_sql(
+                                        "label",
+                                        "__gpred + CAST('{!r}' AS DOUBLE) * __dir".format(
+                                            float(x)
+                                        ),
+                                    ),
+                                    k,
+                                )
                                 for k, x in enumerate(xs)
-                            ],
-                        ).first()
+                            ]
+                            row = opt_df.selectExpr(*exprs).first()
+                        else:
+                            row = opt_df.agg(
+                                F.sum("weight").alias("sw"),
+                                *[
+                                    F.sum(
+                                        F.col("weight")
+                                        * gl.loss(
+                                            F.col("label"),
+                                            F.col("__gpred")
+                                            + F.lit(float(x)) * F.col("__dir"),
+                                        )
+                                    ).alias(f"l{k}")
+                                    for k, x in enumerate(xs)
+                                ],
+                            ).first()
                         sw = row["sw"] or 1.0
                         return [(row[k + 1] or 0.0) / sw for k in range(len(xs))]
 

@@ -649,3 +649,47 @@ def test_ivf_fixed_centroids_deterministic_subset(spark, sf_dir):
     top1 = {r.query_id: r.neighbor_id for r in a if r.rank == 1}
     hits = sum(1 for k, v in exact.items() if top1.get(k) == v)
     assert hits >= 5, f"fixed-centroid recall@1 {hits}/10"
+
+
+def test_sessionize_decimal_sum_tick_boundary(spark):
+    """Session values landing EXACTLY on a round(·,4) half-tick must format
+    identically on Spark and DuckDB regardless of summation order — this is
+    the r1/r2 events_sessionize hash-flip class. The DECIMAL(38,6) sum makes
+    the aggregate order-independent; both engines round half-up on the exact
+    decimal, so .00005 ticks cannot straddle."""
+    import datetime
+
+    import duckdb
+
+    # one user, one session; values sum to exactly 0.00005 (a half-tick),
+    # another user's sum sits just below at 0.000049
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, base, 0.00001),
+        (1, base + datetime.timedelta(seconds=1), 0.00003),
+        (1, base + datetime.timedelta(seconds=2), 0.00001),
+        (2, base, 0.000049),
+        (3, base, 123.45675),  # half-tick at 4 decimals on a larger scale
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    out = {
+        (r.user_id, r.session_seq): r.session_value
+        for r in sessionize_batch(df, gap_minutes=30).collect()
+    }
+    assert out[(1, 1)] == "0.0001"  # 0.000050 rounds half-up
+    assert out[(2, 1)] == "0.0000"
+    assert out[(3, 1)] == "123.4568"
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE v(user_id BIGINT, value DOUBLE); "
+        "INSERT INTO v VALUES (1, 0.00001), (1, 0.00003), (1, 0.00001), "
+        "(2, 0.000049), (3, 123.45675)"
+    )
+    oracle = dict(
+        con.execute(
+            "SELECT user_id, printf('%.4f', round(sum(CAST(value AS DECIMAL(38,6))), 4)::DOUBLE) "
+            "FROM v GROUP BY user_id"
+        ).fetchall()
+    )
+    assert oracle == {1: "0.0001", 2: "0.0000", 3: "123.4568"}

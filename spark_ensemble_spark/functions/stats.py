@@ -65,3 +65,39 @@ def weighted_median_of(
         with_cum.filter(F.col("cum") >= 0.5 * F.col("total"))
         .agg(F.min("v").alias("weighted_median"))
     )
+
+
+def grouped_weighted_median_of(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    group_cols: "list[str]",
+) -> DataFrame:
+    """Per-group weighted median (same first-value-reaching-half-total
+    semantics as :func:`weighted_median_of`), one row per group.
+
+    The running weight is a window PARTITIONED BY the group keys: one
+    shuffle on the keys, each group sorts locally in parallel — no global
+    funnel. One giant group degenerates to a single-partition sort; for
+    that shape use the global :func:`weighted_median_of`'s range-partition
+    formulation on the group's rows instead.
+    """
+    base = df.select(
+        *group_cols,
+        F.col(value_col).alias("__wmv"),
+        F.col(weight_col).cast("double").alias("__wmw"),
+    )
+    totals = base.groupBy(*group_cols).agg(F.sum("__wmw").alias("__wmtotal"))
+    w_run = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col("__wmv"), F.col("__wmw"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = base.withColumn("__wmcum", F.sum("__wmw").over(w_run)).join(
+        totals, group_cols
+    )
+    return (
+        cum.filter(F.col("__wmcum") >= 0.5 * F.col("__wmtotal"))
+        .groupBy(*group_cols)
+        .agg(F.min("__wmv").alias("weighted_median"))
+    )

@@ -11,7 +11,7 @@ stopword-based language identification.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -112,3 +112,48 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
             "lang_pred": language_id(t),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# PII-ish scrubbing: regex redaction of emails / URLs / phone-shaped / IP
+# tokens. Pure Catalyst regexp_replace chain (whole-stage codegen, zero
+# UDFs) — the standard pre-release scrub pass of a training-corpus pipeline.
+# Patterns are deliberately conservative surface patterns, not validators:
+# at 100 TB you want a cheap, high-recall first pass; flagged documents can
+# route to heavier (model-based) scrubbers downstream.
+# ---------------------------------------------------------------------------
+
+REDACTION_PATTERNS = [
+    # (name, regex, replacement) — applied in order, earlier wins overlap
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"(?i)\bhttps?://[^\s<>\"']+", "<URL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (
+        "phone",
+        r"(?<![\w.])(?:\+?\d{1,3}[ .\-]?)?(?:\(\d{2,4}\)[ .\-]?)?\d{3}[ .\-]\d{3,4}(?:[ .\-]\d{2,4})?(?![\w.])",
+        "<PHONE>",
+    ),
+]
+
+
+def redact(text: Column, kinds: Optional[Sequence[str]] = None) -> Column:
+    """Replace PII-shaped substrings with typed placeholder tokens.
+
+    ``kinds`` selects a subset of :data:`REDACTION_PATTERNS` by name
+    (default: all, in declaration order — email before phone so the digits
+    of an address's domain aren't re-matched)."""
+    wanted = set(kinds) if kinds is not None else None
+    out = text
+    for name, pattern, repl in REDACTION_PATTERNS:
+        if wanted is None or name in wanted:
+            out = F.regexp_replace(out, pattern, repl)
+    return out
+
+
+def redaction_counts(text: Column) -> Dict[str, Column]:
+    """Per-kind match counts (cheap audit columns: how much each scrub pass
+    would remove — drives routing thresholds without a second scan)."""
+    return {
+        name: F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0)))
+        for name, pattern, _ in REDACTION_PATTERNS
+    }

@@ -693,3 +693,55 @@ def test_sessionize_decimal_sum_tick_boundary(spark):
         ).fetchall()
     )
     assert oracle == {1: "0.0001", 2: "0.0000", 3: "123.4568"}
+
+
+def test_redact_pii(spark):
+    from spark_ensemble_spark.operators.text import redact, redaction_counts
+
+    rows = [
+        (0, "contact me at jane.doe+spam@example.co.uk or http://x.io/p?q=1"),
+        (1, "server 10.0.42.7 answered; call 555-867-5309 tomorrow"),
+        (2, "nothing sensitive here, just 42 plain words"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    out = {
+        r.id: r.clean
+        for r in df.select("id", redact(F.col("text")).alias("clean")).collect()
+    }
+    assert out[0] == "contact me at <EMAIL> or <URL>"
+    assert out[1] == "server <IP> answered; call <PHONE> tomorrow"
+    assert out[2] == rows[2][1]  # untouched
+    counts = df.select(
+        "id", *[c.alias(k) for k, c in redaction_counts(F.col("text")).items()]
+    ).collect()
+    by_id = {r.id: r for r in counts}
+    assert by_id[0].email == 1 and by_id[0].url == 1
+    assert by_id[1].ipv4 == 1 and by_id[1].phone == 1
+    assert sum([by_id[2].email, by_id[2].url, by_id[2].ipv4, by_id[2].phone]) == 0
+
+
+def test_grouped_weighted_median(spark):
+    from spark_ensemble_spark.functions.stats import (
+        grouped_weighted_median_of,
+        weighted_median_of,
+    )
+
+    rows = [
+        ("a", 1.0, 1.0), ("a", 2.0, 1.0), ("a", 3.0, 2.0),
+        ("b", 10.0, 5.0), ("b", 20.0, 1.0),
+        ("c", 7.0, 1.0),
+    ]
+    df = spark.createDataFrame(rows, ["g", "v", "w"])
+    out = {
+        r.g: r.weighted_median
+        for r in grouped_weighted_median_of(df, "v", "w", ["g"]).collect()
+    }
+    # group a: cum 1,2,4 of total 4 -> first value with cum >= 2 is v=2
+    # group b: cum 5 of 6 at v=10 -> v=10; group c: single value
+    assert out == {"a": 2.0, "b": 10.0, "c": 7.0}
+    # agrees with the global operator applied per group
+    for g, expect in out.items():
+        got = weighted_median_of(
+            df.filter(F.col("g") == g), "v", "w"
+        ).collect()[0].weighted_median
+        assert got == expect

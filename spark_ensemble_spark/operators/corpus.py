@@ -1,0 +1,270 @@
+"""Corpus-level curation operators for 100 TB training-data pipelines.
+
+Beyond-reference operators (SURVEY.md §2.5 companion): the whole-corpus
+cleanup passes an LLM data pipeline runs between raw ingest and tokenization.
+Everything here is pure Catalyst (zero Python UDFs) and shuffle-frugal:
+
+* :func:`line_stats` — per-document line counts and duplicate-line ratio
+  (repetition is a strong low-quality signal); narrow, no shuffle.
+* :func:`boilerplate_lines` / :func:`strip_boilerplate` — C4/RefinedWeb-style
+  global line dedup: a line that recurs (trimmed-exact) in ``min_docs``
+  distinct documents is boilerplate (nav bars, cookie banners, footers) and is
+  removed from every document.  Plan: explode per-doc *distinct* lines (so the
+  count is a plain ``count(*)`` with map-side partial aggregation, no
+  count-distinct shuffle), one shuffle on the line hash, then one shuffle on
+  doc_id to reassemble.  Never a self-join of the corpus.
+* :func:`contamination_overlap` — benchmark-contamination check: fraction of
+  each document's distinct word k-shingles that appear anywhere in an eval
+  set.  The eval side is distinct-reduced and broadcast (eval suites are
+  tiny next to a 100 TB corpus), so the corpus is never shuffled for the
+  join; the only wide stage is the per-doc aggregation.
+* :func:`sample_by_rates` — deterministic per-stratum sampling (data mixing):
+  keep a row iff a stable hash of its id lands under the stratum's rate.
+  Reproducible across runs/engines (md5-based), no RNG state, no shuffle.
+* :func:`top_ngrams` — global top-k word n-grams (vocabulary/contamination
+  triage); explode + count with partial aggregation, single shuffle.
+
+Hashing follows dedup.py's convention: ``xxhash64`` production default,
+``md5`` mode (first 15 hex digits as a 60-bit BIGINT) when a cross-engine
+DuckDB replay must match bit-for-bit (see tests/test_corpus.py).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _hash64, _shingle_hashes
+
+# ---------------------------------------------------------------------------
+# line-level helpers
+# ---------------------------------------------------------------------------
+
+
+def _lines(text: Column, delimiter: str = "\n") -> Column:
+    """Trimmed, non-empty lines of ``text`` (NULL text ⇒ empty array)."""
+    split = F.split(F.coalesce(text, F.lit("")), delimiter)
+    return F.filter(F.transform(split, lambda l: F.trim(l)), lambda l: l != "")
+
+
+def line_stats(
+    df: DataFrame, text_col: str = "text", delimiter: str = "\n"
+) -> DataFrame:
+    """Append ``n_lines``, ``n_distinct_lines``, ``dup_line_ratio``.
+
+    Narrow projection — no shuffle, survives any scale. ``dup_line_ratio``
+    (1 − distinct/total) is the classic intra-document repetition signal."""
+    lines = _lines(F.col(text_col), delimiter)
+    n = F.size(lines)
+    nd = F.size(F.array_distinct(lines))
+    return (
+        df.withColumn("n_lines", n)
+        .withColumn("n_distinct_lines", nd)
+        .withColumn(
+            "dup_line_ratio",
+            F.when(n > 0, (n - nd) / n.cast("double")).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    min_docs: int = 2,
+    delimiter: str = "\n",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Lines that occur (trimmed-exact) in ≥ ``min_docs`` distinct documents.
+
+    Returns ``(line_hash, line, n_docs)``. Per-doc lines are distinct-reduced
+    *before* the explode, so ``n_docs`` is a plain ``count(*)`` — map-side
+    partial aggregation applies and no count-distinct double shuffle is paid.
+    ``line`` is ``min(line)`` per hash (representative; equals the line unless
+    the 64-bit hash collides)."""
+    per_doc = df.select(
+        F.explode(F.array_distinct(_lines(F.col(text_col), delimiter))).alias("line")
+    )
+    return (
+        per_doc.select(_hash64(F.col("line"), hash_fn).alias("line_hash"), "line")
+        .groupBy("line_hash")
+        .agg(F.min("line").alias("line"), F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    delimiter: str = "\n",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Remove global-boilerplate lines from every document.
+
+    Output = input columns with ``text_col`` rebuilt from the surviving
+    trimmed lines (original order, joined by ``delimiter``); a document whose
+    every line is boilerplate keeps an empty string. Three wide stages total:
+    the boilerplate-line aggregation, a left-anti join on the line hash, and
+    the per-doc reassembly — at no point does the corpus join itself."""
+    bad = boilerplate_lines(df, text_col, min_docs, delimiter, hash_fn).select(
+        "line_hash"
+    )
+    exploded = df.select(
+        F.col(id_col),
+        F.posexplode(_lines(F.col(text_col), delimiter)).alias("__pos", "__line"),
+    ).withColumn("line_hash", _hash64(F.col("__line"), hash_fn))
+    kept = exploded.join(bad, "line_hash", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            delimiter,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+        ).alias("__stripped")
+    )
+    # Left join back: docs whose lines were all boilerplate (or empty) dropped
+    # out of the explode and must resurface with ''.
+    out = df.join(rebuilt, id_col, "left")
+    return out.select(
+        *[
+            F.coalesce(F.col("__stripped"), F.lit("")).alias(c)
+            if c == text_col
+            else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark contamination
+# ---------------------------------------------------------------------------
+
+
+def contamination_overlap(
+    df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: Optional[str] = None,
+    shingle_size: int = 8,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Per-document fraction of distinct word ``shingle_size``-grams that
+    appear anywhere in ``eval_df`` (the benchmark/eval suite).
+
+    Returns ``(id_col, n_shingles, n_matched, overlap_ratio)`` — one row per
+    input document (docs shorter than one shingle report ratio over their
+    single partial shingle, mirroring dedup's shingle semantics).
+
+    Scale shape: the eval side collapses to its distinct shingle hashes and is
+    broadcast — eval suites are MBs against a 100 TB corpus, so the corpus
+    side is joined map-side with zero shuffle; the lone wide stage is the
+    per-doc count aggregation (partial-agg friendly)."""
+    eval_text = eval_text_col or text_col
+    doc_sh = df.select(
+        F.col(id_col),
+        F.explode(
+            _shingle_hashes(F.col(text_col), shingle_size, "word", hash_fn)
+        ).alias("__h"),
+    )
+    eval_sh = (
+        eval_df.select(
+            F.explode(
+                _shingle_hashes(F.col(eval_text), shingle_size, "word", hash_fn)
+            ).alias("__h")
+        )
+        .distinct()
+        .withColumn("__m", F.lit(1))
+    )
+    return (
+        doc_sh.join(F.broadcast(eval_sh), "__h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.coalesce(F.sum("__m"), F.lit(0)).alias("n_matched"),
+        )
+        .withColumn(
+            "overlap_ratio", F.col("n_matched") / F.col("n_shingles").cast("double")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling (data mixing)
+# ---------------------------------------------------------------------------
+
+
+def sample_by_rates(
+    df: DataFrame,
+    rates: Dict[str, float],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep each row with its stratum's probability, deterministically.
+
+    The keep decision is ``bucket(id, seed) < rate·10⁶`` where ``bucket`` is
+    the md5-derived 60-bit hash mod 10⁶ — a pure function of (id, seed), so
+    the sample is identical across runs, executors, retries, and engines
+    (DuckDB replays it bit-for-bit; see tests). No RNG state, no shuffle —
+    this is a narrow filter, and Catalyst pushes it into the scan when the
+    source supports it.
+
+    Unlisted strata fall back to ``default_rate`` (0 ⇒ dropped)."""
+    for name, rate in rates.items():
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(f"rate for {name!r} must be in [0,1], got {rate}")
+    bucket = F.pmod(
+        _hash64(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed))), "md5"),
+        F.lit(1_000_000),
+    )
+    threshold = F.lit(int(default_rate * 1_000_000))
+    # CASE chain (not a map literal): DuckDB mirrors CASE trivially and
+    # Catalyst folds it to a static invoke per row either way.
+    for name, rate in rates.items():
+        threshold = F.when(
+            F.col(stratum_col) == name, F.lit(int(rate * 1_000_000))
+        ).otherwise(threshold)
+    return df.filter(bucket < threshold)
+
+
+# ---------------------------------------------------------------------------
+# vocabulary triage
+# ---------------------------------------------------------------------------
+
+
+def top_ngrams(
+    df: DataFrame, text_col: str = "text", n: int = 3, k: int = 20
+) -> DataFrame:
+    """Global top-``k`` word ``n``-grams by document frequency-weighted count.
+
+    Whole n-grams only (documents shorter than ``n`` tokens contribute
+    nothing), counted with multiplicity per document. Ties break on the
+    n-gram string ascending so the result is deterministic. One explode + one
+    shuffled count with map-side partials; the top-k is a global sort of the
+    (tiny) distinct-ngram aggregate, not of the corpus."""
+    norm = F.regexp_replace(
+        F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+", " "
+    )
+    toks = F.split(norm, " ")
+    starts = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        starts,
+        lambda i: F.concat_ws(
+            " ", *[F.try_element_at(toks, i + F.lit(j + 1)) for j in range(n)]
+        ),
+    )
+    return (
+        df.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("ngram"))
+        .limit(k)
+    )

@@ -1,0 +1,280 @@
+"""Corpus-curation operators: DuckDB-oracle and property tests.
+
+These operators live outside the 50-entry driver registry (the window is
+full), so each one carries its own in-suite DuckDB oracle at the same rigor:
+exact row/value comparison on deterministic inputs.
+"""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from spark_ensemble_spark.operators.corpus import (
+    boilerplate_lines,
+    contamination_overlap,
+    line_stats,
+    sample_by_rates,
+    strip_boilerplate,
+    top_ngrams,
+)
+
+NL = "\n"
+
+CORPUS = [
+    # (doc_id, text, source) — cookie banner + footer recur across docs
+    (0, f"we use cookies{NL}alpha beta gamma{NL}site footer 2024", "web"),
+    (1, f"we use cookies{NL}delta epsilon{NL}site footer 2024", "web"),
+    (2, f"we use cookies{NL}unique middle line{NL}zeta eta", "web"),
+    (3, f"totally original document{NL}with two lines", "books"),
+    (4, f"repeat me{NL}repeat me{NL}repeat me{NL}once only", "books"),
+    (5, "", "web"),  # empty doc must survive every operator
+    (6, f"  we use cookies  {NL}{NL}  padded lines trim  ", "web"),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(CORPUS, ["doc_id", "text", "source"])
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute(
+        "CREATE TABLE corpus AS SELECT * FROM (VALUES "
+        + ", ".join(
+            "(%d, '%s', '%s')" % (i, t.replace("\n", "' || chr(10) || '"), s)
+            for i, t, s in CORPUS
+        )
+        + ") v(doc_id, text, source)"
+    )
+    return c
+
+
+# DuckDB mirror of corpus._lines: trimmed, non-empty lines.
+DUCK_LINES = (
+    "list_filter(list_transform(string_split(coalesce(text, ''), chr(10)),"
+    " l -> trim(l)), l -> l <> '')"
+)
+
+
+def test_line_stats_matches_duckdb(corpus, con):
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_distinct_lines"], r["dup_line_ratio"])
+        for r in line_stats(corpus).collect()
+    }
+    want = {
+        row[0]: (row[1], row[2], row[3])
+        for row in con.execute(
+            f"""
+            WITH l AS (SELECT doc_id, {DUCK_LINES} AS lines FROM corpus)
+            SELECT doc_id, len(lines) AS n,
+                   len(list_distinct(lines)) AS nd,
+                   CASE WHEN len(lines) > 0
+                        THEN (len(lines) - len(list_distinct(lines))) / len(lines)::DOUBLE
+                        ELSE 0.0 END AS ratio
+            FROM l
+            """
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_boilerplate_lines_matches_duckdb(corpus, con):
+    got = {
+        (r["line"], r["n_docs"])
+        for r in boilerplate_lines(corpus, min_docs=2, hash_fn="md5").collect()
+    }
+    want = set(
+        con.execute(
+            f"""
+            WITH per_doc AS (
+              SELECT doc_id, unnest(list_distinct({DUCK_LINES})) AS line FROM corpus
+            )
+            SELECT min(line), count(*) AS n_docs FROM per_doc
+            GROUP BY ('0x' || substring(md5(line), 1, 15))::BIGINT
+            HAVING count(*) >= 2
+            """
+        ).fetchall()
+    )
+    assert got == want
+    # the two planted boilerplate lines, and nothing doc-unique
+    assert {l for l, _ in got} == {"we use cookies", "site footer 2024"}
+
+
+def test_strip_boilerplate_matches_duckdb(corpus, con):
+    out = strip_boilerplate(corpus, min_docs=2)
+    assert out.columns == corpus.columns  # schema and order preserved
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    want = {
+        row[0]: row[1]
+        for row in con.execute(
+            f"""
+            WITH bad AS (
+              SELECT line FROM (
+                SELECT min(line) AS line, count(*) AS n FROM (
+                  SELECT doc_id, unnest(list_distinct({DUCK_LINES})) AS line
+                  FROM corpus) GROUP BY line) WHERE n >= 2
+            ), kept AS (
+              SELECT doc_id, pos, line FROM (
+                SELECT doc_id, unnest({DUCK_LINES}) AS line,
+                       generate_subscripts({DUCK_LINES}, 1) AS pos
+                FROM corpus)
+              WHERE line NOT IN (SELECT line FROM bad)
+            )
+            SELECT c.doc_id,
+                   coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '')
+            FROM corpus c LEFT JOIN kept k ON c.doc_id = k.doc_id
+            GROUP BY c.doc_id
+            """
+        ).fetchall()
+    }
+    assert got == want
+    assert got[0] == "alpha beta gamma"  # both boilerplate lines removed
+    assert got[4] == f"repeat me{NL}repeat me{NL}repeat me{NL}once only"
+    assert got[5] == ""  # empty doc survives as empty
+
+
+def test_contamination_overlap_matches_duckdb(spark, corpus, con):
+    # eval set shares doc 0's middle line; k=3 word shingles
+    eval_df = spark.createDataFrame(
+        [(100, "alpha beta gamma delta"), (101, "benchmark only words here")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_matched"], r["overlap_ratio"])
+        for r in contamination_overlap(
+            corpus, eval_df, shingle_size=3, hash_fn="md5"
+        ).collect()
+    }
+    con.execute("DROP TABLE IF EXISTS eval_set")
+    con.execute(
+        "CREATE TABLE eval_set AS SELECT * FROM (VALUES "
+        "(100, 'alpha beta gamma delta'), (101, 'benchmark only words here')"
+        ") v(doc_id, text)"
+    )
+    shingles = """
+        list_distinct(list_transform(
+          range(1, greatest(len(t) - 3, 0) + 2),
+          i -> ('0x' || substring(md5(concat_ws(' ', t[i+0], t[i+1], t[i+2])), 1, 15))::BIGINT))
+    """
+    toks = (
+        "string_split(regexp_replace(lower(trim(replace(coalesce(text, ''),"
+        " chr(10), ' '))), '\\s+', ' ', 'g'), ' ')"
+    )
+    want = {
+        row[0]: (row[1], row[2], row[3])
+        for row in con.execute(
+            f"""
+            WITH dsh AS (
+              SELECT doc_id, unnest(sh) AS h FROM (
+                SELECT doc_id, {shingles} AS sh FROM (
+                  SELECT doc_id, {toks} AS t FROM corpus))
+            ), esh AS (
+              SELECT DISTINCT unnest(sh) AS h FROM (
+                SELECT {shingles} AS sh FROM (
+                  SELECT {toks} AS t FROM eval_set))
+            )
+            SELECT d.doc_id, count(*) AS n,
+                   count(e.h) AS m,
+                   count(e.h) / count(*)::DOUBLE AS ratio
+            FROM dsh d LEFT JOIN esh e USING (h)
+            GROUP BY d.doc_id
+            """
+        ).fetchall()
+    }
+    # Spark's _shingle_hashes normalizes \s+ (incl. newlines) to single spaces,
+    # which the DuckDB mirror reproduces via replace(chr(10)) before the regex.
+    assert got == want
+    assert got[0][1] >= 1  # doc 0 contains "alpha beta gamma" → contaminated
+    assert got[3][1] == 0  # books doc untouched by the eval set
+
+
+def test_sample_by_rates_matches_duckdb_and_is_deterministic(spark, con):
+    docs = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "web")
+        .when(F.col("id") % 3 == 1, "books")
+        .otherwise("code")
+        .alias("source"),
+    )
+    rates = {"web": 0.25, "books": 1.0}
+    out = sample_by_rates(docs, rates, seed=42)
+    got = sorted(r["doc_id"] for r in out.collect())
+    want = [
+        row[0]
+        for row in con.execute(
+            """
+            WITH docs AS (
+              SELECT range AS doc_id,
+                     CASE WHEN range % 3 = 0 THEN 'web'
+                          WHEN range % 3 = 1 THEN 'books'
+                          ELSE 'code' END AS source
+              FROM range(0, 2000)
+            )
+            SELECT doc_id FROM docs
+            WHERE ('0x' || substring(md5(doc_id::VARCHAR || ':42'), 1, 15))::BIGINT
+                  % 1000000
+                  < CASE WHEN source = 'web' THEN 250000
+                         WHEN source = 'books' THEN 1000000 ELSE 0 END
+            ORDER BY doc_id
+            """
+        ).fetchall()
+    ]
+    assert got == want
+    # all books kept, no code kept, web ≈ 25%
+    assert sum(1 for d in got if d % 3 == 1) == 667
+    assert not any(d % 3 == 2 for d in got)
+    n_web = sum(1 for d in got if d % 3 == 0)
+    assert 0.18 < n_web / 667 < 0.32
+    # deterministic: a second run is identical
+    assert sorted(r["doc_id"] for r in out.collect()) == got
+
+
+def test_sample_by_rates_rejects_bad_rate(spark):
+    docs = spark.range(1).select(F.col("id").alias("doc_id"), F.lit("web").alias("source"))
+    with pytest.raises(ValueError):
+        sample_by_rates(docs, {"web": 1.5})
+
+
+def test_top_ngrams_matches_duckdb(corpus, con):
+    got = [(r["ngram"], r["n"]) for r in top_ngrams(corpus, n=2, k=5).collect()]
+    want = con.execute(
+        """
+        WITH toks AS (
+          SELECT string_split(regexp_replace(lower(trim(replace(coalesce(text, ''),
+                 chr(10), ' '))), '\\s+', ' ', 'g'), ' ') AS t
+          FROM corpus
+        ), grams AS (
+          SELECT unnest(CASE WHEN len(t) >= 2
+                 THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+                 ELSE [] END) AS ngram
+          FROM toks
+        )
+        SELECT ngram, count(*) AS n FROM grams
+        GROUP BY ngram ORDER BY n DESC, ngram ASC LIMIT 5
+        """
+    ).fetchall()
+    assert got == [tuple(w) for w in want]
+    assert got[0] == ("use cookies", 4)  # ties with "we use"; ngram asc wins
+
+
+def test_corpus_ops_on_real_documents(spark, sf_dir):
+    """Smoke the whole chain on the driver's documents table (no newlines
+    there, so strip is an identity modulo trimming)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    stats = line_stats(docs)
+    assert stats.filter(F.col("dup_line_ratio") > 0).count() == 0
+    stripped = strip_boilerplate(docs, min_docs=2)
+    assert stripped.count() == n
+    # single-line docs: only a line that equals another doc's ENTIRE text
+    # could be stripped; with sf0.001's generator texts that never happens
+    assert stripped.filter(F.col("text") != F.trim(F.col("text"))).count() == 0
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    cont = contamination_overlap(docs, eval_df, shingle_size=8)
+    assert cont.count() == n
+    planted = {r["doc_id"] for r in cont.filter("overlap_ratio >= 0.999").collect()}
+    assert {r["doc_id"] for r in eval_df.collect()} <= planted
+    mixed = sample_by_rates(docs, {"src0": 0.5, "src1": 1.0}, seed=7)
+    assert 0 < mixed.count() < n

@@ -234,6 +234,118 @@ def sample_by_rates(
 
 
 # ---------------------------------------------------------------------------
+# Gopher-style quality filters
+# ---------------------------------------------------------------------------
+
+# The eight "must contain ≥2 of" stop words from Rae et al. 2021 (Gopher),
+# Appendix A1.1 — the published heuristic, not a tunable.
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def _words(text: Column) -> Column:
+    """Non-empty whitespace tokens of lowercased text (empty/NULL ⇒ [])."""
+    toks = F.split(F.lower(F.trim(F.coalesce(text, F.lit("")))), r"\s+")
+    return F.filter(toks, lambda t: t != "")
+
+
+def top_ngram_fraction(text: Column, n: int = 2) -> Column:
+    """Fraction of a document's word n-gram occurrences taken by its single
+    most frequent n-gram (Gopher's repetition signal; 0.0 for docs shorter
+    than ``n`` words).
+
+    Computed per row with array HOFs in O(m log m): sort the n-gram array,
+    then a single fold tracks the longest equal run. No explode, no shuffle —
+    the signal stays a narrow projection at any corpus size (the naive
+    per-gram ``filter`` recount is O(m²) per doc and was rejected)."""
+    toks = _words(text)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.array_sort(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(
+                    "",
+                    *[F.try_element_at(toks, i + F.lit(j + 1)) for j in range(n)],
+                ),
+            )
+        ),
+    )
+    m = F.size(grams)
+    # fold over positions 2..m: acc = (current run, best run). Guarded by
+    # m >= 2 — sequence(2, 1) would generate DESCENDING [2, 1], not [].
+    best_run = F.when(
+        m >= 2,
+        F.aggregate(
+            F.sequence(F.lit(2), m),
+            F.struct(F.lit(1).alias("cur"), F.lit(1).alias("best")),
+            lambda acc, i: F.when(
+                F.try_element_at(grams, i) == F.try_element_at(grams, i - 1),
+                F.struct(
+                    (acc["cur"] + 1).alias("cur"),
+                    F.greatest(acc["best"], acc["cur"] + 1).alias("best"),
+                ),
+            ).otherwise(F.struct(F.lit(1).alias("cur"), acc["best"].alias("best"))),
+            lambda acc: acc["best"],
+        ),
+    ).otherwise(F.lit(1))
+    return F.when(m >= 1, best_run / m.cast("double")).otherwise(F.lit(0.0))
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    max_top_bigram_fraction: float = 0.20,
+) -> DataFrame:
+    """Append the Gopher quality-filter signals and a combined ``gopher_keep``.
+
+    The published heuristics (Rae et al. 2021, Appendix A1.1) that are pure
+    text arithmetic: word-count bounds, mean word length in [3, 10], ≤10%
+    symbol-to-word ratio (``#`` and ellipses), ≥80% of words containing an
+    alphabetic character, ≥2 of the eight Gopher stop words, plus the
+    top-bigram repetition cap. Everything is a narrow Catalyst projection —
+    zero shuffles, zero UDFs — so the filter runs at scan speed on 100 TB and
+    Catalyst prunes unused signal columns if the caller only keeps
+    ``gopher_keep``."""
+    text = F.col(text_col)
+    toks = _words(text)
+    n_words = F.size(toks)
+    safe_n = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_word_len = (
+        F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)) / safe_n
+    )
+    frac_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))) / safe_n
+    symbol_ratio = (
+        F.regexp_count(text, F.lit(r"#|\.\.\.|…")) / safe_n
+    )
+    n_stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(w) for w in _GOPHER_STOPS])
+        )
+    )
+    top_bigram = top_ngram_fraction(text, 2)
+    out = (
+        df.withColumn("n_words", n_words)
+        .withColumn("mean_word_len", mean_word_len)
+        .withColumn("frac_alpha_words", frac_alpha)
+        .withColumn("symbol_word_ratio", symbol_ratio)
+        .withColumn("n_gopher_stops", n_stop_hits)
+        .withColumn("top_bigram_fraction", top_bigram)
+    )
+    return out.withColumn(
+        "gopher_keep",
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & F.col("mean_word_len").between(3.0, 10.0)
+        & (F.col("symbol_word_ratio") <= 0.1)
+        & (F.col("frac_alpha_words") >= 0.8)
+        & (F.col("n_gopher_stops") >= 2)
+        & (F.col("top_bigram_fraction") <= max_top_bigram_fraction),
+    )
+
+
+# ---------------------------------------------------------------------------
 # vocabulary triage
 # ---------------------------------------------------------------------------
 

@@ -12,9 +12,11 @@ from pyspark.sql import functions as F
 from spark_ensemble_spark.operators.corpus import (
     boilerplate_lines,
     contamination_overlap,
+    gopher_quality_flags,
     line_stats,
     sample_by_rates,
     strip_boilerplate,
+    top_ngram_fraction,
     top_ngrams,
 )
 
@@ -278,3 +280,113 @@ def test_corpus_ops_on_real_documents(spark, sf_dir):
     assert {r["doc_id"] for r in eval_df.collect()} <= planted
     mixed = sample_by_rates(docs, {"src0": 0.5, "src1": 1.0}, seed=7)
     assert 0 < mixed.count() < n
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality filters
+# ---------------------------------------------------------------------------
+
+GOPHER_DOCS = [
+    # 60 distinct-ish words, >=2 stop words, alphabetic, moderate lengths
+    (0, "the quick brown fox jumps over a lazy dog and then it runs to "
+        "find some food because it must have energy for more jumping that "
+        "keeps it healthy with friends near river banks where trees grow "
+        "tall green leaves while birds sing songs about warm summer days "
+        "gone past but not forgotten ever really truly again now"),
+    (1, "short doc"),  # fails min_words
+    (2, " ".join(["spam ham"] * 40)),  # repeated bigram dominates
+    (3, " ".join(["###"] * 60)),  # symbols, no alpha, no stops
+    (4, " ".join(["pneumonoultramicroscopics"] * 60)),  # mean word len > 10
+    (5, ""),  # empty
+    (6, None),  # NULL text
+]
+
+
+@pytest.fixture(scope="module")
+def gopher(spark):
+    return spark.createDataFrame(GOPHER_DOCS, "doc_id long, text string")
+
+
+def _gopher_con():
+    c = duckdb.connect()
+    c.execute(
+        "CREATE TABLE g AS SELECT * FROM (VALUES "
+        + ", ".join(
+            "(%d, %s)" % (i, "NULL" if t is None else "'%s'" % t)
+            for i, t in GOPHER_DOCS
+        )
+        + ") v(doc_id, text)"
+    )
+    return c
+
+
+def test_top_ngram_fraction_matches_duckdb(gopher):
+    got = {
+        r["doc_id"]: r["f"]
+        for r in gopher.select(
+            "doc_id", top_ngram_fraction(F.col("text"), 2).alias("f")
+        ).collect()
+    }
+    con = _gopher_con()
+    want = {
+        d: f
+        for d, f in con.execute(
+            """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(regexp_replace(lower(trim(
+                       coalesce(text, ''))), '\\s+', ' ', 'g'), ' '),
+                       t -> t <> '') AS t
+              FROM g
+            ), grams AS (
+              SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+                     THEN list_transform(range(1, len(t)), i -> t[i] || t[i+1])
+                     ELSE [] END) AS gm
+              FROM toks
+            ), cnt AS (
+              SELECT doc_id, gm, count(*) AS n FROM grams GROUP BY 1, 2
+            ), agg AS (
+              SELECT doc_id, max(n)::DOUBLE / sum(n) AS f FROM cnt GROUP BY 1
+            )
+            SELECT doc_id, coalesce(agg.f, 0.0)
+            FROM g LEFT JOIN agg USING (doc_id)
+            """
+        ).fetchall()
+    }
+    assert got == pytest.approx(want)
+    assert got[2] == pytest.approx(40 / 79)  # "ham spam" x39, "spam ham" x40
+    assert got[1] == 1.0 and got[5] == 0.0 and got[6] == 0.0
+
+
+def test_gopher_quality_flags_signals(gopher):
+    rows = {r["doc_id"]: r for r in gopher_quality_flags(gopher).collect()}
+    assert rows[0]["gopher_keep"] is True
+    # every other doc trips at least one published heuristic
+    assert all(rows[d]["gopher_keep"] is False for d in (1, 2, 3, 4, 5, 6))
+    r0 = rows[0]
+    text0 = GOPHER_DOCS[0][1]
+    toks0 = text0.split()
+    assert r0["n_words"] == len(toks0)
+    assert r0["mean_word_len"] == pytest.approx(
+        sum(len(t) for t in toks0) / len(toks0)
+    )
+    assert r0["frac_alpha_words"] == 1.0
+    assert r0["symbol_word_ratio"] == 0.0
+    assert r0["n_gopher_stops"] >= 2
+    # per-signal trip wires
+    assert rows[1]["n_words"] == 2
+    assert rows[2]["top_bigram_fraction"] > 0.2
+    assert rows[3]["frac_alpha_words"] == 0.0 and rows[3]["symbol_word_ratio"] > 0.1
+    assert rows[4]["mean_word_len"] > 10
+    assert rows[5]["n_words"] == 0 and rows[6]["n_words"] == 0
+
+
+def test_gopher_flags_on_real_documents(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = gopher_quality_flags(docs)
+    n = out.count()
+    assert n == docs.count()
+    # signals are defined (non-null) for every row
+    assert out.filter(F.col("gopher_keep").isNull()).count() == 0
+    kept = out.filter("gopher_keep").count()
+    assert 0 <= kept <= n

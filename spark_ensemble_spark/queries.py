@@ -61,9 +61,9 @@ def query(name: str, oracle: str | None = None):
            round(sum(l_extendedprice), 2) AS sum_base_price,
            round(sum({REVENUE_SQL}), 2) AS sum_disc_price,
            round(sum({REVENUE_SQL} * (1 + l_tax)), 2) AS sum_charge,
-           round(avg(l_quantity), 4) AS avg_qty,
-           round(avg(l_extendedprice), 4) AS avg_price,
-           round(avg(l_discount), 6) AS avg_disc,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(*), 4) AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / count(*), 4) AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
@@ -76,9 +76,24 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
         F.round(F.sum(REVENUE()), 2).alias("sum_disc_price"),
         F.round(F.sum(REVENUE() * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        # avgs as exact-DECIMAL sum ÷ count: order-independent partials, so
+        # the rounding tick cannot flip with 8-vs-32-core partial-agg order
+        # (same hardening as orders_monthly_stats / curation_pipeline)
+        F.round(
+            F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_qty"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_price"),
+        F.round(
+            F.sum(F.col("l_discount").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
     )
 
@@ -1566,7 +1581,7 @@ def part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE doc_id IN (SELECT min(doc_id) FROM filtered GROUP BY fp)
     )
     SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
-           printf('%.6f', round(avg(quality), 6)) AS avg_quality
+           printf('%.6f', round(CAST(sum(CAST(quality AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6)) AS avg_quality
     FROM deduped GROUP BY lang
     """,
 )
@@ -1597,7 +1612,17 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deduped.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
-        F.format_string("%.6f", F.round(F.avg("quality"), 6)).alias("avg_quality"),
+        # exact-DECIMAL sum ÷ count (see orders_monthly_stats): a plain double
+        # avg's partial-agg order can flip round(·,6) at a tick — this was
+        # CORRECTNESS_r03's one hash-red non-events row
+        F.format_string(
+            "%.6f",
+            F.round(
+                F.sum(F.col("quality").cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ),
+        ).alias("avg_quality"),
     )
 
 

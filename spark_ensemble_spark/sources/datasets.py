@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.ml.feature import VectorAssembler
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = (
     "region",
@@ -54,13 +55,46 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def ts_as_timestamp(ts_type: T.DataType) -> F.Column:
+    """Conversion from the SCANNED dtype of events.ts to a session-tz
+    TIMESTAMP, branching on whatever encoding the testdata currently uses
+    (the driver has shipped both nanos-int64 and timestamp[us] across rounds):
+
+    - LongType — parquet TIMESTAMP(NANOS) read via the ``nanosAsLong`` legacy
+      conf: floor-divide to micros (DuckDB's nanos→micros truncation).
+    - TimestampNTZType — parquet timestamp[us] with isAdjustedToUTC=false:
+      ``cast("timestamp")`` reinterprets the wall-clock micros under the
+      pinned UTC session tz, which is exact. The cast is REQUIRED, not
+      cosmetic: downstream ``unix_micros()`` rejects TIMESTAMP_NTZ.
+    - TimestampType — already what we want; pass through.
+    """
+    if isinstance(ts_type, T.LongType):
+        return F.timestamp_micros(F.expr("ts div 1000"))
+    if isinstance(ts_type, T.TimestampNTZType):
+        return F.col("ts").cast("timestamp")
+    return F.col("ts")
+
+
+def scanned_events_ts_type(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> T.DataType:
+    """Schema-only batch probe of the on-disk events.ts dtype (no data job:
+    parquet footer read). Used by the streaming reader so its explicit schema
+    always matches the files it will actually scan — an out-of-date hardcoded
+    schema silently corrupts timestamps instead of erroring."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.read
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.parquet(path).schema["ts"].dataType
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects by default. Read nanos as long (legacy conf) and floor-divide
-    to microseconds — identical to DuckDB's nanos→micros truncation."""
+    """Load the events table with ``ts`` normalized to TIMESTAMP regardless of
+    the parquet encoding (nanos-int64, timestamp[us]/NTZ, or TIMESTAMP)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", ts_as_timestamp(df.schema["ts"].dataType))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict:

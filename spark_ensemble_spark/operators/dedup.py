@@ -64,14 +64,19 @@ def _hash64(col: Column, hash_fn: str) -> Column:
     raise ValueError(f"hash_fn must be xxhash64|md5, got {hash_fn}")
 
 
-def _shingle_hashes(
-    text: Column, k: int, kind: str = "word", hash_fn: str = "xxhash64"
-) -> Column:
-    """Distinct hash values of the k-shingles of normalized text.
+def _shingle_strings(text: Column, k: int, kind: str = "word") -> Column:
+    """Distinct k-shingle STRINGS of normalized text (narrow, no shuffle).
 
-    ``word`` shingles (the standard for corpus dedup — one shingle per token)
-    are ~10× fewer than ``char`` shingles on natural text, which directly
-    scales the per-document MinHash cost.
+    Split out from the hashing so hot paths can ``explode`` the strings and
+    hash the flat column inside whole-stage codegen: everything inside a
+    ``transform`` lambda is evaluated INTERPRETED per element, so the previous
+    per-shingle ``concat_ws(try_element_at × k) → md5 → conv`` chain cost ~11
+    interpreted calls × |shingles| per document — measured 26s for the
+    contamination pass at sf0.1, linear in SF. ``array_join(slice(toks,i,k))``
+    keeps the lambda to two calls; string equality: ``slice`` truncates at the
+    array end exactly like ``concat_ws`` skips ``try_element_at``'s
+    out-of-range NULLs (both match DuckDB's out-of-range semantics, so the
+    md5 oracles are unchanged).
 
     NULL text coalesces to '' so every input row keeps exactly one signature
     row downstream: the explode+groupBy signature computation would otherwise
@@ -82,23 +87,27 @@ def _shingle_hashes(
         n = F.length(norm)
         starts = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
         return F.array_distinct(
-            F.transform(starts, lambda s: _hash64(norm.substr(s, F.lit(k)), hash_fn))
+            F.transform(starts, lambda s: norm.substr(s, F.lit(k)))
         )
     toks = F.split(norm, " ")
-    starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
-    # try_element_at (not element_at): a doc shorter than k tokens indexes past
-    # the end — ANSI element_at throws, try_element_at yields NULL and
-    # concat_ws skips it, which is also exactly DuckDB's out-of-range + NULL
-    # semantics, so the md5 oracle mirrors this 1:1.
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks) - k + 1, F.lit(1)))
+    return F.array_distinct(
+        F.transform(starts, lambda i: F.array_join(F.slice(toks, i, k), " "))
+    )
+
+
+def _shingle_hashes(
+    text: Column, k: int, kind: str = "word", hash_fn: str = "xxhash64"
+) -> Column:
+    """Distinct hash values of the k-shingles of normalized text. Prefer
+    ``explode(_shingle_strings(...))`` + ``_hash64`` on the flat column in hot
+    paths (codegen'd hashing); this array form remains for Jaccard-style
+    set comparisons. Outer ``array_distinct`` dedupes on the HASH (not the
+    string) so a hash collision cannot change array cardinality versus the
+    oracle's ``list_distinct`` of hashes."""
     return F.array_distinct(
         F.transform(
-            starts,
-            lambda i: _hash64(
-                F.concat_ws(
-                    " ", *[F.try_element_at(toks, i + F.lit(j + 1)) for j in range(k)]
-                ),
-                hash_fn,
-            ),
+            _shingle_strings(text, k, kind), lambda s: _hash64(s, hash_fn)
         )
     )
 
@@ -135,7 +144,7 @@ def minhash_signatures(
     from spark_ensemble_spark.sources.datasets import spread_to_parallelism
 
     coeffs = _minhash_coeffs(num_hashes, seed)
-    shingles = _shingle_hashes(F.col(text_col), shingle_size, shingle_kind, hash_fn)
+    shingles = _shingle_strings(F.col(text_col), shingle_size, shingle_kind)
     # Single-row-group test files scan as ONE partition; shingle hashing is
     # the cost center, so spread it across the cluster first (no-op at scale).
     df = spread_to_parallelism(df)
@@ -144,8 +153,13 @@ def minhash_signatures(
     # permutations over the shingle arrays cost k·|shingles| interpreted calls
     # per doc (~10× slower at corpus scale). The exploded form runs entirely
     # inside whole-stage codegen; map-side partial aggregation means the
-    # shuffle carries only distinct-ids × k longs.
-    exploded = df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("__h"))
+    # shuffle carries only distinct-ids × k longs. The shingle HASH is also
+    # computed post-explode on the flat string column (codegen) instead of
+    # inside the array transform (interpreted). Duplicate hashes from a
+    # string-level collision cannot affect the grouped min()s.
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles).alias("__s")
+    ).select("id", _hash64(F.col("__s"), hash_fn).alias("__h"))
     hm = F.pmod(F.col("__h"), F.lit(_MERSENNE))
     aggs = [
         F.min((hm * a + b) % _MERSENNE).alias(f"__s{i}")

@@ -57,6 +57,9 @@ BENCH_QUERIES = [
     # training-data pipeline (VERDICT r3 "What's missing" #3)
     "strip_boilerplate",
     "contamination_overlap",
+    # embedding-column passes (normalize/quantize/stats, r4)
+    "embedding_dim_stats",
+    "embedding_quantize",
 ]
 
 

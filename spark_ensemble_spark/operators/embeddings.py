@@ -1,0 +1,138 @@
+"""Embedding-column utilities for training-data pipelines.
+
+Beyond-reference operators (the reference has no embedding surface; provenance
+is the standard retrieval/data-curation toolkit): L2 normalization, symmetric
+int8 quantization (the storage format of large ANN corpora — 4× smaller than
+float32, which at 100 TB is the difference between one copy and four), per-
+dimension moment statistics (the whitening/normalization pass), and
+deterministic hash-based dataset splitting (train/val/test assignment that is
+reproducible across runs, engines, and row order — never ``rand()``, whose
+output depends on partitioning).
+
+Everything is pure Catalyst on ``array<float/double>`` columns — no UDFs, no
+driver collects; the only wide stage in the module is ``dim_stats``'s
+aggregation, which reduces to ``dim`` rows via map-side partials.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def l2_normalize(vec: Column) -> Column:
+    """Unit-L2 vector (zero vectors stay zero instead of dividing by 0).
+
+    After normalization, cosine similarity is a plain dot product — at scale
+    you normalize ONCE at ingest and every downstream ANN/dedup pass skips the
+    per-pair norm arithmetic."""
+    v = _as_double(vec)
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    return F.when(norm > 0, F.transform(v, lambda x: x / norm)).otherwise(v)
+
+
+def quantize_int8(vec: Column) -> Column:
+    """Symmetric per-vector int8 quantization: struct(codes array<int>, scale).
+
+    ``scale = max(|x|)/127``; ``code = floor(x/scale + 0.5)`` (explicit
+    half-up — ``round()`` ties differ between engines, ``floor(+0.5)`` does
+    not). The all-zero vector gets scale 0 and all-zero codes. Dequantized
+    error is bounded by scale/2 per component, so cosine on dequantized
+    vectors is within ~1% for typical embedding distributions — the standard
+    recall/storage trade of IVF-SQ8-style indexes."""
+    v = _as_double(vec)
+    amax = F.aggregate(v, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x)))
+    scale = amax / F.lit(127.0)
+    codes = F.when(
+        scale > 0,
+        F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return F.struct(codes.alias("codes"), scale.alias("scale"))
+
+
+def dequantize(codes: Column, scale: Column) -> Column:
+    """Inverse of :func:`quantize_int8` (lossy): ``code * scale``."""
+    return F.transform(codes, lambda c: c.cast("double") * scale)
+
+
+def dim_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension (dim, n, mean, m2, min, max): the statistics pass behind
+    mean-centering / whitening / feature clipping.
+
+    Plan: ``posexplode`` the vectors → groupBy(dim). The explode multiplies
+    rows by ``dim``, but every column except (dim, value) is dropped FIRST and
+    the aggregation partial-reduces map-side to ``dim`` groups — the shuffle
+    carries dim × partitions rows, not corpus × dim. mean/m2 are computed as
+    exact DECIMAL sums ÷ count so partial-agg order cannot move the reported
+    values (same hardening as the relational aggregates)."""
+    exploded = df.select(
+        F.posexplode(_as_double(F.col(vec_col))).alias("dim", "__v")
+    )
+    dec = F.col("__v").cast("decimal(38,12)")
+    # square in DOUBLE (IEEE-identical on any engine), then cast the product:
+    # decimal×decimal would hit engine-specific precision-loss rules
+    dec2 = (F.col("__v") * F.col("__v")).cast("decimal(38,12)")
+    return exploded.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(dec).cast("double") / F.count(F.lit(1))).alias("mean"),
+        (F.sum(dec2).cast("double") / F.count(F.lit(1))).alias("m2"),
+        F.min("__v").alias("min"),
+        F.max("__v").alias("max"),
+    )
+
+
+def split_by_hash(
+    df: DataFrame,
+    id_col: str,
+    fractions: Dict[str, float],
+    seed: str = "split",
+) -> DataFrame:
+    """Deterministic dataset split: adds a ``split`` column assigning each row
+    to a named fraction by a stable hash of its id.
+
+    ``bucket = md5(seed || id) mod 10^6`` → cumulative-fraction ranges. The
+    assignment is a pure function of (seed, id): reproducible across runs,
+    engines, partitionings, and row order — the property ``rand(seed)``-based
+    splits silently lack (Spark's rand is seeded PER PARTITION, so a repartition
+    reshuffles the split). Narrow projection; no shuffle, no RNG state.
+    """
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    # 60-bit md5 prefix (see dedup._hash64) mod 1e6: cross-engine exact.
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(1_000_000),
+    )
+    expr = None
+    cum = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        cond = bucket < int(round(cum * 1_000_000))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        F.lit(names[0]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    )
+    return df.withColumn("split", expr)
+
+
+def split_counts(
+    df: DataFrame, id_col: str, fractions: Dict[str, float], seed: str = "split"
+) -> DataFrame:
+    """(split, n) summary of :func:`split_by_hash` — the verification view."""
+    return (
+        split_by_hash(df, id_col, fractions, seed)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -1133,6 +1133,34 @@ def similarity_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return srp_topk(emb, queries_df, k=5, num_planes=8, dim=64)
 
 
+@query("embedding_dim_stats")
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension moment statistics over the embedding corpus (the
+    whitening/normalization pass). Not in the driver registry (50-entry window
+    full) — DuckDB-mirrored in tests/test_embeddings.py; bench line only."""
+    from spark_ensemble_spark.operators.embeddings import dim_stats
+
+    return dim_stats(load_table(spark, sf_dir, "embeddings"))
+
+
+@query("embedding_quantize")
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of every embedding (4× storage cut — the
+    difference between one copy of a 100 TB vector corpus and four). In-suite
+    DuckDB oracle (tests/test_embeddings.py); bench line only."""
+    from spark_ensemble_spark.operators.embeddings import quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", quantize_int8(F.col("embedding")).alias("q"))
+    return q.select(
+        "vec_id",
+        F.aggregate(F.col("q.codes"), F.lit(0).cast("long"), lambda a, c: a + F.abs(c)).alias(
+            "l1_codes"
+        ),
+        F.round("q.scale", 9).alias("scale"),
+    )
+
+
 @query(
     "multimodal_decode",
     """

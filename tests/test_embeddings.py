@@ -1,0 +1,162 @@
+"""Embedding-operator oracles: every op mirrored in DuckDB on the same
+parquet (the in-suite tier of the driver's correctness gate — the registry's
+50-entry window is full, VERDICT r3 "What's missing" #2)."""
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from spark_ensemble_spark.operators.embeddings import (
+    dequantize,
+    dim_stats,
+    l2_normalize,
+    quantize_int8,
+    split_by_hash,
+    split_counts,
+)
+from spark_ensemble_spark.sources.datasets import load_table
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    return con
+
+
+def test_l2_normalize_unit_norm_and_zero(spark):
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0])], ["id", "v"]
+    ).withColumn("nv", l2_normalize(F.col("v")))
+    rows = {r["id"]: r["nv"] for r in df.collect()}
+    assert rows[1] == [0.6, 0.8]
+    assert rows[2] == [0.0, 0.0]  # zero vector survives, no NaN
+
+
+def test_quantize_roundtrip_error_bound(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    q = emb.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        quantize_int8(F.col("embedding")).alias("q"),
+    ).select(
+        "vec_id",
+        "v",
+        "q.scale",
+        dequantize(F.col("q.codes"), F.col("q.scale")).alias("dq"),
+        F.col("q.codes").alias("codes"),
+    )
+    for r in q.collect():
+        assert all(-127 <= c <= 127 for c in r["codes"])
+        for orig, back in zip(r["v"], r["dq"]):
+            assert abs(float(orig) - back) <= r["scale"] / 2 + 1e-12
+
+
+def test_quantize_matches_duckdb(spark, sf_dir, con):
+    got = {
+        r["vec_id"]: (r["codes"], r["scale"])
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", quantize_int8(F.col("embedding")).alias("q"))
+        .select("vec_id", "q.codes", F.round("q.scale", 9).alias("scale"))
+        .collect()
+    }
+    want = {
+        row[0]: (row[1], row[2])
+        for row in con.execute(
+            """
+            WITH s AS (
+              SELECT vec_id,
+                     list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings)
+            SELECT vec_id,
+                   CASE WHEN scale > 0
+                        THEN list_transform(v, x -> floor(x / scale + 0.5)::INT)
+                        ELSE list_transform(v, x -> 0) END AS codes,
+                   round(scale, 9) AS scale
+            FROM s
+            """
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_dim_stats_matches_duckdb(spark, sf_dir, con):
+    got = {
+        r["dim"]: (r["n"], round(r["mean"], 9), round(r["m2"], 9), r["min"], r["max"])
+        for r in dim_stats(load_table(spark, sf_dir, "embeddings")).collect()
+    }
+    want = {
+        row[0]: (row[1], round(row[2], 9), round(row[3], 9), row[4], row[5])
+        for row in con.execute(
+            """
+            WITH e AS (
+              SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+                     CAST(unnest(embedding) AS DOUBLE) AS v
+              FROM embeddings)
+            SELECT dim, count(*) AS n,
+                   CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS mean,
+                   CAST(sum(CAST(v * v AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS m2,
+                   min(v), max(v)
+            FROM e GROUP BY dim
+            """
+        ).fetchall()
+    }
+    assert got == want
+    assert len(got) == 64  # TESTDATA.md: 64-dim embeddings at every SF
+
+
+def test_split_by_hash_matches_duckdb_and_is_stable(spark, sf_dir, con):
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        r["doc_id"]: r["split"]
+        for r in split_by_hash(docs, "doc_id", fr).select("doc_id", "split").collect()
+    }
+    want = {
+        row[0]: row[1]
+        for row in con.execute(
+            """
+            SELECT doc_id,
+                   CASE WHEN b < 800000 THEN 'train'
+                        WHEN b < 900000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         ('0x' || substring(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS b
+                  FROM documents)
+            """
+        ).fetchall()
+    }
+    assert got == want
+    # stability: same assignment after an arbitrary repartition (rand()-based
+    # splits fail exactly this)
+    re = {
+        r["doc_id"]: r["split"]
+        for r in split_by_hash(docs.repartition(7), "doc_id", fr)
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert re == got
+    # fractions roughly honored
+    n = len(got)
+    train_frac = sum(1 for s in got.values() if s == "train") / n
+    assert abs(train_frac - 0.8) < 0.06
+
+
+def test_split_fractions_validated(spark):
+    df = spark.range(5)
+    with pytest.raises(ValueError):
+        split_by_hash(df, "id", {"a": 0.5, "b": 0.2})
+
+
+def test_split_counts_sums_to_total(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    rows = split_counts(docs, "doc_id", {"train": 0.9, "val": 0.1}).collect()
+    assert sum(r["n"] for r in rows) == docs.count()

@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     # embedding-column passes (normalize/quantize/stats, r4)
     "embedding_dim_stats",
     "embedding_quantize",
+    # single-pass dataset-card profile (mergeable sketches, r4)
+    "corpus_profile_by_source",
 ]
 
 

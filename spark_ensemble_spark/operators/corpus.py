@@ -354,6 +354,63 @@ def gopher_quality_flags(
 # ---------------------------------------------------------------------------
 
 
+def corpus_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    rsd: float = 0.05,
+    percentile_accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-stratum corpus profile — the "dataset card" pass: document and
+    token counts, approximate distinct fingerprints (duplication estimate),
+    token-length percentiles, and mean quality, in ONE aggregation.
+
+    100 TB shape: every statistic here is a MERGEABLE aggregate — count/sum
+    partial-reduce trivially, approx_count_distinct is an HLL sketch (~1.5 KB
+    per stratum at 5% rsd, merged map-side), percentile_approx a bounded
+    KLL-style sketch — so the whole profile is one scan + one shuffle of
+    |strata| × sketch-size bytes, regardless of corpus size. The exact
+    versions (count-distinct, true quantiles) would each shuffle the corpus;
+    at profiling time the ±rsd answer is worth 10⁶× less traffic.
+
+    ``dup_estimate`` = 1 − approx_distinct(fingerprint)/n_docs: fraction of
+    documents whose normalized text is an exact duplicate of another.
+    """
+    from spark_ensemble_spark.operators.text import (
+        fingerprint,
+        quality_score,
+        token_count,
+    )
+
+    t = F.col(text_col)
+    enriched = df.select(
+        F.col(stratum_col).alias("stratum"),
+        token_count(t).alias("__ntok"),
+        F.round(quality_score(t), 6).alias("__q"),
+        fingerprint(t).alias("__fp"),
+    )
+    return enriched.groupBy("stratum").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__ntok").alias("total_tokens"),
+        F.approx_count_distinct("__fp", rsd=rsd).alias("approx_distinct_fp"),
+        F.percentile_approx(
+            "__ntok", [0.5, 0.9, 0.99], percentile_accuracy
+        ).alias("token_percentiles"),
+        # mean quality as exact-DECIMAL sum ÷ count (order-independent)
+        (
+            F.sum(F.col("__q").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_quality"),
+    ).withColumn(
+        "dup_estimate",
+        F.greatest(
+            F.lit(0.0),
+            1 - F.col("approx_distinct_fp") / F.col("n_docs").cast("double"),
+        ),
+    )
+
+
 def top_ngrams(
     df: DataFrame, text_col: str = "text", n: int = 3, k: int = 20
 ) -> DataFrame:

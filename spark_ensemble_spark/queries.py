@@ -1133,6 +1133,17 @@ def similarity_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return srp_topk(emb, queries_df, k=5, num_planes=8, dim=64)
 
 
+@query("corpus_profile_by_source")
+def corpus_profile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass per-source dataset card (counts, HLL distinct-fingerprint,
+    token percentiles, mean quality) — all mergeable aggregates, one shuffle
+    of |strata| × sketch bytes. In-suite oracle (tests/test_corpus.py);
+    bench line only."""
+    from spark_ensemble_spark.operators.corpus import corpus_profile
+
+    return corpus_profile(load_table(spark, sf_dir, "documents"))
+
+
 @query("embedding_dim_stats")
 def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension moment statistics over the embedding corpus (the

@@ -138,6 +138,62 @@ def streaming_dedup(
     return spark.table(name)
 
 
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    join_expr,
+    dim_cols: list,
+) -> DataFrame:
+    """STREAM-STATIC enrichment join: each micro-batch of the stream joins a
+    static dimension (inner, broadcast). This is the third streaming join
+    shape next to stream-stream (click_purchase_stream) and stateful
+    (sessionized_stream): no watermark needed on either side — the static
+    frame is re-resolved per micro-batch, so a dim refresh (new parquet
+    snapshot under the same path) is picked up without restarting the query.
+    At 100 TB the dim (customer/account/geo tables, MBs-GBs) broadcasts while
+    the fact stream never shuffles — the same plan Kafka-fed enrichment uses.
+    """
+    return events.join(F.broadcast(dim.select(*dim_cols)), join_expr)
+
+
+def streaming_enriched_purchases(
+    spark: SparkSession,
+    sf_dir: str,
+) -> DataFrame:
+    """File-replay harness: purchase events enriched with the customer
+    dimension (segment), emitted row-level through an append memory sink —
+    result equals the batch inner join (oracle in tests)."""
+    events = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    enriched = enrich_stream(
+        events,
+        customer,
+        F.col("user_id") == F.col("c_custkey"),
+        ["c_custkey", "c_mktsegment"],
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("value").cast("decimal(38,6)"), 4).cast("double").alias("value"),
+    )
+    _QUERY_SEQ[0] += 1
+    name = f"stream_enrich_{_QUERY_SEQ[0]}"
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ses-enrich-"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def click_purchase_stream(
     events: DataFrame,
     window_minutes: int = 30,

@@ -390,3 +390,91 @@ def test_gopher_flags_on_real_documents(spark, sf_dir):
     assert out.filter(F.col("gopher_keep").isNull()).count() == 0
     kept = out.filter("gopher_keep").count()
     assert 0 <= kept <= n
+
+
+def test_corpus_profile_exact_and_bounded(spark, sf_dir):
+    """corpus_profile on the real documents table: exact columns (counts,
+    sums, decimal mean) match DuckDB exactly; sketch columns (HLL distinct,
+    KLL percentiles) land within their documented error bounds of the exact
+    DuckDB answers."""
+    import duckdb
+
+    from spark_ensemble_spark.operators.corpus import corpus_profile
+    from spark_ensemble_spark.sources.datasets import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {r["stratum"]: r for r in corpus_profile(docs, rsd=0.05).collect()}
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    toks = (
+        "len(list_filter(list_transform(string_split(regexp_replace(lower(trim("
+        "coalesce(text,''))), '\\s+', ' ', 'g'), ' '), l -> trim(l)), l -> l <> ''))"
+    )
+    fp = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+    want = {
+        row[0]: row
+        for row in con.execute(
+            f"""
+            SELECT source, count(*) AS n_docs,
+                   sum({toks}) AS total_tokens,
+                   count(DISTINCT {fp}) AS exact_distinct,
+                   quantile_disc({toks}, 0.5) AS p50,
+                   quantile_disc({toks}, 0.9) AS p90,
+                   quantile_disc({toks}, 0.99) AS p99
+            FROM documents GROUP BY source
+            """
+        ).fetchall()
+    }
+    assert set(got) == set(want)
+    for s, w in want.items():
+        g = got[s]
+        assert g["n_docs"] == w[1]
+        assert g["total_tokens"] == w[2]
+        # HLL at rsd=0.05: allow 3 sigma
+        assert abs(g["approx_distinct_fp"] - w[3]) <= max(3 * 0.05 * w[3], 2), (s, g, w)
+        # percentile_approx with accuracy 10k on ≤10k rows is rank-exact up to
+        # duplicates; allow the neighboring exact quantile as slack
+        for i, (lo_p, hi_p) in enumerate([(0.45, 0.55), (0.85, 0.95), (0.95, 1.0)]):
+            lo = con.execute(
+                f"SELECT quantile_disc({toks}, {lo_p}) FROM documents WHERE source = ?",
+                [s],
+            ).fetchone()[0]
+            hi = con.execute(
+                f"SELECT quantile_disc({toks}, {hi_p}) FROM documents WHERE source = ?",
+                [s],
+            ).fetchone()[0]
+            assert lo <= g["token_percentiles"][i] <= hi, (s, i, g["token_percentiles"], lo, hi)
+        assert 0.0 <= g["dup_estimate"] <= 1.0
+
+
+def test_streaming_enrichment_matches_batch_join(spark, sf_dir):
+    """Stream-static broadcast enrichment equals the batch inner join."""
+    import duckdb
+
+    from spark_ensemble_spark.streaming.events import streaming_enriched_purchases
+
+    got = {
+        (r["event_id"], r["user_id"], r["segment"], r["value"])
+        for r in streaming_enriched_purchases(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM read_parquet('{sf_dir}/customer.parquet')"
+    )
+    want = set(
+        con.execute(
+            """
+            SELECT event_id, user_id, c_mktsegment,
+                   round(CAST(value AS DECIMAL(38,6)), 4)::DOUBLE
+            FROM events JOIN customer ON user_id = c_custkey
+            WHERE event_type = 'purchase'
+            """
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0

@@ -29,6 +29,8 @@ BENCH_QUERIES = [
     "q5_nation_revenue",
     "q17_small_quantity_revenue",
     "q18_large_orders",
+    "q7_nation_trade",
+    "q10_returned_revenue",
     "topk_orders_per_priority",
     "revenue_rollup",
     "events_hourly",

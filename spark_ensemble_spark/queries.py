@@ -390,6 +390,89 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "user_activity_features",
+    """
+    SELECT event_id, user_id,
+           count(*) OVER w - 1 AS n_prev_24h,
+           round(CAST(sum(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+                 - CAST(value AS DOUBLE), 4) AS prev_value_24h,
+           coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER
+                      (PARTITION BY user_id ORDER BY ts, event_id), -1)
+             AS us_since_last
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
+    """,
+)
+def user_activity_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-engineering pass over the event log: per event, the user's
+    trailing-24h activity count/value (RANGE frame — the time-based window
+    shape none of the other queries exercise) and microseconds since the
+    previous event. One shuffle on user_id serves all three windows. The
+    trailing sum is DECIMAL so subtracting the row's own contribution is
+    exact; count subtracts 1 for the same exclusive-of-current semantics.
+    """
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w_range = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-24 * 3600 * 1_000_000, 0)
+    )
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "event_id",
+        "user_id",
+        (F.count(F.lit(1)).over(w_range) - 1).alias("n_prev_24h"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(38,6)")).over(w_range).cast("double")
+            - F.col("value").cast("double"),
+            4,
+        ).alias("prev_value_24h"),
+        F.coalesce(us - F.lag(us).over(w_lag), F.lit(-1)).alias("us_since_last"),
+    )
+
+
+@query(
+    "revenue_cube",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE), 2) AS sum_price,
+           count(*) AS n
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY CUBE(l_returnflag, o_orderpriority)
+    """,
+)
+def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag × priority) — all four grouping-set combinations
+    in one pass (rollup covers the hierarchy shape; this covers the lattice).
+    Spark expands grouping sets BEFORE the shuffle with map-side partials, so
+    the exchange carries |groups| × 4 rows, not the fact table 4×."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    return (
+        joined.cube("l_returnflag", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double"),
+                2,
+            ).alias("sum_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "sum_price",
+            "n",
+        )
+    )
+
+
+@query(
     "topk_orders_per_priority",
     """
     SELECT o_orderpriority, o_orderkey, o_totalprice

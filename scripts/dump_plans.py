@@ -91,6 +91,53 @@ AUDITED = [
         "no forced exchange before the Python worker; byte features are "
         "vectorized numpy inside the worker.",
     ),
+    (
+        "q7_nation_trade",
+        "fact-fact joins left to AQE; both nation sides explicit broadcasts; "
+        "DECIMAL revenue sum partial-aggregates before the 600-group "
+        "exchange.",
+    ),
+    (
+        "q10_returned_revenue",
+        "returnflag filter pushed to the lineitem scan; top-20 cut ranked on "
+        "the exact DECIMAL sum (TakeOrderedAndProject over the aggregate, "
+        "never a global sort of the fact table).",
+    ),
+    (
+        "q22_idle_customers",
+        "scalar average is a 1-row aggregate broadcast-nested-loop joined "
+        "(no driver collect); no-orders test is LEFT ANTI on custkey — one "
+        "shuffle, no NOT-IN rescan.",
+    ),
+    (
+        "user_activity_features",
+        "all three window features (RANGE 24h frame, lag) share ONE exchange "
+        "on user_id — a single sort serves count, sum, and lag.",
+    ),
+    (
+        "strip_boilerplate",
+        "distinct-per-doc explode before the count (plain count(*), map-side "
+        "partials, no count-distinct double shuffle); boilerplate set joins "
+        "LEFT ANTI on the line hash; corpus never self-joins.",
+    ),
+    (
+        "contamination_overlap",
+        "eval side distinct-reduced then BROADCAST (corpus side never "
+        "shuffles for the join); shingle hash computed post-explode on the "
+        "flat string column (whole-stage codegen, not interpreted HOF "
+        "lambdas).",
+    ),
+    (
+        "corpus_profile_by_source",
+        "one scan, one shuffle of |strata| × sketch bytes: HLL partial "
+        "sketches + percentile_approx partial sketches + decimal sums all "
+        "merge map-side.",
+    ),
+    (
+        "embedding_dim_stats",
+        "posexplode drops every non-(dim,value) column BEFORE multiplying "
+        "rows ×64; aggregation partial-reduces to 64 groups map-side.",
+    ),
 ]
 
 HEADER = """# PLANS — physical-plan audits of the headline queries

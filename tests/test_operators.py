@@ -745,3 +745,64 @@ def test_grouped_weighted_median(spark):
             df.filter(F.col("g") == g), "v", "w"
         ).collect()[0].weighted_median
         assert got == expect
+
+
+def test_exactly_once_sink_across_restarts(spark, tmp_path):
+    """foreachBatch idempotent sink: rows written exactly once across a
+    stop/restart (same checkpoint), including when the restart re-processes
+    files; new data after restart lands incrementally."""
+    import pandas as pd
+
+    from spark_ensemble_spark.streaming.events import read_events_stream
+    from spark_ensemble_spark.streaming.sinks import write_stream_exactly_once
+
+    src = tmp_path / "eo_src"
+    src.mkdir()
+    out = str(tmp_path / "eo_out")
+    ckpt = str(tmp_path / "eo_ckpt")
+    t0 = 1_700_000_000_000_000_000
+
+    def write_file(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+        )
+        pdf["props"] = "{}"
+        spark.createDataFrame(
+            pdf,
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    write_file("f1", [(1, t0, 1, "click", 1.0), (2, t0 + 10**9, 2, "view", 2.0)])
+    q = write_stream_exactly_once(
+        read_events_stream(spark, str(src) + "/*", glob=None).select(
+            "event_id", "user_id", "event_type"
+        ),
+        out,
+        ckpt,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    first = {r["event_id"] for r in spark.read.parquet(out).collect()}
+    assert first == {1, 2}
+
+    # restart from the same checkpoint: nothing new -> no duplicates;
+    # then a new file arrives -> only its rows are added
+    q = write_stream_exactly_once(
+        read_events_stream(spark, str(src) + "/*", glob=None).select(
+            "event_id", "user_id", "event_type"
+        ),
+        out,
+        ckpt,
+    )
+    try:
+        q.processAllAvailable()
+        write_file("f2", [(3, t0 + 2 * 10**9, 1, "purchase", 5.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.read.parquet(out).collect()
+    ids = sorted(r["event_id"] for r in rows)
+    assert ids == [1, 2, 3], ids  # exactly once each, no batch replayed twice

@@ -390,6 +390,170 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q2_min_price_supplier",
+    """
+    WITH offers AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             CAST(sum(CAST(l_extendedprice / l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+               / count(*) AS unit_price
+      FROM lineitem WHERE l_quantity > 0
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT partkey, suppkey, unit_price,
+             row_number() OVER (PARTITION BY partkey
+                                ORDER BY unit_price, suppkey) AS rn
+      FROM offers
+    )
+    SELECT p_partkey, p_brand, s_name,
+           round(unit_price, 4) AS best_unit_price
+    FROM ranked
+    JOIN part ON partkey = p_partkey
+    JOIN supplier ON suppkey = s_suppkey
+    WHERE rn = 1 AND p_size < 10
+    """,
+)
+def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q2 adapted (no partsupp table — observed lineitem offers stand in
+    for the supplier catalog): cheapest supplier per small part. The
+    correlated-min is a window rank over the grouped offer aggregate, never a
+    per-part rescan; suppkey tiebreak makes the winner engine-independent."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") < 10)
+    supp = load_table(spark, sf_dir, "supplier")
+    offers = li.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(
+        (
+            F.sum(
+                (F.col("l_extendedprice") / F.col("l_quantity")).cast("decimal(38,6)")
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("unit_price")
+    )
+    w = Window.partitionBy("partkey").orderBy("unit_price", "suppkey")
+    best = offers.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        best.join(part, best.partkey == part.p_partkey)
+        .join(supp, best.suppkey == supp.s_suppkey)
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            F.round("unit_price", 4).alias("best_unit_price"),
+        )
+    )
+
+
+@query(
+    "q9_nation_year_revenue",
+    f"""
+    SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           round(CAST({_DECSUM_REV} AS DOUBLE), 2) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def q9_nation_year_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q9 adapted (no supplycost — revenue, not profit): supplier-nation
+    × order-year revenue matrix. Nation broadcast; year derived BEFORE the
+    aggregate so the shuffle key is (nation, year), 25 × years groups."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+    )
+    return joined.groupBy(
+        "n_name", F.year("o_orderdate").cast("long").alias("o_year")
+    ).agg(F.round(_decsum_rev().cast("double"), 2).alias("revenue"))
+
+
+@query(
+    "q15_top_supplier",
+    f"""
+    WITH supplier_revenue AS (
+      SELECT l_suppkey AS suppkey, {_DECSUM_REV} AS total_rev
+      FROM lineitem GROUP BY 1
+    )
+    SELECT s_suppkey, s_name,
+           round(CAST(total_rev AS DOUBLE), 2) AS total_revenue
+    FROM supplier_revenue
+    JOIN supplier ON suppkey = s_suppkey
+    WHERE total_rev = (SELECT max(total_rev) FROM supplier_revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q15: supplier(s) with maximum revenue. The max is a 1-row
+    aggregate of the ALREADY-GROUPED per-supplier frame joined back
+    (broadcast) — the fact table is scanned once; comparing on the exact
+    DECIMAL total makes the argmax tie-set engine-independent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        _decsum_rev().alias("total_rev")
+    )
+    top = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(top), rev.total_rev == F.col("max_rev"))
+        .join(supp, F.col("suppkey") == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_rev").cast("double"), 2).alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "q21_exclusive_suppliers",
+    """
+    SELECT s_name, count(DISTINCT l_orderkey) AS n_exclusive_orders
+    FROM lineitem l1
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    JOIN orders ON l1.l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+    GROUP BY s_name
+    """,
+)
+def q21_exclusive_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q21 adapted (no receiptdate — sole-supplier orders stand in for
+    sole-failing-supplier): per supplier, finished orders they supplied
+    ALONE. The NOT EXISTS decorrelates to a grouped per-order supplier-count
+    joined back — one extra aggregate over the same shuffle key (orderkey),
+    no per-row rescan of lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("__nsupp")
+    )
+    solo = per_order.filter(F.col("__nsupp") == 1).select("l_orderkey")
+    joined = (
+        li.join(solo, "l_orderkey")
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+    )
+    return joined.groupBy("s_name").agg(
+        F.countDistinct("l_orderkey").alias("n_exclusive_orders")
+    )
+
+
+@query(
     "user_activity_features",
     """
     SELECT event_id, user_id,

@@ -554,6 +554,77 @@ def q21_exclusive_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q13_order_count_distribution",
+    """
+    SELECT c_count, count(*) AS n_customers
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q13: distribution of orders-per-customer (LEFT join keeps the
+    zero-order customers — the bucket NOT-IN-style queries silently drop).
+    Two aggregations: custkey (SF-wide shuffle) then the tiny histogram."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@query(
+    "q8_nation_market_share",
+    f"""
+    WITH region_orders AS (
+      SELECT n_name, CAST({REVENUE_SQL} AS DECIMAL(38,6)) AS rev
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+    )
+    SELECT n_name,
+           round(CAST(sum(rev) AS DOUBLE), 2) AS nation_revenue,
+           round(CAST(sum(rev) AS DOUBLE)
+                 / CAST((SELECT sum(rev) FROM region_orders) AS DOUBLE), 6) AS market_share
+    FROM region_orders
+    GROUP BY n_name
+    """,
+)
+def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q8 adapted: each ASIA nation's share of the region's supplier
+    revenue. The region total is a 1-row aggregate of the SAME grouped frame
+    broadcast back — share-of-total without scanning the facts twice; both
+    numerator and denominator are exact DECIMAL sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    per_nation = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(_decsum_rev().alias("__rev"))
+    )
+    total = per_nation.agg(F.sum("__rev").alias("__total"))
+    return per_nation.crossJoin(F.broadcast(total)).select(
+        "n_name",
+        F.round(F.col("__rev").cast("double"), 2).alias("nation_revenue"),
+        F.round(
+            F.col("__rev").cast("double") / F.col("__total").cast("double"), 6
+        ).alias("market_share"),
+    )
+
+
+@query(
     "user_activity_features",
     """
     SELECT event_id, user_id,

@@ -43,3 +43,35 @@ def write_stream_exactly_once(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def compact_batches(
+    spark,
+    in_path: str,
+    out_path: str,
+    max_records_per_file: int = 1_000_000,
+    target_partitions: int | None = None,
+) -> None:
+    """Small-file compaction for a ``batch_id=N`` streaming output (or any
+    over-fragmented parquet directory): one read, one write, bounded file
+    sizes.
+
+    High trigger rates leave thousands of KB-sized files; every downstream
+    scan then pays per-file open/footer costs that dwarf the data. Compaction
+    rewrites to ``target_partitions`` files capped at ``max_records_per_file``
+    rows (maxRecordsPerFile splits oversized partitions WITHOUT a shuffle —
+    prefer raising it over repartitioning when row sizes are uniform). The
+    ``batch_id`` partition column is dropped: it was idempotence bookkeeping,
+    not data. Output goes to a NEW directory — swap-on-success (rename or
+    view/manifest flip) keeps readers consistent; an in-place overwrite would
+    corrupt concurrent scans."""
+    df = spark.read.parquet(in_path)
+    if "batch_id" in df.columns:
+        df = df.drop("batch_id")
+    if target_partitions:
+        df = df.coalesce(target_partitions)
+    (
+        df.write.option("maxRecordsPerFile", max_records_per_file)
+        .mode("overwrite")
+        .parquet(out_path)
+    )

@@ -806,3 +806,54 @@ def test_exactly_once_sink_across_restarts(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     ids = sorted(r["event_id"] for r in rows)
     assert ids == [1, 2, 3], ids  # exactly once each, no batch replayed twice
+
+
+def test_streaming_reach_bounds_and_exact_counts(spark, sf_dir):
+    """Windowed HLL reach: window set and event counts exactly match batch;
+    the approx-distinct estimate lands within 3*rsd of exact."""
+    import duckdb
+
+    from spark_ensemble_spark.streaming.events import streaming_user_reach
+
+    got = {r["day"]: r for r in streaming_user_reach(spark, sf_dir).collect()}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    want = {
+        row[0]: row
+        for row in con.execute(
+            """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS day,
+                   count(DISTINCT user_id) AS exact_users,
+                   count(*) AS n_events
+            FROM events GROUP BY 1
+            """
+        ).fetchall()
+    }
+    assert set(got) == set(want)
+    for day, w in want.items():
+        g = got[day]
+        assert g["n_events"] == w[2]
+        assert abs(g["approx_users"] - w[1]) <= max(3 * 0.05 * w[1], 2), (day, g, w)
+
+
+def test_compact_batches(spark, tmp_path):
+    """Compaction merges a fragmented batch_id layout into few bounded files
+    with identical data and no batch_id column."""
+    from spark_ensemble_spark.streaming.sinks import compact_batches
+
+    src = str(tmp_path / "frag")
+    for b in range(8):
+        spark.range(b * 10, b * 10 + 10).toDF("v").coalesce(1).write.parquet(
+            f"{src}/batch_id={b}"
+        )
+    out = str(tmp_path / "compacted")
+    compact_batches(spark, src, out, target_partitions=2)
+    df = spark.read.parquet(out)
+    assert df.columns == ["v"]
+    assert sorted(r["v"] for r in df.collect()) == list(range(80))
+    import glob
+
+    files = glob.glob(f"{out}/*.parquet")
+    assert 1 <= len(files) <= 2, files

@@ -164,7 +164,13 @@ def contamination_overlap(
     broadcast — eval suites are MBs against a 100 TB corpus, so the corpus
     side is joined map-side with zero shuffle; the lone wide stage is the
     per-doc count aggregation (partial-agg friendly)."""
+    from spark_ensemble_spark.sources.datasets import spread_to_parallelism
+
     eval_text = eval_text_col or text_col
+    # Single-row-group test files scan as ONE partition and shingle
+    # construction is the cost center (measured 4.4s single-core at sf0.1 vs
+    # ~0.4s spread) — same gate as minhash_signatures, no-op at scale.
+    df = spread_to_parallelism(df)
     # Explode the shingle STRINGS, hash the flat column: keeps the md5/conv
     # chain inside whole-stage codegen instead of the interpreted array
     # transform (26s → ~2s for this pass at sf0.1; see _shingle_strings).

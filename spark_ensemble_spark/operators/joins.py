@@ -111,3 +111,47 @@ def asof_join(
         *[F.col(c) for c in left_cols],
         *[F.col(filled[c]).alias(c) for c in payload_cols],
     )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+    bucket_seconds: int,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Scalable point-in-interval join: left rows whose ``left_ts`` falls in
+    ``[right_start, right_end]`` of a right row (inner), optionally also
+    matching on equi ``keys``.
+
+    Spark plans a bare inequality join as BroadcastNestedLoopJoin — O(n·m)
+    compares and a mandatory broadcast, the classic range-join cliff. This
+    implementation BUCKETIZES time instead: each left row maps to exactly one
+    ``bucket_seconds``-wide bucket, each right interval explodes to the
+    buckets it intersects, and the join becomes an EQUI-join on
+    (keys..., bucket) followed by the exact containment filter. Because a
+    left point lies in exactly one bucket, every qualifying pair matches
+    exactly once — no post-join dedup. Pick ``bucket_seconds`` near the
+    typical interval length: the explode factor is
+    ~1 + interval_len/bucket_seconds (bounded-length intervals keep it
+    constant), and bucket skew inherits the key skew handled by AQE.
+    """
+    lts = F.unix_micros(F.col(left_ts))
+    rs = F.unix_micros(F.col(right_start))
+    re = F.unix_micros(F.col(right_end))
+    w_us = int(bucket_seconds) * 1_000_000
+    lb = left.withColumn("__bucket", (lts / w_us).cast("long"))
+    rb = right.withColumn(
+        "__bucket",
+        F.explode(F.sequence((rs / w_us).cast("long"), (re / w_us).cast("long"))),
+    )
+    cond = [F.col(f"l.__bucket") == F.col("r.__bucket")] + [
+        F.col(f"l.{k}") == F.col(f"r.{k}") for k in keys
+    ]
+    joined = lb.alias("l").join(rb.alias("r"), cond)
+    return joined.filter(
+        (F.col(f"l.{left_ts}") >= F.col(f"r.{right_start}"))
+        & (F.col(f"l.{left_ts}") <= F.col(f"r.{right_end}"))
+    )

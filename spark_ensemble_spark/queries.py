@@ -625,6 +625,59 @@ def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "range_join_attribution",
+    """
+    SELECT c.user_id, c.event_id AS click_id, p.value AS purchase_value,
+           epoch_us(p.ts) - epoch_us(c.ts) AS us_to_purchase
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND epoch_us(p.ts) >= epoch_us(c.ts)
+     AND epoch_us(p.ts) <= epoch_us(c.ts) + {window_us}
+    """.replace("{window_us}", str(30 * 60 * 1_000_000)),
+)
+def range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH point-in-interval attribution via the bucketized
+    :func:`~spark_ensemble_spark.operators.joins.range_join`: purchases
+    (points) joined to each same-user click's [ts, ts+30min] window. Same
+    oracle as the streaming interval join — three independent engines
+    (bucketized batch, watermarked stream, DuckDB inequality join) agree on
+    the pair set. The point of the operator: Spark plans the bare inequality
+    join as BroadcastNestedLoopJoin (O(n·m) + forced broadcast); bucketizing
+    turns it into an equi-join on (user_id, bucket) with a constant explode
+    factor."""
+    from spark_ensemble_spark.operators.joins import range_join
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("value").alias("purchase_value")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("click_end"),
+    )
+    joined = range_join(
+        purchases,
+        clicks,
+        left_ts="p_ts",
+        right_start="click_ts",
+        right_end="click_end",
+        bucket_seconds=30 * 60,
+        keys=["user_id"],
+    )
+    return joined.select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("r.click_id").alias("click_id"),
+        F.col("l.purchase_value").alias("purchase_value"),
+        (F.unix_micros("l.p_ts") - F.unix_micros("r.click_ts")).alias(
+            "us_to_purchase"
+        ),
+    )
+
+
+@query(
     "user_activity_features",
     """
     SELECT event_id, user_id,

@@ -857,3 +857,29 @@ def test_compact_batches(spark, tmp_path):
 
     files = glob.glob(f"{out}/*.parquet")
     assert 1 <= len(files) <= 2, files
+
+
+def test_range_join_avoids_nested_loop(spark, sf_dir):
+    """The bucketized range join must plan as an equi-join (SortMerge or
+    BroadcastHash), never the BroadcastNestedLoopJoin the bare inequality
+    predicate degenerates to."""
+    from spark_ensemble_spark.queries import range_join_attribution
+
+    plan = range_join_attribution(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Join" in plan
+
+    # the naive formulation does nested-loop (documents why the operator exists)
+    from spark_ensemble_spark.sources.datasets import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").alias("p")
+    c = ev.filter(F.col("event_type") == "click").alias("c")
+    naive = p.join(
+        c,
+        (F.col("p.user_id") == F.col("c.user_id"))
+        & (F.col("p.ts") >= F.col("c.ts"))
+        & (F.col("p.ts") <= F.col("c.ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    naive_plan = naive._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in naive_plan

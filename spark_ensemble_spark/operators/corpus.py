@@ -360,6 +360,90 @@ def gopher_quality_flags(
 # ---------------------------------------------------------------------------
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    idf_mode: str = "ln",
+) -> DataFrame:
+    """Top-``k`` terms per document by TF-IDF: ``(id, term, tf, df, score)``.
+
+    ``idf_mode='ln'`` (default) is the standard smoothed
+    ``tf · (ln((N+1)/(df+1)) + 1)``. ``idf_mode='ratio'`` scores
+    ``tf · (N+1)/(df+1)`` — products/quotients of exact integers, bit-identical
+    on any IEEE engine, the cross-engine verification mode (libm ``ln`` may
+    differ in the last ulp between engines and flip a rank tie; same
+    pattern as dedup's md5/xxhash64 hash modes). Ranking orders by
+    (score desc, term asc) so equal scores break deterministically.
+
+    Scale shape: explode → (id, term) counts (map-side partials), document
+    frequency from the SAME grouped frame (count of docs per term — no second
+    corpus scan), N broadcast as a 1-row aggregate, per-doc top-k as a window
+    over the id shuffle. The corpus is exploded once and never self-joined.
+    """
+    if idf_mode not in ("ln", "ratio"):
+        raise ValueError(f"idf_mode must be ln|ratio, got {idf_mode}")
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(F.col(id_col).alias("id"), F.explode(_words(F.col(text_col))).alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * (
+                F.log((F.col("__n") + 1) / (F.col("df") + 1)) + 1
+                if idf_mode == "ln"
+                else (F.col("__n") + 1) / (F.col("df") + 1)
+            ),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("id", "term", "tf", "df", F.round("score", 6).alias("score"))
+    )
+
+
+def sample_fixed_per_stratum(
+    df: DataFrame,
+    n_per_stratum: int,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "fixed",
+) -> DataFrame:
+    """Deterministic ``n``-per-stratum sample: rank rows inside each stratum
+    by a stable hash of (seed, id) and keep the first ``n``.
+
+    The fixed-count companion to :func:`sample_by_rates` (rate-based):
+    "take 10k docs per source for the eval slice". Reproducible across runs,
+    engines, and partitionings — no RNG state, no reservoir merge logic; the
+    per-stratum window sorts each stratum in parallel (one shuffle on the
+    stratum key). A stratum smaller than ``n`` is kept whole."""
+    from pyspark.sql import Window
+
+    from .dedup import _hash64
+
+    rank_key = _hash64(
+        F.concat(F.lit(seed), F.col(id_col).cast("string")), "md5"
+    )
+    w = Window.partitionBy(stratum_col).orderBy(rank_key, F.col(id_col))
+    return (
+        df.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= n_per_stratum)
+        .drop("__rank")
+    )
+
+
 def corpus_profile(
     df: DataFrame,
     text_col: str = "text",

@@ -625,6 +625,71 @@ def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tfidf_top_terms",
+    """
+    WITH tf AS (
+      SELECT doc_id AS id, unnest(t) AS term FROM (
+        SELECT doc_id,
+               list_filter(list_transform(string_split(regexp_replace(lower(trim(
+                 coalesce(text, ''))), '\\s+', ' ', 'g'), ' '),
+                 l -> trim(l)), l -> l <> '') AS t
+        FROM documents)
+    ),
+    tfc AS (
+      SELECT id, term, count(*) AS tf FROM tf GROUP BY 1, 2
+    ),
+    dfc AS (
+      SELECT term, count(*) AS df FROM tfc GROUP BY 1
+    ),
+    n AS (SELECT count(*) AS nd FROM documents),
+    scored AS (
+      SELECT id, tfc.term, tf, df,
+             tf * (nd + 1) / (df + 1.0) AS score,
+             row_number() OVER (PARTITION BY id
+                                ORDER BY tf * (nd + 1) / (df + 1.0) DESC,
+                                         tfc.term) AS rn
+      FROM tfc JOIN dfc ON tfc.term = dfc.term CROSS JOIN n
+    )
+    SELECT id, term, tf, df, round(score, 6) AS score
+    FROM scored WHERE rn <= 5
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 TF-IDF terms in the cross-engine-exact 'ratio' mode
+    (integer products/quotients — bit-identical on any IEEE engine; the
+    standard ln mode is the production default, same pattern as dedup's
+    md5/xxhash modes)."""
+    from spark_ensemble_spark.operators.corpus import tfidf_top_terms as tt
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tt(docs, k=5, idf_mode="ratio")
+
+
+@query(
+    "sample_fixed_per_stratum",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substring(md5('fixed' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                        doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 10
+    """,
+)
+def sample_fixed_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10-docs-per-source sample (md5 rank — reproducible
+    across engines/partitionings, no RNG state)."""
+    from spark_ensemble_spark.operators.corpus import (
+        sample_fixed_per_stratum as sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return sample(docs, 10)
+
+
+@query(
     "range_join_attribution",
     """
     SELECT c.user_id, c.event_id AS click_id, p.value AS purchase_value,

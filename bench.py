@@ -64,6 +64,9 @@ BENCH_QUERIES = [
     "embedding_quantize",
     # single-pass dataset-card profile (mergeable sketches, r4)
     "corpus_profile_by_source",
+    # bucketized point-in-interval join + per-doc TF-IDF (r4)
+    "range_join_attribution",
+    "tfidf_top_terms",
 ]
 
 

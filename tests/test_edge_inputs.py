@@ -1,0 +1,91 @@
+"""Degenerate-input robustness: empty frames, single rows, null text.
+
+At 100 TB a partition-pruned or freshly-bootstrapped pipeline routinely hands
+operators an EMPTY (or one-row) frame; an operator that throws on it takes
+the whole job down. Each test asserts the operator returns a well-formed
+(usually empty) result instead of raising.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def empty_docs(spark):
+    return spark.createDataFrame([], "doc_id long, text string, source string")
+
+
+@pytest.fixture()
+def null_docs(spark):
+    return spark.createDataFrame(
+        [(1, None, "web"), (2, "", "web"), (3, "real text here", "books")],
+        "doc_id long, text string, source string",
+    )
+
+
+def test_dedup_ops_on_empty(empty_docs):
+    from spark_ensemble_spark.operators.dedup import (
+        exact_dedup,
+        minhash_dup_pairs,
+        simhash_dup_pairs,
+    )
+
+    assert exact_dedup(empty_docs, ["text"], "doc_id").count() == 0
+    assert minhash_dup_pairs(empty_docs, "text", "doc_id").count() == 0
+    assert simhash_dup_pairs(empty_docs, "text", "doc_id").count() == 0
+
+
+def test_corpus_ops_on_empty(empty_docs):
+    from spark_ensemble_spark.operators.corpus import (
+        corpus_profile,
+        strip_boilerplate,
+        tfidf_top_terms,
+        top_ngrams,
+    )
+
+    assert strip_boilerplate(empty_docs).count() == 0
+    assert corpus_profile(empty_docs).count() == 0
+    assert tfidf_top_terms(empty_docs).count() == 0
+    assert top_ngrams(empty_docs).count() == 0
+
+
+def test_null_and_empty_text_survive(null_docs):
+    """NULL/'' text must flow through (coalesced), never drop rows or throw —
+    dedup signatures keep one row per doc id."""
+    from spark_ensemble_spark.operators.dedup import minhash_signatures
+    from spark_ensemble_spark.operators.corpus import strip_boilerplate
+    from spark_ensemble_spark.operators.text import analyze_documents
+
+    sigs = minhash_signatures(null_docs, "text", "doc_id")
+    assert sigs.count() == 3
+    stripped = {r["doc_id"]: r["text"] for r in strip_boilerplate(null_docs).collect()}
+    assert set(stripped) == {1, 2, 3}
+    assert stripped[1] == "" and stripped[2] == ""
+    assert analyze_documents(null_docs).count() == 3
+
+
+def test_embeddings_ops_on_empty(spark):
+    from spark_ensemble_spark.operators.embeddings import dim_stats, split_by_hash
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert dim_stats(empty).count() == 0
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert split_by_hash(docs, "doc_id", {"a": 0.5, "b": 0.5}).count() == 0
+
+
+def test_range_join_empty_sides(spark):
+    from spark_ensemble_spark.operators.joins import range_join
+
+    pts = spark.createDataFrame([], "user_id long, ts timestamp")
+    iv = spark.createDataFrame(
+        [], "user_id long, w_start timestamp, w_end timestamp"
+    )
+    out = range_join(pts, iv, "ts", "w_start", "w_end", 60, keys=["user_id"])
+    assert out.count() == 0
+
+
+def test_weighted_median_single_row(spark):
+    from spark_ensemble_spark.functions.stats import weighted_median_of
+
+    df = spark.createDataFrame([(42.0, 3.0)], "v double, w double")
+    assert weighted_median_of(df, "v", "w").first()["weighted_median"] == 42.0

@@ -625,6 +625,103 @@ def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q11_valuable_parts",
+    f"""
+    WITH part_value AS (
+      SELECT l_partkey AS partkey, {_DECSUM_REV} AS value
+      FROM lineitem GROUP BY 1
+    ),
+    total AS (SELECT sum(value) AS tv FROM part_value)
+    SELECT partkey, round(CAST(value AS DOUBLE), 2) AS part_value
+    FROM part_value, total
+    WHERE CAST(value AS DOUBLE) > 0.001 * CAST(tv AS DOUBLE)
+    """,
+)
+def q11_valuable_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q11 adapted (observed revenue stands in for partsupp inventory
+    value): parts above a 0.1% share-of-total threshold. The HAVING-on-share
+    is a broadcast 1-row total against the grouped frame; both sides of the
+    comparison are the same exact DECIMAL sums cast once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pv = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        _decsum_rev().alias("value")
+    )
+    total = pv.agg(F.sum("value").alias("tv"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(F.col("value").cast("double") > 0.001 * F.col("tv").cast("double"))
+        .select("partkey", F.round(F.col("value").cast("double"), 2).alias("part_value"))
+    )
+
+
+@query(
+    "q16_supplier_variety",
+    """
+    SELECT p_brand, substr(p_type, 1, 6) AS type_prefix,
+           count(DISTINCT l_suppkey) AS n_suppliers
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 13)
+    GROUP BY 1, 2
+    """,
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q16 adapted (lineitem links suppliers to parts in lieu of
+    partsupp): distinct suppliers per (brand, type-prefix) over a size
+    whitelist. Brand/size filters reach the part scan; the count-distinct
+    expands (brand, prefix, suppkey) on the shuffle, then reduces."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 5, 9, 13)
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", F.substring("p_type", 1, 6).alias("type_prefix"))
+        .agg(F.countDistinct("l_suppkey").alias("n_suppliers"))
+    )
+
+
+@query(
+    "q20_major_suppliers",
+    """
+    WITH shipped AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             sum(CAST(l_quantity AS DECIMAL(38,6))) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    part_total AS (
+      SELECT partkey, sum(q) AS tq FROM shipped GROUP BY 1
+    )
+    SELECT DISTINCT s_suppkey, s_name
+    FROM shipped
+    JOIN part_total USING (partkey)
+    JOIN supplier ON suppkey = s_suppkey
+    WHERE CAST(q AS DOUBLE) > 0.5 * CAST(tq AS DOUBLE)
+    ORDER BY s_suppkey
+    """,
+)
+def q20_major_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q20 adapted: suppliers shipping more than half of some part's
+    total quantity. Grouped ratio against a re-aggregate of the SAME
+    (part, supplier) frame — the fact table is scanned once; the >half
+    comparison is exact-DECIMAL on both sides."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    shipped = li.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("q"))
+    totals = shipped.groupBy("partkey").agg(F.sum("q").alias("tq"))
+    major = shipped.join(totals, "partkey").filter(
+        F.col("q").cast("double") > 0.5 * F.col("tq").cast("double")
+    )
+    return (
+        major.join(supp, major.suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name")
+        .distinct()
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
     "tfidf_top_terms",
     """
     WITH tf AS (

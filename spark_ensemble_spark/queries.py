@@ -625,6 +625,45 @@ def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lineitem_measures_unpivot",
+    """
+    SELECT l_returnflag, 'quantity' AS measure,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 2) AS total
+    FROM lineitem GROUP BY 1
+    UNION ALL
+    SELECT l_returnflag, 'discount',
+           round(CAST(sum(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE), 2)
+    FROM lineitem GROUP BY 1
+    UNION ALL
+    SELECT l_returnflag, 'tax',
+           round(CAST(sum(CAST(l_tax AS DECIMAL(38,6))) AS DOUBLE), 2)
+    FROM lineitem GROUP BY 1
+    """,
+)
+def lineitem_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt shape (the inverse of pivot_flag_by_status): wide measure
+    columns to long (measure, value) rows, then one aggregation. Spark's
+    ``unpivot`` expands rows ×3 BEFORE the shuffle but after column pruning —
+    one scan, unlike the oracle's 3-scan UNION ALL mirror."""
+    li = load_table(spark, sf_dir, "lineitem")
+    melted = li.select("l_returnflag", "l_quantity", "l_discount", "l_tax").unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )
+    return (
+        melted.withColumn("measure", F.regexp_replace("measure", "^l_", ""))
+        .groupBy("l_returnflag", "measure")
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 2
+            ).alias("total")
+        )
+    )
+
+
+@query(
     "q11_valuable_parts",
     f"""
     WITH part_value AS (

@@ -138,6 +138,18 @@ AUDITED = [
         "posexplode drops every non-(dim,value) column BEFORE multiplying "
         "rows ×64; aggregation partial-reduces to 64 groups map-side.",
     ),
+    (
+        "range_join_attribution",
+        "bucketized point-in-interval join: equi-join on (user_id, bucket) "
+        "with exact containment filter — NO BroadcastNestedLoopJoin (the "
+        "plan a bare inequality join degenerates to).",
+    ),
+    (
+        "tfidf_top_terms",
+        "corpus exploded ONCE: document frequency re-aggregates the grouped "
+        "(id,term) frame, N is a broadcast 1-row aggregate, per-doc top-k is "
+        "a window over the id shuffle — no second corpus scan, no self-join.",
+    ),
 ]
 
 HEADER = """# PLANS — physical-plan audits of the headline queries

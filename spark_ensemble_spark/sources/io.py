@@ -87,3 +87,30 @@ def write_bucketed_table(
     if sort_col:
         writer = writer.sortBy(sort_col)
     writer.saveAsTable(table)
+
+
+def write_sorted_parquet(
+    df: DataFrame,
+    path: str,
+    sort_cols: list,
+    num_ranges: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Totally-ordered parquet output at scale: ``repartitionByRange`` on the
+    sort key (ordered, non-overlapping file ranges) + ``sortWithinPartitions``
+    (each file internally sorted).
+
+    A global ``orderBy`` before a write plans the same way — range exchange +
+    local sort — but this spelling makes the intent explicit and lets the
+    caller pick ``num_ranges`` (output file count). The payoff is downstream:
+    parquet min/max stats per file become non-overlapping, so any reader
+    filtering on the sort key prunes to one file per value range — the
+    poor-engine's Z-order for a single-column access path."""
+    spark = df.sparkSession
+    n = num_ranges or spark.sparkContext.defaultParallelism
+    (
+        df.repartitionByRange(n, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -338,3 +338,32 @@ def test_multimodal_no_exchange_before_arrow(spark, sf_dir):
 def test_embedding_lsh_plan_no_cartesian(spark, sf_dir):
     df = SPARK_QUERIES["embedding_dup_pairs_lsh"](spark, sf_dir)
     assert not has_cartesian(df)
+
+
+def test_write_sorted_parquet_ordered_ranges(spark, tmp_path):
+    """Sorted write produces non-overlapping, internally-sorted files — the
+    property that lets min/max stats prune reads on the sort key."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from spark_ensemble_spark.sources.io import write_sorted_parquet
+
+    df = spark.range(0, 10_000).select(
+        (F.col("id") * 37 % 10_000).alias("k"), F.col("id").alias("v")
+    )
+    out = str(tmp_path / "sorted")
+    write_sorted_parquet(df, out, ["k"], num_ranges=4)
+    ranges = []
+    for f in sorted(glob.glob(f"{out}/*.parquet")):
+        t = pq.read_table(f, columns=["k"])["k"].to_pylist()
+        if not t:
+            continue
+        assert t == sorted(t), "file not internally sorted"
+        ranges.append((min(t), max(t)))
+    ranges.sort()
+    assert len(ranges) >= 2
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges {(lo1,hi1)} {(lo2,hi2)}"
+    total = spark.read.parquet(out).count()
+    assert total == 10_000

@@ -398,12 +398,14 @@ def tfidf_top_terms(
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "score",
-            F.col("tf")
-            * (
-                F.log((F.col("__n") + 1) / (F.col("df") + 1)) + 1
-                if idf_mode == "ln"
-                else (F.col("__n") + 1) / (F.col("df") + 1)
-            ),
+            F.col("tf") * (F.log((F.col("__n") + 1) / (F.col("df") + 1)) + 1)
+            if idf_mode == "ln"
+            # ratio mode: (tf·(N+1))/(df+1) with the numerator as an EXACT
+            # integer product and ONE double division — the association
+            # matters: tf·((N+1)/(df+1)) double-rounds twice and can differ
+            # from the oracle's left-associated expression in the last ulp
+            # (caught at sf0.1 — a rank flipped at a round(·,6) tick)
+            else (F.col("tf") * (F.col("__n") + 1)) / (F.col("df") + 1),
         )
     )
     w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("term"))

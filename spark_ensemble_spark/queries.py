@@ -394,8 +394,8 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH offers AS (
       SELECT l_partkey AS partkey, l_suppkey AS suppkey,
-             CAST(sum(CAST(l_extendedprice / l_quantity AS DECIMAL(38,6))) AS DOUBLE)
-               / count(*) AS unit_price
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+               / CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS unit_price
       FROM lineitem WHERE l_quantity > 0
       GROUP BY 1, 2
     ),
@@ -406,7 +406,7 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM offers
     )
     SELECT p_partkey, p_brand, s_name,
-           round(unit_price, 4) AS best_unit_price
+           floor(unit_price * 10000 + 0.5) / 10000 AS best_unit_price
     FROM ranked
     JOIN part ON partkey = p_partkey
     JOIN supplier ON suppkey = s_suppkey
@@ -415,9 +415,13 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q2 adapted (no partsupp table — observed lineitem offers stand in
-    for the supplier catalog): cheapest supplier per small part. The
-    correlated-min is a window rank over the grouped offer aggregate, never a
-    per-part rescan; suppkey tiebreak makes the winner engine-independent."""
+    for the supplier catalog): cheapest supplier per small part, priced as
+    quantity-weighted unit price (Σprice/Σqty). Both sums are exact DECIMAL
+    of RAW column values — casting a per-row DIVISION result to decimal is
+    NOT cross-engine safe (Spark rounds the shortest repr half-up, DuckDB
+    rounds the exact binary; caught at sf0.1). The correlated-min is a window
+    rank over the grouped offer aggregate, never a per-part rescan; suppkey
+    tiebreak makes the winner engine-independent."""
     from pyspark.sql import Window
 
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
@@ -427,10 +431,8 @@ def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
     ).agg(
         (
-            F.sum(
-                (F.col("l_extendedprice") / F.col("l_quantity")).cast("decimal(38,6)")
-            ).cast("double")
-            / F.count(F.lit(1))
+            F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double")
+            / F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double")
         ).alias("unit_price")
     )
     w = Window.partitionBy("partkey").orderBy("unit_price", "suppkey")
@@ -442,7 +444,15 @@ def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_partkey",
             "p_brand",
             "s_name",
-            F.round("unit_price", 4).alias("best_unit_price"),
+            # floor(x·10⁴+0.5)/10⁴, NOT round(x,4): the unit-price double is
+            # bit-identical on both engines, but round()'s tie handling is
+            # not (Spark half-ups the shortest repr, DuckDB nearbyints
+            # x·10⁴) — with 3.5k division results, ~5 land within an ulp of
+            # a tick at sf0.1. floor/mult/add are plain IEEE ops, identical
+            # everywhere (the quantize_int8 idiom).
+            (F.floor(F.col("unit_price") * 10000 + 0.5) / 10000).alias(
+                "best_unit_price"
+            ),
         )
     )
 

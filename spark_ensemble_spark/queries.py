@@ -635,6 +635,52 @@ def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_daily_retention",
+    """
+    WITH daily AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    ),
+    with_next AS (
+      SELECT day,
+             lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+      FROM daily
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           count(*) AS active_users,
+           sum(CASE WHEN next_day = day + INTERVAL 1 DAY THEN 1 ELSE 0 END)
+             AS retained_next_day
+    FROM with_next
+    GROUP BY 1
+    """,
+)
+def events_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day retention: for each day, active users and how many
+    return the NEXT day. The cohort self-join formulation shuffles the
+    daily-active set twice; this lead()-per-user formulation distincts once
+    and windows on user_id — one shuffle for the distinct, one for the lag,
+    both on SF-proportional keys (the classic product-analytics query at
+    event-log scale)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    with_next = daily.withColumn("next_day", F.lead("day").over(w))
+    return with_next.groupBy(
+        F.date_format("day", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("active_users"),
+        F.sum(
+            F.when(
+                F.col("next_day") == F.col("day") + F.expr("INTERVAL 1 DAY"), 1
+            ).otherwise(0)
+        ).alias("retained_next_day"),
+    )
+
+
+@query(
     "lineitem_measures_unpivot",
     """
     SELECT l_returnflag, 'quantity' AS measure,

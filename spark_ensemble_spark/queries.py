@@ -635,6 +635,61 @@ def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "discount_quantity_stats",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_discount * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+             CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag,
+           floor((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                 * 1000000 + 0.5) / 1000000 AS corr_qty_disc,
+           floor((n * sxy - sx * sy) / n / n * 1000000 + 0.5) / 1000000 AS covar_pop,
+           floor(sqrt((n * sxx - sx * sx) / n / n) * 1000000 + 0.5) / 1000000
+             AS stddev_pop_qty
+    FROM s
+    """,
+)
+def discount_quantity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (Pearson correlation, population covariance and
+    stddev) derived from EXACT decimal sums instead of the built-in
+    corr()/covar_pop() — the builtins accumulate central moments in doubles,
+    so their partial-agg order shifts the last ulp and a rounded comparison
+    can flip; from exact Σx/Σy/Σxx/Σyy/Σxy both engines execute the identical
+    IEEE expression. Products of the 2-decimal columns stay exact in doubles
+    before the decimal cast. Rounding via floor(x·10⁶+0.5) (engine-exact
+    idiom). Map-side partials still apply — it's one aggregation pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = lambda c: F.sum(c.cast("decimal(38,6)")).cast("double")  # noqa: E731
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        d(F.col("l_quantity")).alias("sx"),
+        d(F.col("l_discount")).alias("sy"),
+        d(F.col("l_quantity") * F.col("l_quantity")).alias("sxx"),
+        d(F.col("l_discount") * F.col("l_discount")).alias("syy"),
+        d(F.col("l_quantity") * F.col("l_discount")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    r6 = lambda c: F.floor(c * 1_000_000 + 0.5) / 1_000_000  # noqa: E731
+    return s.select(
+        "l_returnflag",
+        r6(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("corr_qty_disc"),
+        r6((n * sxy - sx * sy) / n / n).alias("covar_pop"),
+        r6(F.sqrt((n * sxx - sx * sx) / n / n)).alias("stddev_pop_qty"),
+    )
+
+
+@query(
     "events_daily_retention",
     """
     WITH daily AS (

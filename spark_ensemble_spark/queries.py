@@ -635,6 +635,57 @@ def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_session_window",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    with_id AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM ordered
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events,
+           printf('%.4f', round(sum(CAST(value AS DECIMAL(38,6))), 4)::DOUBLE) AS session_value
+    FROM with_id GROUP BY user_id, session_seq
+    """,
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's NATIVE ``session_window`` (gap-based
+    grouping inside the aggregation operator — no lag/running-sum window
+    program at all, one shuffle). Same oracle as the window-program
+    formulation (``events_sessionize``), so the two implementations
+    cross-check each other; the native form is also directly usable in
+    Structured Streaming with watermarked state eviction."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.format_string(
+                "%.4f",
+                F.round(F.sum(F.col("value").cast("decimal(38,6)")), 4).cast(
+                    "double"
+                ),
+            ).alias("session_value"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+        )
+        .select("user_id", "session_start", "n_events", "session_value")
+    )
+
+
+@query(
     "discount_quantity_stats",
     """
     WITH s AS (

@@ -9,6 +9,7 @@ import random
 import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from spark_ensemble_spark.core.optim import (
     minimize_nonneg,
@@ -158,3 +159,61 @@ def test_softmax_argmax_invariants(spark):
         assert all(s > 0 for s in row.sm)
         mx = max(row.arr)
         assert row.am == float(row.arr.index(mx))  # first-max tie-break
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-3600, 7200)), max_size=25
+    ),
+    ivs=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-3600, 7200), st.integers(0, 1800)),
+        max_size=15,
+    ),
+    bucket=st.sampled_from([60, 300, 600, 1800]),
+)
+def test_range_join_equals_naive_inequality_join(spark, pts, ivs, bucket):
+    """Bucketized range_join must produce EXACTLY the pairs of the naive
+    inequality join for any points/intervals (including negative epochs,
+    zero-length intervals, bucket-boundary hits) and any bucket width."""
+    from spark_ensemble_spark.operators.joins import range_join
+
+    t0 = 1_700_000_000
+    pts_rows = [(k, t0 + off) for k, off in pts]
+    iv_rows = [(k, t0 + off, t0 + off + dur) for k, off, dur in ivs]
+    expected = {
+        (pk, pt, ik, s, e)
+        for pk, pt in pts_rows
+        for ik, s, e in iv_rows
+        if pk == ik and s <= pt <= e
+    }
+    left = spark.createDataFrame(
+        [(k, t) for k, t in pts_rows] or [(None, None)],
+        "k long, ts_s long",
+    ).filter(F.col("k").isNotNull()).select("k", F.timestamp_seconds("ts_s").alias("ts"))
+    right = spark.createDataFrame(
+        iv_rows or [(None, None, None)],
+        "k long, s_s long, e_s long",
+    ).filter(F.col("k").isNotNull()).select(
+        "k",
+        F.timestamp_seconds("s_s").alias("w_start"),
+        F.timestamp_seconds("e_s").alias("w_end"),
+    )
+    out = range_join(left, right, "ts", "w_start", "w_end", bucket, keys=["k"])
+    got = {
+        (
+            r["l.k"] if "l.k" in out.columns else r[0],
+            r[1],
+            r[2],
+            r[3],
+            r[4],
+        )
+        for r in out.select(
+            F.col("l.k"),
+            F.unix_seconds("l.ts"),
+            F.col("r.k"),
+            F.unix_seconds("r.w_start"),
+            F.unix_seconds("r.w_end"),
+        ).collect()
+    }
+    assert got == expected

@@ -635,6 +635,80 @@ def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "winsorized_order_stats",
+    """
+    WITH ranked AS (
+      SELECT o_totalprice,
+             row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+             count(*) OVER () AS n
+      FROM orders
+    ),
+    bounds AS (
+      SELECT min(CASE WHEN rn >= ceil(0.05 * n) THEN o_totalprice END) AS lo,
+             min(CASE WHEN rn >= ceil(0.95 * n) THEN o_totalprice END) AS hi
+      FROM ranked
+    )
+    SELECT round(lo, 2) AS p05, round(hi, 2) AS p95,
+           round(CAST(sum(CAST(least(greatest(o_totalprice, lo), hi) AS DECIMAL(38,6))) AS DOUBLE)
+                 / count(*), 4) AS winsorized_mean,
+           count(*) AS n
+    FROM orders, bounds
+    GROUP BY lo, hi
+    """,
+)
+def winsorized_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean (outlier-clamped at the exact p05/p95 ORDER
+    STATISTICS): the robust-mean pass of a data-quality pipeline. Exact-rank
+    quantiles (value at rank ceil(p·n), orderkey tiebreak) are
+    engine-independent where interpolated percentile() is not; the bounds
+    are a 1-row broadcast against the fact scan, the clamped mean an exact
+    DECIMAL sum ÷ count. Note the global rank window exists ONLY to define
+    the exact oracle — at 100 TB the bounds would come from
+    :func:`weighted_median_of`'s range-partition formulation (or an approx
+    percentile, trading exactness)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    ranked = orders.select(
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+    )
+    bounds = ranked.agg(
+        F.min(
+            F.when(
+                F.col("rn") >= F.ceil(0.05 * F.col("n")), F.col("o_totalprice")
+            )
+        ).alias("lo"),
+        F.min(
+            F.when(
+                F.col("rn") >= F.ceil(0.95 * F.col("n")), F.col("o_totalprice")
+            )
+        ).alias("hi"),
+    )
+    clamped = orders.crossJoin(F.broadcast(bounds))
+    return clamped.groupBy("lo", "hi").agg(
+        F.round(
+            F.sum(
+                F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi"))
+                .cast("decimal(38,6)")
+            ).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("winsorized_mean"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        F.round("lo", 2).alias("p05"),
+        F.round("hi", 2).alias("p95"),
+        "winsorized_mean",
+        "n",
+    )
+
+
+@query(
     "events_session_window",
     """
     WITH ordered AS (

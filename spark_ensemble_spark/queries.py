@@ -635,6 +635,92 @@ def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_hourly_gapfilled",
+    """
+    WITH span AS (
+      SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+      FROM events
+    ),
+    scaffold AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM span
+    ),
+    actual AS (
+      SELECT date_trunc('hour', ts) AS hour, count(*) AS n FROM events GROUP BY 1
+    )
+    SELECT strftime(s.hour, '%Y-%m-%d %H:%M:%S') AS hour,
+           coalesce(a.n, 0) AS n_events
+    FROM scaffold s LEFT JOIN actual a ON s.hour = a.hour
+    """,
+)
+def events_hourly_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series: every hour of the span appears, zero-filled
+    where no events landed — the date-scaffold pattern dashboards and
+    downstream models need (a bare groupBy silently drops empty buckets).
+    The scaffold is ``sequence()`` over the 1-row min/max aggregate exploded
+    (span-proportional, tiny), LEFT-joined to the grouped counts — the fact
+    table is scanned once; at 100 TB the scaffold side is still just
+    span-hours rows and broadcasts."""
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    scaffold = span.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    actual = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        F.broadcast(scaffold)
+        .join(actual, "hour", "left")
+        .select(
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+@query(
+    "fuzzy_part_name_pairs",
+    """
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM part a JOIN part b
+      ON substr(a.p_name, 1, 8) = substr(b.p_name, 1, 8)
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
+)
+def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching: part-name pairs within edit distance 4,
+    candidates limited to an 8-char-prefix block (the string-similarity
+    sibling of the MinHash band join — never an O(n²) cross join;
+    levenshtein runs only inside blocks). Standard edit distance is
+    engine-identical."""
+    part = load_table(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        F.substring("p_name", 1, 8).alias("block"),
+    )
+    b = part.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        F.substring("p_name", 1, 8).alias("block"),
+    )
+    return (
+        a.join(b, ["block"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 4)
+        .select("key_a", "key_b", "dist")
+    )
+
+
+@query(
     "winsorized_order_stats",
     """
     WITH ranked AS (

@@ -535,6 +535,68 @@ def sessionized_stream(
     )
 
 
+def sessionized_stream_native(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sessionization via the BUILT-IN ``session_window`` aggregation — the
+    recommended production path when per-event custom state isn't needed:
+    gap-based window merging runs inside the (codegen'd) aggregation operator
+    with watermark-driven state eviction, no Python workers at all. Versus
+    :func:`sessionized_stream` (applyInPandasWithState): sessions are emitted
+    ONLY when the watermark closes them (append mode, no provisional rows),
+    and there is no session_seq — the session is identified by its start
+    time. Same decimal-exact value treatment as the batch program."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            "user_id",
+            F.session_window("ts", f"{gap_minutes} minutes").alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.format_string(
+                "%.4f",
+                F.round(F.sum(F.col("value").cast("decimal(38,6)")), 4).cast(
+                    "double"
+                ),
+            ).alias("session_value"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+        )
+        .select("user_id", "session_start", "n_events", "session_value")
+    )
+
+
+def streaming_sessionize_native(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30
+) -> DataFrame:
+    """File-replay harness for :func:`sessionized_stream_native`. Append mode
+    emits only watermark-closed sessions; replaying a finite file source
+    leaves the final (still-open-at-watermark) sessions unemitted, so the
+    comparison target is the batch result MINUS each user's last session —
+    the in-suite test accounts for exactly that."""
+    sessions = sessionized_stream_native(
+        read_events_stream(spark, sf_dir), gap_minutes=gap_minutes
+    )
+    _QUERY_SEQ[0] += 1
+    name = f"stream_sessions_native_{_QUERY_SEQ[0]}"
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ses-native-"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def latest_sessions(sessions: DataFrame) -> DataFrame:
     """Collapse provisional open-session emissions to the final row per
     (user_id, session_seq): the superseding row has the largest n_events.

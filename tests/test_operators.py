@@ -883,3 +883,43 @@ def test_range_join_avoids_nested_loop(spark, sf_dir):
     )
     naive_plan = naive._jdf.queryExecution().executedPlan().toString()
     assert "Join" in naive_plan
+
+
+def test_streaming_sessionize_native_matches_batch_closed_sessions(spark, sf_dir):
+    """Native session_window streaming (append mode) emits exactly the
+    sessions the FINAL watermark closed: batch session_window rows whose
+    window end (last event + gap) <= max_ts - watermark_delay."""
+    import datetime
+
+    from spark_ensemble_spark.sources.datasets import load_table
+    from spark_ensemble_spark.streaming.events import streaming_sessionize_native
+
+    got = {
+        (r["user_id"], r["session_start"], r["n_events"], r["session_value"])
+        for r in streaming_sessionize_native(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    final_wm = ev.agg(F.max("ts")).first()[0] - datetime.timedelta(hours=2)
+    batch = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.format_string(
+                "%.4f",
+                F.round(F.sum(F.col("value").cast("decimal(38,6)")), 4).cast(
+                    "double"
+                ),
+            ).alias("session_value"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+        )
+        .select("user_id", "session_start", "n_events", "session_value", "w.end")
+        .collect()
+    )
+    want = {
+        (r["user_id"], r["session_start"], r["n_events"], r["session_value"])
+        for r in batch
+        if r["end"] <= final_wm
+    }
+    assert got == want and len(got) > 0

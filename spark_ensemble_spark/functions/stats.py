@@ -77,6 +77,48 @@ def weighted_median_of(
     )
 
 
+def global_running_sum(
+    df: DataFrame,
+    order_cols: "list[str]",
+    value_col: str,
+    out_col: str = "running_sum",
+    num_ranges: Optional[int] = None,
+) -> DataFrame:
+    """Exact INCLUSIVE running total of ``value_col`` in ``order_cols`` order
+    — without the single-partition global window a bare
+    ``Window.orderBy(...)`` plans (every row through one sort task: the
+    scale cliff, same as :func:`weighted_median_of`'s motivation, here
+    factored out as a reusable primitive).
+
+    Plan: range-repartition on the order key (ordered, non-overlapping
+    partitions) → per-partition sums → prefix offsets over the tiny
+    |partitions|-row summary → broadcast back → local running sum per
+    partition. With integer-valued (or decimal) inputs the result is exactly
+    the sequential scan's. Used by :func:`pack_sequences`; any "global
+    cumulative" need (file offsets, quota lines, token budgets) is this."""
+    spark = df.sparkSession
+    n = num_ranges or spark.sparkContext.defaultParallelism
+    parts = df.repartitionByRange(n, *order_cols).withColumn(
+        "__gpid", F.spark_partition_id()
+    )
+    per = parts.groupBy("__gpid").agg(F.sum(value_col).alias("__psum"))
+    w_prev = Window.orderBy("__gpid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = per.select(
+        "__gpid",
+        F.coalesce(F.sum("__psum").over(w_prev), F.lit(0)).alias("__off"),
+    )
+    w_local = (
+        Window.partitionBy("__gpid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        parts.join(F.broadcast(offs), "__gpid")
+        .withColumn(out_col, F.col("__off") + F.sum(value_col).over(w_local))
+        .drop("__gpid", "__off")
+    )
+
+
 def grouped_weighted_median_of(
     df: DataFrame,
     value_col: str,

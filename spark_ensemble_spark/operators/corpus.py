@@ -446,6 +446,48 @@ def sample_fixed_per_stratum(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign documents to fixed-capacity training windows ("packs"): lay the
+    corpus out as one contiguous token stream in ``id_col`` order and chunk
+    it every ``max_tokens`` — the offline sequence-packing pass of an LLM
+    data pipeline.
+
+    Adds ``token_start`` (exclusive-prefix offset), ``pack_id``
+    (= token_start div max_tokens), and ``spans_boundary`` (the doc crosses a
+    window edge — the consumer splits it across packs, which is how
+    contiguous-stream training data is actually chunked; nothing is dropped).
+
+    Scale shape: the only non-narrow step is
+    :func:`~spark_ensemble_spark.functions.stats.global_running_sum` — range
+    partition + broadcast offsets, NO single-partition window. Deterministic
+    in the id order: re-runs and engines agree bit-for-bit (integer sums).
+    """
+    from spark_ensemble_spark.functions.stats import global_running_sum
+
+    cum = global_running_sum(df, [id_col], token_col, out_col="__cum")
+    start = F.col("__cum") - F.col(token_col)
+    return (
+        cum.withColumn("token_start", start)
+        .withColumn("pack_id", F.floor(start / max_tokens))
+        .withColumn(
+            "spans_boundary",
+            # last token's window differs from the first token's (empty docs
+            # never span)
+            (F.col(token_col) > 0)
+            & (
+                F.floor((F.col("__cum") - 1) / max_tokens)
+                != F.floor(start / max_tokens)
+            ),
+        )
+        .drop("__cum")
+    )
+
+
 def corpus_profile(
     df: DataFrame,
     text_col: str = "text",

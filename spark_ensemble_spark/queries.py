@@ -635,6 +635,45 @@ def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pack_sequences_2048",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             len(list_filter(list_transform(string_split(regexp_replace(lower(trim(
+               coalesce(text, ''))), '\\s+', ' ', 'g'), ' '), l -> trim(l)),
+               l -> l <> '')) AS n_tokens
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS c
+      FROM toks
+    )
+    SELECT doc_id, n_tokens,
+           c - n_tokens AS token_start,
+           (c - n_tokens) // 2048 AS pack_id,
+           n_tokens > 0 AND (c - 1) // 2048 <> (c - n_tokens) // 2048
+             AS spans_boundary
+    FROM cum
+    """,
+)
+def pack_sequences_2048(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing into 2048-token windows over the documents table —
+    exact integer prefix sums via the range-partitioned
+    ``global_running_sum`` (the oracle's sequential window is the semantics;
+    the implementation never funnels the corpus through one sort task)."""
+    from spark_ensemble_spark.operators.corpus import pack_sequences
+    from spark_ensemble_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(docs, 2048).select(
+        "doc_id", "n_tokens", "token_start", "pack_id", "spans_boundary"
+    )
+
+
+@query(
     "events_hourly_gapfilled",
     """
     WITH span AS (

@@ -923,3 +923,20 @@ def test_streaming_sessionize_native_matches_batch_closed_sessions(spark, sf_dir
         if r["end"] <= final_wm
     }
     assert got == want and len(got) > 0
+
+
+def test_global_running_sum_equals_sequential(spark):
+    """Range-partitioned running sum == a sequential scan, including with
+    forced multi-partition input and duplicate order-key values broken by id."""
+    from spark_ensemble_spark.functions.stats import global_running_sum
+
+    rows = [(i, (i * 7) % 5) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, v long").repartition(13)
+    out = {
+        r["id"]: r["running_sum"]
+        for r in global_running_sum(df, ["id"], "v", num_ranges=7).collect()
+    }
+    running = 0
+    for i, v in rows:
+        running += v
+        assert out[i] == running

@@ -42,6 +42,32 @@ def exact_dedup(df: DataFrame, key_cols: Sequence[str], id_col: str) -> DataFram
     return df.join(winners, on=[*key_cols, id_col], how="left_semi")
 
 
+def exact_dedup_by_priority(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    id_col: str,
+    priority_col: str,
+) -> DataFrame:
+    """Keep the HIGHEST-``priority_col`` row per exact key (id ascending as
+    the tiebreak) — dedup that preserves the best copy instead of the
+    arbitrary min-id one: "of the N crawls of this page, keep the
+    highest-quality snapshot". Same one-shuffle shape as :func:`exact_dedup`:
+    the winner per key is a single ``max(struct(priority, -id))`` aggregate
+    (map-side partials), joined back left-semi. No window over the key."""
+    winner = (
+        df.groupBy(*key_cols)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(priority_col).alias("p"), (-F.col(id_col)).alias("negid")
+                )
+            ).alias("__w")
+        )
+        .select(*key_cols, (-F.col("__w.negid")).alias(id_col))
+    )
+    return df.join(winner, on=[*key_cols, id_col], how="left_semi")
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

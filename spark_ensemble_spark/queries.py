@@ -635,6 +635,77 @@ def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_keep_best",
+    """
+    SELECT doc_id, n_chars FROM (
+      SELECT doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+               ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents)
+    WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority-keeping exact dedup: one row per normalized-text fingerprint,
+    keeping the HIGHEST-n_chars copy (id tiebreak) — 'of the N crawls, keep
+    the best snapshot'. One max(struct) aggregate + semi-join (map-side
+    partials), no window over the corpus; the oracle's row_number formulation
+    is the semantics, not the plan."""
+    from spark_ensemble_spark.operators.dedup import exact_dedup_by_priority
+    from spark_ensemble_spark.operators.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "fp", fingerprint(F.col("text"))
+    )
+    return exact_dedup_by_priority(docs, ["fp"], "doc_id", "n_chars").select(
+        "doc_id", "n_chars"
+    )
+
+
+@query(
+    "chunk_documents_256",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(regexp_replace(lower(trim(
+               coalesce(text, ''))), '\\s+', ' ', 'g'), ' '), l -> trim(l)),
+               l -> l <> '') AS t
+      FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, t, len(t) AS n,
+             CASE WHEN len(t) > 256
+                  THEN CAST(ceil((len(t) - 32) / 224.0) AS BIGINT)
+                  ELSE 1 END AS n_chunks
+      FROM toks
+    ),
+    chunks AS (
+      SELECT doc_id, t,
+             unnest(range(0, n_chunks * 224, 224)) AS s,
+             generate_subscripts(range(0, n_chunks * 224, 224), 1) - 1 AS chunk_idx
+      FROM sized
+    )
+    SELECT doc_id, chunk_idx,
+           array_to_string(t[s + 1 : s + 256], ' ') AS chunk_text,
+           CASE WHEN array_to_string(t[s + 1 : s + 256], ' ') = '' THEN 0
+                ELSE len(string_split(array_to_string(t[s + 1 : s + 256], ' '), ' '))
+           END AS n_chunk_tokens
+    FROM chunks
+    """,
+)
+def chunk_documents_256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-prep chunking: 256-token windows with 32-token overlap (stride
+    224), final partial chunk kept, empty docs preserved as one empty chunk.
+    Pure narrow projection — zero shuffles; the positional explode numbers
+    chunks for free."""
+    from spark_ensemble_spark.operators.corpus import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=256, overlap=32)
+
+
+@query(
     "pack_sequences_2048",
     """
     WITH toks AS (

@@ -635,6 +635,53 @@ def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "customer_value_deciles",
+    f"""
+    WITH cust_rev AS (
+      SELECT c_custkey, {_DECSUM_REV} AS rev
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1
+    )
+    SELECT decile, count(*) AS n_customers,
+           round(CAST(sum(rev) AS DOUBLE), 2) AS decile_revenue
+    FROM (
+      SELECT c_custkey, rev,
+             ntile(10) OVER (ORDER BY rev DESC, c_custkey) AS decile
+      FROM cust_rev)
+    GROUP BY decile
+    """,
+)
+def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM-style customer segmentation: revenue deciles via ntile(10) (the
+    one ranking function the suite didn't exercise), ranked on the exact
+    DECIMAL revenue with a key tiebreak so bucket boundaries are
+    engine-independent. The global ntile sorts only the per-customer
+    aggregate (SF-proportional but 3 orders smaller than the fact table);
+    a fact-scale ntile would use the range-partition prefix trick instead."""
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .groupBy("c_custkey")
+        .agg(_decsum_rev().alias("rev"))
+    )
+    w = Window.orderBy(F.desc("rev"), "c_custkey")
+    return (
+        rev.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("rev").cast("double"), 2).alias("decile_revenue"),
+        )
+    )
+
+
+@query(
     "dedup_keep_best",
     """
     SELECT doc_id, n_chars FROM (

@@ -940,3 +940,72 @@ def test_global_running_sum_equals_sequential(spark):
     for i, v in rows:
         running += v
         assert out[i] == running
+
+
+def test_stateful_sessionize_survives_restart(spark, tmp_path):
+    """applyInPandasWithState state must RESTORE from the checkpoint across a
+    full query stop/start: a session whose events straddle the restart
+    boundary merges into ONE session (state serialization round-trip), and
+    session numbering continues."""
+    import pandas as pd
+
+    from spark_ensemble_spark.streaming.events import (
+        latest_sessions,
+        read_events_stream,
+        sessionized_stream,
+    )
+
+    src = tmp_path / "restart_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "restart_ckpt")
+    t0 = 1_700_000_000_000_000_000
+
+    def write_file(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+        )
+        pdf["props"] = "{}"
+        spark.createDataFrame(
+            pdf,
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    out = str(tmp_path / "restart_out")
+
+    def start():
+        # memory sinks don't support checkpoint recovery; the exactly-once
+        # foreachBatch parquet sink does — and this doubles as its restart
+        # integration test
+        from spark_ensemble_spark.streaming.sinks import write_stream_exactly_once
+
+        stream = sessionized_stream(
+            read_events_stream(spark, str(src) + "/*", glob=None),
+            gap_minutes=30,
+            watermark="1 hour",
+        )
+        return write_stream_exactly_once(stream, out, ckpt)
+
+    # run 1: two events 10 min apart -> one open session in state
+    write_file("f1", [(1, t0, 1, "click", 1.0), (2, t0 + 600 * 10**9, 1, "click", 2.0)])
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # run 2 (fresh query, same checkpoint): an event 10 min later must EXTEND
+    # the restored session, not start a new one
+    write_file("f2", [(3, t0 + 1200 * 10**9, 1, "click", 4.0)])
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    final = latest_sessions(
+        spark.read.parquet(out).drop("batch_id")
+    ).filter(F.col("user_id") == 1).collect()
+    assert len(final) == 1, final
+    r = final[0]
+    assert (r["session_seq"], r["n_events"], r["session_value"]) == (1, 3, "7.0000")

@@ -367,3 +367,30 @@ def test_write_sorted_parquet_ordered_ranges(spark, tmp_path):
         assert hi1 <= lo2, f"overlapping file ranges {(lo1,hi1)} {(lo2,hi2)}"
     total = spark.read.parquet(out).count()
     assert total == 10_000
+
+
+def test_contamination_overlap_broadcasts_eval_side(spark, sf_dir):
+    """The scale guarantee of the contamination check: the eval side is
+    BROADCAST (the 100 TB corpus side never shuffles for the join) and no
+    cartesian product appears."""
+    from spark_ensemble_spark.operators.corpus import contamination_overlap
+    from spark_ensemble_spark.plans.explain import has_broadcast_join, has_cartesian
+    from spark_ensemble_spark.sources.datasets import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_df = docs.filter(F.col("doc_id") % 20 == 0)
+    out = contamination_overlap(docs, eval_df, shingle_size=8)
+    assert has_broadcast_join(out)
+    assert not has_cartesian(out)
+
+
+def test_corpus_profile_single_shuffle(spark, sf_dir):
+    """The dataset-card profile must be ONE aggregation pass: a single
+    exchange (on the stratum key), no joins at all."""
+    from spark_ensemble_spark.operators.corpus import corpus_profile
+    from spark_ensemble_spark.plans.explain import executed_plan
+    from spark_ensemble_spark.sources.datasets import load_table
+
+    plan = executed_plan(corpus_profile(load_table(spark, sf_dir, "documents")))
+    assert plan.count("Exchange") <= 2, plan  # plan tree + reuse ref
+    assert "Join" not in plan

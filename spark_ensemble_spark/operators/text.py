@@ -136,6 +136,44 @@ REDACTION_PATTERNS = [
 ]
 
 
+def hashed_bow_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Feature hashing ("hashing trick"): signed hashed bag-of-words —
+    ``(id, dim, weight)`` rows where ``weight = Σ_token sign(h) [h mod dim]``.
+
+    The vocabulary-FREE text featurizer (Weinberger et al. 2009): no fitted
+    dictionary to build, broadcast, or keep in sync — exactly what a 100 TB
+    corpus wants, since a vocab pass is another full scan and a 10⁸-term
+    broadcast. The sign bit makes collisions cancel in expectation instead of
+    accumulating. Plan: explode tokens → hash once (codegen) → groupBy
+    (id, dim) with map-side partials; emitted FLAT (zero dims absent) so
+    downstream assembles sparse vectors however it likes. ``md5`` mode is the
+    cross-engine verification hash (see dedup._hash64)."""
+    from spark_ensemble_spark.operators.dedup import _hash64
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(tokens(F.coalesce(F.col(text_col), F.lit(""))), lambda t: t != "")
+        ).alias("__t"),
+    ).select(F.col(id_col), _hash64(F.col("__t"), hash_fn).alias("__h"))
+    sign = F.when((F.col("__h") % 2) == 0, 1).otherwise(-1)
+    return (
+        toks.select(
+            F.col(id_col),
+            F.pmod(F.col("__h"), F.lit(dim)).alias("dim"),
+            sign.alias("__s"),
+        )
+        .groupBy(id_col, "dim")
+        .agg(F.sum("__s").alias("weight"))
+    )
+
+
 def redact(text: Column, kinds: Optional[Sequence[str]] = None) -> Column:
     """Replace PII-shaped substrings with typed placeholder tokens.
 

@@ -635,6 +635,37 @@ def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "feature_hashing_bow",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(list_transform(string_split(lower(trim(
+               coalesce(text, ''))), ' '), l -> l), l -> l <> '')) AS t
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(t), 1, 15))::BIGINT AS h
+      FROM toks
+    )
+    SELECT doc_id, h % 64 AS dim,
+           sum(CASE WHEN h % 2 = 0 THEN 1 ELSE -1 END) AS weight
+    FROM hashed GROUP BY 1, 2
+    """,
+)
+def feature_hashing_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-free signed feature hashing over the documents table
+    (64 dims, md5 cross-engine mode; xxhash64 is the production default).
+    Emitted flat as (doc_id, dim, weight). The document texts are already
+    single-spaced, so the whitespace split matches the oracle's
+    single-space split exactly."""
+    from spark_ensemble_spark.operators.text import hashed_bow_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hashed_bow_features(docs, dim=64, hash_fn="md5")
+
+
+@query(
     "customer_value_deciles",
     f"""
     WITH cust_rev AS (

@@ -446,6 +446,50 @@ def sample_fixed_per_stratum(
     )
 
 
+def curation_with_metrics(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.3,
+    min_tokens: int = 20,
+):
+    """Quality-filter + exact-dedup with FREE pipeline metrics: returns
+    ``(result_df, observations)`` where the observations capture rows-in /
+    rows-after-filter / tokens-after-filter via ``DataFrame.observe`` —
+    metrics accumulate AS the result is computed, costing zero extra passes.
+    At 100 TB the difference between ``observe`` and "just run .count() at
+    each stage" is three full scans of the corpus; this is how a production
+    curation job reports its funnel. Read ``obs.get`` AFTER an action on the
+    returned frame."""
+    from pyspark.sql import Observation
+
+    from spark_ensemble_spark.operators.dedup import exact_dedup
+    from spark_ensemble_spark.operators.text import (
+        fingerprint,
+        quality_score,
+        token_count,
+    )
+
+    obs_in = Observation("curation_in")
+    obs_kept = Observation("curation_kept")
+    t = F.col(text_col)
+    enriched = df.observe(obs_in, F.count(F.lit(1)).alias("rows_in")).select(
+        F.col(id_col),
+        token_count(t).alias("n_tokens"),
+        F.round(quality_score(t), 6).alias("quality"),
+        fingerprint(t).alias("fp"),
+    )
+    filtered = enriched.filter(
+        (F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens)
+    ).observe(
+        obs_kept,
+        F.count(F.lit(1)).alias("rows_kept"),
+        F.sum("n_tokens").alias("tokens_kept"),
+    )
+    deduped = exact_dedup(filtered, ["fp"], id_col)
+    return deduped, {"in": obs_in, "kept": obs_kept}
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_tokens: int = 256,

@@ -478,3 +478,26 @@ def test_streaming_enrichment_matches_batch_join(spark, sf_dir):
         ).fetchall()
     )
     assert got == want and len(got) > 0
+
+
+def test_curation_with_metrics_observe(spark, sf_dir):
+    """observe() metrics must equal the stage counts computed the expensive
+    way (separate actions), while the pipeline itself runs ONE action."""
+    from spark_ensemble_spark.operators.corpus import curation_with_metrics
+    from spark_ensemble_spark.operators.text import quality_score, token_count
+    from spark_ensemble_spark.sources.datasets import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    result, obs = curation_with_metrics(docs)
+    n_out = result.count()  # the single action that also fills the metrics
+
+    m_in = obs["in"].get
+    m_kept = obs["kept"].get
+    assert m_in["rows_in"] == docs.count()
+    expensive = docs.select(
+        token_count(F.col("text")).alias("n"),
+        F.round(quality_score(F.col("text")), 6).alias("q"),
+    ).filter((F.col("q") >= 0.3) & (F.col("n") >= 20))
+    assert m_kept["rows_kept"] == expensive.count()
+    assert m_kept["tokens_kept"] == expensive.agg(F.sum("n")).first()[0]
+    assert 0 < n_out <= m_kept["rows_kept"]

@@ -1009,3 +1009,67 @@ def test_stateful_sessionize_survives_restart(spark, tmp_path):
     assert len(final) == 1, final
     r = final[0]
     assert (r["session_seq"], r["n_events"], r["session_value"]) == (1, 3, "7.0000")
+
+
+def test_streaming_ingest_pipeline_end_to_end(spark, tmp_path):
+    """Composition test: file stream -> bounded-state dedup -> filter ->
+    exactly-once parquet sink, across TWO micro-batches with a duplicate
+    arriving late. Each stage is unit-tested alone; this proves they compose
+    (watermarks propagate, the sink sees the deduped stream, nothing
+    double-counts across batches)."""
+    import pandas as pd
+
+    from spark_ensemble_spark.streaming.events import read_events_stream
+    from spark_ensemble_spark.streaming.sinks import write_stream_exactly_once
+
+    src = tmp_path / "ingest_src"
+    src.mkdir()
+    out = str(tmp_path / "ingest_out")
+    ckpt = str(tmp_path / "ingest_ckpt")
+    t0 = 1_700_000_000_000_000_000
+
+    def write_file(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+        )
+        pdf["props"] = "{}"
+        spark.createDataFrame(
+            pdf,
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    # batch 1: two keys, one below the value filter
+    write_file(
+        "f1",
+        [
+            (1, t0, 1, "click", 5.0),
+            (2, t0 + 10**9, 2, "click", 0.5),  # filtered out
+        ],
+    )
+    stream = (
+        read_events_stream(spark, str(src) + "/*", glob=None)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .filter(F.col("value") >= 1.0)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    q = write_stream_exactly_once(stream, out, ckpt)
+    try:
+        q.processAllAvailable()
+        # batch 2: a LATE DUPLICATE of (1, click) plus a genuinely new key
+        write_file(
+            "f2",
+            [
+                (3, t0 + 2 * 10**9, 1, "click", 9.0),  # dup key: dropped
+                (4, t0 + 3 * 10**9, 3, "view", 2.0),  # new: kept
+            ],
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.read.parquet(out).collect()
+    ids = sorted(r["event_id"] for r in rows)
+    # kept: first (1,click) and the new (3,view); dropped: low-value + dup
+    assert ids == [1, 4], ids

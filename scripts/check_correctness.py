@@ -73,6 +73,16 @@ def main() -> int:
         try:
             rel = con.sql(oracles[name])
             duck_cols = [d[0] for d in rel.description]
+            # Logical-type audit BEFORE fetch: HUGEINT (DuckDB's promotion of
+            # integer sum()) round-trips through the driver's Arrow/pandas
+            # hash path as float64 ("123.0" vs Spark's "123"), a mismatch the
+            # Python-object value compare below provably cannot see (r4: five
+            # red rows, one cause). Any flagged column is a hard local fail.
+            hugeint_cols = [
+                (d[0], str(t))
+                for d, t in zip(rel.description, rel.types)
+                if "HUGEINT" in str(t).upper()
+            ]
             duck_rows = rel.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
@@ -80,6 +90,10 @@ def main() -> int:
             continue
 
         problems = []
+        if hugeint_cols:
+            problems.append(
+                f"oracle emits HUGEINT {hugeint_cols} — CAST(... AS BIGINT)"
+            )
         if sorted(c.lower() for c in spark_cols) != sorted(c.lower() for c in duck_cols):
             problems.append(f"columns spark={spark_cols} duck={duck_cols}")
         if len(spark_rows) != len(duck_rows):

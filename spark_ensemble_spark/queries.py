@@ -649,7 +649,7 @@ def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM toks
     )
     SELECT doc_id, h % 64 AS dim,
-           sum(CASE WHEN h % 2 = 0 THEN 1 ELSE -1 END) AS weight
+           CAST(sum(CASE WHEN h % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS weight
     FROM hashed GROUP BY 1, 2
     """,
 )
@@ -795,7 +795,8 @@ def chunk_documents_256(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cum AS (
       SELECT doc_id, n_tokens,
-             sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS c
+             CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS c
       FROM toks
     )
     SELECT doc_id, n_tokens,
@@ -994,8 +995,8 @@ def winsorized_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     with_id AS (
       SELECT user_id, ts, value,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                    ROWS UNBOUNDED PRECEDING) AS session_seq
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
       FROM ordered
     )
     SELECT user_id,
@@ -1101,8 +1102,8 @@ def discount_quantity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT strftime(day, '%Y-%m-%d') AS day,
            count(*) AS active_users,
-           sum(CASE WHEN next_day = day + INTERVAL 1 DAY THEN 1 ELSE 0 END)
-             AS retained_next_day
+           CAST(sum(CASE WHEN next_day = day + INTERVAL 1 DAY THEN 1 ELSE 0 END)
+             AS BIGINT) AS retained_next_day
     FROM with_next
     GROUP BY 1
     """,
@@ -2528,8 +2529,8 @@ def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     with_id AS (
       SELECT user_id, ts, value,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                    ROWS UNBOUNDED PRECEDING) AS session_seq
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
       FROM ordered
     )
     SELECT user_id, session_seq, count(*) AS n_events,
@@ -2915,7 +2916,7 @@ def part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT * FROM filtered
       WHERE doc_id IN (SELECT min(doc_id) FROM filtered GROUP BY fp)
     )
-    SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+    SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            printf('%.6f', round(CAST(sum(CAST(quality AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6)) AS avg_quality
     FROM deduped GROUP BY lang
     """,
@@ -3021,7 +3022,7 @@ def strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT h, 1 AS m FROM dsh WHERE doc_id % 20 = 0
     )
     SELECT d.doc_id, count(*) AS n_shingles,
-           coalesce(sum(e.m), 0) AS n_matched,
+           CAST(coalesce(sum(e.m), 0) AS BIGINT) AS n_matched,
            round(coalesce(sum(e.m), 0) / count(*)::DOUBLE, 6) AS overlap_ratio
     FROM dsh d LEFT JOIN esh e USING (h)
     GROUP BY d.doc_id
@@ -3061,8 +3062,8 @@ def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     with_id AS (
       SELECT user_id, ts, value,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                    ROWS UNBOUNDED PRECEDING) AS session_seq
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
       FROM ordered
     )
     SELECT user_id, session_seq, count(*) AS n_events,
@@ -3121,7 +3122,7 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            printf('%.4f', round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)) AS avg_k
     FROM events GROUP BY event_type
     """,

@@ -51,21 +51,21 @@ def exact_dedup_by_priority(
     """Keep the HIGHEST-``priority_col`` row per exact key (id ascending as
     the tiebreak) — dedup that preserves the best copy instead of the
     arbitrary min-id one: "of the N crawls of this page, keep the
-    highest-quality snapshot". Same one-shuffle shape as :func:`exact_dedup`:
-    the winner per key is a single ``max(struct(priority, -id))`` aggregate
-    (map-side partials), joined back left-semi. No window over the key."""
-    winner = (
-        df.groupBy(*key_cols)
-        .agg(
-            F.max(
-                F.struct(
-                    F.col(priority_col).alias("p"), (-F.col(id_col)).alias("negid")
-                )
-            ).alias("__w")
-        )
-        .select(*key_cols, (-F.col("__w.negid")).alias(id_col))
+    highest-quality snapshot". Works for ANY orderable id type (string ids
+    included) and keeps all-NULL-priority groups: max-priority rows are
+    selected by null-safe comparison against the per-key ``max(priority)``
+    aggregate, then :func:`exact_dedup` applies the min-id tiebreak. No
+    negation trick (a string id cannot be negated; Long.MIN_VALUE
+    overflows), no window over the key — every stage is a map-side-partial
+    aggregate or an equi-join on the same keys, so AQE plans them as
+    ordinary co-partitioned shuffles."""
+    best = df.groupBy(*key_cols).agg(F.max(priority_col).alias("__maxp"))
+    kept = (
+        df.join(best, on=list(key_cols))
+        .where(F.col(priority_col).eqNullSafe(F.col("__maxp")))
+        .drop("__maxp")
     )
-    return df.join(winner, on=[*key_cols, id_col], how="left_semi")
+    return exact_dedup(kept, key_cols, id_col)
 
 
 # ---------------------------------------------------------------------------

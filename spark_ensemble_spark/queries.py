@@ -727,9 +727,10 @@ def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Priority-keeping exact dedup: one row per normalized-text fingerprint,
     keeping the HIGHEST-n_chars copy (id tiebreak) — 'of the N crawls, keep
-    the best snapshot'. One max(struct) aggregate + semi-join (map-side
-    partials), no window over the corpus; the oracle's row_number formulation
-    is the semantics, not the plan."""
+    the best snapshot'. max(priority) aggregate + null-safe filter + min-id
+    dedup (map-side partials throughout, works for string ids), no window
+    over the corpus; the oracle's row_number formulation is the semantics,
+    not the plan."""
     from spark_ensemble_spark.operators.dedup import exact_dedup_by_priority
     from spark_ensemble_spark.operators.text import fingerprint
 
@@ -847,8 +848,11 @@ def events_hourly_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream models need (a bare groupBy silently drops empty buckets).
     The scaffold is ``sequence()`` over the 1-row min/max aggregate exploded
     (span-proportional, tiny), LEFT-joined to the grouped counts — the fact
-    table is scanned once; at 100 TB the scaffold side is still just
-    span-hours rows and broadcasts."""
+    table is scanned once. The broadcast goes on the RIGHT (aggregate) side:
+    a left-outer join can only hash-build the non-preserved side, so hinting
+    the scaffold would be ignored (r4 ADVICE); the grouped counts are also
+    just span-hours rows, so the join is a BroadcastHashJoin with the fact
+    scan reduced map-side first."""
     ev = load_table(spark, sf_dir, "events")
     span = ev.agg(
         F.date_trunc("hour", F.min("ts")).alias("lo"),
@@ -863,8 +867,7 @@ def events_hourly_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n")
     )
     return (
-        F.broadcast(scaffold)
-        .join(actual, "hour", "left")
+        scaffold.join(F.broadcast(actual), "hour", "left")
         .select(
             F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
             F.coalesce("n", F.lit(0)).alias("n_events"),
@@ -985,10 +988,15 @@ def winsorized_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_session_window",
+    # Boundary note (r4 ADVICE): Spark's native session_window is HALF-OPEN —
+    # an event exactly gap after its predecessor starts a NEW session (merge
+    # requires gap < 30min), so this oracle breaks on >= 1800000000us. The
+    # lag-based sessionize_batch program (events_sessionize oracle) breaks on
+    # strict >; the two formulations differ only on exact-boundary gaps.
     """
     WITH ordered AS (
       SELECT user_id, ts, value,
-             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) >= 1800000000
                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events

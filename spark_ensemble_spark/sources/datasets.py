@@ -55,10 +55,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def ts_as_timestamp(ts_type: T.DataType) -> F.Column:
-    """Conversion from the SCANNED dtype of events.ts to a session-tz
-    TIMESTAMP, branching on whatever encoding the testdata currently uses
-    (the driver has shipped both nanos-int64 and timestamp[us] across rounds):
+def ts_as_timestamp(ts_type: T.DataType, col: str = "ts") -> F.Column:
+    """Conversion from the SCANNED dtype of a timestamp column to a
+    session-tz TIMESTAMP, branching on whatever encoding the testdata
+    currently uses (the driver has shipped both nanos-int64 and
+    timestamp[us] across rounds):
 
     - LongType — parquet TIMESTAMP(NANOS) read via the ``nanosAsLong`` legacy
       conf: floor-divide to micros (DuckDB's nanos→micros truncation).
@@ -67,12 +68,19 @@ def ts_as_timestamp(ts_type: T.DataType) -> F.Column:
       pinned UTC session tz, which is exact. The cast is REQUIRED, not
       cosmetic: downstream ``unix_micros()`` rejects TIMESTAMP_NTZ.
     - TimestampType — already what we want; pass through.
+
+    ``col`` names the column (default ``"ts"``, the events-table layout) so
+    the helper binds explicitly instead of assuming the caller's naming. A
+    NAME (not a Column) is required because the nanos branch needs integer
+    ``div`` — float division would round ns-scale epochs through double's
+    53-bit mantissa before truncation.
     """
+    c = F.col(col)
     if isinstance(ts_type, T.LongType):
-        return F.timestamp_micros(F.expr("ts div 1000"))
+        return F.timestamp_micros(F.expr(f"`{col}` div 1000"))
     if isinstance(ts_type, T.TimestampNTZType):
-        return F.col("ts").cast("timestamp")
-    return F.col("ts")
+        return c.cast("timestamp")
+    return c
 
 
 def scanned_events_ts_type(

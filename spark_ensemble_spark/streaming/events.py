@@ -547,7 +547,13 @@ def sessionized_stream_native(
     :func:`sessionized_stream` (applyInPandasWithState): sessions are emitted
     ONLY when the watermark closes them (append mode, no provisional rows),
     and there is no session_seq — the session is identified by its start
-    time. Same decimal-exact value treatment as the batch program."""
+    time. Same decimal-exact value treatment as the batch program.
+
+    Boundary semantics: session_window is HALF-OPEN — an event exactly
+    ``gap_minutes`` after its predecessor starts a NEW session (merge
+    requires gap < gap_minutes), unlike the strict-``>`` break of
+    :func:`sessionize_batch` / :func:`sessionized_stream`. The
+    ``events_session_window`` oracle encodes the ``>=`` break."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy(

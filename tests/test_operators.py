@@ -47,6 +47,35 @@ def test_exact_dedup(docs_with_dups):
     assert out.filter(F.col("doc_id") >= 200000).count() == 0
 
 
+def test_priority_dedup_string_ids_and_null_priority(spark):
+    # r4 ADVICE regression: the old max(struct(p, -id)) winner negated the id,
+    # which NULLs out string ids (every duplicated group silently dropped) and
+    # overflows Long.MIN_VALUE. Also: groups whose priority is entirely NULL
+    # must survive, not vanish through a null-dropping equi-join.
+    from spark_ensemble_spark.operators.dedup import exact_dedup_by_priority
+
+    rows = [
+        ("k1", "doc-b", 5),     # k1 winner: highest priority
+        ("k1", "doc-a", 3),
+        ("k1", "doc-c", 5),     # ties doc-b on priority; loses id tiebreak
+        ("k2", "doc-z", None),  # all-NULL-priority group: keep min id
+        ("k2", "doc-y", None),
+        ("k3", "doc-solo", 1),  # singleton passes through
+    ]
+    df = spark.createDataFrame(rows, "key string, id string, priority int")
+    kept = {r.id for r in exact_dedup_by_priority(df, ["key"], "id", "priority").collect()}
+    assert kept == {"doc-b", "doc-y", "doc-solo"}
+
+
+def test_priority_dedup_long_min_value(spark):
+    from spark_ensemble_spark.operators.dedup import exact_dedup_by_priority
+
+    rows = [("k", -(1 << 63), 1), ("k", 7, 1)]
+    df = spark.createDataFrame(rows, "key string, id long, priority int")
+    kept = [r.id for r in exact_dedup_by_priority(df, ["key"], "id", "priority").collect()]
+    assert kept == [-(1 << 63)]  # min id wins the tie; no negation overflow
+
+
 def test_minhash_finds_planted_near_dups(docs_with_dups):
     pairs = minhash_dup_pairs(
         docs_with_dups, "text", "doc_id", threshold=0.5, num_hashes=64, bands=16

@@ -68,6 +68,47 @@ def exact_dedup_by_priority(
     return exact_dedup(kept, key_cols, id_col)
 
 
+def _cap_hot_buckets(
+    banded: DataFrame,
+    bucket_cols: Sequence[str],
+    max_bucket_size: Optional[int],
+    metric_name: str,
+) -> DataFrame:
+    """Quarantine degenerate LSH buckets before a candidate self-join.
+
+    At 100 TB the one skew risk of any banded LSH family is a pathological
+    bucket — empty text, site-wide boilerplate, a constant signature chunk —
+    collecting k members and exploding into k² candidate pairs inside a
+    single reducer. Dropping buckets with more than ``max_bucket_size``
+    members bounds every reducer at max_bucket_size² pairs. The quarantined
+    rows are near-identical by construction (same full band/chunk signature),
+    so the right production follow-up is a cheap exact-dedup pass over them,
+    not a pairwise compare; the count is published via ``observe()`` under
+    ``metric_name`` (rows_quarantined / max_bucket_seen) so pipelines can see
+    what was routed away. The count-join shuffles on the same bucket keys as
+    the candidate self-join, so the capped side arrives at the join already
+    hash-distributed — no additional exchange is introduced for the join
+    itself. ``max_bucket_size=None``/0 disables the cap.
+    """
+    if not max_bucket_size:
+        return banded
+    counts = banded.groupBy(*bucket_cols).agg(
+        F.count(F.lit(1)).alias("__bucket_n")
+    )
+    return (
+        banded.join(counts, on=list(bucket_cols))
+        .observe(
+            metric_name,
+            F.sum(
+                (F.col("__bucket_n") > max_bucket_size).cast("long")
+            ).alias("rows_quarantined"),
+            F.max("__bucket_n").alias("max_bucket_seen"),
+        )
+        .filter(F.col("__bucket_n") <= max_bucket_size)
+        .drop("__bucket_n")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
@@ -212,12 +253,15 @@ def minhash_dup_pairs(
     seed: int = 7,
     shingle_kind: str = "word",
     hash_fn: str = "xxhash64",
+    max_bucket_size: Optional[int] = 1000,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) with estimated Jaccard >= t.
 
     Banded LSH: signatures are split into ``bands`` bands of r rows; a pair
     colliding in any band becomes a candidate (bucket-join, never O(n²));
-    the estimate is the matching-signature fraction.
+    the estimate is the matching-signature fraction. Buckets with more than
+    ``max_bucket_size`` members are quarantined first (:func:`_cap_hot_buckets`)
+    so a degenerate signature can never square a reducer.
     """
     r = num_hashes // bands
     sigs = minhash_signatures(
@@ -251,6 +295,9 @@ def minhash_dup_pairs(
             )
         ).alias("bb"),
     ).select("id", "signature", "bb.band", "bb.bucket")
+    banded = _cap_hot_buckets(
+        banded, ["band", "bucket"], max_bucket_size, "minhash_bucket_cap"
+    )
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -351,9 +398,12 @@ def simhash_dup_pairs(
     id_col: str,
     max_hamming: int = 3,
     hash_fn: str = "xxhash64",
+    max_bucket_size: Optional[int] = 1000,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming (<= 3 guaranteed
-    found: pigeonhole over 4 chunks of num_bits/4)."""
+    found: pigeonhole over 4 chunks of num_bits/4). Chunk buckets over
+    ``max_bucket_size`` members (e.g. every empty text simhashing to 0) are
+    quarantined before the self-join (:func:`_cap_hot_buckets`)."""
     chunk_bits = _simhash_bits(hash_fn) // 4
     chunk_mask = (1 << chunk_bits) - 1
     sigs = simhash_signatures(df, text_col, id_col, hash_fn).persist()
@@ -375,6 +425,9 @@ def simhash_dup_pairs(
             )
         ).alias("cc"),
     ).select("id", "simhash", "cc.chunk", "cc.val")
+    chunks = _cap_hot_buckets(
+        chunks, ["chunk", "val"], max_bucket_size, "simhash_bucket_cap"
+    )
     left, right = chunks.alias("l"), chunks.alias("r")
     cand = (
         left.join(
@@ -521,6 +574,7 @@ def ngram_jaccard_pairs(
     block_on: str = "minhash",
     num_hashes: int = 32,
     bands: int = 16,
+    max_bucket_size: Optional[int] = 1000,
 ) -> DataFrame:
     """Pairs with EXACT word-n-gram Jaccard >= threshold among candidates from
     a blocking join. Two blocking modes:
@@ -601,6 +655,12 @@ def ngram_jaccard_pairs(
                 ),
             )
             .select("id", "grams", "bb.band", "bb.bucket")
+        )
+        # cap applies to the production (minhash) blocking mode only; the
+        # prefix mode is the deterministic verification-harness blocker whose
+        # SQL oracle mirrors the join 1:1 and must not diverge
+        base = _cap_hot_buckets(
+            base, ["band", "bucket"], max_bucket_size, "ngram_bucket_cap"
         )
         join_cond = (
             (F.col("l.band") == F.col("r.band"))
@@ -723,6 +783,12 @@ def embedding_dup_pairs(
 
     Pass ``dim`` explicitly in production (avoids a driver ``first()``
     roundtrip just to measure the vector length).
+
+    No :func:`_cap_hot_buckets` here by design: SRP bucket occupancy is
+    n/2^planes on NON-degenerate data (cosine buckets are coarse by
+    construction, unlike minhash/simhash buckets which are near-unique), so
+    a fixed cap would quarantine healthy buckets as n grows — the right
+    skew knob for SRP is more planes/tables, not a population cap.
     """
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = df.select(F.col(id_col).alias("id"), vec.alias("v"))

@@ -47,6 +47,41 @@ def test_exact_dedup(docs_with_dups):
     assert out.filter(F.col("doc_id") >= 200000).count() == 0
 
 
+def test_lsh_hot_bucket_cap(spark):
+    """A degenerate key (here: 40 identical boilerplate texts, which share
+    every minhash band and every simhash chunk) must be QUARANTINED by the
+    bucket cap — bounded candidate counts — while planted ordinary dups in
+    the same corpus are still found (unchanged recall outside hot buckets)."""
+    boiler = [(i, "lorem ipsum dolor sit amet " * 4) for i in range(40)]
+    near = " ".join(f"word{i} common stable token" for i in range(12))
+    normal = [
+        (100, near + " ending alpha"),
+        (101, near + " ending betaa"),
+        (200, "completely unrelated text about distributed query engines at scale"),
+    ]
+    df = spark.createDataFrame(boiler + normal, "doc_id long, text string")
+
+    pairs = minhash_dup_pairs(
+        df, "text", "doc_id", threshold=0.5, num_hashes=64, bands=16,
+        max_bucket_size=10,
+    )
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert not any(a < 40 and b < 40 for a, b in found)  # hot bucket quarantined
+    assert (100, 101) in found  # ordinary near-dup recall unchanged
+
+    sim = simhash_dup_pairs(df, "text", "doc_id", max_hamming=3, max_bucket_size=10)
+    sfound = {(r.id_a, r.id_b) for r in sim.collect()}
+    assert not any(a < 40 and b < 40 for a, b in sfound)
+    assert (100, 101) in sfound
+
+    # uncapped: the hot bucket squares into C(40,2) = 780 exact-dup pairs
+    unc = minhash_dup_pairs(
+        df, "text", "doc_id", threshold=0.5, num_hashes=64, bands=16,
+        max_bucket_size=None,
+    )
+    assert unc.filter((F.col("id_a") < 40) & (F.col("id_b") < 40)).count() == 780
+
+
 def test_priority_dedup_string_ids_and_null_priority(spark):
     # r4 ADVICE regression: the old max(struct(p, -id)) winner negated the id,
     # which NULLs out string ids (every duplicated group silently dropped) and

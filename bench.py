@@ -17,6 +17,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Per-iteration fit instrumentation (core/instrumentation.py) on stderr —
+# the stdout JSON contract is untouched. Set to 0 to silence.
+os.environ.setdefault("SPARK_ENSEMBLE_VERBOSE_FIT", "1")
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WARM_SF_DIR = os.environ.get("SPARK_GRAFT_WARM_SF_DIR", "/root/testdata/sf0.001")
 

@@ -43,6 +43,7 @@ from spark_ensemble_spark.core.instances import (
     get_num_classes,
     get_num_features,
 )
+from spark_ensemble_spark.core.instrumentation import FitInstrumentation
 from spark_ensemble_spark.core.params import HasBaseLearner, HasNumBaseLearners
 from spark_ensemble_spark.core.persistence import (
     EnsembleReadWrite,
@@ -163,6 +164,7 @@ class BoostingClassifier(Estimator, _BoostingClassifierParams, EnsembleReadWrite
         state = cache.update(instances)
         sum_weights = state.agg(F.sum("__bw")).first()[0] or 0.0
 
+        instr = FitInstrumentation(self.uid, num_learners)
         models: List = []
         estimator_weights: List[float] = []
         try:
@@ -244,9 +246,16 @@ class BoostingClassifier(Estimator, _BoostingClassifierParams, EnsembleReadWrite
 
                 state = cache.update(state)
                 sum_weights = state.agg(F.sum("__bw")).first()[0] or 0.0
+                instr.iteration(
+                    i,
+                    estimator_error=estimator_error,
+                    estimator_weight=estimator_weights[-1] if estimator_weights else None,
+                    sum_weights=sum_weights,
+                )
                 i += 1
         finally:
             cache.close()
+        instr.done(len(models))
 
         model = BoostingClassificationModel(
             num_classes=num_classes,

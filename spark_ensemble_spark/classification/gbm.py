@@ -54,6 +54,7 @@ from spark_ensemble_spark.core.persistence import (
     save_metadata,
     set_params_from_metadata,
 )
+from spark_ensemble_spark.core.instrumentation import FitInstrumentation
 from spark_ensemble_spark.core.subbag import draw_subspace, sample_bag, slice_features
 from spark_ensemble_spark.core.utils import (
     DFIterationCache,
@@ -254,6 +255,7 @@ class GBMClassifier(Estimator, _GBMClassifierParams, EnsembleReadWrite):
         subspaces: List[List[int]] = []
         weights: List[List[float]] = []
 
+        instr = FitInstrumentation(self.uid, num_learners)
         try:
             i = 0
             v = 0
@@ -352,11 +354,15 @@ class GBMClassifier(Estimator, _GBMClassifierParams, EnsembleReadWrite):
                     elif val_error < best_val_error:
                         best_val_error = val_error
                         v = 0
+                    instr.iteration(i, val_error=val_error)
+                else:
+                    instr.iteration(i)
 
                 i += 1
         finally:
             cache.close()
             val_cache.close()
+        instr.done(i, f"kept {i - v if val_state is not None else i}")
 
         keep = i - v if val_state is not None else i
         model = GBMClassificationModel(

@@ -33,6 +33,7 @@ from spark_ensemble_spark.core.base import (
     score_base_models,
 )
 from spark_ensemble_spark.core.instances import extract_instances, get_num_features
+from spark_ensemble_spark.core.instrumentation import FitInstrumentation
 from spark_ensemble_spark.core.params import (
     HasBaseLearner,
     HasNumBaseLearners,
@@ -166,8 +167,10 @@ class BoostingRegressor(Estimator, _BoostingRegressorParams, EnsembleReadWrite):
         state = cache.update(instances)
         sum_weights = state.agg(F.sum("__bw")).first()[0] or 0.0
 
+        instr = FitInstrumentation(self.uid, num_learners)
         models: List = []
         estimator_weights: List[float] = []
+        stop_reason = "completed"
         try:
             i = 0
             while i < num_learners and sum_weights > 0:
@@ -192,6 +195,8 @@ class BoostingRegressor(Estimator, _BoostingRegressorParams, EnsembleReadWrite):
                     # weight 1.0, then stop (reference :236-239,253-254).
                     models.append(model)
                     estimator_weights.append(1.0)
+                    instr.iteration(i, estimator_error=0.0, estimator_weight=1.0)
+                    stop_reason = "perfect fit"
                     break
 
                 scored = scored.withColumn(
@@ -210,10 +215,17 @@ class BoostingRegressor(Estimator, _BoostingRegressorParams, EnsembleReadWrite):
                 estimator_weight = 1.0 if beta == 0.0 else math.log(1.0 / beta)
                 models.append(model)
                 estimator_weights.append(estimator_weight)
+                instr.iteration(
+                    i,
+                    estimator_error=estimator_error,
+                    estimator_weight=estimator_weight,
+                    sum_weights=sum_weights,
+                )
 
                 if estimator_error >= 0.5:
                     # Keep the model (matching the reference's net behavior at
                     # :251-269) but stop boosting.
+                    stop_reason = "estimator_error >= 0.5"
                     break
 
                 state = scored.withColumn(
@@ -225,6 +237,7 @@ class BoostingRegressor(Estimator, _BoostingRegressorParams, EnsembleReadWrite):
                 i += 1
         finally:
             cache.close()
+        instr.done(len(models), stop_reason)
 
         model = BoostingRegressionModel(
             weights=estimator_weights, models=models, num_features=num_features

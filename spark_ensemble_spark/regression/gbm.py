@@ -37,6 +37,7 @@ from spark_ensemble_spark.core.base import (
     score_base_models,
 )
 from spark_ensemble_spark.core.instances import extract_instances, get_num_features
+from spark_ensemble_spark.core.instrumentation import FitInstrumentation
 from spark_ensemble_spark.core.persistence import (
     EnsembleReadWrite,
     load_ensemble,
@@ -243,6 +244,7 @@ class GBMRegressor(Estimator, _GBMRegressorParams, EnsembleReadWrite):
                 or 0.0
             )
 
+        instr = FitInstrumentation(self.uid, num_learners)
         models: List = []
         subspaces: List[List[int]] = []
         weights: List[float] = []
@@ -396,12 +398,18 @@ class GBMRegressor(Estimator, _GBMRegressorParams, EnsembleReadWrite):
                     elif val_error < best_val_error:
                         best_val_error = val_error
                         v = 0
+                    instr.iteration(
+                        i, step=solution, weight=weight, val_error=val_error
+                    )
+                else:
+                    instr.iteration(i, step=solution, weight=weight)
 
                 i += 1
         finally:
             cache.close()
             val_cache.close()
 
+        instr.done(i, f"kept {i - v if val_state is not None else i}")
         keep = i - v if val_state is not None else i
         model = GBMRegressionModel(
             weights=weights[:keep],

@@ -135,3 +135,20 @@ def test_bad_label_col(reg_splits):
         BoostingRegressor(
             baseLearner=DecisionTreeRegressor(), labelCol="kek"
         ).fit(train)
+
+
+def test_fit_instrumentation_emits_iteration_lines(reg_splits, caplog):
+    import logging
+
+    from spark_ensemble_spark import DummyRegressor
+    from spark_ensemble_spark.core.instrumentation import LOGGER_NAME
+
+    train, _ = reg_splits
+    with caplog.at_level(logging.INFO, logger=LOGGER_NAME):
+        BoostingRegressor(
+            baseLearner=DummyRegressor(strategy="mean"), numBaseLearners=3
+        ).fit(train)
+    lines = [r.message for r in caplog.records if "iter=" in r.message]
+    assert lines, "expected per-iteration instrumentation lines"
+    assert any("estimator_error=" in m for m in lines)
+    assert any("fit" in r.message and "model(s)" in r.message for r in caplog.records)

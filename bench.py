@@ -71,6 +71,33 @@ BENCH_QUERIES = [
     # bucketized point-in-interval join + per-doc TF-IDF (r4)
     "range_join_attribution",
     "tfidf_top_terms",
+    # registry completion (r5): every driver-window entry is benched, so
+    # BENCH_r{N} has a row for all 50 CORRECTNESS rows
+    "streaming_sessionize",
+    "pivot_flag_by_status",
+    "orders_monthly_stats",
+    "part_brand_stats",
+    "streaming_click_attribution",
+    "events_json_props",
+    "top_tokens",
+    "similarity_ivf_fixed",
+    "q4_priority_exists",
+    "clickers_never_purchased",
+    "dummy_prior_classifier",
+    "bagging_dummy_mean_regressor",
+    "bagging_dummy_prior_classifier",
+    "boosting_dummy_median_regressor",
+    "boosting_dummy_prior_classifier",
+    "gbm_dummy_mean_regressor",
+    "gbm_dummy_prior_classifier",
+    "stacking_dummy_regressor",
+    "stacking_dummy_prior_classifier",
+    "text_language_id",
+    "dedup_minhash_md5",
+    "dedup_simhash_md5",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "embedding_dup_pairs_lsh",
 ]
 
 
@@ -116,6 +143,15 @@ def main() -> None:
         "boosting_tree_regressor",
         "gbm_tree_regressor",
         "stacking_tree_classifier",
+        "dummy_prior_classifier",
+        "bagging_dummy_mean_regressor",
+        "bagging_dummy_prior_classifier",
+        "boosting_dummy_median_regressor",
+        "boosting_dummy_prior_classifier",
+        "gbm_dummy_mean_regressor",
+        "gbm_dummy_prior_classifier",
+        "stacking_dummy_regressor",
+        "stacking_dummy_prior_classifier",
     }
     t0 = time.time()
     if os.path.isdir(WARM_SF_DIR) and os.path.abspath(WARM_SF_DIR) != os.path.abspath(

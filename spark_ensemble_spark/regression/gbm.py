@@ -52,7 +52,7 @@ from spark_ensemble_spark.core.optim import minimize_scalar_batched
 from spark_ensemble_spark.core.subbag import draw_subspace, sample_bag, slice_features
 from spark_ensemble_spark.core.utils import DFIterationCache, fit_base_learner
 
-_LOSSES = ("squared", "absolute", "huber", "quantile")
+_LOSSES = ("squared", "absolute", "huber", "quantile", "logcosh", "scaledlogcosh")
 _INIT = ("constant", "zero", "base")
 
 
@@ -174,7 +174,10 @@ class GBMRegressor(Estimator, _GBMRegressorParams, EnsembleReadWrite):
         else:
             if loss_name == "squared":
                 dummy = DummyRegressor(strategy="mean")
-            elif loss_name in ("absolute", "huber"):
+            elif loss_name in ("absolute", "huber", "logcosh", "scaledlogcosh"):
+                # logcosh behaves like a smoothed absolute loss; its sum is
+                # minimized near the median, the same robust init the
+                # absolute/huber branch uses
                 dummy = DummyRegressor(strategy="median")
             else:
                 dummy = DummyRegressor(strategy="quantile", quantile=self.getAlpha())

@@ -126,7 +126,9 @@ def test_gbm_regressor_beats_single_tree(reg_splits):
     assert gbm_rmse < single_rmse * 1.02
 
 
-@pytest.mark.parametrize("loss", ["squared", "absolute", "huber", "quantile"])
+@pytest.mark.parametrize(
+    "loss", ["squared", "absolute", "huber", "quantile", "logcosh", "scaledlogcosh"]
+)
 @pytest.mark.parametrize("updates", ["gradient", "newton"])
 def test_gbm_regressor_losses_train(reg_splits, loss, updates):
     train, test = reg_splits

@@ -58,7 +58,17 @@ AUDITED = [
         "dedup_minhash_pairs",
         "signature stage is explode + partial-aggregated grouped min()s "
         "(whole-stage codegen, shuffle carries ids × k longs only); banded "
-        "self-join is an equi-join on (band, bucket) — never O(n²).",
+        "self-join is an equi-join on (band, bucket) — never O(n²); the "
+        "hot-bucket cap's count-join shuffles on the SAME (band, bucket) "
+        "keys, so the capped side feeds the self-join without a new "
+        "exchange (r5).",
+    ),
+    (
+        "events_hourly_gapfilled",
+        "left-outer scaffold join is a BroadcastHashJoin with BuildRight — "
+        "the broadcast is on the aggregate (non-preserved) side, the only "
+        "side a left join can hash-build (r5 ADVICE fix); fact table "
+        "scanned once, grouped map-side before the join.",
     ),
     (
         "similarity_srp_topk",

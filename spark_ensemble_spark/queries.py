@@ -3255,6 +3255,77 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Model-evaluation metrics (functions/metrics.py) as end-to-end queries: a
+# deterministic fitted model's predictions are scored with the distributed
+# one-pass evaluators, and DuckDB recomputes the identical metric algebra.
+# ---------------------------------------------------------------------------
+
+from spark_ensemble_spark.functions.metrics import (  # noqa: E402
+    classification_metrics_sql,
+    regression_metrics_sql,
+)
+
+_MEDIAN_PRED_SQL = f"""(
+      SELECT label FROM (
+        SELECT label,
+               row_number() OVER (ORDER BY label) AS rn,
+               count(*) OVER () AS n
+        FROM (SELECT {REVENUE_SQL} AS label FROM lineitem)
+      ) WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
+    )"""
+
+
+@query(
+    "regression_metrics_dummy_median",
+    regression_metrics_sql("lineitem", REVENUE_SQL, _MEDIAN_PRED_SQL),
+)
+def regression_metrics_dummy_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RMSE/MAE/R² of the exact-median DummyRegressor, computed by the
+    one-pass distributed evaluator (functions/metrics.py). The median
+    predictor keeps R² strictly below its 0-boundary (the mean predictor's
+    R² rounds at ±0 where IEEE −0.0 vs 0.0 diverges across engines), so the
+    oracle is knife-edge-free. Mirrors the reference's evaluator-based test
+    assertions (GBMRegressorSuite.scala:51-76) as a first-class operator."""
+    from spark_ensemble_spark import DummyRegressor
+    from spark_ensemble_spark.functions.metrics import regression_metrics
+
+    ds = regression_dataset(spark, sf_dir)
+    model = DummyRegressor(strategy="median", tol=0.0).fit(ds)
+    return regression_metrics(model.transform(ds), "label", "prediction")
+
+
+_MODAL_CLASS_SQL = """(
+      SELECT prediction FROM (
+        SELECT CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS DOUBLE)
+                 AS prediction,
+               count(*) AS c
+        FROM lineitem GROUP BY 1 ORDER BY c DESC, prediction ASC LIMIT 1
+      )
+    )"""
+
+
+@query(
+    "classification_metrics_dummy_prior",
+    classification_metrics_sql(
+        "lineitem",
+        "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END",
+        _MODAL_CLASS_SQL,
+    ),
+)
+def classification_metrics_dummy_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1/support of the prior DummyClassifier
+    (predicts the modal class everywhere): one confusion-matrix shuffle, all
+    ratio math on the K²-row frame. The never-predicted class exercises the
+    zero-division convention (precision/f1 = 0.0, never NULL)."""
+    from spark_ensemble_spark import DummyClassifier
+    from spark_ensemble_spark.functions.metrics import classification_metrics
+
+    ds = binary_dataset(spark, sf_dir)
+    model = DummyClassifier(strategy="prior").fit(ds)
+    return classification_metrics(model.transform(ds), "label", "prediction")
+
+
+# ---------------------------------------------------------------------------
 # Driver-visible registry curation.
 #
 # The driver verifies the FIRST 50 ``queries()`` entries in registration

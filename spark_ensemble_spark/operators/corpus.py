@@ -258,6 +258,24 @@ def _words(text: Column) -> Column:
     return F.filter(toks, lambda t: t != "")
 
 
+def _sorted_ngrams(text: Column, n: int, sep: str) -> Column:
+    """Sorted array of the document's word n-grams joined by ``sep``
+    (NULL when the doc has fewer than ``n`` words)."""
+    toks = _words(text)
+    return F.when(
+        F.size(toks) >= n,
+        F.array_sort(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(
+                    sep,
+                    *[F.try_element_at(toks, i + F.lit(j + 1)) for j in range(n)],
+                ),
+            )
+        ),
+    )
+
+
 def top_ngram_fraction(text: Column, n: int = 2) -> Column:
     """Fraction of a document's word n-gram occurrences taken by its single
     most frequent n-gram (Gopher's repetition signal; 0.0 for docs shorter
@@ -265,40 +283,134 @@ def top_ngram_fraction(text: Column, n: int = 2) -> Column:
 
     Computed per row with array HOFs in O(m log m): sort the n-gram array,
     then a single fold tracks the longest equal run. No explode, no shuffle —
-    the signal stays a narrow projection at any corpus size (the naive
-    per-gram ``filter`` recount is O(m²) per doc and was rejected)."""
-    toks = _words(text)
-    grams = F.when(
-        F.size(toks) >= n,
-        F.array_sort(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.concat_ws(
-                    "",
-                    *[F.try_element_at(toks, i + F.lit(j + 1)) for j in range(n)],
-                ),
-            )
+    the signal stays a narrow projection at any corpus size.
+
+    The fold runs OVER the gram array itself, carrying the previous gram in
+    the accumulator. The earlier formulation folded over an index
+    ``sequence`` and read ``grams[i]``/``grams[i-1]`` per step — lambda
+    bodies are interpreted expression trees, so every outer reference to
+    ``grams`` re-ran the tokenize+slice+sort pipeline per element: O(m²)
+    re-evaluation (measured 227s → ~1s over 500 docs for the trigram twin
+    when both switched to accumulator-carried state)."""
+    grams = _sorted_ngrams(text, n, "")
+    # acc = (previous gram, current run, best run, gram count); grams is
+    # referenced ONCE as the fold input (a second F.size(grams) reference
+    # would rebuild the whole tokenize+sort pipeline). The empty-string
+    # sentinel never equals a real gram (tokens are non-empty), so the first
+    # element starts run=1 correctly; finish computes best/m in place.
+    return F.aggregate(
+        F.coalesce(grams, F.array()),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("cur"),
+            F.lit(0).alias("best"),
+            F.lit(0).alias("m"),
         ),
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            F.when(g == acc["prev"], acc["cur"] + 1).otherwise(F.lit(1)).alias("cur"),
+            F.greatest(
+                acc["best"],
+                F.when(g == acc["prev"], acc["cur"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+            (acc["m"] + 1).alias("m"),
+        ),
+        lambda acc: F.when(
+            acc["m"] >= 1, acc["best"] / acc["m"].cast("double")
+        ).otherwise(F.lit(0.0)),
     )
-    m = F.size(grams)
-    # fold over positions 2..m: acc = (current run, best run). Guarded by
-    # m >= 2 — sequence(2, 1) would generate DESCENDING [2, 1], not [].
-    best_run = F.when(
-        m >= 2,
-        F.aggregate(
-            F.sequence(F.lit(2), m),
-            F.struct(F.lit(1).alias("cur"), F.lit(1).alias("best")),
-            lambda acc, i: F.when(
-                F.try_element_at(grams, i) == F.try_element_at(grams, i - 1),
-                F.struct(
-                    (acc["cur"] + 1).alias("cur"),
-                    F.greatest(acc["best"], acc["cur"] + 1).alias("best"),
-                ),
-            ).otherwise(F.struct(F.lit(1).alias("cur"), acc["best"].alias("best"))),
-            lambda acc: acc["best"],
+
+
+def dup_token_fraction(text: Column) -> Column:
+    """Fraction of a document's token occurrences that are repeats of an
+    earlier token: ``1 − |distinct tokens| / |tokens|`` (0.0 for empty docs).
+
+    The within-document repetition signal from Rae et al. 2021 Appendix A1.1
+    adapted to word granularity. Narrow per-row array math — no explode, no
+    shuffle — so it runs at scan speed at any corpus size."""
+    toks = _words(text)
+    m = F.size(toks)
+    return F.when(
+        m >= 1,
+        F.round(1.0 - F.size(F.array_distinct(toks)) / m.cast("double"), 6),
+    ).otherwise(F.lit(0.0))
+
+
+def dup_ngram_char_fraction(text: Column, n: int = 3) -> Column:
+    """Fraction of n-gram characters contained in DUPLICATED word n-grams
+    (grams occurring ≥2 times in the document), the Gopher "fraction of
+    characters in duplicate n-grams" repetition signal.
+
+    Per-row O(m log m): sort the space-joined n-gram array, then ONE fold
+    carries (previous gram, run length, duplicate chars, total chars) and
+    flushes ``run · length(gram)`` into the duplicate tally whenever a run of
+    length ≥2 closes (the ``finish`` lambda closes the final run). Like
+    :func:`top_ngram_fraction`, the fold reads ONLY its element and
+    accumulator — no outer array indexing, which would re-evaluate the gram
+    build per element. The explode+groupBy formulation (a corpus-wide
+    shuffle) is kept as the independent DuckDB oracle instead."""
+    grams = _sorted_ngrams(text, n, " ")
+    stats = F.aggregate(
+        F.coalesce(grams, F.array()),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).cast("long").alias("dup"),
+            F.lit(0).cast("long").alias("total"),
         ),
-    ).otherwise(F.lit(1))
-    return F.when(m >= 1, best_run / m.cast("double")).otherwise(F.lit(0.0))
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.when(g == acc["prev"], acc["dup"])
+            .otherwise(
+                acc["dup"]
+                + F.when(
+                    acc["run"] >= 2,
+                    acc["run"] * F.length(acc["prev"]).cast("long"),
+                ).otherwise(F.lit(0))
+            )
+            .alias("dup"),
+            (acc["total"] + F.length(g)).alias("total"),
+        ),
+        # finish computes the fraction in place so the fold is evaluated
+        # exactly once per row (three references to a fold result would run
+        # the fold three times — HOF results are not CSE'd)
+        lambda acc: F.when(
+            acc["total"] > 0,
+            F.round(
+                (
+                    acc["dup"]
+                    + F.when(
+                        acc["run"] >= 2,
+                        acc["run"] * F.length(acc["prev"]).cast("long"),
+                    ).otherwise(F.lit(0))
+                ).cast("double")
+                / acc["total"].cast("double"),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)),
+    )
+    return stats
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", ngram_n: int = 3
+) -> DataFrame:
+    """Append the three within-document repetition signals (duplicate-token
+    fraction, duplicate n-gram character fraction, top-bigram fraction) as a
+    single narrow projection — the Gopher repetition filter block as one
+    zero-shuffle operator."""
+    text = F.col(text_col)
+    return (
+        df.withColumn("dup_token_fraction", dup_token_fraction(text))
+        .withColumn(
+            f"dup_{ngram_n}gram_char_fraction",
+            dup_ngram_char_fraction(text, ngram_n),
+        )
+        .withColumn(
+            "top_bigram_fraction", F.round(top_ngram_fraction(text, 2), 6)
+        )
+    )
 
 
 def gopher_quality_flags(

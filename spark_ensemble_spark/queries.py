@@ -3255,6 +3255,77 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Within-document repetition signals (Gopher A1.1 repetition block).
+# Spark computes them as per-row sorted-array folds (zero shuffle); the
+# oracle recomputes the same math via the INDEPENDENT explode+groupBy
+# formulation in DuckDB — two algorithms, one answer.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "docs_repetition_signals",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(
+               string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+               x -> x <> ''
+             ) AS toks
+      FROM documents
+    ),
+    base AS (SELECT doc_id, toks, len(toks) AS m FROM t),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, m - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+      FROM base WHERE m >= 3
+    ),
+    gc AS (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2),
+    gfrac AS (
+      SELECT doc_id,
+             round(sum(CASE WHEN c >= 2 THEN c * length(gram) ELSE 0 END) * 1.0
+                   / sum(c * length(gram)), 6) AS dup_3gram_char_fraction
+      FROM gc GROUP BY doc_id
+    ),
+    bi AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, m), i -> toks[i] || toks[i+1])) AS gram
+      FROM base WHERE m >= 2
+    ),
+    bc AS (SELECT doc_id, gram, count(*) AS c FROM bi GROUP BY 1, 2),
+    bfrac AS (
+      SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS top_bigram_fraction
+      FROM bc GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CASE WHEN b.m >= 1
+                THEN round(1.0 - len(list_distinct(b.toks)) * 1.0 / b.m, 6)
+                ELSE 0.0 END AS dup_token_fraction,
+           coalesce(gf.dup_3gram_char_fraction, 0.0) AS dup_3gram_char_fraction,
+           coalesce(bf.top_bigram_fraction, 0.0) AS top_bigram_fraction
+    FROM base b
+    LEFT JOIN gfrac gf USING (doc_id)
+    LEFT JOIN bfrac bf USING (doc_id)
+    """,
+)
+def docs_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition block over documents: duplicate-token fraction,
+    duplicate-trigram character fraction, top-bigram fraction — all per-row
+    sorted-array folds (operators/corpus.py), so the whole signal set is one
+    narrow projection over the scan: no explode, no shuffle, scan-speed at
+    100 TB."""
+    from spark_ensemble_spark.operators.corpus import repetition_signals
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_signals(docs, "text", ngram_n=3).select(
+        "doc_id",
+        "dup_token_fraction",
+        "dup_3gram_char_fraction",
+        "top_bigram_fraction",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Model-evaluation metrics (functions/metrics.py) as end-to-end queries: a
 # deterministic fitted model's predictions are scored with the distributed
 # one-pass evaluators, and DuckDB recomputes the identical metric algebra.

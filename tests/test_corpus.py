@@ -501,3 +501,45 @@ def test_curation_with_metrics_observe(spark, sf_dir):
     assert m_kept["rows_kept"] == expensive.count()
     assert m_kept["tokens_kept"] == expensive.agg(F.sum("n")).first()[0]
     assert 0 < n_out <= m_kept["rows_kept"]
+
+
+def test_repetition_signals_planted(spark):
+    """Hand-computed repetition fractions on planted documents."""
+    from spark_ensemble_spark.operators.corpus import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            # 1: "a b a b a b": tokens 6, distinct 2 -> dup_token 4/6
+            #    trigrams: "a b a","b a b","a b a","b a b" -> all 4 duplicated
+            #    bigrams: ab x3, ba x2 -> top 3/5
+            (1, "a b a b a b"),
+            # 2: all distinct, no repeated grams
+            (2, "one two three four"),
+            # 3: fewer than 3 words: trigram fraction 0, bigram "xy" 1/1
+            (3, "x y"),
+            # 4: empty-ish
+            (4, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in repetition_signals(docs).collect()
+    }
+    r1 = rows[1]
+    assert r1.dup_token_fraction == pytest.approx(4 / 6, abs=1e-6)
+    assert r1.dup_3gram_char_fraction == pytest.approx(1.0, abs=1e-6)
+    assert r1.top_bigram_fraction == pytest.approx(3 / 5, abs=1e-6)
+    r2 = rows[2]
+    assert r2.dup_token_fraction == 0.0
+    assert r2.dup_3gram_char_fraction == 0.0
+    assert r2.top_bigram_fraction == pytest.approx(1 / 3, abs=1e-6)
+    r3 = rows[3]
+    assert r3.dup_3gram_char_fraction == 0.0
+    assert r3.top_bigram_fraction == 1.0
+    r4 = rows[4]
+    assert (
+        r4.dup_token_fraction,
+        r4.dup_3gram_char_fraction,
+        r4.top_bigram_fraction,
+    ) == (0.0, 0.0, 0.0)

@@ -243,6 +243,90 @@ def sample_by_rates(
     return df.filter(bucket < threshold)
 
 
+def temperature_mixing_rates(
+    df: DataFrame,
+    stratum_col: str = "source",
+    size_col: Optional[str] = None,
+    tau: float = 0.5,
+    token_budget: Optional[int] = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-stratum mixing weights via temperature-scaled size shares — the
+    standard multi-source LLM training-mix recipe (The Pile §2.1 / multilingual
+    sampling à la XLM-R): ``weight_s = share_s^τ / Σ_t share_t^τ`` where
+    ``share_s`` is the stratum's fraction of the corpus (by ``size_col`` sum,
+    or row count). τ=1 keeps natural proportions; τ→0 approaches uniform;
+    the up/down-sampling rate to hit ``token_budget`` total is
+    ``min(1, budget·weight_s / size_s)`` (capped: this operator never
+    up-samples past 1 epoch — repeat-epoch scheduling is a trainer concern).
+
+    Plan shape: one partial-aggregated groupBy on the stratum key (a K-row
+    result however large the corpus), then all share/temperature math on the
+    K-row frame via a single-partition window — the data itself is never
+    re-shuffled. Feed the collected rates into :func:`sample_by_rates` for a
+    deterministic, engine-replayable materialization of the mix."""
+    if tau <= 0:
+        raise ValueError(f"tau must be > 0, got {tau}")
+    size = F.sum(size_col).cast("double") if size_col else F.count(F.lit(1)).cast("double")
+    per = df.groupBy(F.col(stratum_col).alias("stratum")).agg(size.alias("size"))
+    from pyspark.sql import Window
+
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    shared = per.withColumn("share", F.col("size") / F.sum("size").over(w_all))
+    powed = shared.withColumn("pw", F.pow("share", F.lit(float(tau))))
+    out = powed.select(
+        "stratum",
+        F.col("size").cast("bigint").alias("size"),
+        F.round("share", round_to).alias("share"),
+        F.round(F.col("pw") / F.sum("pw").over(w_all), round_to).alias("weight"),
+        (F.col("pw") / F.sum("pw").over(w_all)).alias("__w_full"),
+    )
+    if token_budget is not None:
+        out = out.withColumn(
+            "rate",
+            F.round(
+                F.least(
+                    F.lit(1.0), F.lit(float(token_budget)) * F.col("__w_full") / F.col("size")
+                ),
+                round_to,
+            ),
+        )
+    return out.drop("__w_full")
+
+
+def temperature_mixing_rates_sql(
+    table_expr: str = "documents",
+    stratum_sql: str = "source",
+    size_sql: Optional[str] = None,
+    tau: float = 0.5,
+    token_budget: Optional[int] = None,
+    round_to: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`temperature_mixing_rates` for oracle checks."""
+    size = f"sum({size_sql})" if size_sql else "count(*)"
+    rate = (
+        f", round(least(1.0, {float(token_budget)} * pw / sum(pw) OVER () / size),"
+        f" {round_to}) AS rate"
+        if token_budget is not None
+        else ""
+    )
+    return f"""
+    WITH per AS (
+      SELECT {stratum_sql} AS stratum, CAST({size} AS DOUBLE) AS size
+      FROM {table_expr} GROUP BY 1
+    ),
+    shared AS (
+      SELECT stratum, size, size / sum(size) OVER () AS share FROM per
+    ),
+    powed AS (SELECT *, pow(share, {float(tau)}) AS pw FROM shared)
+    SELECT stratum,
+           CAST(size AS BIGINT) AS size,
+           round(share, {round_to}) AS share,
+           round(pw / sum(pw) OVER (), {round_to}) AS weight{rate}
+    FROM powed
+    """
+
+
 # ---------------------------------------------------------------------------
 # Gopher-style quality filters
 # ---------------------------------------------------------------------------

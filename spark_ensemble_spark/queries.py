@@ -3326,6 +3326,110 @@ def docs_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Temperature-based source mixing (The Pile / XLM-R style): per-source
+# token shares -> tau-scaled mixing weights -> deterministic sampling rates,
+# replayed bit-for-bit by DuckDB through the shared md5-bucket filter.
+# ---------------------------------------------------------------------------
+
+_DOCS_WITH_TOKENS_SQL = r"""(
+      SELECT doc_id, source,
+             len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens
+      FROM documents
+    ) d"""
+
+
+def _docs_with_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_ensemble_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+    )
+
+
+@query(
+    "mixing_weights_tau",
+    """
+    WITH per AS (
+      SELECT source AS stratum, CAST(sum(n_tokens) AS DOUBLE) AS size
+      FROM {docs} GROUP BY 1
+    ),
+    shared AS (SELECT stratum, size, size / sum(size) OVER () AS share FROM per),
+    powed AS (SELECT *, pow(share, 0.5) AS pw FROM shared)
+    SELECT stratum,
+           CAST(size AS BIGINT) AS size,
+           round(share, 6) AS share,
+           round(pw / sum(pw) OVER (), 6) AS weight,
+           round(least(1.0, 20000.0 * (pw / sum(pw) OVER ()) / size), 6) AS rate
+    FROM powed
+    """.format(docs=_DOCS_WITH_TOKENS_SQL),
+)
+def mixing_weights_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source temperature mixing weights (τ=0.5, 20k-token budget): one
+    partial-aggregated groupBy to a K-row frame, all share/power math on that
+    frame — the corpus itself is scanned once and never re-shuffled."""
+    from spark_ensemble_spark.operators.corpus import temperature_mixing_rates
+
+    return temperature_mixing_rates(
+        _docs_with_tokens(spark, sf_dir),
+        stratum_col="source",
+        size_col="n_tokens",
+        tau=0.5,
+        token_budget=20_000,
+    )
+
+
+@query(
+    "temperature_mix_sample",
+    """
+    WITH per AS (
+      SELECT source AS stratum, CAST(sum(n_tokens) AS DOUBLE) AS size
+      FROM {docs} GROUP BY 1
+    ),
+    shared AS (SELECT stratum, size, size / sum(size) OVER () AS share FROM per),
+    powed AS (SELECT *, pow(share, 0.5) AS pw FROM shared),
+    rates AS (
+      SELECT stratum,
+             round(least(1.0, 20000.0 * (pw / sum(pw) OVER ()) / size), 6) AS rate
+      FROM powed
+    ),
+    kept AS (
+      SELECT d.source, d.n_tokens
+      FROM {docs} JOIN rates r ON d.source = r.stratum
+      WHERE ('0x' || substring(md5(d.doc_id::VARCHAR || ':11'), 1, 15))::BIGINT
+            % 1000000 < CAST(trunc(r.rate * 1000000) AS BIGINT)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_kept
+    FROM kept GROUP BY source
+    """.format(docs=_DOCS_WITH_TOKENS_SQL),
+)
+def temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end deterministic mix materialization: compute τ=0.5 rates
+    (K-row stats — the only driver-side state, like a model's class priors),
+    then keep each document iff its stable md5 bucket lands under its
+    source's rate, and report per-source kept docs/tokens. The keep filter
+    is a narrow scan-level predicate — no shuffle beyond the final K-row
+    agg — and DuckDB replays the identical hash arithmetic."""
+    from spark_ensemble_spark.operators.corpus import (
+        sample_by_rates,
+        temperature_mixing_rates,
+    )
+
+    docs = _docs_with_tokens(spark, sf_dir)
+    rates_rows = temperature_mixing_rates(
+        docs, "source", "n_tokens", tau=0.5, token_budget=20_000
+    ).collect()
+    rates = {r.stratum: r.rate for r in rates_rows}
+    kept = sample_by_rates(docs, rates, stratum_col="source", seed=11)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Model-evaluation metrics (functions/metrics.py) as end-to-end queries: a
 # deterministic fitted model's predictions are scored with the distributed
 # one-pass evaluators, and DuckDB recomputes the identical metric algebra.

@@ -543,3 +543,35 @@ def test_repetition_signals_planted(spark):
         r4.dup_3gram_char_fraction,
         r4.top_bigram_fraction,
     ) == (0.0, 0.0, 0.0)
+
+
+def test_temperature_mixing_rates_math(spark):
+    """tau=1 reproduces natural shares; tau->0 flattens toward uniform; the
+    budget rate never exceeds 1.0 and hits the budget in expectation."""
+    from spark_ensemble_spark.operators.corpus import temperature_mixing_rates
+
+    df = spark.createDataFrame(
+        [("a", 900), ("b", 90), ("c", 10)], "source string, n int"
+    )
+    nat = {
+        r.stratum: r.weight
+        for r in temperature_mixing_rates(df, "source", "n", tau=1.0).collect()
+    }
+    assert nat["a"] == pytest.approx(0.9, abs=1e-6)
+    assert nat["c"] == pytest.approx(0.01, abs=1e-6)
+    flat = {
+        r.stratum: r.weight
+        for r in temperature_mixing_rates(df, "source", "n", tau=0.01).collect()
+    }
+    assert all(abs(w - 1 / 3) < 0.02 for w in flat.values())
+    budget = temperature_mixing_rates(
+        df, "source", "n", tau=0.5, token_budget=500
+    ).collect()
+    rates = {r.stratum: r.rate for r in budget}
+    assert all(0.0 <= r <= 1.0 for r in rates.values())
+    # tau<1 up-weights the small stratum relative to its share
+    w = {r.stratum: r.weight for r in budget}
+    s = {r.stratum: r.share for r in budget}
+    assert w["c"] > s["c"] and w["a"] < s["a"]
+    with pytest.raises(ValueError):
+        temperature_mixing_rates(df, "source", "n", tau=0.0)

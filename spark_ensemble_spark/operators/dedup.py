@@ -926,3 +926,210 @@ def dup_clusters(
         )
     edges.unpersist()
     return labels
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: new batch vs existing corpus (the production shape —
+# each crawl/delivery is deduped against the already-accepted index, not by
+# re-deduping the whole corpus from scratch)
+# ---------------------------------------------------------------------------
+
+
+def dedup_against_corpus(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 48,
+    bands: int = 16,
+    shingle_size: int = 3,
+    seed: int = 7,
+    shingle_kind: str = "word",
+    hash_fn: str = "xxhash64",
+    max_bucket_size: Optional[int] = 1000,
+    corpus_signatures: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Rows of ``new_df`` that are neither exact nor near (MinHash-banded)
+    duplicates of any ``corpus_df`` document.
+
+    Two stages, both equi-joins — the corpus is never cross-joined:
+
+    1. **Exact**: left-anti join on the md5 fingerprint of whitespace-
+       normalized text. The corpus side is distinct-reduced first so the
+       anti-join shuffles fingerprints, not documents.
+    2. **Near**: banded MinHash signatures on both sides, candidate pairs
+       from the (band, bucket) equi-join restricted to new×corpus (never
+       corpus×corpus — the index is presumed already deduped), verified by
+       the signature-match estimate ≥ ``threshold``; matched new ids are
+       anti-joined away.
+
+    At 100 TB the corpus signatures ARE the dedup index: pass a precomputed/
+    persisted frame as ``corpus_signatures`` (the exact output of
+    :func:`minhash_signatures` on the corpus) so each incremental batch pays
+    only its own signature computation plus the band join; the corpus text is
+    then never re-read at all for stage 2. Hot buckets are capped on the
+    UNION of both sides (a degenerate bucket is degenerate regardless of
+    side), keeping reducer skew bounded.
+    """
+    r = num_hashes // bands
+    norm = F.regexp_replace(
+        F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+", " "
+    )
+    fp = F.md5(norm)
+    corpus_fp = corpus_df.select(fp.alias("__fp")).distinct()
+    survivors = new_df.withColumn("__fp", fp).join(corpus_fp, "__fp", "left_anti")
+
+    sig_args = (num_hashes, shingle_size, seed, shingle_kind, hash_fn)
+    sigs_new = minhash_signatures(
+        survivors.select(F.col(id_col), F.col(text_col)), text_col, id_col, *sig_args
+    ).persist()
+    sigs_new.count()
+    if corpus_signatures is None:
+        corpus_signatures = minhash_signatures(
+            corpus_df.select(F.col(id_col), F.col(text_col)),
+            text_col,
+            id_col,
+            *sig_args,
+        )
+
+    def banded(sigs: DataFrame, side: str) -> DataFrame:
+        return sigs.select(
+            "id",
+            "signature",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.xxhash64(
+                                F.concat_ws(
+                                    ",",
+                                    *[
+                                        F.element_at("signature", b * r + j + 1)
+                                        for j in range(r)
+                                    ],
+                                )
+                            ).alias("bucket"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(
+            F.col("id").alias(f"{side}_id"),
+            F.col("signature").alias(f"{side}_sig"),
+            F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
+        )
+
+    new_b = banded(sigs_new, "n")
+    corp_b = banded(corpus_signatures, "c")
+    if max_bucket_size is not None:
+        # cap on the union: count bucket occupancy across BOTH sides, then
+        # quarantine the same buckets from each (the count-join shuffles on
+        # the same keys the candidate join uses)
+        occup = (
+            new_b.select("band", "bucket")
+            .unionAll(corp_b.select("band", "bucket"))
+            .groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        new_b = new_b.join(occup, ["band", "bucket"], "left_anti")
+        corp_b = corp_b.join(occup, ["band", "bucket"], "left_anti")
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("n_sig", "c_sig", lambda a, b: (a == b).cast("int")),
+                lambda x: x == 1,
+            )
+        )
+        / float(num_hashes)
+    )
+    matched = (
+        new_b.join(corp_b, ["band", "bucket"])
+        .dropDuplicates(["n_id", "c_id"])
+        .withColumn("__est", F.round(est, 6))
+        .filter(F.col("__est") >= threshold)
+        .select(F.col("n_id").alias("__mid"))
+        .distinct()
+    )
+    out = (
+        survivors.join(
+            matched, survivors[id_col] == matched["__mid"], "left_anti"
+        ).drop("__fp")
+    )
+    sigs_new.unpersist()
+    return out
+
+
+def incremental_dedup_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    new_pred: str = "doc_id % 5 = 0",
+    threshold: float = 0.5,
+    num_hashes: int = 48,
+    bands: int = 16,
+    shingle_size: int = 3,
+    seed: int = 7,
+) -> str:
+    """DuckDB SQL reproducing ``dedup_against_corpus(..., hash_fn='md5')``:
+    the same normalization/fingerprint for the exact stage and the same
+    md5-60-bit MinHash + affine permutations (constants shared via
+    :func:`_minhash_coeffs`) for the near stage; band collision is slice
+    equality (the Spark side's bucket hash equality), brute-forced new×corpus
+    at oracle SF. Returns the surviving new-batch ids."""
+    coeffs = _minhash_coeffs(num_hashes, seed)
+    k = shingle_size
+    r = num_hashes // bands
+    gram = ", ".join(f"t[i+{j}]" for j in range(k))
+    sig_elems = ",\n             ".join(
+        f"list_min(list_transform(h, x -> ((x % {_MERSENNE}) * {a} + {b}) % {_MERSENNE}))"
+        for a, b in coeffs
+    )
+    band_cond = "\n         OR ".join(
+        f"a.s[{b * r + 1}:{(b + 1) * r}] = c.s[{b * r + 1}:{(b + 1) * r}]"
+        for b in range(bands)
+    )
+    return f"""
+    WITH newb AS (
+      SELECT {id_col} AS id, {text_col} AS text FROM {table} WHERE {new_pred}
+    ), corpus AS (
+      SELECT {id_col} AS id, {text_col} AS text FROM {table} WHERE NOT ({new_pred})
+    ), cfp AS (
+      SELECT DISTINCT md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS fp
+      FROM corpus
+    ), surv1 AS (
+      SELECT * FROM newb
+      WHERE md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g'))
+            NOT IN (SELECT fp FROM cfp)
+    ), tok_n AS (
+      SELECT id, string_split(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g'), ' ') AS t
+      FROM surv1
+    ), tok_c AS (
+      SELECT id, string_split(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g'), ' ') AS t
+      FROM corpus
+    ), sh_n AS (
+      SELECT id, list_transform(range(1, greatest(len(t) - {k}, 0) + 2),
+               i -> ('0x' || substring(md5(concat_ws(' ', {gram})), 1, 15))::BIGINT) AS h
+      FROM tok_n
+    ), sh_c AS (
+      SELECT id, list_transform(range(1, greatest(len(t) - {k}, 0) + 2),
+               i -> ('0x' || substring(md5(concat_ws(' ', {gram})), 1, 15))::BIGINT) AS h
+      FROM tok_c
+    ), sig_n AS (
+      SELECT id, [{sig_elems}] AS s FROM sh_n
+    ), sig_c AS (
+      SELECT id, [{sig_elems}] AS s FROM sh_c
+    ), matched AS (
+      SELECT DISTINCT a.id
+      FROM sig_n a JOIN sig_c c ON ({band_cond})
+      WHERE round(len(list_filter(range(1, {num_hashes + 1}), i -> a.s[i] = c.s[i]))
+                  * 1.0 / {num_hashes}, 6) >= {threshold}
+    )
+    SELECT id AS {id_col} FROM surv1
+    WHERE id NOT IN (SELECT id FROM matched)
+    """

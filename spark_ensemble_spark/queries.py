@@ -3326,6 +3326,29 @@ def docs_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Incremental dedup: a new delivery batch against the accepted corpus index
+# (exact fingerprint anti-join + banded MinHash vs the index — the
+# production shape: a crawl is deduped against what's already accepted, the
+# corpus is never re-deduped from scratch).
+# ---------------------------------------------------------------------------
+
+
+@query("dedup_incremental", _dedup.incremental_dedup_oracle_sql())
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-batch docs (doc_id % 5 = 0) that survive dedup against the rest of
+    the corpus: md5-fingerprint anti-join (exact) then banded-MinHash
+    new×corpus equi-join (near, est-Jaccard ≥ 0.5). Cross-engine md5 mode —
+    DuckDB replays the full two-stage pipeline bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    out = _dedup.dedup_against_corpus(
+        new, corpus, "text", "doc_id", threshold=0.5, hash_fn="md5"
+    )
+    return out.select("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Temperature-based source mixing (The Pile / XLM-R style): per-source
 # token shares -> tau-scaled mixing weights -> deterministic sampling rates,
 # replayed bit-for-bit by DuckDB through the shared md5-bucket filter.

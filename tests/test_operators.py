@@ -1137,3 +1137,58 @@ def test_streaming_ingest_pipeline_end_to_end(spark, tmp_path):
     ids = sorted(r["event_id"] for r in rows)
     # kept: first (1,click) and the new (3,view); dropped: low-value + dup
     assert ids == [1, 4], ids
+
+
+def test_dedup_against_corpus_planted(spark):
+    """Exact dup of a corpus doc is dropped at stage 1; a near dup at stage
+    2; a fresh doc survives; a precomputed corpus-signature index gives the
+    identical result (the 100 TB path)."""
+    from spark_ensemble_spark.operators.dedup import (
+        dedup_against_corpus,
+        minhash_signatures,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different corpus text about spark plans")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (100, base),               # exact dup -> stage 1
+            (101, near),               # near dup -> stage 2
+            (102, "entirely novel content that matches nothing at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup_against_corpus(
+        new, corpus, "text", "doc_id", threshold=0.4, shingle_size=2
+    )
+    assert sorted(r.doc_id for r in out.collect()) == [102]
+
+    idx = minhash_signatures(
+        corpus, "text", "doc_id", num_hashes=48, shingle_size=2
+    ).persist()
+    out2 = dedup_against_corpus(
+        new,
+        corpus,
+        "text",
+        "doc_id",
+        threshold=0.4,
+        shingle_size=2,
+        corpus_signatures=idx,
+    )
+    assert sorted(r.doc_id for r in out2.collect()) == [102]
+    idx.unpersist()
+
+
+def test_dedup_against_corpus_empty_corpus(spark):
+    from spark_ensemble_spark.operators.dedup import dedup_against_corpus
+
+    new = spark.createDataFrame(
+        [(1, "some text here for the batch")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame([], "doc_id long, text string")
+    out = dedup_against_corpus(new, corpus, "text", "doc_id")
+    assert [r.doc_id for r in out.collect()] == [1]

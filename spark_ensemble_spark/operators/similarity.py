@@ -395,3 +395,192 @@ def ivf_oracle_sql(
       FROM cand
     ) WHERE rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-domain ANN
+# ---------------------------------------------------------------------------
+
+
+def pq_fixed_codebooks(
+    dim: int, num_subspaces: int = 8, num_codewords: int = 16, seed: int = 29
+) -> list:
+    """Deterministic pseudo-random PQ codebooks: ``[m][j] -> codeword`` of
+    ``dim/num_subspaces`` floats. Like :func:`ivf_fixed_centroids`, importable
+    without a SparkSession so DuckDB oracle builders embed the exact same
+    literals (a trained quantizer — per-subspace KMeans — slots in the same
+    way IVF's does; the fixed books make the encode/ADC path itself
+    oracle-checkable). Codewords are N(0, 1/sqrt(dim))-scaled to sit in the
+    same range as unit-norm embedding subvectors."""
+    import random
+
+    if dim % num_subspaces:
+        raise ValueError(f"dim {dim} not divisible by num_subspaces {num_subspaces}")
+    sub = dim // num_subspaces
+    rng = random.Random(seed)
+    scale = 1.0 / (dim ** 0.5)
+    return [
+        [[rng.gauss(0, scale) for _ in range(sub)] for _ in range(num_codewords)]
+        for _ in range(num_subspaces)
+    ]
+
+
+def _pq_subdist_chains(vec_sql: str, codebooks: list) -> list:
+    """``chains[m][j]`` = squared-L2 distance from subvector m of ``vec_sql``
+    to codeword j, as the same left-fold ``aggregate(zip_with(...))`` IEEE
+    order the oracle SQL writes (see :func:`_centroid_dist_chains`)."""
+    sub = len(codebooks[0][0])
+    chains = []
+    for m, book in enumerate(codebooks):
+        row = []
+        for c in book:
+            arr = "array(" + ",".join(f"CAST('{x!r}' AS DOUBLE)" for x in c) + ")"
+            row.append(
+                F.expr(
+                    f"aggregate(zip_with(slice({vec_sql}, {m * sub + 1}, {sub}), "
+                    f"{arr}, (a, b) -> (a - b) * (a - b)), "
+                    "CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
+                )
+            )
+        chains.append(row)
+    return chains
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """``id, codes`` where ``codes[m]`` is the nearest codeword id of
+    subvector m (ties break to the lowest id, both engines). One narrow
+    projection — at 100 TB the encoded corpus stores ``num_subspaces`` bytes
+    of code per vector instead of ``dim`` floats: this frame IS the
+    compressed index a PQ serving tier persists."""
+    out = df.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("__v")
+    )
+    codes = []
+    for chains in _pq_subdist_chains("__v", codebooks):
+        ranked = F.array_sort(
+            F.array(
+                *[F.struct(d.alias("d"), F.lit(j).alias("j")) for j, d in enumerate(chains)]
+            )
+        )
+        codes.append(F.element_at(ranked, 1)["j"])
+    return out.select("id", F.array(*codes).alias("codes"))
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over the PQ-compressed corpus.
+
+    Per QUERY row (queries are the small side — broadcast), a lookup table
+    ``lut[m][j]`` = distance from the query's subvector m to codeword j is
+    computed ONCE (num_subspaces × num_codewords doubles). The broadcast
+    join against the encoded corpus then scores each candidate in
+    O(num_subspaces) table lookups — ``Σ_m lut[m][codes[m]]`` — never touching
+    the original ``dim`` floats: the classic PQ scan, expressed as a
+    zip_with/aggregate over the code array. One shuffle total (the per-query
+    top-k window over scored candidates)."""
+    enc = pq_encode(corpus, codebooks, vec_col, id_col).withColumnRenamed(
+        "id", "neighbor_id"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
+    )
+    lut = F.array(
+        *[
+            F.array(*row)
+            for row in _pq_subdist_chains("__qv", codebooks)
+        ]
+    )
+    q = q.select("query_id", lut.alias("__lut"))
+    adc = F.aggregate(
+        F.zip_with(
+            "codes", "__lut", lambda c, l: F.try_element_at(l, c + F.lit(1))
+        ),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    scored = (
+        enc.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(adc, 6).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )
+
+
+def pq_oracle_sql(
+    codebooks: list,
+    k: int = 5,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred: str = "vec_id < 5",
+) -> str:
+    """DuckDB SQL reproducing ``pq_topk`` exactly: per-subspace code
+    assignment and the query-side LUT both use left-to-right distance chains
+    with the same literals and IEEE order as :func:`_pq_subdist_chains`;
+    ADC is the same LUT-lookup sum; ties break on codeword id / neighbor
+    id."""
+    num_sub = len(codebooks)
+    num_cw = len(codebooks[0])
+    sub = len(codebooks[0][0])
+
+    def chain(m: int, c: list) -> str:
+        off = m * sub
+        return " + ".join(
+            f"(v[{off + j + 1}]-({x!r}))*(v[{off + j + 1}]-({x!r}))"
+            for j, x in enumerate(c)
+        )
+
+    # codes[m]: argmin over the K chains (list_sort of [dist, j] pairs)
+    code_elems = []
+    lut_elems = []
+    for m, book in enumerate(codebooks):
+        pairs = ", ".join(f"[{chain(m, c)}, CAST({j} AS DOUBLE)]" for j, c in enumerate(book))
+        code_elems.append(f"CAST(list_sort([{pairs}])[1][2] AS BIGINT)")
+        lut_elems.append(f"[{', '.join(chain(m, c) for c in book)}]")
+    codes_sql = ",\n             ".join(code_elems)
+    lut_sql = ",\n             ".join(lut_elems)
+    # explicit left-to-right sum: identical IEEE order to the Spark side's
+    # aggregate() fold ((0.0 + t1) + t2 ...), so rounding cannot drift
+    adc_chain = " + ".join(
+        f"q.lut[{m + 1}][c.codes[{m + 1}] + 1]" for m in range(num_sub)
+    )
+    adc = f"round({adc_chain}, 6)"
+    return f"""
+    WITH e AS (SELECT {id_col} AS id, {vec_col}::DOUBLE[] AS v FROM {table}),
+    enc AS (
+      SELECT id AS neighbor_id,
+             [{codes_sql}] AS codes
+      FROM e
+    ),
+    ql AS (
+      SELECT id AS query_id,
+             [{lut_sql}] AS lut
+      FROM e WHERE {query_pred.replace(id_col, 'id')}
+    )
+    SELECT query_id, neighbor_id, adc_dist, rank FROM (
+      SELECT q.query_id, c.neighbor_id, {adc} AS adc_dist,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY {adc} ASC, c.neighbor_id) AS rank
+      FROM enc c JOIN ql q ON c.neighbor_id <> q.query_id
+    ) WHERE rank <= {k}
+    """

@@ -3326,6 +3326,43 @@ def docs_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Product-quantization ANN: compressed-domain (ADC) top-k. The corpus is
+# encoded to 8 codeword ids per vector (the PQ index a serving tier stores
+# instead of 64 floats); queries build an 8x16 lookup table once and every
+# candidate scores in 8 table lookups.
+# ---------------------------------------------------------------------------
+
+_PQ_BOOKS = None
+
+
+def _pq_books():
+    global _PQ_BOOKS
+    if _PQ_BOOKS is None:
+        _PQ_BOOKS = _similarity.pq_fixed_codebooks(dim=64, num_subspaces=8, num_codewords=16)
+    return _PQ_BOOKS
+
+
+@query(
+    "similarity_pq_topk",
+    None,  # oracle attached below (needs the codebook literals)
+)
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC top-5 for the first five vectors: encode corpus -> broadcast
+    query LUTs -> O(num_subspaces) lookups per candidate -> per-query top-k
+    window. The encode projection is the compressed index; at 100 TB the scan
+    side reads 8 bytes of codes per vector, not 256 bytes of floats."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return _similarity.pq_topk(emb, queries_df, _pq_books(), k=5)
+
+
+ORACLES["similarity_pq_topk"] = _similarity.pq_oracle_sql(
+    _similarity.pq_fixed_codebooks(dim=64, num_subspaces=8, num_codewords=16),
+    k=5,
+)
+
+
+# ---------------------------------------------------------------------------
 # Incremental dedup: a new delivery batch against the accepted corpus index
 # (exact fingerprint anti-join + banded MinHash vs the index — the
 # production shape: a crawl is deduped against what's already accepted, the

@@ -1192,3 +1192,44 @@ def test_dedup_against_corpus_empty_corpus(spark):
     corpus = spark.createDataFrame([], "doc_id long, text string")
     out = dedup_against_corpus(new, corpus, "text", "doc_id")
     assert [r.doc_id for r in out.collect()] == [1]
+
+
+def test_pq_topk_planted_duplicate_ranks_first(spark):
+    """A corpus vector identical to the query achieves the minimal possible
+    ADC distance (its codes are the argmin of every LUT row), so it must rank
+    1; shapes and determinism hold."""
+    import random
+
+    from spark_ensemble_spark.operators.similarity import (
+        pq_encode,
+        pq_fixed_codebooks,
+        pq_topk,
+    )
+
+    rng = random.Random(5)
+    dim, n = 16, 40
+    books = pq_fixed_codebooks(dim=dim, num_subspaces=4, num_codewords=8, seed=3)
+
+    def vec():
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        s = sum(x * x for x in v) ** 0.5
+        return [x / s for x in v]
+
+    q = vec()
+    rows = [(0, q), (100, q)] + [(i, vec()) for i in range(1, n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = pq_topk(df, df.filter(F.col("vec_id") == 0), books, k=5)
+    got = sorted(out.collect(), key=lambda r: r.rank)
+    assert len(got) == 5
+    assert [r.rank for r in got] == [1, 2, 3, 4, 5]
+    assert got[0].neighbor_id == 100  # the planted duplicate
+    # deterministic
+    again = sorted(pq_topk(df, df.filter(F.col("vec_id") == 0), books, k=5).collect(),
+                   key=lambda r: r.rank)
+    assert [(r.neighbor_id, r.adc_dist) for r in got] == [
+        (r.neighbor_id, r.adc_dist) for r in again
+    ]
+    # codes are valid codeword ids
+    codes = pq_encode(df, books).collect()
+    assert all(0 <= c < 8 for r in codes for c in r.codes)
+    assert all(len(r.codes) == 4 for r in codes)

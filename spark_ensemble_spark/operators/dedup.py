@@ -1133,3 +1133,129 @@ def incremental_dedup_oracle_sql(
     SELECT id AS {id_col} FROM surv1
     WHERE id NOT IN (SELECT id FROM matched)
     """
+
+
+# ---------------------------------------------------------------------------
+# chunk-level cross-document dedup (ExactSubstr-lite: dedup repeated
+# passages ACROSS documents, keep each passage's first occurrence, and
+# reassemble the documents — the passage-granularity complement of the
+# whole-document dedup families above)
+# ---------------------------------------------------------------------------
+
+
+def chunk_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_words: int = 20,
+) -> DataFrame:
+    """Remove corpus-wide duplicated word chunks, keeping first occurrences.
+
+    Each document's normalized tokens are cut into fixed ``chunk_words``
+    windows (stride = width, last chunk partial); a chunk survives iff its
+    (doc_id, position) is the MINIMUM over every occurrence of that exact
+    chunk text in the corpus — so one canonical copy of a repeated passage
+    remains and every other document loses it. Documents are reassembled
+    from their surviving chunks in order; a fully-duplicated document comes
+    back with empty text (never silently dropped).
+
+    Plan: explode to (chunk, doc, pos) → min-struct groupBy on the chunk key
+    (partial aggregation map-side; the canonical-occurrence choice is an
+    associative min, so no window over a skewed key) → semi-equality filter →
+    one shuffle on doc_id to reassemble. Two shuffles total, never a corpus
+    self-join. At 100 TB, group on ``xxhash64(chunk)`` instead of the chunk
+    string to shrink exchange payloads (the string key is kept here so the
+    DuckDB oracle needs no collision caveat).
+    """
+    norm = F.regexp_replace(
+        F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+", " "
+    )
+    toks = F.split(norm, " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(chunk_words))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * chunk_words + 1, chunk_words), " "
+        ),
+    )
+    base = df.select(F.col(id_col).alias("__id"), chunks.alias("__chunks"))
+    exploded = base.select(
+        "__id", F.posexplode("__chunks").alias("__pos", "__chunk")
+    )
+    winners = exploded.groupBy("__chunk").agg(
+        F.min(F.struct(F.col("__id"), F.col("__pos"))).alias("__w")
+    )
+    kept = (
+        exploded.join(winners, "__chunk")
+        .filter(
+            (F.col("__id") == F.col("__w.__id")) & (F.col("__pos") == F.col("__w.__pos"))
+        )
+        .select("__id", "__pos", "__chunk")
+    )
+    reassembled = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__chunk"))),
+                lambda s: s["__chunk"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks_kept"),
+    )
+    totals = base.select(
+        "__id", F.size("__chunks").cast("bigint").alias("n_chunks")
+    )
+    return (
+        totals.join(reassembled, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+            F.coalesce("n_chunks_kept", F.lit(0)).alias("n_chunks_kept"),
+            "n_chunks",
+        )
+    )
+
+
+def chunk_dedup_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 20,
+) -> str:
+    """DuckDB SQL reproducing :func:`chunk_dedup` exactly: same
+    normalization, same fixed-stride chunking (1-based inclusive list
+    slices truncate at the end like ``F.slice``), first-occurrence =
+    min (doc, pos) per chunk text, reassembly in position order."""
+    c = chunk_words
+    return f"""
+    WITH t AS (
+      SELECT {id_col} AS id,
+             string_split(regexp_replace(lower(trim(coalesce({text_col}, ''))), '\\s+', ' ', 'g'), ' ') AS toks
+      FROM {table}
+    ),
+    sized AS (
+      SELECT id, toks, CAST(ceil(len(toks) * 1.0 / {c}) AS BIGINT) AS nc FROM t
+    ),
+    ch AS (
+      SELECT id, i AS pos,
+             array_to_string(toks[(i * {c} + 1):((i + 1) * {c})], ' ') AS chunk
+      FROM sized, unnest(range(0, nc)) AS u(i)
+    ),
+    ranked AS (
+      SELECT id, pos, chunk,
+             row_number() OVER (PARTITION BY chunk ORDER BY id, pos) AS rn
+      FROM ch
+    ),
+    kept AS (SELECT id, pos, chunk FROM ranked WHERE rn = 1),
+    reass AS (
+      SELECT id,
+             string_agg(chunk, ' ' ORDER BY pos) AS text_dedup,
+             CAST(count(*) AS BIGINT) AS n_chunks_kept
+      FROM kept GROUP BY id
+    )
+    SELECT s.id AS {id_col},
+           coalesce(r.text_dedup, '') AS text_dedup,
+           coalesce(r.n_chunks_kept, 0) AS n_chunks_kept,
+           s.nc AS n_chunks
+    FROM sized s LEFT JOIN reass r USING (id)
+    """

@@ -3326,6 +3326,22 @@ def docs_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Chunk-level cross-document dedup (ExactSubstr-lite): repeated passages are
+# removed corpus-wide (first occurrence wins) and documents reassembled.
+# ---------------------------------------------------------------------------
+
+
+@query("dedup_chunks", _dedup.chunk_dedup_oracle_sql(chunk_words=10))
+def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-granularity dedup over documents (10-word chunks): explode →
+    min-struct winner per chunk text → reassemble. Two shuffles, no corpus
+    self-join; a fully-duplicated doc returns with empty text rather than
+    vanishing."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _dedup.chunk_dedup(docs, "text", "doc_id", chunk_words=10)
+
+
+# ---------------------------------------------------------------------------
 # Product-quantization ANN: compressed-domain (ADC) top-k. The corpus is
 # encoded to 8 codeword ids per vector (the PQ index a serving tier stores
 # instead of 64 floats); queries build an 8x16 lookup table once and every

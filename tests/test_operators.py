@@ -1233,3 +1233,32 @@ def test_pq_topk_planted_duplicate_ranks_first(spark):
     codes = pq_encode(df, books).collect()
     assert all(0 <= c < 8 for r in codes for c in r.codes)
     assert all(len(r.codes) == 4 for r in codes)
+
+
+def test_chunk_dedup_planted(spark):
+    """A passage repeated across docs survives only in the earliest doc; a
+    fully-duplicated doc returns empty; within-doc repeats keep first pos."""
+    from spark_ensemble_spark.operators.dedup import chunk_dedup
+
+    p = "alpha beta gamma delta"  # one 4-word chunk at chunk_words=4
+    docs = spark.createDataFrame(
+        [
+            (1, p + " unique tail one two"),        # owns the passage
+            (2, p),                                  # fully duplicated
+            (3, "other words entirely here " + p),  # passage chunk-aligned at pos 1
+            (4, p + " " + p),                        # within-doc repeat
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in chunk_dedup(docs, "text", "doc_id", 4).collect()}
+    # doc 1 keeps both its chunks
+    assert out[1].text_dedup == p + " unique tail one two"
+    assert (out[1].n_chunks_kept, out[1].n_chunks) == (2, 2)
+    # doc 2 is the exact passage again -> fully removed, still present
+    assert out[2].text_dedup == "" and out[2].n_chunks_kept == 0
+    # doc 3: 8 words -> 2 aligned chunks; the second IS the passage and is
+    # removed (doc 1 owns it), the first survives
+    assert out[3].text_dedup == "other words entirely here"
+    assert (out[3].n_chunks_kept, out[3].n_chunks) == (1, 2)
+    # doc 4: chunk appears twice at aligned positions; both lose to doc 1
+    assert out[4].text_dedup == "" and out[4].n_chunks == 2

@@ -2584,6 +2584,32 @@ def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_top_event_types",
+    """
+    WITH c AS (
+      SELECT event_type,
+             strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n, rank FROM (
+      SELECT window_start, event_type, n,
+             row_number() OVER (
+               PARTITION BY window_start ORDER BY n DESC, event_type) AS rank
+      FROM c
+    ) WHERE rank <= 3
+    """,
+)
+def streaming_top_event_types_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily heavy-hitter event types from a REAL streaming query (stateful
+    windowed counts in-stream; per-window top-3 rank over the emitted
+    aggregate), oracle-checked against the batch SQL equivalent."""
+    from spark_ensemble_spark.streaming.events import streaming_top_event_types
+
+    return streaming_top_event_types(spark, sf_dir, k=3, window="1 day")
+
+
+@query(
     "events_sessionize",
     """
     WITH ordered AS (

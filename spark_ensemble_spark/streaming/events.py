@@ -646,3 +646,29 @@ def streaming_sessionize(
     finally:
         q.stop()
     return latest_sessions(spark.table(name))
+
+
+def streaming_top_event_types(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 3,
+    window: str = "1 day",
+) -> DataFrame:
+    """Per-window heavy hitters from a live stream: the stateful work (the
+    watermarked tumbling-window count per event_type) runs INSIDE the
+    streaming query; the top-k rank runs over the emitted aggregate — a
+    (windows × types)-row frame however many events flowed — which is where
+    a production pipeline ranks too (rank is not an incremental-state
+    operator; re-ranking a closed window's K-row group costs nothing).
+    """
+    from pyspark.sql import Window as W
+
+    counts = streaming_windowed_counts(spark, sf_dir, window=window).withColumnRenamed(
+        "hour", "window_start"
+    )
+    w = W.partitionBy("window_start").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("window_start", "event_type", "n", "rank")
+    )

@@ -98,6 +98,17 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_clusters",
     "embedding_dup_pairs_lsh",
+    # round-5 additions: repetition signals, chunk/incremental dedup,
+    # PQ ANN, temperature mixing, evaluation metrics, streaming top-k
+    "docs_repetition_signals",
+    "dedup_chunks",
+    "dedup_incremental",
+    "similarity_pq_topk",
+    "mixing_weights_tau",
+    "temperature_mix_sample",
+    "regression_metrics_dummy_median",
+    "classification_metrics_dummy_prior",
+    "streaming_top_event_types_q",
 ]
 
 
@@ -152,6 +163,8 @@ def main() -> None:
         "gbm_dummy_prior_classifier",
         "stacking_dummy_regressor",
         "stacking_dummy_prior_classifier",
+        "regression_metrics_dummy_median",
+        "classification_metrics_dummy_prior",
     }
     t0 = time.time()
     if os.path.isdir(WARM_SF_DIR) and os.path.abspath(WARM_SF_DIR) != os.path.abspath(

@@ -394,3 +394,47 @@ def test_corpus_profile_single_shuffle(spark, sf_dir):
     plan = executed_plan(corpus_profile(load_table(spark, sf_dir, "documents")))
     assert plan.count("Exchange") <= 2, plan  # plan tree + reuse ref
     assert "Join" not in plan
+
+
+def test_repetition_signals_zero_shuffle(spark, sf_dir):
+    """The whole Gopher repetition block must stay a narrow projection —
+    any Exchange here means a per-row signal grew a corpus-wide shuffle."""
+    from spark_ensemble_spark.operators.corpus import repetition_signals
+    from spark_ensemble_spark.sources.datasets import load_table
+
+    df = repetition_signals(load_table(spark, sf_dir, "documents"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_chunk_dedup_plan_no_cartesian(spark, sf_dir):
+    """Chunk dedup joins by chunk key and doc id only — never a nested-loop
+    or cartesian corpus join."""
+    from spark_ensemble_spark.operators.dedup import chunk_dedup
+    from spark_ensemble_spark.sources.datasets import load_table
+
+    df = chunk_dedup(load_table(spark, sf_dir, "documents"), "text", "doc_id", 10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pq_topk_broadcasts_query_side(spark, sf_dir):
+    """PQ/ADC: the query side (LUTs) is broadcast; the corpus side is scored
+    in place — the only wide stage is the per-query top-k window."""
+    from spark_ensemble_spark.operators.similarity import (
+        pq_fixed_codebooks,
+        pq_topk,
+    )
+    from spark_ensemble_spark.sources.datasets import load_table
+
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_fixed_codebooks(dim=64, num_subspaces=8, num_codewords=16)
+    df = pq_topk(emb, emb.filter(F.col("vec_id") < 5), books, k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    # corpus side: no hash-partition exchange before the scoring join; the
+    # one hashpartitioning exchange is the rank window on query_id
+    assert plan.count("Exchange hashpartitioning") <= 1, plan

@@ -3632,6 +3632,12 @@ def classification_metrics_dummy_prior(spark: SparkSession, sf_dir: str) -> Data
 #                                for the corpus operators per VERDICT r3 #7
 #   embedding_dup_pairs        = (folded r4) brute-force path subsumed by
 #                                embedding_dup_pairs_lsh's exact verify stage
+#   q17_small_quantity_revenue = (folded r5) correlated-scalar decorrelation
+#                                twin of q4/clickers' subquery shapes; slot
+#                                freed for dedup_incremental
+#   q18_large_orders           = (folded r5) grouped-HAVING semi-join twin of
+#                                the same family; slot freed for
+#                                similarity_pq_topk
 # ---------------------------------------------------------------------------
 
 REGISTRY_ORDER = [
@@ -3657,8 +3663,12 @@ REGISTRY_ORDER = [
     "q3_top_revenue_orders",
     "q5_nation_revenue",
     "q4_priority_exists",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
+    # -- new r5: incremental dedup + PQ ANN promoted into the driver window
+    # (q17/q18 folded out: their decorrelated-subquery shapes stay covered by
+    # q4_priority_exists + clickers_never_purchased in-window and both remain
+    # extra-oracle-verified at sf0.001+sf0.01) --
+    "dedup_incremental",
+    "similarity_pq_topk",
     "topk_orders_per_priority",
     "revenue_rollup",
     "clickers_never_purchased",

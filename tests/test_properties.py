@@ -217,3 +217,69 @@ def test_range_join_equals_naive_inequality_join(spark, pts, ivs, bucket):
         ).collect()
     }
     assert got == expected
+
+
+# ---- round-5 operator invariants (driver-side mirrors, no SparkSession) ----
+
+
+@given(
+    st.lists(st.sampled_from("ab"), min_size=0, max_size=40),
+    st.integers(min_value=2, max_value=4),
+)
+@settings(max_examples=60, deadline=None)
+def test_repetition_fold_matches_counting(tokens, n):
+    """The accumulator-carried run fold used by dup_ngram_char_fraction must
+    equal the direct count-each-gram formulation for any token stream."""
+    grams = [
+        " ".join(tokens[i : i + n]) for i in range(max(len(tokens) - n + 1, 0))
+    ] if len(tokens) >= n else []
+    # direct formulation
+    from collections import Counter
+
+    cnt = Counter(grams)
+    total = sum(c * len(g) for g, c in cnt.items())
+    dup = sum(c * len(g) for g, c in cnt.items() if c >= 2)
+    want = round(dup / total, 6) if total else 0.0
+    # fold over the sorted array, as the Column expression does
+    s = sorted(grams)
+    prev, run, dacc, tacc = "", 0, 0, 0
+    for g in s:
+        if g == prev:
+            run += 1
+        else:
+            if run >= 2:
+                dacc += run * len(prev)
+            run = 1
+        prev = g
+        tacc += len(g)
+    if run >= 2:
+        dacc += run * len(prev)
+    got = round(dacc / tacc, 6) if tacc else 0.0
+    assert got == want
+
+
+@given(
+    st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d"]),
+        st.integers(min_value=1, max_value=10**9),
+        min_size=1,
+        max_size=4,
+    ),
+    st.floats(min_value=0.05, max_value=1.0),
+)
+@settings(max_examples=60, deadline=None)
+def test_temperature_weight_invariants(sizes, tau):
+    """Mixing weights: sum to 1, preserve size ordering, and tau<1 never
+    down-weights the smallest stratum below its natural share."""
+    total = sum(sizes.values())
+    shares = {k: v / total for k, v in sizes.items()}
+    pw = {k: s**tau for k, s in shares.items()}
+    z = sum(pw.values())
+    w = {k: p / z for k, p in pw.items()}
+    assert abs(sum(w.values()) - 1.0) < 1e-9
+    ks = sorted(sizes, key=sizes.get)
+    for a, b in zip(ks, ks[1:]):
+        assert w[a] <= w[b] + 1e-12
+    if tau <= 1.0:
+        smallest = ks[0]
+        assert w[smallest] >= shares[smallest] - 1e-12

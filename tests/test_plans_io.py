@@ -14,7 +14,7 @@ from spark_ensemble_spark.plans.explain import (
     pushed_filters,
     scan_columns,
 )
-from spark_ensemble_spark.queries import SPARK_QUERIES
+from spark_ensemble_spark.queries import ALL_SPARK_QUERIES as SPARK_QUERIES
 from spark_ensemble_spark.sources.io import read_libsvm
 
 

@@ -107,3 +107,100 @@ def test_weighted_median_20m(spark, big_events):
         "w",
     ).first()
     assert r["weighted_median"] is not None
+
+
+@pytest.fixture(scope="module")
+def big_docs(spark):
+    # ~2M synthetic docs, ~30 words each from a small vocab; every 100th doc
+    # repeats a fixed passage so cross-doc dedup has real work
+    words = F.array(*[F.lit(w) for w in (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango"
+    ).split()])
+    return spark.range(2_000_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % 100 == 0,
+            F.lit("the shared passage repeats here again and again ok "),
+        )
+        .otherwise(F.lit(""))
+        .alias("prefix"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(30)),
+                lambda i: F.element_at(
+                    words, (F.xxhash64("id", i) % 20 + 20) % 20 + 1
+                ),
+            ),
+        ).alias("body"),
+    ).select("doc_id", F.concat("prefix", "body").alias("text"))
+
+
+def test_repetition_signals_2m(spark, big_docs):
+    from spark_ensemble_spark.operators.corpus import repetition_signals
+
+    out = repetition_signals(big_docs)
+    row = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("dup_token_fraction").alias("avg_dup"),
+    ).first()
+    assert row.n == 2_000_000
+    # 30 draws from a 20-word vocab repeat a lot
+    assert 0.2 < row.avg_dup < 0.9
+
+
+def test_chunk_dedup_1m(spark, big_docs):
+    from spark_ensemble_spark.operators.dedup import chunk_dedup
+
+    docs = big_docs.filter(F.col("doc_id") < 1_000_000)
+    out = chunk_dedup(docs, "text", "doc_id", chunk_words=8)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("n_chunks_kept") < F.col("n_chunks")).cast("long")).alias(
+            "n_trimmed"
+        ),
+    ).first()
+    assert agg.n == 1_000_000
+    # the planted shared passage (and vocab collisions) must actually dedup
+    assert agg.n_trimmed >= 9_000
+
+
+def test_pq_encode_and_topk_200k(spark):
+    from spark_ensemble_spark.operators.similarity import (
+        pq_fixed_codebooks,
+        pq_topk,
+    )
+
+    dim = 16
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda i: (F.xxhash64("id", i) % 1000) / 1000.0,
+    )
+    corpus = spark.range(200_000).select(
+        F.col("id").alias("vec_id"), vec.alias("embedding")
+    )
+    books = pq_fixed_codebooks(dim=dim, num_subspaces=4, num_codewords=16)
+    out = pq_topk(corpus, corpus.filter(F.col("vec_id") < 3), books, k=5)
+    rows = out.collect()
+    assert len(rows) == 15
+    assert all(r.adc_dist >= 0 for r in rows)
+
+
+def test_dedup_against_corpus_600k(spark, big_docs):
+    from spark_ensemble_spark.operators.dedup import dedup_against_corpus
+
+    corpus = big_docs.filter(F.col("doc_id") % 4 != 0).filter(
+        F.col("doc_id") < 800_000
+    )
+    new = big_docs.filter(F.col("doc_id") % 4 == 0).filter(
+        F.col("doc_id") < 800_000
+    )
+    out = dedup_against_corpus(
+        new, corpus, "text", "doc_id", threshold=0.7, num_hashes=32, bands=8
+    )
+    n_new = new.count()
+    n_out = out.count()
+    # survivors are a subset; the planted every-100th shared-prefix docs give
+    # the near stage real candidates without collapsing the batch
+    assert 0 < n_out <= n_new

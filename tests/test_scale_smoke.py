@@ -13,7 +13,10 @@ slow for the default suite):
 Last manual run (local[4] test session, 2026-08-13): sessionize 20M events
 10s, exact dedup 10M rows 4.2s, grouped agg 20M 0.6s, range join 5M points ×
 1M intervals 2.3s, weighted median 20M 23s — all completed without spill
-errors or single-task funnels (5 passed in 48s).
+errors or single-task funnels (5 passed in 48s). Round-5 additions
+(2026-08-14): repetition signals 2M docs, chunk dedup 1M docs, incremental
+dedup 600k docs (3 passed in 311s); PQ encode+topk 200k vectors in the
+earlier sweep.
 """
 
 import os
@@ -130,7 +133,7 @@ def big_docs(spark):
             F.transform(
                 F.sequence(F.lit(1), F.lit(30)),
                 lambda i: F.element_at(
-                    words, (F.xxhash64("id", i) % 20 + 20) % 20 + 1
+                    words, ((F.xxhash64("id", i) % 20 + 20) % 20 + 1).cast("int")
                 ),
             ),
         ).alias("body"),

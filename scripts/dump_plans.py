@@ -160,6 +160,36 @@ AUDITED = [
         "(id,term) frame, N is a broadcast 1-row aggregate, per-doc top-k is "
         "a window over the id shuffle — no second corpus scan, no self-join.",
     ),
+    (
+        "docs_repetition_signals",
+        "ZERO exchanges: all three Gopher repetition signals are per-row "
+        "sorted-array folds in one narrow projection — the filter block runs "
+        "at scan speed.",
+    ),
+    (
+        "dedup_chunks",
+        "chunk-level dedup: explode → min-struct groupBy on the chunk key "
+        "(map-side partial min — no window over a skewable key) → doc_id "
+        "shuffle to reassemble; no corpus self-join, no nested loop.",
+    ),
+    (
+        "dedup_incremental",
+        "incremental dedup: md5-fingerprint LEFT ANTI join (corpus side "
+        "distinct-reduced) then banded-MinHash new×corpus EQUI-join; "
+        "never corpus×corpus, never a cross join.",
+    ),
+    (
+        "similarity_pq_topk",
+        "PQ/ADC: the 5-row query side (with precomputed LUTs) is BROADCAST; "
+        "the encoded corpus is scored in place with O(M) lookups per row; "
+        "the only hash exchange is the per-query top-k window.",
+    ),
+    (
+        "temperature_mix_sample",
+        "mix materialization: the keep decision is a scan-level narrow "
+        "filter (md5 bucket vs collected K-row rates); the single exchange "
+        "is the final per-source aggregate.",
+    ),
 ]
 
 HEADER = """# PLANS — physical-plan audits of the headline queries

@@ -438,3 +438,41 @@ def test_pq_topk_broadcasts_query_side(spark, sf_dir):
     # corpus side: no hash-partition exchange before the scoring join; the
     # one hashpartitioning exchange is the rank window on query_id
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_write_zorder_parquet_prunes_both_columns(spark, tmp_path):
+    """Z-ordered layout: per-file min/max spans must be a small fraction of
+    the global range on BOTH interleaved columns (a single-column sort only
+    narrows its own column; a naive write narrows neither), and the row set
+    must be byte-identical to the input."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from spark_ensemble_spark.sources.io import write_zorder_parquet
+
+    n = 40_000
+    df = spark.range(n).select(
+        (F.col("id") * 7919 % 1000).alias("x"),
+        (F.col("id") * 104729 % 1000).alias("y"),
+        F.col("id").alias("v"),
+    )
+    out = str(tmp_path / "zorder")
+    write_zorder_parquet(df, out, ["x", "y"], bits=10, num_ranges=16)
+
+    def mean_span(col):
+        spans = []
+        for f in glob.glob(f"{out}/*.parquet"):
+            t = pq.read_table(f, columns=[col])[col].to_pylist()
+            if t:
+                spans.append(max(t) - min(t))
+        return sum(spans) / len(spans)
+
+    # global range is ~999 on each column; z-ordering 16 files over a
+    # 1000x1000 grid should land per-file spans well under half the range
+    assert mean_span("x") < 450
+    assert mean_span("y") < 450
+    got = spark.read.parquet(out)
+    assert got.count() == n
+    assert got.columns == ["x", "y", "v"]  # the z key is dropped
+    assert got.agg(F.sum("v")).first()[0] == n * (n - 1) // 2

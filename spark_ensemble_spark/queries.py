@@ -564,6 +564,37 @@ def q21_exclusive_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q12_late_shipments",
+    """
+    SELECT l_returnflag AS ship_class,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+    GROUP BY l_returnflag
+    """,
+)
+def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q12 shape adapted to the synthetic schema (no l_shipmode /
+    commit/receipt dates): late lines (shipped >60 days after order) counted
+    by priority class per return-flag class. One fact-fact equi-join + a
+    conditional aggregate; the date predicate stays a post-join filter only
+    because it spans both tables — each scan still prunes to 3 columns."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = orders.join(li, orders.o_orderkey == li.l_orderkey).filter(
+        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return joined.groupBy(F.col("l_returnflag").alias("ship_class")).agg(
+        F.sum(hi.cast("int")).cast("bigint").alias("high_line_count"),
+        F.sum((~hi).cast("int")).cast("bigint").alias("low_line_count"),
+    )
+
+
+@query(
     "q13_order_count_distribution",
     """
     SELECT c_count, count(*) AS n_customers

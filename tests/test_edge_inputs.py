@@ -89,3 +89,49 @@ def test_weighted_median_single_row(spark):
 
     df = spark.createDataFrame([(42.0, 3.0)], "v double, w double")
     assert weighted_median_of(df, "v", "w").first()["weighted_median"] == 42.0
+
+
+def test_round5_ops_on_empty(empty_docs, spark):
+    from spark_ensemble_spark.functions.metrics import (
+        classification_metrics,
+        regression_metrics,
+    )
+    from spark_ensemble_spark.operators.corpus import (
+        repetition_signals,
+        temperature_mixing_rates,
+    )
+    from spark_ensemble_spark.operators.dedup import chunk_dedup, dedup_against_corpus
+
+    assert repetition_signals(empty_docs).count() == 0
+    assert chunk_dedup(empty_docs, "text", "doc_id").count() == 0
+    assert temperature_mixing_rates(empty_docs, "source").count() == 0
+    assert dedup_against_corpus(empty_docs, empty_docs, "text", "doc_id").count() == 0
+    empty_scored = spark.createDataFrame([], "label double, prediction double")
+    r = regression_metrics(empty_scored).first()
+    assert r.n == 0 and r.rmse is None  # 0/0 propagates as NULL, not a crash
+    assert classification_metrics(empty_scored).count() == 0
+
+
+def test_round5_ops_on_null_text(null_docs):
+    from spark_ensemble_spark.operators.corpus import repetition_signals
+    from spark_ensemble_spark.operators.dedup import chunk_dedup
+
+    rows = {r.doc_id: r for r in repetition_signals(null_docs).collect()}
+    assert rows[1].dup_token_fraction == 0.0  # NULL text
+    assert rows[2].dup_3gram_char_fraction == 0.0  # empty text
+    cd = {r.doc_id: r for r in chunk_dedup(null_docs, "text", "doc_id", 4).collect()}
+    assert set(cd) == {1, 2, 3}  # null/empty docs still come back
+
+
+def test_pq_empty_queries(spark):
+    from spark_ensemble_spark.operators.similarity import (
+        pq_fixed_codebooks,
+        pq_topk,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, [0.1] * 8), (2, [0.2] * 8)], "vec_id long, embedding array<double>"
+    )
+    books = pq_fixed_codebooks(dim=8, num_subspaces=2, num_codewords=4)
+    empty_q = corpus.filter(F.col("vec_id") < 0)
+    assert pq_topk(corpus, empty_q, books, k=3).count() == 0

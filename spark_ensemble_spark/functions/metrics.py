@@ -102,23 +102,16 @@ def classification_metrics(
         .groupBy("label", "prediction")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    # per-class totals over the K^2-row confusion frame
-    from pyspark.sql import Window
-
-    w_lbl = Window.partitionBy("label")
-    w_prd = Window.partitionBy("prediction")
-    sized = conf.withColumn("n_true", F.sum("c").over(w_lbl)).withColumn(
-        "n_pred", F.sum("c").over(w_prd)
+    # per-class totals re-aggregate the K^2-row confusion frame (tiny);
+    # classes with zero true positives still need a row, so start from the
+    # per-class true totals and left-join the diagonal
+    diag = conf.filter(F.col("label") == F.col("prediction")).select(
+        "label", F.col("c").alias("tp")
     )
-    diag = sized.filter(F.col("label") == F.col("prediction")).select(
-        "label", F.col("c").alias("tp"), "n_true", "n_pred"
-    )
-    # classes with zero true positives still need a row: start from per-class
-    # true totals and left-join the diagonal
     truths = conf.groupBy("label").agg(F.sum("c").alias("n_true"))
     preds = conf.groupBy("prediction").agg(F.sum("c").alias("n_pred"))
     base = (
-        truths.join(diag.select("label", "tp"), "label", "left")
+        truths.join(diag, "label", "left")
         .join(preds.withColumnRenamed("prediction", "label"), "label", "left")
         .select(
             "label",

@@ -1259,3 +1259,24 @@ def chunk_dedup_oracle_sql(
            s.nc AS n_chunks
     FROM sized s LEFT JOIN reass r USING (id)
     """
+
+
+def resolve_duplicates(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    max_rounds: int = 30,
+) -> DataFrame:
+    """The end-to-end tail of every near-dup pipeline: given candidate pairs
+    (id_a, id_b) from any of the families above, resolve connected
+    components (:func:`dup_clusters`) and keep ONE representative per
+    cluster — the minimum id, matching :func:`exact_dedup`'s tiebreak — plus
+    every row that appears in no pair. Pure equi-joins: a left-anti of the
+    non-representative ids against the corpus."""
+    labels = dup_clusters(pairs, max_rounds=max_rounds)
+    losers = labels.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias("__loser")
+    )
+    return df.join(
+        losers, df[id_col] == losers["__loser"], "left_anti"
+    )

@@ -1262,3 +1262,21 @@ def test_chunk_dedup_planted(spark):
     assert (out[3].n_chunks_kept, out[3].n_chunks) == (1, 2)
     # doc 4: chunk appears twice at aligned positions; both lose to doc 1
     assert out[4].text_dedup == "" and out[4].n_chunks == 2
+
+
+def test_resolve_duplicates_end_to_end(spark):
+    """pairs -> clusters -> cleaned corpus: one representative (min id) per
+    connected component, untouched singletons survive."""
+    from spark_ensemble_spark.operators.dedup import resolve_duplicates
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(8)], "doc_id long, text string"
+    )
+    # components: {0,1,2} (chained), {5,6}; 3,4,7 untouched
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r.doc_id for r in resolve_duplicates(docs, pairs, "doc_id").collect()
+    )
+    assert kept == [0, 3, 4, 5, 7]

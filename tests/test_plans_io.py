@@ -476,3 +476,49 @@ def test_write_zorder_parquet_prunes_both_columns(spark, tmp_path):
     assert got.count() == n
     assert got.columns == ["x", "y", "v"]  # the z key is dropped
     assert got.agg(F.sum("v")).first()[0] == n * (n - 1) // 2
+
+
+def test_quality_classifier_composition(spark, sf_dir):
+    """The two halves of the engine compose: corpus-operator signals
+    (repetition block + quality/token stats, all zero-shuffle Catalyst
+    exprs) feed a bagged-tree classifier through a stock VectorAssembler,
+    and the fitted ensemble beats the no-information prior on held-out rows
+    — the fasttext-style quality-classifier pattern, end to end."""
+    from pyspark.ml.classification import DecisionTreeClassifier
+    from pyspark.ml.feature import VectorAssembler
+
+    from spark_ensemble_spark.classification.bagging import BaggingClassifier
+    from spark_ensemble_spark.functions.metrics import classification_metrics
+    from spark_ensemble_spark.operators.corpus import repetition_signals
+    from spark_ensemble_spark.operators.text import quality_score, token_count
+    from spark_ensemble_spark.sources.datasets import load_table
+
+    docs = repetition_signals(load_table(spark, sf_dir, "documents"))
+    feats = ["dup_token_fraction", "dup_3gram_char_fraction",
+             "top_bigram_fraction", "quality", "n_tokens", "n_chars_d"]
+    ds = docs.select(
+        # learnable target: long docs (n_chars is text-derived, so the
+        # features carry signal without being the label itself)
+        (F.col("n_chars") > 280).cast("double").alias("label"),
+        F.col("dup_token_fraction"),
+        F.col("dup_3gram_char_fraction"),
+        F.col("top_bigram_fraction"),
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+        token_count(F.col("text")).cast("double").alias("n_tokens"),
+        (F.length("text") % 7).cast("double").alias("n_chars_d"),
+    )
+    train, test = ds.randomSplit([0.8, 0.2], seed=11)
+    model = BaggingClassifier(
+        baseLearner=DecisionTreeClassifier(maxDepth=5),
+        numBaseLearners=5,
+        subsampleRatio=0.8,
+        replacement=True,
+        seed=3,
+    ).fit(VectorAssembler(inputCols=feats, outputCol="features").transform(train))
+    scored = model.transform(
+        VectorAssembler(inputCols=feats, outputCol="features").transform(test)
+    )
+    per_class = classification_metrics(scored).collect()
+    acc = sum(r.tp for r in per_class) / sum(r.support for r in per_class)
+    prior = max(r.support for r in per_class) / sum(r.support for r in per_class)
+    assert acc > prior + 0.05, (acc, prior)

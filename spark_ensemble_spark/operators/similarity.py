@@ -584,3 +584,56 @@ def pq_oracle_sql(
       FROM enc c JOIN ql q ON c.neighbor_id <> q.query_id
     ) WHERE rank <= {k}
     """
+
+
+def pq_train_codebooks(
+    df: DataFrame,
+    dim: int,
+    num_subspaces: int = 8,
+    num_codewords: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 31,
+    max_iter: int = 8,
+    sample_fraction: Optional[float] = None,
+) -> list:
+    """Train PQ codebooks: per-subspace KMeans over the corpus subvectors —
+    the production quantizer (the fixed pseudo-random books exist for
+    oracle-checkability; these for recall). Returns the same ``[m][j] ->
+    codeword`` nested-list shape, so the result feeds :func:`pq_encode` /
+    :func:`pq_topk` unchanged and can be persisted as plain JSON next to a
+    model.
+
+    Plan shape: ONE pass materializes all M subvector columns (optionally on
+    a sampled fraction — a quantizer does not need every row at 100 TB), then
+    M small KMeans fits run over the cached projection. Codewords are
+    driver-held literals afterwards, like IVF's centroids."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    if dim % num_subspaces:
+        raise ValueError(f"dim {dim} not divisible by num_subspaces {num_subspaces}")
+    sub = dim // num_subspaces
+    base = df.select(_as_double(F.col(vec_col)).alias("__v"))
+    if sample_fraction:
+        base = base.sample(fraction=sample_fraction, seed=seed)
+    proj = base.select(
+        *[
+            array_to_vector(F.slice("__v", m * sub + 1, sub)).alias(f"__s{m}")
+            for m in range(num_subspaces)
+        ]
+    ).persist()
+    proj.count()
+    books = []
+    try:
+        for m in range(num_subspaces):
+            km = KMeans(
+                k=num_codewords,
+                seed=seed + m,
+                maxIter=max_iter,
+                featuresCol=f"__s{m}",
+                predictionCol="__c",
+            ).fit(proj)
+            books.append([[float(x) for x in c] for c in km.clusterCenters()])
+    finally:
+        proj.unpersist()
+    return books

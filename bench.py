@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "regression_metrics_dummy_median",
     "classification_metrics_dummy_prior",
     "streaming_top_event_types_q",
+    "q12_late_shipments",
 ]
 
 

@@ -861,3 +861,59 @@ def top_ngrams(
         .orderBy(F.desc("n"), F.asc("ngram"))
         .limit(k)
     )
+
+
+def unigram_logprob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram distribution — the simplified CCNet-style LM fluency filter
+    (docs full of rare/garbage tokens score low; docs of common tokens score
+    high). Returns ``(id_col, n_tokens, avg_logprob)``.
+
+    Plan: one explode builds per-doc term counts (map-side partial agg),
+    the corpus term-frequency table re-aggregates THAT grouped frame (never
+    a second scan), and a shuffle join on the token key scores each doc's
+    terms — corpus-sized state never passes through the driver, and no side
+    is assumed broadcastable (real vocabularies are large). Each token's
+    log-probability is rounded then DECIMAL-summed so partial-agg order
+    cannot move the rounded mean.
+    """
+    toks = _words(F.col(text_col))
+    per_doc = (
+        df.select(F.col(id_col).alias("__id"), F.explode(toks).alias("__t"))
+        .groupBy("__id", "__t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    tf = per_doc.groupBy("__t").agg(F.sum("__c").alias("__ct"))
+    total = tf.agg(F.sum("__ct").alias("__n"))
+    scored = (
+        per_doc.join(tf, "__t")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "__lp",
+            F.round(F.log(F.col("__ct") / F.col("__n")), round_to).cast(
+                "decimal(38,6)"
+            ),
+        )
+    )
+    out = scored.groupBy("__id").agg(
+        F.sum("__c").cast("bigint").alias("n_tokens"),
+        # exact decimal sum cast to double BEFORE the division: one double op
+        # on identical inputs is engine-stable; decimal division scales differ
+        F.round(
+            F.sum(F.col("__lp") * F.col("__c")).cast("double") / F.sum("__c"),
+            round_to,
+        ).alias("avg_logprob"),
+    )
+    # empty/NULL-text docs produce no exploded rows: restore them with NULL
+    # score rather than dropping them from the output
+    ids = df.select(F.col(id_col).alias("__id")).distinct()
+    return ids.join(out, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        "avg_logprob",
+    )

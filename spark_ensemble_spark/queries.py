@@ -3383,6 +3383,58 @@ def docs_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Unigram LM fluency score (CCNet-style, simplified): every document scored
+# by its mean token log-probability under the corpus's own unigram model.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "docs_unigram_logprob",
+    r"""
+    WITH per_doc AS (
+      SELECT doc_id AS id, t AS tok, count(*) AS c
+      FROM (
+        SELECT doc_id,
+               unnest(list_filter(
+                 string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+                 x -> x <> '')) AS t
+        FROM documents
+      ) GROUP BY 1, 2
+    ),
+    tf AS (SELECT tok, sum(c) AS ct FROM per_doc GROUP BY tok),
+    total AS (SELECT sum(ct) AS n FROM tf),
+    scored AS (
+      SELECT p.id,
+             p.c,
+             CAST(round(ln(f.ct * 1.0 / total.n), 6) AS DECIMAL(38,6)) AS lp
+      FROM per_doc p JOIN tf f USING (tok), total
+    ),
+    agg AS (
+      SELECT id,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             round(CAST(sum(lp * c) AS DOUBLE) / sum(c), 6) AS avg_logprob
+      FROM scored GROUP BY id
+    )
+    SELECT d.doc_id,
+           coalesce(a.n_tokens, 0) AS n_tokens,
+           a.avg_logprob
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN agg a ON a.id = d.doc_id
+    """,
+)
+def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM fluency filter: one explode builds per-doc term counts, the
+    corpus term-frequency table re-aggregates that grouped frame, and a
+    shuffle join on the token scores every document — no broadcast assumption
+    on the vocabulary, no second corpus scan. Per-token log-probs are rounded
+    then DECIMAL-summed so partial-agg order cannot move the mean."""
+    from spark_ensemble_spark.operators.corpus import unigram_logprob_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_logprob_score(docs, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Chunk-level cross-document dedup (ExactSubstr-lite): repeated passages are
 # removed corpus-wide (first occurrence wins) and documents reassembled.
 # ---------------------------------------------------------------------------

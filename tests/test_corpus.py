@@ -575,3 +575,20 @@ def test_temperature_mixing_rates_math(spark):
     assert w["c"] > s["c"] and w["a"] < s["a"]
     with pytest.raises(ValueError):
         temperature_mixing_rates(df, "source", "n", tau=0.0)
+
+
+def test_unigram_logprob_ordering(spark):
+    """Docs made of common tokens must outscore docs of rare tokens; empty
+    docs come back with NULL score, not dropped."""
+    from spark_ensemble_spark.operators.corpus import unigram_logprob_score
+
+    rows = [(1, "the the the the"), (2, "the the zzzqx the"), (3, "   ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in unigram_logprob_score(df).collect()}
+    assert out[1].avg_logprob > out[2].avg_logprob
+    assert out[3].n_tokens == 0 and out[3].avg_logprob is None
+    # corpus-model identity: a doc of ONLY the modal token scores ln(p_modal)
+    import math
+
+    p_the = 7 / 8  # 7 'the' among 8 tokens
+    assert out[1].avg_logprob == pytest.approx(round(math.log(p_the), 6), abs=2e-6)

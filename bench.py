@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "classification_metrics_dummy_prior",
     "streaming_top_event_types_q",
     "q12_late_shipments",
+    "docs_unigram_logprob",
 ]
 
 

@@ -637,3 +637,41 @@ def pq_train_codebooks(
     finally:
         proj.unpersist()
     return books
+
+
+def save_pq_index(
+    corpus: DataFrame,
+    codebooks: list,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    mode: str = "overwrite",
+) -> None:
+    """Persist a PQ serving index: the encoded corpus as parquet under
+    ``path/codes`` (id + M byte-sized codeword ids — the 30×-compressed
+    scan side) and the codebooks as JSON under ``path/codebooks.json``.
+    Incremental refresh = append-encode only the new ids with the SAME
+    books (re-train ⇒ re-encode everything)."""
+    from spark_ensemble_spark.core.persistence import save_json
+
+    enc = pq_encode(corpus, codebooks, vec_col, id_col)
+    enc.write.mode(mode).parquet(f"{path}/codes")
+    save_json(
+        f"{path}/codebooks.json",
+        {
+            "codebooks": codebooks,
+            "num_subspaces": len(codebooks),
+            "num_codewords": len(codebooks[0]),
+            "sub_dim": len(codebooks[0][0]),
+        },
+    )
+
+
+def load_pq_index(spark, path: str):
+    """Load a :func:`save_pq_index` directory → (codes DataFrame, codebooks).
+    Score queries against it with the ADC expression of :func:`pq_topk`
+    without re-reading or re-encoding the raw vectors."""
+    from spark_ensemble_spark.core.persistence import load_json
+
+    meta = load_json(f"{path}/codebooks.json")
+    return spark.read.parquet(f"{path}/codes"), meta["codebooks"]

@@ -1307,3 +1307,23 @@ def test_pq_trained_codebooks_improve_quantization(spark, sf_dir):
 
     # not a tight bound — just 'training helps': KMeans books fit the data
     assert self_adc(trained) < self_adc(fixed)
+
+
+def test_pq_index_roundtrip(spark, tmp_path):
+    """save_pq_index/load_pq_index: codes and books survive byte-identical."""
+    from spark_ensemble_spark.operators.similarity import (
+        load_pq_index,
+        pq_encode,
+        pq_fixed_codebooks,
+        save_pq_index,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(50)
+    books = pq_fixed_codebooks(dim=64, num_subspaces=8, num_codewords=16)
+    p = str(tmp_path / "pq_index")
+    save_pq_index(emb, books, p)
+    codes, loaded_books = load_pq_index(spark, p)
+    assert loaded_books == books
+    want = {r.id: list(r.codes) for r in pq_encode(emb, books).collect()}
+    got = {r.id: list(r.codes) for r in codes.collect()}
+    assert got == want

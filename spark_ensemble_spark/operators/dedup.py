@@ -242,6 +242,49 @@ def minhash_signatures(
     )
 
 
+def _band_explode(
+    sigs: DataFrame,
+    bands: int,
+    rows_per_band: int,
+    id_out: str = "id",
+    sig_out: str = "signature",
+) -> DataFrame:
+    """Explode ``(id, signature)`` into one row per LSH band with the band's
+    bucket key (xxhash64 of the band's signature slice). THE single source of
+    the bucket derivation: ``minhash_dup_pairs``'s self-join and
+    ``dedup_against_corpus``'s new-vs-index join must bucket identically or a
+    persisted signature index built by one stops matching the other."""
+    r = rows_per_band
+    return sigs.select(
+        "id",
+        "signature",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("signature", b * r + j + 1)
+                                    for j in range(r)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        F.col("id").alias(id_out),
+        F.col("signature").alias(sig_out),
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+
+
 def minhash_dup_pairs(
     df: DataFrame,
     text_col: str,
@@ -272,29 +315,7 @@ def minhash_dup_pairs(
     # must read it from cache rather than recompute it.
     sigs = sigs.persist()
     sigs.count()
-    banded = sigs.select(
-        "id",
-        "signature",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("signature", b * r + j + 1)
-                                    for j in range(r)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "signature", "bb.band", "bb.bucket")
+    banded = _band_explode(sigs, bands, r)
     banded = _cap_hot_buckets(
         banded, ["band", "bucket"], max_bucket_size, "minhash_bucket_cap"
     )
@@ -949,6 +970,7 @@ def dedup_against_corpus(
     hash_fn: str = "xxhash64",
     max_bucket_size: Optional[int] = 1000,
     corpus_signatures: Optional[DataFrame] = None,
+    corpus_fingerprints: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Rows of ``new_df`` that are neither exact nor near (MinHash-banded)
     duplicates of any ``corpus_df`` document.
@@ -964,21 +986,26 @@ def dedup_against_corpus(
        the signature-match estimate ≥ ``threshold``; matched new ids are
        anti-joined away.
 
-    At 100 TB the corpus signatures ARE the dedup index: pass a precomputed/
-    persisted frame as ``corpus_signatures`` (the exact output of
-    :func:`minhash_signatures` on the corpus) so each incremental batch pays
-    only its own signature computation plus the band join; the corpus text is
-    then never re-read at all for stage 2. Hot buckets are capped on the
-    UNION of both sides (a degenerate bucket is degenerate regardless of
-    side), keeping reducer skew bounded.
+    At 100 TB the corpus signatures and fingerprints ARE the dedup index:
+    pass precomputed/persisted frames as ``corpus_signatures`` (the exact
+    output of :func:`minhash_signatures` on the corpus) AND
+    ``corpus_fingerprints`` (one ``__fp`` md5-string column, the exact
+    output of :func:`corpus_fingerprint_index`) so an incremental batch pays
+    only its own hashing plus the two equi-joins — the corpus text is never
+    re-read at all. Hot buckets are capped on the UNION of both sides (a
+    degenerate bucket is degenerate regardless of side), keeping reducer
+    skew bounded.
     """
     r = num_hashes // bands
     norm = F.regexp_replace(
         F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+", " "
     )
     fp = F.md5(norm)
-    corpus_fp = corpus_df.select(fp.alias("__fp")).distinct()
-    survivors = new_df.withColumn("__fp", fp).join(corpus_fp, "__fp", "left_anti")
+    if corpus_fingerprints is None:
+        corpus_fingerprints = corpus_df.select(fp.alias("__fp")).distinct()
+    survivors = new_df.withColumn("__fp", fp).join(
+        corpus_fingerprints.select("__fp"), "__fp", "left_anti"
+    )
 
     sig_args = (num_hashes, shingle_size, seed, shingle_kind, hash_fn)
     sigs_new = minhash_signatures(
@@ -993,38 +1020,8 @@ def dedup_against_corpus(
             *sig_args,
         )
 
-    def banded(sigs: DataFrame, side: str) -> DataFrame:
-        return sigs.select(
-            "id",
-            "signature",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.xxhash64(
-                                F.concat_ws(
-                                    ",",
-                                    *[
-                                        F.element_at("signature", b * r + j + 1)
-                                        for j in range(r)
-                                    ],
-                                )
-                            ).alias("bucket"),
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("bb"),
-        ).select(
-            F.col("id").alias(f"{side}_id"),
-            F.col("signature").alias(f"{side}_sig"),
-            F.col("bb.band").alias("band"),
-            F.col("bb.bucket").alias("bucket"),
-        )
-
-    new_b = banded(sigs_new, "n")
-    corp_b = banded(corpus_signatures, "c")
+    new_b = _band_explode(sigs_new, bands, r, "n_id", "n_sig")
+    corp_b = _band_explode(corpus_signatures, bands, r, "c_id", "c_sig")
     if max_bucket_size is not None:
         # cap on the union: count bucket occupancy across BOTH sides, then
         # quarantine the same buckets from each (the count-join shuffles on
@@ -1048,6 +1045,12 @@ def dedup_against_corpus(
         )
         / float(num_hashes)
     )
+    # Materialize the matched-id set BEFORE releasing the signature cache:
+    # unpersisting first would throw the cache away at plan-build time and
+    # every consumer (occupancy count + candidate join + the caller's
+    # action) would recompute the signatures from scratch. localCheckpoint
+    # (same rationale as minhash_dup_pairs): storage is reclaimed by the
+    # ContextCleaner once the result is GC'd.
     matched = (
         new_b.join(corp_b, ["band", "bucket"])
         .dropDuplicates(["n_id", "c_id"])
@@ -1055,14 +1058,12 @@ def dedup_against_corpus(
         .filter(F.col("__est") >= threshold)
         .select(F.col("n_id").alias("__mid"))
         .distinct()
-    )
-    out = (
-        survivors.join(
-            matched, survivors[id_col] == matched["__mid"], "left_anti"
-        ).drop("__fp")
+        .localCheckpoint(eager=True)
     )
     sigs_new.unpersist()
-    return out
+    return survivors.join(
+        matched, survivors[id_col] == matched["__mid"], "left_anti"
+    ).drop("__fp")
 
 
 def incremental_dedup_oracle_sql(
@@ -1280,3 +1281,16 @@ def resolve_duplicates(
     return df.join(
         losers, df[id_col] == losers["__loser"], "left_anti"
     )
+
+
+def corpus_fingerprint_index(
+    corpus_df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """The stage-1 exact-dup index for :func:`dedup_against_corpus`: the
+    distinct md5 fingerprints of whitespace-normalized corpus text, as one
+    ``__fp`` column. Persist it next to the MinHash signature index so an
+    incremental delivery never re-scans the corpus for either stage."""
+    norm = F.regexp_replace(
+        F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+", " "
+    )
+    return corpus_df.select(F.md5(norm).alias("__fp")).distinct()

@@ -652,19 +652,27 @@ def save_pq_index(
     scan side) and the codebooks as JSON under ``path/codebooks.json``.
     Incremental refresh = append-encode only the new ids with the SAME
     books (re-train ⇒ re-encode everything)."""
-    from spark_ensemble_spark.core.persistence import save_json
+    import json
 
     enc = pq_encode(corpus, codebooks, vec_col, id_col)
     enc.write.mode(mode).parquet(f"{path}/codes")
-    save_json(
-        f"{path}/codebooks.json",
+    meta = json.dumps(
         {
             "codebooks": codebooks,
             "num_subspaces": len(codebooks),
             "num_codewords": len(codebooks[0]),
             "sub_dim": len(codebooks[0][0]),
-        },
+        }
     )
+    # DataFrame text sink (not RDD saveAsTextFile, which cannot overwrite and
+    # would throw AFTER the fresh codes were written, leaving codes/books
+    # torn). Books are always overwritten — under mode='append' the contract
+    # is same-books append-encode, and appending a second JSON line would
+    # corrupt the load.
+    spark = corpus.sparkSession
+    spark.createDataFrame([(meta,)], "value string").coalesce(1).write.mode(
+        "overwrite"
+    ).text(f"{path}/codebooks.json")
 
 
 def load_pq_index(spark, path: str):

@@ -143,14 +143,19 @@ def zorder_value(df: DataFrame, cols: list, bits: int = 12, out_col: str = "__z"
     z = F.lit(0).cast("long")
     for i, c in enumerate(cols):
         mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        # empty input / all-NULL column: min/max come back None — degrade to
+        # a constant-0 contribution instead of a driver TypeError
+        if mn is None or mx is None:
+            mn, mx = 0.0, 0.0
         span = (mx - mn) or 1.0
-        norm = F.least(
-            F.lit(top),
-            F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * top).cast(
-                "long"
-            ),
-        )
-        norm = F.greatest(F.lit(0).cast("long"), norm)
+        scaled = F.floor(
+            (F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * top
+        ).cast("long")
+        # Coalesce BEFORE clamping: least/greatest SKIP nulls, so a NULL
+        # value would otherwise come out as the top bucket (max corner)
+        # instead of an explicit bucket 0.
+        scaled = F.coalesce(scaled, F.lit(0).cast("long"))
+        norm = F.greatest(F.lit(0).cast("long"), F.least(F.lit(top).cast("long"), scaled))
         for b in range(bits):
             z = z.bitwiseOR(
                 F.shiftleft(F.shiftright(norm, b).bitwiseAND(F.lit(1)), b * len(cols) + i)

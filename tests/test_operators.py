@@ -1284,8 +1284,10 @@ def test_resolve_duplicates_end_to_end(spark):
 
 def test_pq_trained_codebooks_improve_quantization(spark, sf_dir):
     """Per-subspace KMeans books must reconstruct the corpus better than the
-    fixed pseudo-random books (lower self-ADC = quantization error), and the
-    trained books slot into the same encode/topk path."""
+    fixed pseudo-random books (lower TRUE quantization error: each vector's
+    distance to its own nearest codewords — pq_topk can't measure this, it
+    excludes self-matches), and the trained books slot into the same
+    encode/topk path."""
     from spark_ensemble_spark.operators.similarity import (
         pq_fixed_codebooks,
         pq_topk,
@@ -1299,14 +1301,23 @@ def test_pq_trained_codebooks_improve_quantization(spark, sf_dir):
     )
     assert len(trained) == 8 and all(len(b) == 16 for b in trained)
 
-    def self_adc(books):
-        # average ADC of each vector against its own codes == total
-        # quantization error under that codebook
-        out = pq_topk(emb, emb.limit(20), books, k=1)
-        return out.agg(F.avg("adc_dist")).first()[0]
+    vecs = [list(map(float, r.embedding)) for r in emb.limit(50).collect()]
 
-    # not a tight bound — just 'training helps': KMeans books fit the data
-    assert self_adc(trained) < self_adc(fixed)
+    def reconstruction_error(books):
+        sub = 64 // len(books)
+        total = 0.0
+        for v in vecs:
+            for m, book in enumerate(books):
+                s = v[m * sub : (m + 1) * sub]
+                total += min(
+                    sum((a - b) * (a - b) for a, b in zip(s, c)) for c in book
+                )
+        return total / len(vecs)
+
+    assert reconstruction_error(trained) < reconstruction_error(fixed)
+    # and the trained books drive the same distributed path
+    out = pq_topk(emb, emb.filter(F.col("vec_id") < 2), trained, k=3)
+    assert out.count() == 6
 
 
 def test_pq_index_roundtrip(spark, tmp_path):
@@ -1327,3 +1338,56 @@ def test_pq_index_roundtrip(spark, tmp_path):
     want = {r.id: list(r.codes) for r in pq_encode(emb, books).collect()}
     got = {r.id: list(r.codes) for r in codes.collect()}
     assert got == want
+
+
+def test_pq_index_resave_overwrites(spark, tmp_path):
+    """Re-saving an index to the same path must overwrite cleanly (the old
+    RDD-text writer threw AFTER codes were rewritten, leaving a torn index)."""
+    from spark_ensemble_spark.operators.similarity import (
+        load_pq_index,
+        pq_fixed_codebooks,
+        save_pq_index,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(20)
+    p = str(tmp_path / "pq_idx2")
+    b1 = pq_fixed_codebooks(dim=64, num_subspaces=8, num_codewords=16, seed=1)
+    b2 = pq_fixed_codebooks(dim=64, num_subspaces=8, num_codewords=16, seed=2)
+    save_pq_index(emb, b1, p)
+    save_pq_index(emb, b2, p)  # must not raise; must fully replace
+    codes, books = load_pq_index(spark, p)
+    assert books == b2
+    assert codes.count() == 20
+
+
+def test_dedup_against_corpus_with_fingerprint_index(spark):
+    """The fully-indexed path (signatures + fingerprints precomputed) gives
+    the same survivors without touching corpus text."""
+    from spark_ensemble_spark.operators.dedup import (
+        corpus_fingerprint_index,
+        dedup_against_corpus,
+        minhash_signatures,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "different corpus text about catalyst plans")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(100, base), (101, "entirely novel content matching nothing here")],
+        "doc_id long, text string",
+    )
+    sig_idx = minhash_signatures(corpus, "text", "doc_id", num_hashes=48, shingle_size=2)
+    fp_idx = corpus_fingerprint_index(corpus)
+    out = dedup_against_corpus(
+        new,
+        corpus,
+        "text",
+        "doc_id",
+        threshold=0.4,
+        shingle_size=2,
+        corpus_signatures=sig_idx,
+        corpus_fingerprints=fp_idx,
+    )
+    assert sorted(r.doc_id for r in out.collect()) == [101]

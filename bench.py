@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "streaming_top_event_types_q",
     "q12_late_shipments",
     "docs_unigram_logprob",
+    "dedup_resolved_corpus",
 ]
 
 

@@ -2452,6 +2452,48 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_clusters(edges)
 
 
+@query(
+    "dedup_resolved_corpus",
+    """
+    WITH RECURSIVE edges AS (
+      SELECT d.doc_id AS src, d.doc_id + 1 AS dst
+      FROM documents d JOIN documents e ON e.doc_id = d.doc_id + 1
+      WHERE d.doc_id % 100 <= 29
+    ),
+    undirected AS (
+      SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ),
+    reach(id, r) AS (
+      SELECT src, src FROM undirected
+      UNION
+      SELECT u.src, r.r FROM undirected u JOIN reach r ON r.id = u.dst
+    ),
+    losers AS (
+      SELECT id FROM (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+      WHERE id <> cluster_id
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT id FROM losers)
+    """,
+)
+def dedup_resolved_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole pair→clean-corpus tail as one operator (resolve_duplicates):
+    connected components over the chain fixture's pairs, min-id
+    representative per component, left-anti everything else — the surviving
+    doc_id set the next pipeline stage consumes."""
+    from spark_ensemble_spark.operators.dedup import resolve_duplicates
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.select("doc_id")
+    cand = ids.filter(F.col("doc_id") % 100 <= 29).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    edges = cand.join(
+        ids.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi"
+    )
+    return resolve_duplicates(docs, edges, "doc_id").select("doc_id")
+
+
 _LSH_PLANES, _LSH_TABLES = 6, 4
 
 

@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "q12_late_shipments",
     "docs_unigram_logprob",
     "dedup_resolved_corpus",
+    "corpus_snapshot_diff",
 ]
 
 

@@ -917,3 +917,35 @@ def unigram_logprob_score(
         F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
         "avg_logprob",
     )
+
+
+def snapshot_diff(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dataset-version diff: one row per id in either snapshot with status
+    ``added`` / ``removed`` / ``changed`` / ``unchanged`` (content compared by
+    md5 of whitespace-normalized text, not raw bytes — a re-encode that only
+    touches whitespace is not a content change).
+
+    One full-outer equi-join of two fingerprint projections — each side is
+    reduced to (id, fp) before the shuffle, so the diff moves hashes, not
+    documents. This is the ingestion-audit step between corpus versions:
+    feed ``added``/``changed`` ids to :func:`~spark_ensemble_spark.operators.\
+dedup.dedup_against_corpus` and the removal list to index maintenance."""
+    norm = F.regexp_replace(
+        F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+", " "
+    )
+    fp = F.md5(norm)
+    o = old_df.select(F.col(id_col).alias("__id"), fp.alias("__old_fp"))
+    n = new_df.select(F.col(id_col).alias("__id"), fp.alias("__new_fp"))
+    joined = o.join(n, "__id", "full_outer")
+    status = (
+        F.when(F.col("__old_fp").isNull(), F.lit("added"))
+        .when(F.col("__new_fp").isNull(), F.lit("removed"))
+        .when(F.col("__old_fp") == F.col("__new_fp"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(F.col("__id").alias(id_col), status.alias("status"))

@@ -2453,6 +2453,48 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_snapshot_diff",
+    """
+    WITH o AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS fp
+      FROM documents WHERE doc_id % 7 <> 0
+    ),
+    n AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(coalesce(
+               CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END,
+             ''))), '\\s+', ' ', 'g')) AS fp
+      FROM documents WHERE doc_id % 5 <> 0
+    )
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.fp IS NULL THEN 'added'
+                WHEN n.fp IS NULL THEN 'removed'
+                WHEN o.fp = n.fp THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+    """,
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version diff between two deterministic snapshots of the
+    documents table (old = ids not %7, new = ids not %5 with every %11 doc
+    edited): one full-outer join of two (id, fingerprint) projections —
+    hashes shuffle, documents don't. Feeds added/changed ids to incremental
+    dedup and removed ids to index maintenance."""
+    from spark_ensemble_spark.operators.corpus import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    new = docs.filter(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(old, new)
+
+
+@query(
     "dedup_resolved_corpus",
     """
     WITH RECURSIVE edges AS (

@@ -592,3 +592,19 @@ def test_unigram_logprob_ordering(spark):
 
     p_the = 7 / 8  # 7 'the' among 8 tokens
     assert out[1].avg_logprob == pytest.approx(round(math.log(p_the), 6), abs=2e-6)
+
+
+def test_snapshot_diff_statuses(spark):
+    from spark_ensemble_spark.operators.corpus import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "same text"), (2, "will change"), (3, "will be removed")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same   text"), (2, "has changed"), (4, "brand new")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+    # whitespace-only re-encode is NOT a change
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}

@@ -899,6 +899,18 @@ def dup_clusters(
         .persist()
     )
     labels.count()
+    # Convergence check: labels only ever DECREASE under min-propagation, so
+    # the label total is strictly decreasing until the fixed point — an
+    # unchanged total proves no label moved. One DECIMAL agg per round (exact
+    # at any node count / id magnitude) replaces the old join-old-vs-new +
+    # filter + count action: one fewer shuffle join per round, and the agg
+    # doubles as the action that materializes the round's persist.
+    def _label_total(frame: DataFrame):
+        return frame.agg(
+            F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("t")
+        ).first()["t"]
+
+    prev_total = _label_total(labels)
     for round_no in range(max_rounds):
         # candidate label for each node: min over neighbors' labels and its own
         neighbor_labels = (
@@ -929,17 +941,12 @@ def dup_clusters(
             new_labels = new_labels.localCheckpoint(eager=True)
         else:
             new_labels = new_labels.persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
+        total = _label_total(new_labels)
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if total == prev_total:
             break
+        prev_total = total
     else:
         warnings.warn(
             f"dup_clusters did not converge within {max_rounds} rounds; "

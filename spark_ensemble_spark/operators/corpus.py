@@ -935,10 +935,9 @@ def snapshot_diff(
     documents. This is the ingestion-audit step between corpus versions:
     feed ``added``/``changed`` ids to :func:`~spark_ensemble_spark.operators.\
 dedup.dedup_against_corpus` and the removal list to index maintenance."""
-    norm = F.regexp_replace(
-        F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+", " "
-    )
-    fp = F.md5(norm)
+    from .text import fingerprint
+
+    fp = fingerprint(F.coalesce(F.col(text_col), F.lit("")))
     o = old_df.select(F.col(id_col).alias("__id"), fp.alias("__old_fp"))
     n = new_df.select(F.col(id_col).alias("__id"), fp.alias("__new_fp"))
     joined = o.join(n, "__id", "full_outer")

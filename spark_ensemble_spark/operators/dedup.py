@@ -898,19 +898,34 @@ def dup_clusters(
         .withColumn("cluster_id", F.col("id"))
         .persist()
     )
-    labels.count()
-    # Convergence check: labels only ever DECREASE under min-propagation, so
-    # the label total is strictly decreasing until the fixed point — an
-    # unchanged total proves no label moved. One DECIMAL agg per round (exact
-    # at any node count / id magnitude) replaces the old join-old-vs-new +
-    # filter + count action: one fewer shuffle join per round, and the agg
-    # doubles as the action that materializes the round's persist.
+    # Convergence check, by id dtype:
+    #  * NUMERIC ids: labels only ever DECREASE under min-propagation, so the
+    #    exact DECIMAL label total is strictly decreasing until the fixed
+    #    point — an unchanged total proves no label moved. One agg per round,
+    #    one fewer shuffle join than the generic check, and the agg doubles
+    #    as the action that materializes the round's persist.
+    #  * everything else (string ids etc.): the numeric cast would throw
+    #    under ANSI (or NULL out and fake instant convergence), and even a
+    #    castable numeric string is ordered LEXICOGRAPHICALLY by min() so the
+    #    numeric sum is not monotone — fall back to the join-based
+    #    changed-row count, correct for any orderable type.
+    import pyspark.sql.types as _T
+
+    _id_type = dict(labels.dtypes)["cluster_id"]
+    _numeric_ids = isinstance(
+        labels.schema["cluster_id"].dataType, _T.NumericType
+    )
+
     def _label_total(frame: DataFrame):
         return frame.agg(
             F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("t")
         ).first()["t"]
 
-    prev_total = _label_total(labels)
+    if _numeric_ids:
+        prev_total = _label_total(labels)  # also materializes the persist
+    else:
+        labels.count()
+        prev_total = None
     for round_no in range(max_rounds):
         # candidate label for each node: min over neighbors' labels and its own
         neighbor_labels = (
@@ -941,12 +956,23 @@ def dup_clusters(
             new_labels = new_labels.localCheckpoint(eager=True)
         else:
             new_labels = new_labels.persist()
-        total = _label_total(new_labels)
+        if _numeric_ids:
+            total = _label_total(new_labels)
+            converged = total == prev_total
+            prev_total = total
+        else:
+            converged = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                .limit(1)
+                .count()
+                == 0
+            )
         labels.unpersist()
         labels = new_labels
-        if total == prev_total:
+        if converged:
             break
-        prev_total = total
     else:
         warnings.warn(
             f"dup_clusters did not converge within {max_rounds} rounds; "
@@ -1003,11 +1029,13 @@ def dedup_against_corpus(
     degenerate bucket is degenerate regardless of side), keeping reducer
     skew bounded.
     """
+    from .text import fingerprint
+
     r = num_hashes // bands
-    norm = F.regexp_replace(
-        F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+", " "
-    )
-    fp = F.md5(norm)
+    # THE fingerprint expression (operators/text.fingerprint) — the same
+    # normalization snapshot_diff and corpus_fingerprint_index use, so diff
+    # output, fingerprint indexes, and this exact stage can never drift apart
+    fp = fingerprint(F.coalesce(F.col(text_col), F.lit("")))
     if corpus_fingerprints is None:
         corpus_fingerprints = corpus_df.select(fp.alias("__fp")).distinct()
     survivors = new_df.withColumn("__fp", fp).join(
@@ -1297,7 +1325,8 @@ def corpus_fingerprint_index(
     distinct md5 fingerprints of whitespace-normalized corpus text, as one
     ``__fp`` column. Persist it next to the MinHash signature index so an
     incremental delivery never re-scans the corpus for either stage."""
-    norm = F.regexp_replace(
-        F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+", " "
-    )
-    return corpus_df.select(F.md5(norm).alias("__fp")).distinct()
+    from .text import fingerprint
+
+    return corpus_df.select(
+        fingerprint(F.coalesce(F.col(text_col), F.lit(""))).alias("__fp")
+    ).distinct()

@@ -1391,3 +1391,20 @@ def test_dedup_against_corpus_with_fingerprint_index(spark):
         corpus_fingerprints=fp_idx,
     )
     assert sorted(r.doc_id for r in out.collect()) == [101]
+
+
+def test_dup_clusters_string_ids(spark):
+    """String-id pair graphs must resolve correctly (the numeric label-sum
+    convergence shortcut is gated to numeric ids; strings take the generic
+    join-based check — a NULLed or lexicographic sum would fake instant
+    convergence and split chained clusters)."""
+    from spark_ensemble_spark.operators.dedup import dup_clusters
+
+    # a 5-node chain plus a numeric-string trap: min('10','9') = '10'
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("9", "10")],
+        "id_a string, id_b string",
+    )
+    got = {r.id: r.cluster_id for r in dup_clusters(pairs).collect()}
+    assert {got[k] for k in "abcde"} == {"a"}
+    assert got["9"] == got["10"] == "10"  # lexicographic min, consistently

@@ -911,7 +911,6 @@ def dup_clusters(
     #    changed-row count, correct for any orderable type.
     import pyspark.sql.types as _T
 
-    _id_type = dict(labels.dtypes)["cluster_id"]
     _numeric_ids = isinstance(
         labels.schema["cluster_id"].dataType, _T.NumericType
     )

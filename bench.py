@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "dedup_chunks",
     "dedup_incremental",
     "similarity_pq_topk",
+    "similarity_ivfpq_topk",
     "mixing_weights_tau",
     "temperature_mix_sample",
     "regression_metrics_dummy_median",

@@ -446,6 +446,40 @@ def _pq_subdist_chains(vec_sql: str, codebooks: list) -> list:
     return chains
 
 
+def _pq_codes(vec_sql: str, codebooks: list) -> Column:
+    """Code array for ``vec_sql``: ``codes[m]`` = nearest codeword id of
+    subvector m (ties break to the lowest id, both engines). Single source
+    for :func:`pq_encode` and :func:`ivfpq_topk` so an IVF-PQ index can
+    never silently encode differently from a flat PQ index."""
+    codes = []
+    for chains in _pq_subdist_chains(vec_sql, codebooks):
+        ranked = F.array_sort(
+            F.array(
+                *[F.struct(d.alias("d"), F.lit(j).alias("j")) for j, d in enumerate(chains)]
+            )
+        )
+        codes.append(F.element_at(ranked, 1)["j"])
+    return F.array(*codes)
+
+
+def _pq_lut(vec_sql: str, codebooks: list) -> Column:
+    """Query-side ADC lookup table: ``lut[m][j]`` = squared-L2 distance from
+    subvector m of ``vec_sql`` to codeword j."""
+    return F.array(*[F.array(*row) for row in _pq_subdist_chains(vec_sql, codebooks)])
+
+
+def _adc_score(codes_col: str = "codes", lut_col: str = "__lut") -> Column:
+    """ADC distance: ``Σ_m lut[m][codes[m]]`` — O(num_subspaces) lookups per
+    candidate, never touching the original floats."""
+    return F.aggregate(
+        F.zip_with(
+            codes_col, lut_col, lambda c, l: F.try_element_at(l, c + F.lit(1))
+        ),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: list,
@@ -460,15 +494,7 @@ def pq_encode(
     out = df.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("__v")
     )
-    codes = []
-    for chains in _pq_subdist_chains("__v", codebooks):
-        ranked = F.array_sort(
-            F.array(
-                *[F.struct(d.alias("d"), F.lit(j).alias("j")) for j, d in enumerate(chains)]
-            )
-        )
-        codes.append(F.element_at(ranked, 1)["j"])
-    return out.select("id", F.array(*codes).alias("codes"))
+    return out.select("id", _pq_codes("__v", codebooks).alias("codes"))
 
 
 def pq_topk(
@@ -495,20 +521,8 @@ def pq_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
     )
-    lut = F.array(
-        *[
-            F.array(*row)
-            for row in _pq_subdist_chains("__qv", codebooks)
-        ]
-    )
-    q = q.select("query_id", lut.alias("__lut"))
-    adc = F.aggregate(
-        F.zip_with(
-            "codes", "__lut", lambda c, l: F.try_element_at(l, c + F.lit(1))
-        ),
-        F.lit(0.0),
-        lambda s, v: s + v,
-    )
+    q = q.select("query_id", _pq_lut("__qv", codebooks).alias("__lut"))
+    adc = _adc_score()
     scored = (
         enc.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .select(
@@ -582,6 +596,142 @@ def pq_oracle_sql(
                PARTITION BY q.query_id
                ORDER BY {adc} ASC, c.neighbor_id) AS rank
       FROM enc c JOIN ql q ON c.neighbor_id <> q.query_id
+    ) WHERE rank <= {k}
+    """
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list,
+    codebooks: list,
+    k: int = 5,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ top-k: the billion-scale serving layout — IVF coarse pruning
+    composed with PQ/ADC scoring (no-residual variant: codes quantize the raw
+    vector, not ``v - centroid``, which is what keeps encode identical to the
+    flat PQ index and the whole path oracle-checkable).
+
+    One pass over the corpus produces BOTH the cell assignment and the PQ
+    codes (the inverted-list index: ``num_subspaces`` bytes + a cell id per
+    vector). Queries probe their ``nprobe`` nearest cells and carry a
+    per-query LUT; candidates surface via an EQUI-join on the cell id — the
+    scan is cut to ``~nprobe/num_clusters`` of the corpus AND each candidate
+    scores in O(num_subspaces) lookups. At 100 TB this is the only listed ANN
+    variant that cuts both the bytes-per-candidate (PQ) and the
+    candidates-per-query (IVF); `pq_topk` alone still scans every code row
+    per query.
+
+    Reference parity: the reference engine has no ANN surface — this is
+    beyond-reference LLM-pipeline scope (SURVEY.md §6)."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__cv")
+    )
+    enc = c.select(
+        "neighbor_id",
+        F.element_at(_centroid_ranking("__cv", centroids), 1).alias("cell"),
+        _pq_codes("__cv", codebooks).alias("codes"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
+    )
+    probes = F.slice(_centroid_ranking("__qv", centroids), 1, nprobe)
+    q = q.select(
+        "query_id",
+        F.explode(probes).alias("cell"),
+        _pq_lut("__qv", codebooks).alias("__lut"),
+    )
+    # each corpus row lives in exactly one cell and a query's probed cells are
+    # distinct, so a (query, neighbor) pair can never appear twice — no dedup
+    # stage needed before the top-k window
+    scored = (
+        enc.join(F.broadcast(q), on="cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(_adc_score(), 6).alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )
+
+
+def ivfpq_oracle_sql(
+    centroids: list,
+    codebooks: list,
+    k: int = 5,
+    nprobe: int = 4,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred: str = "vec_id < 5",
+) -> str:
+    """DuckDB SQL reproducing ``ivfpq_topk(..., centroids=..., codebooks=...)``
+    exactly: cell assignment/probes use :func:`ivf_oracle_sql`'s distance
+    chains, code assignment and the LUT use :func:`pq_oracle_sql`'s, and ADC
+    is the same explicit left-to-right LUT-lookup sum."""
+    num_sub = len(codebooks)
+    sub = len(codebooks[0][0])
+
+    arms = []
+    for cid, c in enumerate(centroids):
+        chain = " + ".join(
+            f"(v[{j + 1}]-({x!r}))*(v[{j + 1}]-({x!r}))" for j, x in enumerate(c)
+        )
+        arms.append(f"SELECT id, v, {cid} AS cid, {chain} AS d FROM e")
+    dist_union = "\n      UNION ALL ".join(arms)
+
+    def pq_chain(m: int, c: list) -> str:
+        off = m * sub
+        return " + ".join(
+            f"(v[{off + j + 1}]-({x!r}))*(v[{off + j + 1}]-({x!r}))"
+            for j, x in enumerate(c)
+        )
+
+    code_elems = []
+    lut_elems = []
+    for m, book in enumerate(codebooks):
+        pairs = ", ".join(
+            f"[{pq_chain(m, c)}, CAST({j} AS DOUBLE)]" for j, c in enumerate(book)
+        )
+        code_elems.append(f"CAST(list_sort([{pairs}])[1][2] AS BIGINT)")
+        lut_elems.append(f"[{', '.join(pq_chain(m, c) for c in book)}]")
+    codes_sql = ",\n             ".join(code_elems)
+    lut_sql = ",\n             ".join(lut_elems)
+    adc_chain = " + ".join(
+        f"q.lut[{m + 1}][c.codes[{m + 1}] + 1]" for m in range(num_sub)
+    )
+    adc = f"round({adc_chain}, 6)"
+    return f"""
+    WITH e AS (SELECT {id_col} AS id, {vec_col}::DOUBLE[] AS v FROM {table}),
+    d AS (
+      {dist_union}
+    ),
+    enc AS (
+      SELECT id AS neighbor_id, cid AS cell,
+             [{codes_sql}] AS codes
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn FROM d
+      ) WHERE rn = 1
+    ),
+    ql AS (
+      SELECT id AS query_id, cid AS cell,
+             [{lut_sql}] AS lut
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+        FROM d WHERE {query_pred.replace(id_col, 'id')}
+      ) WHERE rn <= {nprobe}
+    )
+    SELECT query_id, neighbor_id, adc_dist, rank FROM (
+      SELECT q.query_id, c.neighbor_id, {adc} AS adc_dist,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY {adc} ASC, c.neighbor_id) AS rank
+      FROM enc c JOIN ql q ON c.cell = q.cell AND c.neighbor_id <> q.query_id
     ) WHERE rank <= {k}
     """
 

@@ -440,6 +440,62 @@ def test_pq_topk_broadcasts_query_side(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") <= 1, plan
 
 
+def test_ivfpq_topk_equijoin_on_cell(spark, sf_dir):
+    """IVF-PQ: candidates surface via a broadcast EQUI-join on the cell id
+    (never an all-pairs join — that is the IVF half of the bargain), and the
+    only hash-partition exchange is the per-query top-k window."""
+    from spark_ensemble_spark.operators.similarity import (
+        ivf_fixed_centroids,
+        ivfpq_topk,
+        pq_fixed_codebooks,
+    )
+    from spark_ensemble_spark.sources.datasets import load_table
+
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_fixed_centroids(dim=64, num_clusters=8, seed=23)
+    books = pq_fixed_codebooks(dim=64, num_subspaces=8, num_codewords=16)
+    df = ivfpq_topk(emb, emb.filter(F.col("vec_id") < 5), cents, books, k=5, nprobe=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_ivfpq_prunes_candidates_vs_flat_pq(spark, sf_dir):
+    """The IVF prune must actually cut the candidate set: with 8 cells and
+    nprobe=3, scored candidates are a strict subset of flat PQ's (which scans
+    every corpus row per query)."""
+    from spark_ensemble_spark.operators.similarity import (
+        ivf_fixed_centroids,
+        ivfpq_topk,
+        pq_fixed_codebooks,
+        pq_topk,
+    )
+    from spark_ensemble_spark.sources.datasets import load_table
+
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    q = emb.filter(F.col("vec_id") < 5)
+    cents = ivf_fixed_centroids(dim=64, num_clusters=8, seed=23)
+    books = pq_fixed_codebooks(dim=64, num_subspaces=8, num_codewords=16)
+    ivfpq = ivfpq_topk(emb, q, cents, books, k=n, nprobe=3)
+    flat = pq_topk(emb, q, books, k=n)
+    n_ivfpq, n_flat = ivfpq.count(), flat.count()
+    assert n_flat == 5 * (n - 1)
+    assert 0 < n_ivfpq < n_flat, (n_ivfpq, n_flat)
+    # and where both score a pair, the ADC distance is identical (same codes,
+    # same LUT — the IVF stage only prunes, never rescores)
+    both = ivfpq.alias("a").join(
+        flat.alias("b"), ["query_id", "neighbor_id"]
+    ).filter(F.col("a.adc_dist") != F.col("b.adc_dist"))
+    assert both.count() == 0
+
+
 def test_write_zorder_parquet_prunes_both_columns(spark, tmp_path):
     """Z-ordered layout: per-file min/max spans must be a small fraction of
     the global range on BOTH interleaved columns (a single-column sort only

@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "dedup_incremental",
     "similarity_pq_topk",
     "similarity_ivfpq_topk",
+    "contamination_bloom",
     "mixing_weights_tau",
     "temperature_mix_sample",
     "regression_metrics_dummy_median",

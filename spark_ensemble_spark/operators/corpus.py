@@ -203,6 +203,184 @@ def contamination_overlap(
     )
 
 
+def _md5_hash_pair(col: Column) -> tuple:
+    """Two independent 60-bit hashes from ONE md5: hex digits 1-15 and 17-31
+    (non-overlapping nibbles). Both engines replay them bit-for-bit
+    (``('0x' || substring(md5(x), i, 15))::BIGINT`` in DuckDB), which is what
+    makes Bloom membership — including its false positives — oracle-exact."""
+    h = F.md5(col)
+    h1 = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(h, 17, 15), 16, 10).cast("long")
+    return h1, h2
+
+
+def ngram_bloom_build(
+    eval_df: DataFrame,
+    text_col: str = "text",
+    shingle_size: int = 8,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 4,
+) -> list:
+    """Compile an eval suite's distinct word n-grams into a Bloom bitmask:
+    a list of ``num_bits/64`` longs, driver-held → shipped to executors as ONE
+    array literal (2^20 bits = 128 KB). Positions are double-hashed
+    (Kirsch-Mitzenmacher): ``pos_i = (h1 + i·h2) mod num_bits`` from one md5
+    per gram.
+
+    This is the 100 TB decontamination shape: the eval side is compiled ONCE
+    to constant-size broadcast state, so checking the corpus
+    (:func:`bloom_contamination`) needs no join at all — compare
+    :func:`contamination_overlap`, whose broadcast hash set grows with the
+    eval suite and must be rebuilt into every plan. Size ``num_bits`` ≥ ~3×
+    expected distinct gram count per false-positive point; the collect is
+    bounded by ``num_bits/64`` rows regardless of eval size."""
+    if num_bits % 64:
+        raise ValueError(f"num_bits must be a multiple of 64, got {num_bits}")
+    sh = (
+        eval_df.select(
+            F.explode(_shingle_strings(F.col(text_col), shingle_size, "word")).alias(
+                "__s"
+            )
+        )
+        .distinct()
+    )
+    h1, h2 = _md5_hash_pair(F.col("__s"))
+    pos = F.explode(
+        F.array(
+            *[
+                F.pmod(h1 + F.lit(i) * h2, F.lit(num_bits))
+                for i in range(num_hashes)
+            ]
+        )
+    )
+    rows = (
+        sh.select(pos.alias("__p"))
+        .distinct()
+        .select(
+            F.expr("__p DIV 64").alias("__w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(__p, 64) AS INT))").alias(
+                "__m"
+            ),
+        )
+        .groupBy("__w")
+        .agg(F.expr("bit_or(__m)").alias("__mask"))
+        .collect()
+    )
+    words = [0] * (num_bits // 64)
+    for r in rows:
+        words[r["__w"]] = r["__mask"]
+    return words
+
+
+def bloom_contamination(
+    df: DataFrame,
+    bloom_words: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 8,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """Per-document count of distinct word n-grams FLAGGED by a Bloom bitmask
+    built with :func:`ngram_bloom_build` (same shingle/hash parameters).
+
+    Returns ``(id_col, n_shingles, n_flagged, flagged_ratio)``. No false
+    negatives — every gram truly in the eval set flags — and a bounded,
+    deterministic false-positive rate, so ``flagged_ratio`` upper-bounds
+    :func:`contamination_overlap`'s exact ``overlap_ratio`` (tested).
+
+    Scale shape: the membership test is pure per-row expression work against
+    the 128 KB mask literal — NO join anywhere; the lone wide stage is the
+    per-doc count aggregation (map-side partials). At 100 TB this turns
+    decontamination into a map-only scan Catalyst can stack onto the same
+    pass as the other per-doc quality signals."""
+    from spark_ensemble_spark.sources.datasets import spread_to_parallelism
+
+    num_bits = len(bloom_words) * 64
+    df = spread_to_parallelism(df)
+    doc_sh = df.select(
+        F.col(id_col),
+        F.explode(_shingle_strings(F.col(text_col), shingle_size, "word")).alias(
+            "__s"
+        ),
+    )
+    h1, h2 = _md5_hash_pair(F.col("__s"))
+    d = doc_sh.select(
+        F.col(id_col), h1.alias("__h1"), h2.alias("__h2")
+    ).withColumn("__mask", F.lit(bloom_words).cast("array<bigint>"))
+    terms = []
+    for i in range(num_hashes):
+        p = f"pmod(__h1 + {i} * __h2, {num_bits})"
+        terms.append(
+            f"(shiftright(element_at(__mask, CAST({p} DIV 64 AS INT) + 1), "
+            f"CAST(pmod({p}, 64) AS INT)) & 1) = 1"
+        )
+    hit = F.expr(" AND ".join(terms))
+    return (
+        d.withColumn("__hit", hit.cast("int"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum("__hit").alias("n_flagged"),
+        )
+        .withColumn(
+            "flagged_ratio", F.col("n_flagged") / F.col("n_shingles").cast("double")
+        )
+    )
+
+
+def bloom_contamination_oracle_sql(
+    eval_pred: str = "doc_id % 20 = 0",
+    shingle_size: int = 8,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 4,
+    table: str = "documents",
+) -> str:
+    """DuckDB SQL reproducing ``bloom_contamination(docs,
+    ngram_bloom_build(docs WHERE eval_pred))`` exactly — false positives
+    included: membership in a Bloom mask built from eval positions ≡ "all
+    ``num_hashes`` positions of the gram are in the eval position set", which
+    SQL replays as a count over a position join, no bitmask needed."""
+    gram = ", ".join(f"t[i+{j}]" for j in range(shingle_size))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(replace(coalesce(text, ''),
+                          chr(10), ' '))), '\\s+', ' ', 'g'), ' ') AS t
+      FROM {table}
+    ),
+    dsh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - {shingle_size}, 0) + 2),
+               i -> concat_ws(' ', {gram})))) AS s
+      FROM toks
+    ),
+    hp AS (
+      SELECT doc_id, s,
+             ('0x' || substring(md5(s), 1, 15))::BIGINT AS h1,
+             ('0x' || substring(md5(s), 17, 15))::BIGINT AS h2
+      FROM dsh
+    ),
+    epos AS (
+      SELECT DISTINCT (h1 + r.i * h2) % {num_bits} AS p
+      FROM hp, range(0, {num_hashes}) r(i)
+      WHERE {eval_pred}
+    ),
+    hits AS (
+      SELECT h.doc_id, h.s, count(e.p) = {num_hashes} AS hit
+      FROM hp h
+      CROSS JOIN range(0, {num_hashes}) r(i)
+      LEFT JOIN epos e ON ((h.h1 + r.i * h.h2) % {num_bits}) = e.p
+      GROUP BY h.doc_id, h.s
+    )
+    SELECT doc_id, count(*) AS n_shingles,
+           CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           round(sum(CASE WHEN hit THEN 1 ELSE 0 END) / count(*)::DOUBLE, 6)
+             AS flagged_ratio
+    FROM hits
+    GROUP BY doc_id
+    """
+
+
 # ---------------------------------------------------------------------------
 # deterministic stratified sampling (data mixing)
 # ---------------------------------------------------------------------------

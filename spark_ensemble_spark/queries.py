@@ -3258,6 +3258,43 @@ def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "contamination_bloom",
+    None,  # oracle attached below (operators/corpus.py builder)
+)
+def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination: the eval suite (doc_id % 20 == 0) is
+    compiled ONCE to a 2^20-bit bitmask (128 KB of broadcast state — constant
+    regardless of eval size); the corpus side is then a JOIN-FREE map-only
+    scan testing each distinct word-8-gram against the mask literal. No false
+    negatives; deterministic md5-double-hash false positives that the DuckDB
+    oracle replays bit-for-bit via the equivalent position-set formulation."""
+    from spark_ensemble_spark.operators.corpus import (
+        bloom_contamination,
+        ngram_bloom_build,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_df = docs.filter(F.col("doc_id") % 20 == 0)
+    words = ngram_bloom_build(eval_df, shingle_size=8, num_bits=1 << 20, num_hashes=4)
+    out = bloom_contamination(docs, words, shingle_size=8, num_hashes=4)
+    return out.select(
+        "doc_id",
+        "n_shingles",
+        "n_flagged",
+        F.round("flagged_ratio", 6).alias("flagged_ratio"),
+    )
+
+
+from spark_ensemble_spark.operators.corpus import (  # noqa: E402
+    bloom_contamination_oracle_sql as _bloom_oracle_sql,
+)
+
+ORACLES["contamination_bloom"] = _bloom_oracle_sql(
+    eval_pred="doc_id % 20 = 0", shingle_size=8, num_bits=1 << 20, num_hashes=4
+)
+
+
+@query(
     "streaming_sessionize",
     """
     WITH ordered AS (

@@ -10,10 +10,12 @@ import pytest
 from pyspark.sql import functions as F
 
 from spark_ensemble_spark.operators.corpus import (
+    bloom_contamination,
     boilerplate_lines,
     contamination_overlap,
     gopher_quality_flags,
     line_stats,
+    ngram_bloom_build,
     sample_by_rates,
     strip_boilerplate,
     top_ngram_fraction,
@@ -135,6 +137,46 @@ def test_strip_boilerplate_matches_duckdb(corpus, con):
     assert got[0] == "alpha beta gamma"  # both boilerplate lines removed
     assert got[4] == f"repeat me{NL}repeat me{NL}repeat me{NL}once only"
     assert got[5] == ""  # empty doc survives as empty
+
+
+def test_bloom_contamination_no_false_negatives(spark, corpus):
+    """Bloom membership can only over-flag: per doc, n_flagged >= the exact
+    join-based n_matched, with identical n_shingles; a doc fully inside the
+    eval set flags every gram; the empty doc keeps its single empty shingle."""
+    eval_df = spark.createDataFrame(
+        [(100, "alpha beta gamma delta"), (101, "benchmark only words here")],
+        ["doc_id", "text"],
+    )
+    words = ngram_bloom_build(eval_df, shingle_size=3, num_bits=1 << 16)
+    bloom = {
+        r["doc_id"]: (r["n_shingles"], r["n_flagged"])
+        for r in bloom_contamination(corpus, words, shingle_size=3).collect()
+    }
+    exact = {
+        r["doc_id"]: (r["n_shingles"], r["n_matched"])
+        for r in contamination_overlap(
+            corpus, eval_df, shingle_size=3, hash_fn="md5"
+        ).collect()
+    }
+    assert set(bloom) == set(exact)
+    for doc_id, (n_sh, n_fl) in bloom.items():
+        assert n_sh == exact[doc_id][0], doc_id
+        assert n_fl >= exact[doc_id][1], doc_id
+    # eval doc 100's grams are a superset of doc 0's middle line 3-grams
+    assert bloom[0][1] >= 1
+    assert 5 in bloom  # empty doc survives
+
+
+def test_bloom_contamination_plan_is_join_free(spark, corpus):
+    """The scale contract vs contamination_overlap: membership is tested
+    against the mask LITERAL — no join operator of any kind in the plan, and
+    the only exchange is the per-doc aggregation."""
+    eval_df = corpus.filter(F.col("doc_id") == 0)
+    words = ngram_bloom_build(eval_df, shingle_size=3, num_bits=1 << 12)
+    df = bloom_contamination(corpus, words, shingle_size=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
 
 
 def test_contamination_overlap_matches_duckdb(spark, corpus, con):

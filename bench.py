@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "docs_unigram_logprob",
     "dedup_resolved_corpus",
     "corpus_snapshot_diff",
+    "dedup_semantic",
 ]
 
 

@@ -1329,3 +1329,193 @@ def corpus_fingerprint_index(
     return corpus_df.select(
         fingerprint(F.coalesce(F.col(text_col), F.lit(""))).alias("__fp")
     ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic deduplication via embedding clustering
+# ---------------------------------------------------------------------------
+
+
+def semantic_dup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: List[List[float]],
+    threshold: float = 0.95,
+    max_cluster_size: Optional[int] = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings, compare pairs only
+    WITHIN a cluster, and mark the pair member closest to its centroid for
+    removal (the paper keeps the example with the lowest centroid
+    similarity — the cluster's most atypical representative survives).
+
+    Returns ``(cluster, id_a, id_b, cosine, drop_id)`` — one row per
+    within-cluster pair with rounded cosine ≥ ``threshold``. ``drop_id`` is
+    the member with the SMALLER squared-L2 distance to the shared centroid
+    (ties break to the larger id), so resolution needs no second pass over
+    the vectors.
+
+    Scale shape: assignment is a narrow per-row argmin over the centroid
+    list (no shuffle); the only wide ops are one equi-join on ``cluster``
+    and the pair dedup. Per-reducer work is (cluster size)² — exactly the
+    trade the paper makes (clusters are n/k) — and ``max_cluster_size``
+    quarantines degenerate clusters via :func:`_cap_hot_buckets` before the
+    self-join, bounding every reducer. Quarantined clusters produce NO pairs
+    (their rows all survive dedup) and are reported via ``observe()``, which
+    is the safe failure mode for a dedup: skew never silently deletes data.
+
+    ``centroids`` is a plain Python list (either :func:`~spark_ensemble_spark.\
+operators.similarity.ivf_fixed_centroids` for the oracle-checkable path or a
+    trained KMeans codebook), embedded as literals so the assignment runs in
+    codegen — no fitted-model broadcast, no UDF.
+    """
+    from .similarity import _centroid_dist_chains
+
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(F.col(id_col).alias("id"), vec.alias("v"))
+    dists = _centroid_dist_chains("v", centroids)
+    nearest = F.element_at(
+        F.array_sort(
+            F.array(
+                *[
+                    F.struct(d.alias("d"), F.lit(i).alias("i"))
+                    for i, d in enumerate(dists)
+                ]
+            )
+        ),
+        1,
+    )
+    # norm precomputed per ROW (identical fold, so the cosine stays
+    # bit-for-bit what the oracle computes) — the pairwise stage then pays
+    # one dot-product fold per candidate instead of three
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("v"), lambda x: x * x),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+    )
+    assigned = base.select(
+        "id",
+        "v",
+        norm.alias("n"),
+        nearest["i"].alias("cluster"),
+        nearest["d"].alias("d"),
+    )
+    capped = _cap_hot_buckets(
+        assigned, ["cluster"], max_cluster_size, "semantic_dedup_cap"
+    )
+    left, right = capped.alias("l"), capped.alias("r")
+    dot = F.aggregate(
+        F.zip_with(F.col("l.v"), F.col("r.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    cos = F.round(dot / (F.col("l.n") * F.col("r.n")), 6)
+    drop = (
+        F.when(F.col("l.d") < F.col("r.d"), F.col("l.id"))
+        .when(F.col("r.d") < F.col("l.d"), F.col("r.id"))
+        .otherwise(F.greatest(F.col("l.id"), F.col("r.id")))
+    )
+    return (
+        left.join(
+            right,
+            (F.col("l.cluster") == F.col("r.cluster"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.cluster").alias("cluster"),
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            cos.alias("cosine"),
+            drop.alias("drop_id"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: List[List[float]],
+    threshold: float = 0.95,
+    max_cluster_size: Optional[int] = None,
+) -> DataFrame:
+    """Survivors of SemDeDup: the input rows minus every ``drop_id`` marked
+    by :func:`semantic_dup_pairs`, with the assigned ``cluster`` appended.
+    One anti-join on the id — the dropped-id set is distinct-reduced first,
+    so the join moves ids, not vectors."""
+    from .similarity import _centroid_dist_chains
+
+    pairs = semantic_dup_pairs(
+        df, vec_col, id_col, centroids, threshold, max_cluster_size
+    )
+    dropped = pairs.select(F.col("drop_id").alias("__drop")).distinct()
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    dists = _centroid_dist_chains("__v", centroids)
+    nearest = F.element_at(
+        F.array_sort(
+            F.array(
+                *[
+                    F.struct(d.alias("d"), F.lit(i).alias("i"))
+                    for i, d in enumerate(dists)
+                ]
+            )
+        ),
+        1,
+    )
+    survivors = df.join(
+        dropped, df[id_col] == dropped["__drop"], "left_anti"
+    )
+    return survivors.withColumn("__v", vec).select(
+        *df.columns, nearest["i"].alias("cluster")
+    ).drop("__v")
+
+
+def semantic_dedup_oracle_sql(
+    centroids: List[List[float]],
+    threshold: float = 0.95,
+    source_cte: str = "SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings",
+    id_out: str = "vec_id",
+) -> str:
+    """DuckDB SQL replaying :func:`semantic_dedup` bit-for-bit: per-centroid
+    squared-L2 chains carry the same literals and left-to-right IEEE order
+    as ``_centroid_dist_chains`` (see :func:`~spark_ensemble_spark.operators.\
+similarity.ivf_oracle_sql`), assignment ties break on centroid id, the drop
+    rule compares the same ``d`` doubles, and cosine uses
+    ``list_dot_product`` (left fold, matching Spark's ``aggregate``)."""
+    arms = []
+    for cid, c in enumerate(centroids):
+        chain = " + ".join(
+            f"(v[{j + 1}]-({x!r}))*(v[{j + 1}]-({x!r}))" for j, x in enumerate(c)
+        )
+        arms.append(f"SELECT id, v, {cid} AS cid, {chain} AS d FROM e")
+    dist_union = "\n      UNION ALL ".join(arms)
+    cos = (
+        "round(list_dot_product(l.v, r.v) / (sqrt(list_dot_product(l.v, l.v)) "
+        "* sqrt(list_dot_product(r.v, r.v))), 6)"
+    )
+    return f"""
+    WITH e AS ({source_cte}),
+    dd AS (
+      {dist_union}
+    ),
+    assigned AS (
+      SELECT id, v, cid AS cluster, d FROM (
+        SELECT *, row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+        FROM dd
+      ) WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT CASE WHEN l.d < r.d THEN l.id
+                  WHEN r.d < l.d THEN r.id
+                  ELSE greatest(l.id, r.id) END AS drop_id
+      FROM assigned l JOIN assigned r
+        ON l.cluster = r.cluster AND l.id < r.id
+      WHERE {cos} >= {threshold!r}
+    )
+    SELECT a.id AS {id_out}, a.cluster
+    FROM assigned a
+    WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.drop_id = a.id)
+    """

@@ -2598,6 +2598,48 @@ def embedding_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SemDeDup shares IVF's fixed deterministic centroids (64-dim, 8 cells) so
+# cluster assignment — and therefore which pairs are even COMPARED — is
+# replayable in SQL. Threshold 0.95: planted identical vectors (cosine 1.0)
+# must be caught; unrelated fixture vectors must not.
+_SEMDEDUP_CENTROIDS = _similarity.ivf_fixed_centroids(dim=64, num_clusters=8, seed=23)
+
+
+@query(
+    "dedup_semantic",
+    _dedup.semantic_dedup_oracle_sql(
+        _SEMDEDUP_CENTROIDS,
+        threshold=0.95,
+        source_cte=(
+            "SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings"
+            " UNION ALL "
+            "SELECT vec_id + 1000000 AS id, embedding::DOUBLE[] AS v"
+            " FROM embeddings WHERE vec_id < 20"
+        ),
+    ),
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) survivors over the planted-duplicate
+    embedding fixture: cluster on fixed centroids, pairwise cosine only
+    within a cluster, drop the pair member nearest its centroid. Each of the
+    20 planted identical twins must lose exactly one member (identical d ⇒
+    the larger planted id drops); every natural ≥0.95 within-cluster pair is
+    resolved by the same rule. The oracle replays assignment, pairing, AND
+    the drop rule, so the full semantic-dedup decision — not just the pair
+    list — is hash-checked."""
+    from spark_ensemble_spark.operators.dedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.unionByName(
+        emb.filter(F.col("vec_id") < 20).withColumn(
+            "vec_id", F.col("vec_id") + F.lit(1_000_000)
+        )
+    )
+    return semantic_dedup(
+        planted, "embedding", "vec_id", _SEMDEDUP_CENTROIDS, threshold=0.95
+    ).select("vec_id", "cluster")
+
+
 # embeddings are 64-dim at every SF (TESTDATA.md)
 @query("similarity_srp_topk", _similarity.srp_topk_oracle_sql(dim=64))
 def similarity_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

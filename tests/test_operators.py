@@ -1408,3 +1408,58 @@ def test_dup_clusters_string_ids(spark):
     got = {r.id: r.cluster_id for r in dup_clusters(pairs).collect()}
     assert {got[k] for k in "abcde"} == {"a"}
     assert got["9"] == got["10"] == "10"  # lexicographic min, consistently
+
+
+def test_semantic_dedup_drop_rule_and_cluster_scoping(spark):
+    """SemDeDup semantics on hand-built geometry: two orthogonal centroids;
+    a near-identical pair inside cluster 0 must drop the member CLOSER to
+    the centroid (keep the atypical one, per the paper); a high-cosine pair
+    that straddles the cluster boundary is never compared — SemDeDup's
+    scope is within-cluster only."""
+    from spark_ensemble_spark.operators.dedup import (
+        semantic_dedup,
+        semantic_dup_pairs,
+    )
+
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    rows = [
+        (1, [0.95, 0.05, 0.0, 0.0]),  # cluster 0, close to centroid
+        (2, [0.80, 0.05, 0.0, 0.0]),  # cluster 0, same direction, farther out
+        (3, [0.70, 0.71, 0.0, 0.0]),  # cluster 1 side of the boundary
+        (4, [0.71, 0.70, 0.0, 0.0]),  # cluster 0 side; cos(3,4) ≈ 0.9998
+        (5, [0.0, 0.9, 0.1, 0.0]),  # cluster 1, no near-dup
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = semantic_dup_pairs(df, "embedding", "vec_id", cents, threshold=0.99)
+    got = {(r.id_a, r.id_b): r.drop_id for r in pairs.collect()}
+    # vectors 1 and 2 are colinear (cosine 1.0): 1 is nearer the centroid
+    # and must be the drop; the 3-4 boundary pair must be absent entirely
+    assert got == {(1, 2): 1}
+    kept = semantic_dedup(df, "embedding", "vec_id", cents, threshold=0.99)
+    assert {r.vec_id for r in kept.collect()} == {2, 3, 4, 5}
+    by_id = {r.vec_id: r.cluster for r in kept.collect()}
+    assert by_id[3] == 1 and by_id[4] == 0
+
+
+def test_semantic_dedup_hot_cluster_quarantine(spark):
+    """A degenerate cluster above max_cluster_size produces NO pairs (its
+    rows all survive) — skew protection can delay dedup but never delete
+    data."""
+    from spark_ensemble_spark.operators.dedup import (
+        semantic_dedup,
+        semantic_dup_pairs,
+    )
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    hot = [(i, [1.0, 0.001 * i]) for i in range(40)]  # all cluster 0
+    ok = [(100, [0.01, 1.0]), (101, [0.01, 1.0])]  # cluster 1 twin pair
+    df = spark.createDataFrame(hot + ok, ["vec_id", "embedding"])
+    pairs = semantic_dup_pairs(
+        df, "embedding", "vec_id", cents, threshold=0.99, max_cluster_size=10
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(100, 101)}  # hot cluster quarantined, healthy one not
+    kept = semantic_dedup(
+        df, "embedding", "vec_id", cents, threshold=0.99, max_cluster_size=10
+    )
+    assert kept.count() == 41  # only the twin's drop_id is removed

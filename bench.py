@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "dedup_resolved_corpus",
     "corpus_snapshot_diff",
     "dedup_semantic",
+    "dsir_select_en",
 ]
 
 

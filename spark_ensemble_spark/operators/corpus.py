@@ -1126,3 +1126,212 @@ dedup.dedup_against_corpus` and the removal list to index maintenance."""
         .otherwise(F.lit("changed"))
     )
     return joined.select(F.col("__id").alias(id_col), status.alias("status"))
+
+
+# ---------------------------------------------------------------------------
+# DSIR — data selection via importance resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+
+def _hashed_feature_strings(text: Column) -> Column:
+    """Word unigram + bigram feature strings of normalized text — the hashed
+    n-gram featurization DSIR scores with. Returned as STRINGS (with
+    multiplicity — DSIR is a bag-of-features model, so no distinct) for the
+    caller to explode and hash on the flat column inside codegen (the
+    :func:`~spark_ensemble_spark.operators.dedup._shingle_strings`
+    discipline: lambdas evaluate interpreted, flat columns don't)."""
+    norm = F.regexp_replace(
+        F.lower(F.trim(F.coalesce(text, F.lit("")))), r"\s+", " "
+    )
+    toks = F.split(norm, " ")
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.array_join(F.slice(toks, i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(toks, bigrams)
+
+
+def dsir_log_weights(
+    raw_df: DataFrame,
+    target_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 4096,
+    hash_fn: str = "xxhash64",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document DSIR importance log-weight: hashed-n-gram bag
+    likelihood ratio between a TARGET corpus (what you want more of) and the
+    RAW corpus being scored — ``log w(x) = Σ_f c_f(x)·(log p_target[f] −
+    log p_raw[f])`` with add-1 smoothing over ``buckets`` hashed features.
+
+    Returns ``(id_col, n_feats, log_weight)``, one row per raw doc.
+
+    Plan shape (the point at 100 TB): both corpus distributions are
+    ``buckets``-row aggregates (map-side partials; never corpus-sized
+    state), the per-bucket log-ratio table is built once and BROADCAST to
+    the per-doc scoring join — the only corpus-sized shuffle is the per-doc
+    bucket-count groupBy. Log-ratios are rounded then DECIMAL-summed so
+    partial-agg order cannot move the score (the unigram_logprob
+    discipline). ``hash_fn='md5'`` is the cross-engine verification mode.
+    """
+    from .dedup import _hash64
+
+    def feats(df: DataFrame, with_id: bool) -> DataFrame:
+        cols = [F.col(id_col).alias("__id")] if with_id else []
+        flat = df.select(
+            *cols,
+            F.explode(_hashed_feature_strings(F.col(text_col))).alias("__f"),
+        )
+        return flat.withColumn(
+            "__b", F.pmod(_hash64(F.col("__f"), hash_fn), F.lit(buckets))
+        ).drop("__f")
+
+    per_doc = (
+        feats(raw_df, True).groupBy("__id", "__b").agg(F.count(F.lit(1)).alias("__c"))
+    )
+    # raw distribution re-aggregates the grouped frame — no second scan
+    raw_counts = per_doc.groupBy("__b").agg(F.sum("__c").alias("__cr"))
+    tgt_counts = (
+        feats(target_df, False).groupBy("__b").agg(F.count(F.lit(1)).alias("__ct"))
+    )
+    n_raw = raw_counts.agg(F.sum("__cr").alias("__nr"))
+    n_tgt = tgt_counts.agg(F.sum("__ct").alias("__nt"))
+    lr = (
+        raw_counts.join(tgt_counts, "__b", "left")
+        .crossJoin(F.broadcast(n_raw))
+        .crossJoin(F.broadcast(n_tgt))
+        .select(
+            "__b",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("__ct"), F.lit(0)) + 1)
+                    / (F.col("__nt") + F.lit(buckets))
+                )
+                - F.log((F.col("__cr") + 1) / (F.col("__nr") + F.lit(buckets))),
+                round_to,
+            )
+            .cast("decimal(38,6)")
+            .alias("__lr"),
+        )
+    )
+    out = (
+        per_doc.join(F.broadcast(lr), "__b")
+        .groupBy("__id")
+        .agg(
+            F.sum("__c").cast("bigint").alias("n_feats"),
+            F.round(
+                F.sum(F.col("__lr") * F.col("__c")).cast("double"), round_to
+            ).alias("log_weight"),
+        )
+    )
+    return out.select(F.col("__id").alias(id_col), "n_feats", "log_weight")
+
+
+def dsir_select(
+    scores: DataFrame,
+    k: int,
+    seed: int = 3,
+    id_col: str = "doc_id",
+    weight_col: str = "log_weight",
+    round_to: int = 6,
+) -> DataFrame:
+    """Gumbel-top-k importance resampling over DSIR log-weights: adding
+    independent Gumbel(0,1) noise to each log-weight and keeping the top k
+    samples WITHOUT replacement with probability ∝ weight — one global
+    top-k (TakeOrderedAndProject — no full sort materialized), no
+    rejection loop, no driver state.
+
+    The Gumbel draw is a deterministic hash of ``(id, seed)`` —
+    ``u = (md5₆₀(id:seed)+1)/(2⁶⁰+1)``, ``g = −ln(−ln u)`` — so selection is
+    reproducible across engines and retries (a rand() column would change
+    under task replay; a hash never does). Appends ``sample_key``."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "", F.col(id_col).cast("string"), F.lit(":"), F.lit(str(seed))
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1)) / F.lit(float((1 << 60) + 1))
+    g = -F.log(-F.log(u))
+    key = F.round(F.col(weight_col) + g, round_to)
+    return (
+        scores.withColumn("sample_key", key)
+        .orderBy(F.col("sample_key").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def dsir_oracle_sql(
+    buckets: int,
+    k: int,
+    seed: int = 3,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_pred: str = "lang = 'en'",
+    round_to: int = 6,
+) -> str:
+    """DuckDB SQL replaying ``dsir_select(dsir_log_weights(..., 'md5'))``
+    bit-for-bit: same normalization/bigram construction, the md5-60-bit
+    bucket hash, add-1 smoothing with identical integer→double divisions,
+    rounded DECIMAL-summed log-ratios, and the same md5-derived Gumbel keys.
+    ``CAST(sum AS BIGINT)`` guards the HUGEINT promotion."""
+    denom = float((1 << 60) + 1)
+    return f"""
+    WITH norm AS (
+      SELECT {id_col} AS id, ({target_pred}) AS is_tgt,
+             string_split(regexp_replace(lower(trim(coalesce({text_col}, ''))), '\\s+', ' ', 'g'), ' ') AS t
+      FROM {table}
+    ), featured AS (
+      SELECT id, is_tgt,
+             list_concat(
+               t,
+               CASE WHEN len(t) >= 2
+                    THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+                    ELSE [] END
+             ) AS fs
+      FROM norm
+    ), flat AS (
+      SELECT id, is_tgt,
+             ('0x' || substring(md5(u.f), 1, 15))::BIGINT % {buckets} AS b
+      FROM featured, UNNEST(fs) AS u(f)
+    ), per_doc AS (
+      SELECT id, b, CAST(count(*) AS BIGINT) AS c FROM flat GROUP BY id, b
+    ), raw_counts AS (
+      SELECT b, CAST(sum(c) AS BIGINT) AS cr FROM per_doc GROUP BY b
+    ), tgt_counts AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS ct FROM flat WHERE is_tgt GROUP BY b
+    ), totals AS (
+      SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM raw_counts) AS nr,
+             (SELECT CAST(sum(ct) AS BIGINT) FROM tgt_counts) AS nt
+    ), lr AS (
+      SELECT r.b,
+             round(ln((coalesce(t.ct, 0) + 1) / (tot.nt + {buckets}))
+                   - ln((r.cr + 1) / (tot.nr + {buckets})), {round_to})::DECIMAL(38,6) AS lrv
+      FROM raw_counts r LEFT JOIN tgt_counts t USING (b), totals tot
+    ), weights AS (
+      SELECT id, CAST(sum(c) AS BIGINT) AS n_feats,
+             round((sum(lrv * c))::DOUBLE, {round_to}) AS log_weight
+      FROM per_doc JOIN lr USING (b)
+      GROUP BY id
+    )
+    SELECT id AS {id_col}, n_feats, log_weight,
+           round(log_weight
+                 - ln(-ln((('0x' || substring(md5(id::VARCHAR || ':{seed}'), 1, 15))::BIGINT + 1)
+                          / {denom!r})), {round_to}) AS sample_key
+    FROM weights
+    ORDER BY sample_key DESC, id
+    LIMIT {k}
+    """

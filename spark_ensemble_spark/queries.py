@@ -18,6 +18,7 @@ from typing import Callable, Dict
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spark_ensemble_spark.operators import corpus as _corpus
 from spark_ensemble_spark.operators import dedup as _dedup
 from spark_ensemble_spark.operators import similarity as _similarity
 from spark_ensemble_spark.sources.datasets import (
@@ -3595,6 +3596,37 @@ def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return unigram_logprob_score(docs, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# DSIR (Xie et al. 2023): importance-resample the raw corpus toward a target
+# distribution via hashed-n-gram likelihood ratios + Gumbel top-k.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dsir_select_en",
+    _corpus.dsir_oracle_sql(buckets=1024, k=50, seed=3, target_pred="lang = 'en'"),
+)
+def dsir_select_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end DSIR pass: score every document's hashed unigram+bigram
+    bag against the English-subset target distribution (add-1 smoothed,
+    1024 buckets, md5 cross-engine hash) and Gumbel-top-50 resample by the
+    importance weight. The oracle replays featurization, smoothing, the
+    decimal-summed log-ratio scores, AND the md5-derived Gumbel keys, so
+    the selected SET — not just the scores — is hash-checked."""
+    from spark_ensemble_spark.operators.corpus import dsir_log_weights, dsir_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = dsir_log_weights(
+        docs,
+        docs.filter(F.col("lang") == "en"),
+        "text",
+        "doc_id",
+        buckets=1024,
+        hash_fn="md5",
+    )
+    return dsir_select(scores, k=50, seed=3)
 
 
 # ---------------------------------------------------------------------------

@@ -650,3 +650,53 @@ def test_snapshot_diff_statuses(spark):
     got = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
     # whitespace-only re-encode is NOT a change
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    """DSIR sanity on a constructed corpus: docs made of target-corpus
+    vocabulary must out-score docs made of off-target vocabulary, and the
+    Gumbel-top-k then picks target-like docs overwhelmingly."""
+    from spark_ensemble_spark.operators.corpus import (
+        dsir_log_weights,
+        dsir_select,
+    )
+
+    target_like = [(i, "alpha beta gamma alpha beta " * 4) for i in range(10)]
+    off_target = [(i + 100, "zeta eta theta zeta eta " * 4) for i in range(10)]
+    raw = spark.createDataFrame(target_like + off_target, ["doc_id", "text"])
+    tgt = spark.createDataFrame(
+        [(1000 + i, "alpha beta gamma delta " * 6) for i in range(5)],
+        ["doc_id", "text"],
+    )
+    scores = dsir_log_weights(raw, tgt, "text", "doc_id", buckets=512)
+    by_id = {r.doc_id: r.log_weight for r in scores.collect()}
+    assert len(by_id) == 20
+    worst_target_like = min(by_id[i] for i in range(10))
+    best_off_target = max(by_id[i + 100] for i in range(10))
+    assert worst_target_like > best_off_target
+    picked = {r.doc_id for r in dsir_select(scores, k=10, seed=3).collect()}
+    assert len(picked & set(range(10))) >= 8  # noise can flip a doc or two
+
+
+def test_dsir_select_deterministic_and_empty_text(spark):
+    """Selection is a pure function of (id, seed): same frame, same top-k
+    twice; changing the seed changes the Gumbel keys. Empty/NULL docs score
+    (the '' token is a feature) rather than crash or vanish."""
+    from spark_ensemble_spark.operators.corpus import (
+        dsir_log_weights,
+        dsir_select,
+    )
+
+    raw = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, ""), (3, None), (4, "alpha zeta")],
+        ["doc_id", "text"],
+    )
+    tgt = raw.filter(F.col("doc_id") == 1)
+    scores = dsir_log_weights(raw, tgt, "text", "doc_id", buckets=64)
+    assert scores.count() == 4  # nobody dropped
+    a = [(r.doc_id, r.sample_key) for r in dsir_select(scores, 2, seed=3).collect()]
+    b = [(r.doc_id, r.sample_key) for r in dsir_select(scores, 2, seed=3).collect()]
+    assert a == b
+    c = {r.doc_id: r.sample_key for r in dsir_select(scores, 4, seed=9).collect()}
+    assert {k for k, _ in a} <= set(c)
+    assert any(c[k] != dict(a).get(k, c[k]) for k in c)  # seed moved a key

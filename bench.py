@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "corpus_snapshot_diff",
     "dedup_semantic",
     "dsir_select_en",
+    "docs_bigram_logprob",
 ]
 
 

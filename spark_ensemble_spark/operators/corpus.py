@@ -1335,3 +1335,90 @@ def dsir_oracle_sql(
     ORDER BY sample_key DESC, id
     LIMIT {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Interpolated bigram LM fluency score (the classic public approximation of
+# CCNet's LM-perplexity filter; unigram_logprob_score is the 1-gram floor)
+# ---------------------------------------------------------------------------
+
+
+def bigram_logprob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.7,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document mean log-probability under a Jelinek-Mercer-interpolated
+    bigram model estimated from the corpus itself: each bigram position
+    scores ``ln(λ·p(w₂|w₁) + (1−λ)·p(w₂))`` with ``p(w₂|w₁) =
+    c(w₁w₂)/h(w₁)`` (``h`` = bigram-history count, so the ratio is a proper
+    conditional) and ``p(w₂)`` the corpus unigram frequency. Fluent text
+    reuses frequent transitions and scores high; shuffled or generated
+    gibberish keeps frequent WORDS but rare TRANSITIONS and drops — the
+    signal the unigram filter cannot see. Returns
+    ``(id_col, n_bigrams, avg_logprob)``; single-token/empty docs get NULL
+    score (no bigram positions) but are never dropped.
+
+    Plan: one explode builds per-doc bigram counts; the corpus bigram table,
+    the history table, and the unigram table all re-aggregate THAT grouped
+    frame (never a second text scan); scoring is three shuffle joins on
+    token keys — no side is assumed broadcastable (real vocabularies are
+    corpus-sized). Per-position log-probs are rounded then DECIMAL-summed so
+    partial-agg order cannot move the mean (the unigram_logprob discipline).
+    """
+    norm = F.regexp_replace(
+        F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+", " "
+    )
+    toks = F.split(norm, " ")
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + F.lit(1)).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    per_doc = (
+        df.select(F.col(id_col).alias("__id"), F.explode(bigrams).alias("__bg"))
+        .select("__id", F.col("__bg.w1").alias("__w1"), F.col("__bg.w2").alias("__w2"))
+        .groupBy("__id", "__w1", "__w2")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    bi = per_doc.groupBy("__w1", "__w2").agg(F.sum("__c").alias("__cb"))
+    hist = bi.groupBy("__w1").agg(F.sum("__cb").alias("__h"))
+    uni = bi.groupBy("__w2").agg(F.sum("__cb").alias("__cu"))
+    total = uni.agg(F.sum("__cu").alias("__n"))
+    scored = (
+        per_doc.join(bi, ["__w1", "__w2"])
+        .join(hist, "__w1")
+        .join(uni, "__w2")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "__lp",
+            F.round(
+                F.log(
+                    F.lit(lam) * (F.col("__cb") / F.col("__h"))
+                    + F.lit(1.0 - lam) * (F.col("__cu") / F.col("__n"))
+                ),
+                round_to,
+            ).cast("decimal(38,6)"),
+        )
+    )
+    out = scored.groupBy("__id").agg(
+        F.sum("__c").cast("bigint").alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("__lp") * F.col("__c")).cast("double") / F.sum("__c"),
+            round_to,
+        ).alias("avg_logprob"),
+    )
+    ids = df.select(F.col(id_col).alias("__id")).distinct()
+    return ids.join(out, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        "avg_logprob",
+    )

@@ -3598,6 +3598,56 @@ def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob_score(docs, "text", "doc_id")
 
 
+@query(
+    "docs_bigram_logprob",
+    r"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             string_split(regexp_replace(lower(trim(coalesce(text, ''))), '\s+', ' ', 'g'), ' ') AS t
+      FROM documents
+    ),
+    per_pos AS (
+      SELECT id, t[i] AS w1, t[i+1] AS w2
+      FROM toks, UNNEST(range(1, len(t))) AS u(i)
+    ),
+    per_doc AS (
+      SELECT id, w1, w2, CAST(count(*) AS BIGINT) AS c FROM per_pos GROUP BY 1, 2, 3
+    ),
+    bi AS (SELECT w1, w2, CAST(sum(c) AS BIGINT) AS cb FROM per_doc GROUP BY 1, 2),
+    hist AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS h FROM bi GROUP BY 1),
+    uni AS (SELECT w2, CAST(sum(cb) AS BIGINT) AS cu FROM bi GROUP BY 1),
+    total AS (SELECT CAST(sum(cu) AS BIGINT) AS n FROM uni),
+    scored AS (
+      SELECT p.id, p.c,
+             CAST(round(ln(0.7 * (b.cb / hist.h) + 0.30000000000000004 * (u.cu / total.n)), 6)
+                  AS DECIMAL(38,6)) AS lp
+      FROM per_doc p
+      JOIN bi b USING (w1, w2)
+      JOIN hist USING (w1)
+      JOIN uni u USING (w2), total
+    ),
+    agg AS (
+      SELECT id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+             round(CAST(sum(lp * c) AS DOUBLE) / sum(c), 6) AS avg_logprob
+      FROM scored GROUP BY id
+    )
+    SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams, a.avg_logprob
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN agg a ON a.id = d.doc_id
+    """,
+)
+def docs_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM fluency score (λ=0.7 Jelinek-Mercer): scores
+    transition plausibility, the signal the unigram filter cannot see. Same
+    single-explode / re-aggregate / rounded-DECIMAL-sum plan discipline as
+    docs_unigram_logprob; the three token-key joins shuffle — no vocabulary
+    broadcast assumption."""
+    from spark_ensemble_spark.operators.corpus import bigram_logprob_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_logprob_score(docs, "text", "doc_id", lam=0.7)
+
+
 # ---------------------------------------------------------------------------
 # DSIR (Xie et al. 2023): importance-resample the raw corpus toward a target
 # distribution via hashed-n-gram likelihood ratios + Gumbel top-k.

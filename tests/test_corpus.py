@@ -700,3 +700,28 @@ def test_dsir_select_deterministic_and_empty_text(spark):
     c = {r.doc_id: r.sample_key for r in dsir_select(scores, 4, seed=9).collect()}
     assert {k for k, _ in a} <= set(c)
     assert any(c[k] != dict(a).get(k, c[k]) for k in c)  # seed moved a key
+
+
+def test_bigram_logprob_sees_transitions_unigram_misses(spark):
+    """A scrambled doc keeps the exact unigram bag (identical unigram score)
+    but breaks the transitions — only the bigram score separates them."""
+    from spark_ensemble_spark.operators.corpus import (
+        bigram_logprob_score,
+        unigram_logprob_score,
+    )
+
+    fluent = "the quick brown fox jumps over the lazy dog"
+    scrambled = "fox the over quick dog brown the jumps lazy"
+    rows = [(i, fluent) for i in range(10)] + [(100, fluent), (101, scrambled)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    uni = {r.doc_id: r.avg_logprob for r in unigram_logprob_score(df).collect()}
+    bi = {r.doc_id: r.avg_logprob for r in bigram_logprob_score(df).collect()}
+    assert uni[100] == uni[101]  # same bag, unigram blind
+    assert bi[100] > bi[101]  # transitions expose the scramble
+    empty = bigram_logprob_score(
+        spark.createDataFrame([(1, "word"), (2, None)], ["doc_id", "text"])
+    ).collect()
+    assert {(r.doc_id, r.n_bigrams, r.avg_logprob) for r in empty} == {
+        (1, 0, None),
+        (2, 0, None),
+    }

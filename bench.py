@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "dedup_semantic",
     "dsir_select_en",
     "docs_bigram_logprob",
+    "streaming_decontaminate",
 ]
 
 

@@ -3337,6 +3337,30 @@ ORACLES["contamination_bloom"] = _bloom_oracle_sql(
 )
 
 
+@query("streaming_decontaminate")
+def streaming_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination applied IN the ingest stream: the Bloom mask is
+    constant broadcast state, so the membership filter is a stateless
+    append-mode projection — no watermark, no state store. Streamed output
+    must equal the batch decision exactly; the oracle (attached below)
+    replays the Bloom positions and keeps rows at flagged_ratio <= 0.5, so
+    the stream/batch parity is hash-checked, not just row-counted."""
+    from spark_ensemble_spark.streaming.corpus import (
+        streaming_decontaminate as run,
+    )
+
+    return run(spark, sf_dir, shingle_size=8, num_bits=1 << 20, num_hashes=4)
+
+
+ORACLES["streaming_decontaminate"] = (
+    "SELECT * FROM (\n"
+    + _bloom_oracle_sql(
+        eval_pred="doc_id % 20 = 0", shingle_size=8, num_bits=1 << 20, num_hashes=4
+    )
+    + "\n) WHERE flagged_ratio <= 0.5"
+)
+
+
 @query(
     "streaming_sessionize",
     """

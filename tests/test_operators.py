@@ -1463,3 +1463,33 @@ def test_semantic_dedup_hot_cluster_quarantine(spark):
         df, "embedding", "vec_id", cents, threshold=0.99, max_cluster_size=10
     )
     assert kept.count() == 41  # only the twin's drop_id is removed
+
+
+def test_streaming_decontaminate_equals_batch(spark, sf_dir):
+    """The stateless stream filter must make the IDENTICAL decision as the
+    batch Bloom pass — same flag counts, same kept set — and every eval-set
+    member must self-flag at ratio 1.0 and be dropped."""
+    from spark_ensemble_spark.operators.corpus import (
+        bloom_contamination,
+        ngram_bloom_build,
+    )
+    from spark_ensemble_spark.sources.datasets import load_table
+    from spark_ensemble_spark.streaming.corpus import streaming_decontaminate
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = ngram_bloom_build(
+        docs.filter(F.col("doc_id") % 20 == 0), "text", 8, 1 << 20, 4
+    )
+    batch = {
+        r.doc_id: (r.n_shingles, r.n_flagged)
+        for r in bloom_contamination(docs, words, shingle_size=8).collect()
+        if round(r.n_flagged / r.n_shingles, 6) <= 0.5
+    }
+    streamed = {
+        r.doc_id: (r.n_shingles, r.n_flagged)
+        for r in streaming_decontaminate(spark, sf_dir).collect()
+    }
+    assert streamed == batch
+    kept_ids = set(streamed)
+    assert not any(i % 20 == 0 for i in kept_ids)  # eval members dropped
+    assert kept_ids  # but the filter is not degenerate

@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "dsir_select_en",
     "docs_bigram_logprob",
     "streaming_decontaminate",
+    "docs_split_assign",
 ]
 
 

@@ -1422,3 +1422,80 @@ def bigram_logprob_score(
         F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
         "avg_logprob",
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic dataset splits (train/val/test by stable hash)
+# ---------------------------------------------------------------------------
+
+
+def split_by_hash(
+    df: DataFrame,
+    id_col: str,
+    weights: Dict[str, float],
+    seed: int = 0,
+) -> DataFrame:
+    """Append a ``split`` column assigning each row to a named split with
+    probability ∝ ``weights``, decided by a stable hash of ``(id, seed)`` —
+    NOT ``randomSplit``, whose assignment shifts with partitioning, task
+    retries, and row order. A row's split never changes across runs,
+    engines, or cluster sizes, which is the property training pipelines
+    actually need (no eval-set leakage when the corpus is re-processed).
+
+    Narrow projection, zero shuffle. The draw is the md5-60-bit uniform
+    ``u = (md5₆₀(id:seed)+1)/(2⁶⁰+1)`` compared against cumulative weight
+    thresholds (float literals, replayable in SQL); weights are normalized,
+    so pass ratios in any scale."""
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError(f"weights must sum > 0, got {weights}")
+    names = list(weights)
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "", F.col(id_col).cast("string"), F.lit(":"), F.lit(str(seed))
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1)) / F.lit(float((1 << 60) + 1))
+    expr = F.lit(names[-1])
+    acc = 0.0
+    arms = []
+    for name in names[:-1]:
+        acc += weights[name] / total
+        arms.append((name, acc))
+    for name, bound in reversed(arms):
+        expr = F.when(u < F.lit(bound), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def split_by_hash_oracle_sql(
+    weights: Dict[str, float],
+    seed: int = 0,
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB SQL replaying :func:`split_by_hash` bit-for-bit (same md5
+    uniform, same cumulative-threshold doubles)."""
+    total = float(sum(weights.values()))
+    names = list(weights)
+    denom = float((1 << 60) + 1)
+    u = (
+        f"((('0x' || substring(md5({id_col}::VARCHAR || ':{seed}'), 1, 15))::BIGINT"
+        f" + 1) / {denom!r})"
+    )
+    case = f"'{names[-1]}'"
+    acc = 0.0
+    arms = []
+    for name in names[:-1]:
+        acc += weights[name] / total
+        arms.append((name, acc))
+    for name, bound in reversed(arms):
+        case = f"CASE WHEN {u} < {bound!r} THEN '{name}' ELSE {case} END"
+    return f"SELECT {id_col}, {case} AS split FROM {table}"

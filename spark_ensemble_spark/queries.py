@@ -3672,6 +3672,25 @@ def docs_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob_score(docs, "text", "doc_id", lam=0.7)
 
 
+@query(
+    "docs_split_assign",
+    _corpus.split_by_hash_oracle_sql(
+        {"train": 0.8, "val": 0.1, "test": 0.1}, seed=5
+    ),
+)
+def docs_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split assignment by stable (id, seed) hash —
+    the replay-safe alternative to randomSplit (whose assignment moves with
+    partitioning and retries). Oracle replays the md5 uniform and threshold
+    doubles, so every row's split — not just the split SIZES — is checked."""
+    from spark_ensemble_spark.operators.corpus import split_by_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    return split_by_hash(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=5
+    ).select("doc_id", "split")
+
+
 # ---------------------------------------------------------------------------
 # DSIR (Xie et al. 2023): importance-resample the raw corpus toward a target
 # distribution via hashed-n-gram likelihood ratios + Gumbel top-k.

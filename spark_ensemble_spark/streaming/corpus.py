@@ -145,3 +145,102 @@ def streaming_decontaminate(
     finally:
         q.stop()
     return spark.table(name)
+
+
+def incremental_dedup_stream(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    out_path: str,
+    index_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 48,
+    bands: int = 16,
+    shingle_size: int = 3,
+    seed: int = 7,
+    hash_fn: str = "xxhash64",
+):
+    """Continuous corpus ingestion with dedup-on-arrival: every micro-batch
+    is (1) self-deduped (exact + banded MinHash within the delivery), (2)
+    deduped against the PERSISTED index of everything already accepted
+    (:func:`~spark_ensemble_spark.operators.dedup.dedup_against_corpus`
+    with precomputed fingerprint + signature frames — accepted text is
+    never re-read), and (3) appended to the corpus, with its fingerprints
+    and MinHash signatures appended to the index for the next delivery.
+
+    Exactly-once: corpus and index writes are scoped ``batch_id=N``
+    overwrites (the :func:`~spark_ensemble_spark.streaming.sinks.\
+write_stream_exactly_once` pattern), so a crash-replayed batch rewrites its
+    own directories instead of double-accepting. foreachBatch runs batches
+    sequentially, so batch N+1 always sees batch N's index.
+
+    At 100 TB the index holds ``num_hashes`` longs + one fingerprint per
+    accepted doc — the signatures ARE the dedup state, same contract as the
+    batch incremental path. Returns the started StreamingQuery."""
+    from spark_ensemble_spark.operators.dedup import (
+        dedup_against_corpus,
+        exact_dedup,
+        minhash_dup_pairs,
+        minhash_signatures,
+        resolve_duplicates,
+    )
+    from spark_ensemble_spark.operators.text import fingerprint
+
+    sig_kwargs = dict(
+        num_hashes=num_hashes,
+        shingle_size=shingle_size,
+        seed=seed,
+        hash_fn=hash_fn,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        fp = fingerprint(F.coalesce(F.col(text_col), F.lit("")))
+        batch = exact_dedup(
+            batch_df.withColumn("__fp", fp), ["__fp"], id_col
+        ).drop("__fp")
+        pairs = minhash_dup_pairs(
+            batch,
+            text_col,
+            id_col,
+            threshold=threshold,
+            bands=bands,
+            **sig_kwargs,
+        ).select("id_a", "id_b")
+        batch = resolve_duplicates(batch, pairs, id_col)
+        try:
+            sig_index = spark.read.parquet(f"{index_path}/sig")
+            fp_index = spark.read.parquet(f"{index_path}/fp")
+        except Exception:
+            sig_index = fp_index = None
+        if sig_index is not None:
+            # corpus_df=None is safe: both index frames are supplied, so the
+            # corpus text path is never touched
+            accepted = dedup_against_corpus(
+                batch,
+                None,
+                text_col,
+                id_col,
+                threshold=threshold,
+                bands=bands,
+                corpus_signatures=sig_index.drop("batch_id"),
+                corpus_fingerprints=fp_index.drop("batch_id"),
+                **sig_kwargs,
+            )
+        else:
+            accepted = batch
+        accepted = accepted.localCheckpoint(eager=True)
+        accepted.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
+        accepted.select(fp.alias("__fp")).distinct().write.mode("overwrite").parquet(
+            f"{index_path}/fp/batch_id={batch_id}"
+        )
+        minhash_signatures(
+            accepted.select(id_col, text_col), text_col, id_col, **sig_kwargs
+        ).write.mode("overwrite").parquet(f"{index_path}/sig/batch_id={batch_id}")
+
+    return (
+        docs_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -1493,3 +1493,60 @@ def test_streaming_decontaminate_equals_batch(spark, sf_dir):
     kept_ids = set(streamed)
     assert not any(i % 20 == 0 for i in kept_ids)  # eval members dropped
     assert kept_ids  # but the filter is not degenerate
+
+
+def test_incremental_dedup_stream_two_deliveries(spark, tmp_path):
+    """Dedup-on-arrival across micro-batches: delivery 2's exact and near
+    duplicates of delivery 1's accepted docs are rejected via the persisted
+    signature index (accepted text is never re-read), while its genuinely
+    new content lands; within-delivery dups resolve to the min id."""
+    from spark_ensemble_spark.streaming.corpus import incremental_dedup_stream
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    other = "one two three four five six seven eight nine ten " * 3
+    fresh = "red orange yellow green blue indigo violet umber ochre teal " * 3
+    src = tmp_path / "docs_src"
+    src.mkdir()
+
+    def deliver(name, rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(src / name))
+
+    deliver("d1", [(1, base), (2, other), (3, base)])  # 3 = exact dup of 1
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src) + "/*"
+    )
+    q = incremental_dedup_stream(
+        spark,
+        stream,
+        out_path=str(tmp_path / "corpus"),
+        index_path=str(tmp_path / "index"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+        accepted1 = {
+            r.doc_id for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
+        }
+        assert accepted1 == {1, 2}
+        deliver(
+            "d2",
+            [
+                (10, base),  # exact dup of accepted 1 → rejected by index
+                (11, other.replace("five", "FIVE", 1)),  # near dup of 2
+                (12, fresh),  # genuinely new
+                (13, fresh),  # exact dup inside the delivery
+                (14, fresh.replace("blue", "BLUE", 1)),  # near dup inside
+            ],
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final = {
+        r.doc_id for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
+    }
+    assert final == {1, 2, 12}
+    # the index grew by exactly the accepted docs' signatures
+    sigs = spark.read.parquet(str(tmp_path / "index") + "/sig")
+    assert {r.id for r in sigs.select("id").collect()} == {1, 2, 12}

@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "docs_bigram_logprob",
     "streaming_decontaminate",
     "docs_split_assign",
+    "similarity_srp_recall",
 ]
 
 

@@ -833,3 +833,52 @@ def load_pq_index(spark, path: str):
 
     meta = load_json(f"{path}/codebooks.json")
     return spark.read.parquet(f"{path}/codes"), meta["codebooks"]
+
+
+def ann_recall(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
+    """Recall@k of an approximate ANN result against exact ground truth —
+    evaluation as a first-class distributed operator ("measure, don't
+    guess"): both inputs are top-k frames ``(query_id, neighbor_id, ...,
+    rank)`` from any of this module's families (SRP / IVF / PQ / IVF-PQ vs
+    :func:`brute_force_topk` on a sampled query set).
+
+    Returns ``(query_id, n_true, n_hit, recall)`` with the denominator =
+    the EXACT result size per query (< k only when the corpus itself is),
+    so a padded approximate list can never inflate recall. One left-semi
+    join on (query, neighbor) + one groupBy — both sides are k·|queries|
+    rows, never corpus-sized."""
+    a = approx.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
+    e = exact.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
+    hit = e.join(a, ["query_id", "neighbor_id"], "left_semi").groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).alias("n_hit"))
+    per_q = e.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true"))
+    return (
+        per_q.join(hit, "query_id", "left")
+        .select(
+            "query_id",
+            "n_true",
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)) / F.col("n_true").cast("double"), 6
+            ).alias("recall"),
+        )
+    )
+
+
+def ann_recall_oracle_sql(approx_sql: str, exact_sql: str) -> str:
+    """Compose two existing top-k oracle SQLs into the recall@k replay:
+    exact ground truth LEFT-joined by (query, neighbor) against the
+    approximate set — the same intersection the Spark operator computes."""
+    return f"""
+    WITH approx AS (SELECT * FROM ({approx_sql})),
+         exact AS (SELECT * FROM ({exact_sql}))
+    SELECT e.query_id,
+           CAST(count(*) AS BIGINT) AS n_true,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+           round(count(a.neighbor_id) / count(*)::DOUBLE, 6) AS recall
+    FROM exact e
+    LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """

@@ -2346,6 +2346,33 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, queries_df, k=5)
 
 
+_BRUTE_TOPK_SQL = ORACLES["similarity_bruteforce_topk"]
+
+
+@query(
+    "similarity_srp_recall",
+    _similarity.ann_recall_oracle_sql(
+        _similarity.srp_topk_oracle_sql(dim=64), _BRUTE_TOPK_SQL
+    ),
+)
+def similarity_srp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the SRP-LSH index against brute-force ground truth on the
+    same query set — ANN quality measured IN the engine, per query. Both
+    pipelines are deterministic, so even the recall numbers themselves are
+    oracle-replayable (the two top-k oracle SQLs composed)."""
+    from spark_ensemble_spark.operators.similarity import (
+        ann_recall,
+        brute_force_topk,
+        srp_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    approx = srp_topk(emb, queries_df, k=5, num_planes=8, dim=64)
+    exact = brute_force_topk(emb, queries_df, k=5)
+    return ann_recall(approx, exact, k=5)
+
+
 @query("similarity_ivf_topk")
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (KMeans-partitioned) approximate top-k (rows-only: centroids are

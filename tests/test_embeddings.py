@@ -160,3 +160,23 @@ def test_split_counts_sums_to_total(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     rows = split_counts(docs, "doc_id", {"train": 0.9, "val": 0.1}).collect()
     assert sum(r["n"] for r in rows) == docs.count()
+
+
+def test_ann_recall_padded_approx_cannot_inflate(spark):
+    """Recall denominator is the EXACT set size: an approximate result
+    padded with extra rows (or rows past rank k) cannot push recall past
+    the true intersection; a query missing from the approx side scores 0."""
+    from spark_ensemble_spark.operators.similarity import ann_recall
+
+    exact = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (2, 20, 1), (2, 21, 2)],
+        ["query_id", "neighbor_id", "rank"],
+    )
+    approx = spark.createDataFrame(
+        # query 1: one true hit + garbage padding; rank-6 "hit" ignored
+        [(1, 10, 1), (1, 99, 2), (1, 98, 3), (1, 11, 6)],
+        ["query_id", "neighbor_id", "rank"],
+    )
+    got = {r.query_id: (r.n_true, r.n_hit, r.recall) for r in
+           ann_recall(approx, exact, k=5).collect()}
+    assert got == {1: (2, 1, 0.5), 2: (2, 0, 0.0)}

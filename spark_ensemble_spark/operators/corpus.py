@@ -272,6 +272,17 @@ def ngram_bloom_build(
     return words
 
 
+def bloom_mask_literal(bloom_words: list) -> Column:
+    """The Bloom mask as ONE parsed SQL array literal. ``F.lit(list)``
+    builds the same expression through one Py4J call per element — measured
+    13.6s of pure plan CONSTRUCTION for the 2^20-bit mask (16384 longs);
+    parsing a single ``array(...)`` string costs milliseconds and yields the
+    identical foldable Catalyst node."""
+    return F.expr(
+        "array(" + ",".join(f"{w}L" for w in bloom_words) + ")"
+    )
+
+
 def bloom_contamination(
     df: DataFrame,
     bloom_words: list,
@@ -306,7 +317,7 @@ def bloom_contamination(
     h1, h2 = _md5_hash_pair(F.col("__s"))
     d = doc_sh.select(
         F.col(id_col), h1.alias("__h1"), h2.alias("__h2")
-    ).withColumn("__mask", F.lit(bloom_words).cast("array<bigint>"))
+    ).withColumn("__mask", bloom_mask_literal(bloom_words))
     terms = []
     for i in range(num_hashes):
         p = f"pmod(__h1 + {i} * __h2, {num_bits})"
@@ -1132,6 +1143,28 @@ dedup.dedup_against_corpus` and the removal list to index maintenance."""
 # DSIR — data selection via importance resampling (Xie et al. 2023)
 # ---------------------------------------------------------------------------
 
+def _md5_uniform(id_col: str, seed: int) -> Column:
+    """Deterministic uniform draw in (0, 1) from a stable hash of
+    ``(id, seed)`` — ``u = (md5₆₀(id:seed)+1)/(2⁶⁰+1)``. The single source for
+    every replay-safe sampling decision (DSIR's Gumbel keys, hash splits):
+    both engines reproduce it bit-for-bit, and unlike ``rand()`` it cannot
+    move under task retries or repartitioning."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "", F.col(id_col).cast("string"), F.lit(":"), F.lit(str(seed))
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (h + F.lit(1)) / F.lit(float((1 << 60) + 1))
+
+
 
 def _hashed_feature_strings(text: Column) -> Column:
     """Word unigram + bigram feature strings of normalized text — the hashed
@@ -1157,17 +1190,24 @@ def _hashed_feature_strings(text: Column) -> Column:
 
 def dsir_log_weights(
     raw_df: DataFrame,
-    target_df: DataFrame,
+    target_df: Optional[DataFrame] = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     buckets: int = 4096,
     hash_fn: str = "xxhash64",
     round_to: int = 6,
+    target_col: Optional[str] = None,
 ) -> DataFrame:
     """Per-document DSIR importance log-weight: hashed-n-gram bag
     likelihood ratio between a TARGET corpus (what you want more of) and the
     RAW corpus being scored — ``log w(x) = Σ_f c_f(x)·(log p_target[f] −
     log p_raw[f])`` with add-1 smoothing over ``buckets`` hashed features.
+
+    The target is given EITHER as a separate frame (``target_df``) or — when
+    the target is a subset of the raw corpus — as a boolean ``target_col``
+    on ``raw_df``, which derives BOTH distributions from one featurization
+    pass (the md5/hash explode is the cost center; the two-frame form pays
+    it twice). Results are identical between the forms.
 
     Returns ``(id_col, n_feats, log_weight)``, one row per raw doc.
 
@@ -1181,8 +1221,13 @@ def dsir_log_weights(
     """
     from .dedup import _hash64
 
-    def feats(df: DataFrame, with_id: bool) -> DataFrame:
+    if (target_df is None) == (target_col is None):
+        raise ValueError("pass exactly one of target_df / target_col")
+
+    def feats(df: DataFrame, with_id: bool, flag: Optional[str] = None) -> DataFrame:
         cols = [F.col(id_col).alias("__id")] if with_id else []
+        if flag is not None:
+            cols.append(F.col(flag).cast("boolean").alias("__tgt"))
         flat = df.select(
             *cols,
             F.explode(_hashed_feature_strings(F.col(text_col))).alias("__f"),
@@ -1191,14 +1236,33 @@ def dsir_log_weights(
             "__b", F.pmod(_hash64(F.col("__f"), hash_fn), F.lit(buckets))
         ).drop("__f")
 
-    per_doc = (
-        feats(raw_df, True).groupBy("__id", "__b").agg(F.count(F.lit(1)).alias("__c"))
-    )
+    if target_col is not None:
+        # __tgt is constant per doc, so adding it to the grouping keys does
+        # not change the group count — one explode serves both distributions
+        per_doc_t = (
+            feats(raw_df, True, target_col)
+            .groupBy("__id", "__b", "__tgt")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        per_doc = per_doc_t.select("__id", "__b", "__c")
+        tgt_counts = (
+            per_doc_t.filter(F.col("__tgt"))
+            .groupBy("__b")
+            .agg(F.sum("__c").alias("__ct"))
+        )
+    else:
+        per_doc = (
+            feats(raw_df, True)
+            .groupBy("__id", "__b")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        tgt_counts = (
+            feats(target_df, False)
+            .groupBy("__b")
+            .agg(F.count(F.lit(1)).alias("__ct"))
+        )
     # raw distribution re-aggregates the grouped frame — no second scan
     raw_counts = per_doc.groupBy("__b").agg(F.sum("__c").alias("__cr"))
-    tgt_counts = (
-        feats(target_df, False).groupBy("__b").agg(F.count(F.lit(1)).alias("__ct"))
-    )
     n_raw = raw_counts.agg(F.sum("__cr").alias("__nr"))
     n_tgt = tgt_counts.agg(F.sum("__ct").alias("__nt"))
     lr = (
@@ -1250,20 +1314,7 @@ def dsir_select(
     ``u = (md5₆₀(id:seed)+1)/(2⁶⁰+1)``, ``g = −ln(−ln u)`` — so selection is
     reproducible across engines and retries (a rand() column would change
     under task replay; a hash never does). Appends ``sample_key``."""
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    "", F.col(id_col).cast("string"), F.lit(":"), F.lit(str(seed))
-                )
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
-    u = (h + F.lit(1)) / F.lit(float((1 << 60) + 1))
+    u = _md5_uniform(id_col, seed)
     g = -F.log(-F.log(u))
     key = F.round(F.col(weight_col) + g, round_to)
     return (
@@ -1450,20 +1501,7 @@ def split_by_hash(
     if total <= 0:
         raise ValueError(f"weights must sum > 0, got {weights}")
     names = list(weights)
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    "", F.col(id_col).cast("string"), F.lit(":"), F.lit(str(seed))
-                )
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
-    u = (h + F.lit(1)) / F.lit(float((1 << 60) + 1))
+    u = _md5_uniform(id_col, seed)
     expr = F.lit(names[-1])
     acc = 0.0
     arms = []

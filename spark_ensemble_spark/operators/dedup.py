@@ -1369,22 +1369,11 @@ operators.similarity.ivf_fixed_centroids` for the oracle-checkable path or a
     trained KMeans codebook), embedded as literals so the assignment runs in
     codegen — no fitted-model broadcast, no UDF.
     """
-    from .similarity import _centroid_dist_chains
+    from .similarity import _nearest_centroid
 
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = df.select(F.col(id_col).alias("id"), vec.alias("v"))
-    dists = _centroid_dist_chains("v", centroids)
-    nearest = F.element_at(
-        F.array_sort(
-            F.array(
-                *[
-                    F.struct(d.alias("d"), F.lit(i).alias("i"))
-                    for i, d in enumerate(dists)
-                ]
-            )
-        ),
-        1,
-    )
+    nearest = _nearest_centroid("v", centroids)
     # norm precomputed per ROW (identical fold, so the cosine stays
     # bit-for-bit what the oracle computes) — the pairwise stage then pays
     # one dot-product fold per candidate instead of three
@@ -1446,25 +1435,14 @@ def semantic_dedup(
     by :func:`semantic_dup_pairs`, with the assigned ``cluster`` appended.
     One anti-join on the id — the dropped-id set is distinct-reduced first,
     so the join moves ids, not vectors."""
-    from .similarity import _centroid_dist_chains
+    from .similarity import _nearest_centroid
 
     pairs = semantic_dup_pairs(
         df, vec_col, id_col, centroids, threshold, max_cluster_size
     )
     dropped = pairs.select(F.col("drop_id").alias("__drop")).distinct()
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    dists = _centroid_dist_chains("__v", centroids)
-    nearest = F.element_at(
-        F.array_sort(
-            F.array(
-                *[
-                    F.struct(d.alias("d"), F.lit(i).alias("i"))
-                    for i, d in enumerate(dists)
-                ]
-            )
-        ),
-        1,
-    )
+    nearest = _nearest_centroid("__v", centroids)
     survivors = df.join(
         dropped, df[id_col] == dropped["__drop"], "left_anti"
     )

@@ -261,6 +261,26 @@ def _centroid_dist_chains(vec_sql: str, centroids: list) -> list:
     return dists
 
 
+def _nearest_centroid(vec_sql: str, centroids: list) -> Column:
+    """Struct ``(d, i)`` of the nearest centroid: min squared-L2 distance,
+    ties to the lower centroid id — the SINGLE source of cluster assignment
+    for every fixed-centroid consumer (IVF rank-1, SemDeDup pair and
+    survivor stages). The tie/sort order is load-bearing for oracle parity;
+    keeping it here means the stages of one operator can never drift."""
+    dists = _centroid_dist_chains(vec_sql, centroids)
+    return F.element_at(
+        F.array_sort(
+            F.array(
+                *[
+                    F.struct(d.alias("d"), F.lit(i).alias("i"))
+                    for i, d in enumerate(dists)
+                ]
+            )
+        ),
+        1,
+    )
+
+
 def _centroid_ranking(vec_sql: str, centroids: list) -> Column:
     """Array of centroid ids sorted by (distance, id) ascending."""
     dists = _centroid_dist_chains(vec_sql, centroids)
@@ -847,8 +867,20 @@ def ann_recall(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
     so a padded approximate list can never inflate recall. One left-semi
     join on (query, neighbor) + one groupBy — both sides are k·|queries|
     rows, never corpus-sized."""
-    a = approx.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
-    e = exact.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
+    # dropDuplicates on BOTH sides: a family that emits a candidate twice
+    # (multiprobe collisions) must not double-count a hit, and a duplicated
+    # ground-truth row must not inflate n_true — the oracle replays the same
+    # DISTINCT
+    a = (
+        approx.filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    e = (
+        exact.filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
     hit = e.join(a, ["query_id", "neighbor_id"], "left_semi").groupBy(
         "query_id"
     ).agg(F.count(F.lit(1)).alias("n_hit"))
@@ -866,13 +898,17 @@ def ann_recall(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
     )
 
 
-def ann_recall_oracle_sql(approx_sql: str, exact_sql: str) -> str:
+def ann_recall_oracle_sql(approx_sql: str, exact_sql: str, k: int) -> str:
     """Compose two existing top-k oracle SQLs into the recall@k replay:
     exact ground truth LEFT-joined by (query, neighbor) against the
-    approximate set — the same intersection the Spark operator computes."""
+    approximate set — the same rank-filtered DISTINCT intersection the
+    Spark operator computes (duplicate candidate rows or rows past rank k
+    on either side cannot move the numbers in either engine)."""
     return f"""
-    WITH approx AS (SELECT * FROM ({approx_sql})),
-         exact AS (SELECT * FROM ({exact_sql}))
+    WITH approx AS (SELECT DISTINCT query_id, neighbor_id
+                    FROM ({approx_sql}) WHERE rank <= {k}),
+         exact AS (SELECT DISTINCT query_id, neighbor_id
+                   FROM ({exact_sql}) WHERE rank <= {k})
     SELECT e.query_id,
            CAST(count(*) AS BIGINT) AS n_true,
            CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,

@@ -2352,7 +2352,7 @@ _BRUTE_TOPK_SQL = ORACLES["similarity_bruteforce_topk"]
 @query(
     "similarity_srp_recall",
     _similarity.ann_recall_oracle_sql(
-        _similarity.srp_topk_oracle_sql(dim=64), _BRUTE_TOPK_SQL
+        _similarity.srp_topk_oracle_sql(dim=64), _BRUTE_TOPK_SQL, k=5
     ),
 )
 def similarity_srp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3737,14 +3737,16 @@ def dsir_select_en(spark: SparkSession, sf_dir: str) -> DataFrame:
     the selected SET — not just the scores — is hash-checked."""
     from spark_ensemble_spark.operators.corpus import dsir_log_weights, dsir_select
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "__is_en", F.col("lang") == "en"
+    )
     scores = dsir_log_weights(
         docs,
-        docs.filter(F.col("lang") == "en"),
-        "text",
-        "doc_id",
+        text_col="text",
+        id_col="doc_id",
         buckets=1024,
         hash_fn="md5",
+        target_col="__is_en",  # single featurization pass serves both sides
     )
     return dsir_select(scores, k=50, seed=3)
 

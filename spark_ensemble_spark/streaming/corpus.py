@@ -15,7 +15,7 @@ import tempfile
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_ensemble_spark.operators.corpus import _md5_hash_pair
+from spark_ensemble_spark.operators.corpus import _md5_hash_pair, bloom_mask_literal
 from spark_ensemble_spark.operators.dedup import _shingle_strings
 
 # 2^bit as BIGINT for bit 0..63 (bit 63 is the sign-bit pattern); indexed by
@@ -69,7 +69,7 @@ bloom_contamination` (explode → groupBy, the high-throughput shape), the
     exact parity with the batch flag decision (same shingles, same md5
     double-hash, same mask)."""
     num_bits = len(bloom_words) * 64
-    mask = F.lit(bloom_words).cast("array<bigint>")
+    mask = bloom_mask_literal(bloom_words)
     shingles = _shingle_strings(F.col(text_col), shingle_size, "word")
     flagged = F.size(
         F.filter(shingles, lambda s: _bloom_hit(s, mask, num_bits, num_hashes))
@@ -122,7 +122,16 @@ def streaming_decontaminate(
         num_bits,
         num_hashes,
     )
-    stream = read_documents_stream(spark, sf_dir).select("doc_id", "text")
+    # The file source hands each single-row-group test file to ONE task, and
+    # the per-row shingle fold is the cost center (measured 24s single-core
+    # vs ~4s spread at sf0.1) — a round-robin repartition before the
+    # stateless filter restores parallelism. A production firehose has many
+    # files per trigger and usually skips this exchange.
+    stream = (
+        read_documents_stream(spark, sf_dir)
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     kept = decontaminate_stream(
         stream,
         words,
@@ -195,6 +204,15 @@ write_stream_exactly_once` pattern), so a crash-replayed batch rewrites its
         hash_fn=hash_fn,
     )
 
+    def index_exists(sub: str) -> bool:
+        # explicit existence probe instead of a bare try/except around the
+        # read: a transient listing error or corrupt footer must FAIL the
+        # batch (checkpoint replays it), never silently skip cross-batch
+        # dedup and pollute the corpus
+        p = spark._jvm.org.apache.hadoop.fs.Path(f"{index_path}/{sub}")
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        return fs.exists(p)
+
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         fp = fingerprint(F.coalesce(F.col(text_col), F.lit("")))
         batch = exact_dedup(
@@ -209,12 +227,18 @@ write_stream_exactly_once` pattern), so a crash-replayed batch rewrites its
             **sig_kwargs,
         ).select("id_a", "id_b")
         batch = resolve_duplicates(batch, pairs, id_col)
-        try:
-            sig_index = spark.read.parquet(f"{index_path}/sig")
-            fp_index = spark.read.parquet(f"{index_path}/fp")
-        except Exception:
-            sig_index = fp_index = None
-        if sig_index is not None:
+        if index_exists("sig") and index_exists("fp"):
+            # A crash-replayed batch finds its OWN batch_id partitions in the
+            # index; deduping against them would reject every replayed doc
+            # and overwrite the output with an empty frame — data loss the
+            # batch_id filter prevents (only STRICTLY EARLIER batches count
+            # as corpus).
+            sig_index = spark.read.parquet(f"{index_path}/sig").filter(
+                F.col("batch_id") < batch_id
+            )
+            fp_index = spark.read.parquet(f"{index_path}/fp").filter(
+                F.col("batch_id") < batch_id
+            )
             # corpus_df=None is safe: both index frames are supplied, so the
             # corpus text path is never touched
             accepted = dedup_against_corpus(

@@ -173,8 +173,9 @@ def test_ann_recall_padded_approx_cannot_inflate(spark):
         ["query_id", "neighbor_id", "rank"],
     )
     approx = spark.createDataFrame(
-        # query 1: one true hit + garbage padding; rank-6 "hit" ignored
-        [(1, 10, 1), (1, 99, 2), (1, 98, 3), (1, 11, 6)],
+        # query 1: one true hit (emitted TWICE — multiprobe collision must
+        # not double-count) + garbage padding; rank-6 "hit" ignored
+        [(1, 10, 1), (1, 10, 2), (1, 99, 3), (1, 98, 4), (1, 11, 6)],
         ["query_id", "neighbor_id", "rank"],
     )
     got = {r.query_id: (r.n_true, r.n_hit, r.recall) for r in

@@ -1550,3 +1550,46 @@ def test_incremental_dedup_stream_two_deliveries(spark, tmp_path):
     # the index grew by exactly the accepted docs' signatures
     sigs = spark.read.parquet(str(tmp_path / "index") + "/sig")
     assert {r.id for r in sigs.select("id").collect()} == {1, 2, 12}
+
+
+def test_incremental_dedup_stream_replay_does_not_lose_data(spark, tmp_path):
+    """Crash-replay safety: a batch that re-runs AFTER its index partitions
+    were already written must not dedup against its own output (that would
+    reject every doc and overwrite the corpus with an empty frame). Replay
+    is simulated by wiping the checkpoint so the same file re-processes as
+    batch 0 over the existing batch_id=0 index."""
+    import shutil
+
+    from spark_ensemble_spark.streaming.corpus import incremental_dedup_stream
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, base), (2, "one two three four five six seven eight nine ten " * 3)],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(src / "d1"))
+
+    def run_once():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(
+            str(src) + "/*"
+        )
+        q = incremental_dedup_stream(
+            spark,
+            stream,
+            out_path=str(tmp_path / "corpus"),
+            index_path=str(tmp_path / "index"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+    shutil.rmtree(str(tmp_path / "ckpt"))  # lose the offset commit → replay
+    run_once()
+    final = {
+        r.doc_id for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
+    }
+    assert final == {1, 2}  # replay rewrote, never self-rejected

@@ -190,6 +190,36 @@ AUDITED = [
         "filter (md5 bucket vs collected K-row rates); the single exchange "
         "is the final per-source aggregate.",
     ),
+    (
+        "dedup_semantic",
+        "SemDeDup: centroid assignment is a narrow per-row argmin (no "
+        "exchange); pairs come from an EQUI-join on the cluster id; the "
+        "drop set anti-joins by id — no cartesian, no nested loop.",
+    ),
+    (
+        "dsir_select_en",
+        "DSIR: one featurization explode serves both distributions "
+        "(target_col path); the buckets-row log-ratio table and the two "
+        "1-row totals are the ONLY broadcast sides; final Gumbel top-k is "
+        "TakeOrderedAndProject, no global sort.",
+    ),
+    (
+        "docs_bigram_logprob",
+        "bigram LM: bigram/history/unigram tables re-aggregate ONE grouped "
+        "frame (single text scan); scoring joins shuffle on token keys "
+        "with no vocabulary broadcast assumption.",
+    ),
+    (
+        "docs_split_assign",
+        "hash split: pure narrow projection over the scan — zero "
+        "exchanges, zero joins.",
+    ),
+    (
+        "similarity_srp_recall",
+        "ANN recall: both top-k inputs are k×|queries|-row frames; the "
+        "intersection is a LEFT SEMI equi-join + one grouped count — "
+        "corpus never re-enters the plan after the top-k stages.",
+    ),
 ]
 
 HEADER = """# PLANS — physical-plan audits of the headline queries

@@ -4068,11 +4068,15 @@ REGISTRY_ORDER = [
     # -- previously outside the driver's 50-entry window (r2) --
     "events_sessionize",
     "streaming_sessionize",
-    "pivot_flag_by_status",
     "events_asof_last_order",
     "orders_monthly_stats",
-    "part_brand_stats",
     "curation_pipeline",
+    # -- r5 continuation: SemDeDup + DSIR promoted into the driver window
+    # (pivot_flag_by_status / part_brand_stats folded out: pivot and
+    # grouped-stats shapes stay covered in-window by orders_monthly_stats +
+    # q1; both remain extra-oracle-verified at sf0.001+sf0.01) --
+    "dedup_semantic",
+    "dsir_select_en",
     "streaming_click_attribution",
     "streaming_dedup",
     "events_json_props",

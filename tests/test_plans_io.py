@@ -578,3 +578,45 @@ def test_quality_classifier_composition(spark, sf_dir):
     acc = sum(r.tp for r in per_class) / sum(r.support for r in per_class)
     prior = max(r.support for r in per_class) / sum(r.support for r in per_class)
     assert acc > prior + 0.05, (acc, prior)
+
+
+def test_semantic_dedup_equijoin_on_cluster(spark, sf_dir):
+    """SemDeDup's pair stage is an equi-join on the cluster id — never a
+    cartesian/nested-loop corpus join — and assignment is a narrow argmin
+    (no exchange before the cluster join beyond the join's own)."""
+    from spark_ensemble_spark.operators.dedup import semantic_dedup
+    from spark_ensemble_spark.operators.similarity import ivf_fixed_centroids
+    from spark_ensemble_spark.sources.datasets import load_table
+
+    cents = ivf_fixed_centroids(dim=64, num_clusters=8)
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = semantic_dedup(emb, "embedding", "vec_id", cents, threshold=0.95)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dsir_broadcasts_logratio_never_corpus(spark, sf_dir):
+    """DSIR's scoring join broadcasts the buckets-row log-ratio table; the
+    corpus-sized per-doc frame is never broadcast (the only corpus-sized
+    wide op is its bucket-count groupBy)."""
+    from pyspark.sql import functions as F
+
+    from spark_ensemble_spark.operators.corpus import dsir_log_weights
+    from spark_ensemble_spark.sources.datasets import load_table
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "__t", F.col("lang") == "en"
+    )
+    df = dsir_log_weights(docs, buckets=1024, target_col="__t")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    # the broadcast inputs are the 1024-row log-ratio table and two 1-row
+    # totals; a corpus-sized build side would show a scan of documents
+    # directly under a BroadcastExchange (the scan feeds exchanges/aggs
+    # instead)
+    import re
+
+    for m in re.finditer(r"BroadcastExchange[^\n]*\n(?:\s*\+- [^\n]*\n){0,2}", plan):
+        assert "FileScan parquet" not in m.group(0), m.group(0)

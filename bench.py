@@ -121,6 +121,8 @@ BENCH_QUERIES = [
     "streaming_decontaminate",
     "docs_split_assign",
     "similarity_srp_recall",
+    "docs_quality_quantile_filter",
+    "drift_psi_orders",
 ]
 
 

@@ -179,3 +179,115 @@ def classification_metrics_sql(
                       ELSE 0.0 END, {round_to}) AS f1
     FROM base
     """
+
+
+def _psi_bucket(col, edges):
+    """Bin index for explicit ``edges`` (len+1 buckets: underflow 0, then
+    one per edge interval, overflow len). A CASE chain with float literals
+    both engines fold identically; NULLs go to bucket -1 so they are
+    visible rather than silently merged."""
+    expr = F.lit(len(edges))
+    for i in range(len(edges) - 1, -1, -1):
+        expr = F.when(col < F.lit(edges[i]), F.lit(i)).otherwise(expr)
+    return F.when(col.isNull(), F.lit(-1)).otherwise(expr)
+
+
+def population_stability_index(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    edges: list,
+    round_to: int = 6,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column — the standard drift monitor between dataset versions or between
+    a training corpus and live traffic (PSI < 0.1 stable, > 0.25 drifted).
+
+    Per bucket (explicit ``edges``, fully engine-replayable):
+    ``psi_term = (pa − pb) · ln(pa / pb)`` with +0.5 count smoothing so an
+    empty bucket cannot produce ±inf. Returns one row per bucket
+    (``bucket, n_a, n_b, pa, pb, psi_term``) plus the scalar total as a
+    1-row union-able aggregate via ``.agg(sum(psi_term))`` — callers who
+    want the dashboard number sum the frame.
+
+    Scale shape: each side is ONE |buckets|-row hash aggregate (map-side
+    partials); the join and the ratio math run on those tiny frames. The
+    two scans never join each other."""
+
+    def counts(df, name):
+        return (
+            df.select(_psi_bucket(F.col(value_col), edges).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    a, b = counts(df_a, "n_a"), counts(df_b, "n_b")
+    # totals re-aggregate the bucket frames — each snapshot is scanned ONCE
+    ta = a.agg(F.sum("n_a").alias("__ta"))
+    tb = b.agg(F.sum("n_b").alias("__tb"))
+    k = len(edges) + 2  # underflow + intervals + overflow (+ null bucket -1)
+    joined = (
+        a.join(b, "bucket", "full_outer")
+        .crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+        .select(
+            "bucket",
+            F.coalesce("n_a", F.lit(0)).cast("bigint").alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).cast("bigint").alias("n_b"),
+            F.col("__ta"),
+            F.col("__tb"),
+        )
+    )
+    pa = (F.col("n_a") + F.lit(0.5)) / (F.col("__ta") + F.lit(0.5 * k))
+    pb = (F.col("n_b") + F.lit(0.5)) / (F.col("__tb") + F.lit(0.5 * k))
+    return joined.select(
+        "bucket",
+        "n_a",
+        "n_b",
+        F.round(pa, round_to).alias("pa"),
+        F.round(pb, round_to).alias("pb"),
+        F.round((pa - pb) * F.log(pa / pb), round_to).alias("psi_term"),
+    )
+
+
+def psi_oracle_sql(
+    source_a: str,
+    source_b: str,
+    value_col: str,
+    edges: list,
+    round_to: int = 6,
+) -> str:
+    """DuckDB SQL replaying :func:`population_stability_index` bit-for-bit:
+    the same CASE-chain bucketing with identical float literals, +0.5
+    smoothing, and double division/ln order. ``source_a``/``source_b`` are
+    SQL relations (table names or parenthesized subqueries)."""
+    case = f"{len(edges)}"
+    for i in range(len(edges) - 1, -1, -1):
+        case = f"CASE WHEN v < {edges[i]!r} THEN {i} ELSE {case} END"
+    bucket = f"CASE WHEN v IS NULL THEN -1 ELSE {case} END"
+    k = len(edges) + 2
+    return f"""
+    WITH a AS (
+      SELECT {bucket} AS bucket, count(*) AS n_a
+      FROM (SELECT {value_col} AS v FROM {source_a}) GROUP BY 1
+    ),
+    b AS (
+      SELECT {bucket} AS bucket, count(*) AS n_b
+      FROM (SELECT {value_col} AS v FROM {source_b}) GROUP BY 1
+    ),
+    na AS (SELECT CAST(sum(n_a) AS BIGINT) AS t FROM a),
+    nb AS (SELECT CAST(sum(n_b) AS BIGINT) AS t FROM b),
+    j AS (
+      SELECT coalesce(a.bucket, b.bucket) AS bucket,
+             CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
+             CAST(coalesce(n_b, 0) AS BIGINT) AS n_b
+      FROM a FULL OUTER JOIN b ON a.bucket = b.bucket
+    )
+    SELECT bucket, n_a, n_b,
+           round((n_a + 0.5) / (na.t + 0.5 * {k}), {round_to}) AS pa,
+           round((n_b + 0.5) / (nb.t + 0.5 * {k}), {round_to}) AS pb,
+           round(((n_a + 0.5) / (na.t + 0.5 * {k}) - (n_b + 0.5) / (nb.t + 0.5 * {k}))
+                 * ln(((n_a + 0.5) / (na.t + 0.5 * {k})) / ((n_b + 0.5) / (nb.t + 0.5 * {k}))),
+                 {round_to}) AS psi_term
+    FROM j, na, nb
+    """

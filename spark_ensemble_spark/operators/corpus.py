@@ -1537,3 +1537,37 @@ def split_by_hash_oracle_sql(
     for name, bound in reversed(arms):
         case = f"CASE WHEN {u} < {bound!r} THEN '{name}' ELSE {case} END"
     return f"SELECT {id_col}, {case} AS split FROM {table}"
+
+
+# ---------------------------------------------------------------------------
+# quantile-threshold quality filtering (the final gate of a curation pass)
+# ---------------------------------------------------------------------------
+
+
+def score_quantile_threshold(
+    df: DataFrame, score_col: str, q: float, tol: float = 0.0
+) -> float:
+    """The score value at quantile ``q`` (Greenwald-Khanna sketch; exact at
+    ``tol=0``, same machinery and rank convention as DummyRegressor's
+    oracle-verified quantile — the value whose ascending rank is
+    ``ceil(q·n)``). NULL scores are ignored. The sketch is a bounded-size
+    mergeable aggregate, so this is one pass with no global sort — at
+    100 TB pass ``tol`` ~1e-4 and the threshold lands within that rank
+    error for a fraction of the exact-mode cost."""
+    return df.approxQuantile(score_col, [q], tol)[0]
+
+
+def filter_by_score_quantile(
+    df: DataFrame,
+    score_col: str,
+    q: float,
+    tol: float = 0.0,
+) -> DataFrame:
+    """Keep rows whose ``score_col`` is at or above the corpus's ``q``
+    quantile — "drop the worst q of the corpus by this signal", the
+    standard final gate after fluency/repetition/quality scoring. Rows
+    with NULL scores are dropped (an unscorable doc does not pass a score
+    gate). Ties at the threshold all survive on both engines (>= on an
+    actual data value)."""
+    threshold = score_quantile_threshold(df, score_col, q, tol)
+    return df.filter(F.col(score_col) >= F.lit(threshold))

@@ -18,6 +18,7 @@ from typing import Callable, Dict
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spark_ensemble_spark.functions import metrics as _metrics
 from spark_ensemble_spark.operators import corpus as _corpus
 from spark_ensemble_spark.operators import dedup as _dedup
 from spark_ensemble_spark.operators import similarity as _similarity
@@ -3697,6 +3698,89 @@ def docs_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bigram_logprob_score(docs, "text", "doc_id", lam=0.7)
+
+
+_PSI_EDGES = [50_000.0, 100_000.0, 150_000.0, 200_000.0, 300_000.0]
+
+
+@query(
+    "drift_psi_orders",
+    _metrics.psi_oracle_sql(
+        "(SELECT * FROM orders WHERE o_orderdate <  TIMESTAMP '1998-01-01')",
+        "(SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01')",
+        "o_totalprice",
+        _PSI_EDGES,
+    ),
+)
+def drift_psi_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-Stability-Index drift monitor between two dataset
+    versions (orders before/after 1998): per-bucket smoothed shares and PSI
+    terms, each snapshot one hash-aggregate scan. The oracle replays the
+    CASE-chain bucketing, +0.5 smoothing, and double/ln order exactly."""
+    from spark_ensemble_spark.functions.metrics import (
+        population_stability_index,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    return population_stability_index(
+        orders.filter(F.col("o_orderdate") < cut),
+        orders.filter(F.col("o_orderdate") >= cut),
+        "o_totalprice",
+        _PSI_EDGES,
+    )
+
+
+@query(
+    "docs_quality_quantile_filter",
+    r"""
+    WITH per_doc AS (
+      SELECT doc_id AS id, t AS tok, count(*) AS c
+      FROM (
+        SELECT doc_id,
+               unnest(list_filter(
+                 string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+                 x -> x <> '')) AS t
+        FROM documents
+      ) GROUP BY 1, 2
+    ),
+    tf AS (SELECT tok, sum(c) AS ct FROM per_doc GROUP BY tok),
+    total AS (SELECT sum(ct) AS n FROM tf),
+    scored AS (
+      SELECT id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             round(CAST(sum(CAST(round(ln(f.ct * 1.0 / total.n), 6) AS DECIMAL(38,6)) * c)
+                        AS DOUBLE) / sum(c), 6) AS avg_logprob
+      FROM per_doc p JOIN tf f ON p.tok = f.tok, total
+      GROUP BY id
+    ),
+    th AS (
+      SELECT avg_logprob AS t FROM (
+        SELECT avg_logprob,
+               row_number() OVER (ORDER BY avg_logprob) AS rn,
+               count(*) OVER () AS n
+        FROM scored
+      ) WHERE rn = CAST(ceil(0.2 * n) AS BIGINT)
+    )
+    SELECT s.id AS doc_id, s.n_tokens, s.avg_logprob
+    FROM scored s, th WHERE s.avg_logprob >= th.t
+    """,
+)
+def docs_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard final curation gate: score every doc (unigram LM
+    fluency), drop the bottom 20% by the EXACT corpus quantile of that
+    score (GK sketch at tol=0 — same rank convention the Dummy quantile
+    oracle proved). The oracle recomputes scores, the ceil(q·n)-rank
+    threshold, and the surviving set."""
+    from spark_ensemble_spark.operators.corpus import (
+        filter_by_score_quantile,
+        unigram_logprob_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = unigram_logprob_score(docs, "text", "doc_id").filter(
+        F.col("avg_logprob").isNotNull()
+    )
+    return filter_by_score_quantile(scored, "avg_logprob", q=0.2)
 
 
 @query(

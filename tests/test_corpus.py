@@ -725,3 +725,19 @@ def test_bigram_logprob_sees_transitions_unigram_misses(spark):
         (1, 0, None),
         (2, 0, None),
     }
+
+
+def test_filter_by_score_quantile_semantics(spark):
+    """Exact-rank threshold: bottom-q rows drop, ties at the threshold all
+    survive, NULL scores never pass the gate."""
+    from spark_ensemble_spark.operators.corpus import (
+        filter_by_score_quantile,
+        score_quantile_threshold,
+    )
+
+    rows = [(1, 1.0), (2, 2.0), (3, 2.0), (4, 3.0), (5, 4.0), (6, None)]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    # ceil(0.4*5)=2nd of [1,2,2,3,4] -> threshold 2.0
+    assert score_quantile_threshold(df, "score", 0.4) == 2.0
+    kept = {r.doc_id for r in filter_by_score_quantile(df, "score", 0.4).collect()}
+    assert kept == {2, 3, 4, 5}  # both ties survive; NULL row does not

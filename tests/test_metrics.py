@@ -82,3 +82,28 @@ def test_classification_metrics_accuracy_identity(spark):
     rows = classification_metrics(df).collect()
     acc = sum(r.tp for r in rows) / sum(r.support for r in rows)
     assert acc == pytest.approx(4 / 6, abs=1e-9)
+
+
+def test_psi_detects_shift_and_handles_empty_buckets(spark):
+    """Identical snapshots → PSI ≈ 0; a shifted snapshot → large PSI; a
+    bucket empty on one side is smoothed, never ±inf; NULLs surface in
+    bucket -1."""
+    from pyspark.sql import functions as F
+
+    from spark_ensemble_spark.functions.metrics import (
+        population_stability_index,
+    )
+
+    a = spark.createDataFrame([(float(i % 10),) for i in range(100)], "v double")
+    edges = [2.0, 5.0, 8.0]
+    same = population_stability_index(a, a, "v", edges)
+    assert abs(sum(r.psi_term for r in same.collect())) < 1e-9
+    shifted = a.select((F.col("v") + 6.0).alias("v"))
+    drift = population_stability_index(a, shifted, "v", edges)
+    terms = {r.bucket: r.psi_term for r in drift.collect()}
+    assert sum(terms.values()) > 0.25  # the classic "drifted" bar
+    assert all(abs(t) < float("inf") for t in terms.values())
+    with_null = spark.createDataFrame([(1.0,), (None,)], "v double")
+    nb = {r.bucket for r in
+          population_stability_index(with_null, a, "v", edges).collect()}
+    assert -1 in nb

@@ -1593,3 +1593,38 @@ def test_incremental_dedup_stream_replay_does_not_lose_data(spark, tmp_path):
         r.doc_id for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
     }
     assert final == {1, 2}  # replay rewrote, never self-rejected
+
+
+def test_semantic_dedup_with_trained_centroids(spark, sf_dir):
+    """The production path: centroids exported from a KMeans fit (plain
+    float lists, the same contract ivf_topk's trained mode uses) drop into
+    semantic_dedup unchanged — planted identical twins still lose exactly
+    one member per pair regardless of which engine trained the quantizer."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from spark_ensemble_spark.operators.dedup import semantic_dedup
+    from spark_ensemble_spark.sources.datasets import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.unionByName(
+        emb.filter(F.col("vec_id") < 10).withColumn(
+            "vec_id", F.col("vec_id") + F.lit(1_000_000)
+        )
+    )
+    feat = planted.select(
+        array_to_vector(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("feat")
+    )
+    km = KMeans(k=4, seed=7, maxIter=5, featuresCol="feat").fit(feat)
+    cents = [list(map(float, c)) for c in km.clusterCenters()]
+    kept = {
+        r.vec_id
+        for r in semantic_dedup(
+            planted, "embedding", "vec_id", cents, threshold=0.95
+        ).collect()
+    }
+    for i in range(10):  # identical twins share every centroid distance:
+        # exactly one of (i, i+1e6) survives, whichever the tie-break picks
+        assert (i in kept) != (i + 1_000_000 in kept)

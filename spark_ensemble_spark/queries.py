@@ -4146,6 +4146,12 @@ def classification_metrics_dummy_prior(spark: SparkSession, sf_dir: str) -> Data
 #   q18_large_orders           = (folded r5) grouped-HAVING semi-join twin of
 #                                the same family; slot freed for
 #                                similarity_pq_topk
+#   pivot_flag_by_status       = (folded r5 continuation) pivot shape covered
+#                                in-window by orders_monthly_stats; slot
+#                                freed for dedup_semantic
+#   part_brand_stats           = (folded r5 continuation) grouped-stats twin
+#                                of q1's aggregate family; slot freed for
+#                                dsir_select_en
 # ---------------------------------------------------------------------------
 
 REGISTRY_ORDER = [

@@ -735,10 +735,14 @@ def srp_bucket_sql(vec_expr: str, planes: List[List[float]]) -> str:
 
 
 def _cosine(a: Column, b: Column) -> Column:
+    # zero-norm guard: under ANSI (Spark 4 default) 0/0 THROWS instead of
+    # returning NULL, and zero vectors (empty docs) are routine at scale —
+    # NULL cosine is then dropped by every >= threshold filter, which is the
+    # right call: a zero vector is nobody's near-duplicate
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
     na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
     nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
-    return dot / (na * nb)
+    return F.when(na * nb != 0, dot / (na * nb))
 
 
 def _srp_bucket(vec_sql: str, planes: List[List[float]]) -> Column:
@@ -1400,7 +1404,11 @@ operators.similarity.ivf_fixed_centroids` for the oracle-checkable path or a
         F.lit(0.0),
         lambda s, x: s + x,
     )
-    cos = F.round(dot / (F.col("l.n") * F.col("r.n")), 6)
+    # zero-norm guard (see _cosine): ANSI 0/0 throws; NULL cosine means the
+    # pair fails the threshold filter, so zero vectors are never dropped as
+    # "duplicates" of each other
+    denom = F.col("l.n") * F.col("r.n")
+    cos = F.round(F.when(denom != 0, dot / denom), 6)
     drop = (
         F.when(F.col("l.d") < F.col("r.d"), F.col("l.id"))
         .when(F.col("r.d") < F.col("l.d"), F.col("r.id"))

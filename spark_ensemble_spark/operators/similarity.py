@@ -31,7 +31,11 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    # zero-norm guard: ANSI (Spark 4 default) throws on 0/0; NULL scores
+    # sort last under desc (desc_nulls_last default), so zero vectors can
+    # never outrank a real neighbor
+    d = _norm(a) * _norm(b)
+    return F.when(d != 0, _dot(a, b) / d)
 
 
 def _as_double(vec: Column) -> Column:

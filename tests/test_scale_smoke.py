@@ -207,3 +207,67 @@ def test_dedup_against_corpus_600k(spark, big_docs):
     # survivors are a subset; the planted every-100th shared-prefix docs give
     # the near stage real candidates without collapsing the batch
     assert 0 < n_out <= n_new
+
+
+def test_semantic_dedup_200k_vectors(spark):
+    """SemDeDup over 200k 16-dim vectors (with a planted zero vector — the
+    ANSI 0/0 crash class), 256 clusters, cap 2000: within-cluster work stays
+    in the paper's hundreds-per-cluster regime and the hot-cluster cap
+    bounds any skewed cell at cap² pairs."""
+    from spark_ensemble_spark.operators.dedup import semantic_dedup
+    from spark_ensemble_spark.operators.similarity import ivf_fixed_centroids
+
+    n = 200_000
+    base = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(16)),
+            # id 0 produces the all-zero vector: must not crash, must survive
+            lambda i: F.sin(F.col("id") * i).cast("double"),
+        ).alias("embedding"),
+    )
+    twins = base.filter(F.col("vec_id") < 1000).withColumn(
+        "vec_id", F.col("vec_id") + n
+    )
+    cents = ivf_fixed_centroids(dim=16, num_clusters=256)
+    kept = semantic_dedup(
+        base.unionByName(twins),
+        "embedding",
+        "vec_id",
+        cents,
+        threshold=0.999999,
+        max_cluster_size=2_000,
+    )
+    kept = kept.persist()
+    n_kept = kept.count()
+    # sin(id·i) is near-periodic, so the fixture carries MANY genuine
+    # near-identical pairs beyond the planted twins (a twin can even lose
+    # BOTH members when a third, more atypical near-dup survives as the
+    # group representative — the paper's per-pair marking). The smoke
+    # asserts completion within bounded work, a sane survivor count, and
+    # that the zero vector (id 0 — the ANSI 0/0 crash class) survives:
+    # NULL-cosine pairs must never mark it.
+    assert n // 2 <= n_kept <= n + 1000
+    assert kept.filter(F.col("vec_id") == 0).count() == 1
+    kept.unpersist()
+
+
+def test_dsir_weights_2m_docs(spark):
+    """DSIR scoring over 2M short docs: bucket tables stay 4096 rows, the
+    log-ratio broadcast is constant-size, and every doc scores."""
+    from spark_ensemble_spark.operators.corpus import dsir_log_weights
+
+    n = 2_000_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("tok"),
+            (F.col("id") % 1000).cast("string"),
+            F.lit(" tok"),
+            (F.col("id") % 997).cast("string"),
+            F.lit(" common words here"),
+        ).alias("text"),
+        (F.col("id") % 10 == 0).alias("is_tgt"),
+    )
+    out = dsir_log_weights(docs, buckets=4096, target_col="is_tgt")
+    assert out.count() == n

@@ -1554,7 +1554,13 @@ def score_quantile_threshold(
     mergeable aggregate, so this is one pass with no global sort — at
     100 TB pass ``tol`` ~1e-4 and the threshold lands within that rank
     error for a fraction of the exact-mode cost."""
-    return df.approxQuantile(score_col, [q], tol)[0]
+    qs = df.approxQuantile(score_col, [q], tol)
+    if not qs:
+        raise ValueError(
+            f"no non-NULL values in {score_col!r}: cannot compute a "
+            f"quantile threshold over an empty score distribution"
+        )
+    return qs[0]
 
 
 def filter_by_score_quantile(
@@ -1568,6 +1574,13 @@ def filter_by_score_quantile(
     standard final gate after fluency/repetition/quality scoring. Rows
     with NULL scores are dropped (an unscorable doc does not pass a score
     gate). Ties at the threshold all survive on both engines (>= on an
-    actual data value)."""
+    actual data value).
+
+    The input is localCheckpoint-ed first: the threshold is an ACTION over
+    the scoring pipeline, and without materialization the caller's consume
+    would re-run that whole pipeline a second time — at scale the scoring
+    pass is the cost center, so paying executor storage to halve it is the
+    right trade."""
+    df = df.localCheckpoint(eager=True)
     threshold = score_quantile_threshold(df, score_col, q, tol)
     return df.filter(F.col(score_col) >= F.lit(threshold))

@@ -1478,10 +1478,9 @@ similarity.ivf_oracle_sql`), assignment ties break on centroid id, the drop
         )
         arms.append(f"SELECT id, v, {cid} AS cid, {chain} AS d FROM e")
     dist_union = "\n      UNION ALL ".join(arms)
-    cos = (
-        "round(list_dot_product(l.v, r.v) / (sqrt(list_dot_product(l.v, l.v)) "
-        "* sqrt(list_dot_product(r.v, r.v))), 6)"
-    )
+    from .similarity import guarded_cosine_sql
+
+    cos = guarded_cosine_sql("l.v", "r.v")
     return f"""
     WITH e AS ({source_cte}),
     dd AS (

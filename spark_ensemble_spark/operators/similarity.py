@@ -171,6 +171,20 @@ def srp_topk(
     )
 
 
+def guarded_cosine_sql(a: str, b: str) -> str:
+    """Rounded cosine as DuckDB SQL with the SAME zero-norm guard as the
+    Spark side (NULL, never NaN): DuckDB's IEEE 0/0 is NaN, which sorts
+    ABOVE every value and passes >= thresholds — without the guard a single
+    zero embedding would make the oracle rank it the #1 neighbor of every
+    query while Spark drops it."""
+    na = f"sqrt(list_dot_product({a}, {a}))"
+    nb = f"sqrt(list_dot_product({b}, {b}))"
+    return (
+        f"CASE WHEN {na} * {nb} = 0 THEN NULL "
+        f"ELSE round(list_dot_product({a}, {b}) / ({na} * {nb}), 6) END"
+    )
+
+
 def srp_topk_oracle_sql(
     dim: int,
     k: int = 5,
@@ -211,12 +225,10 @@ def srp_topk_oracle_sql(
     )
     SELECT query_id, neighbor_id, cosine, rank FROM (
       SELECT query_id, neighbor_id,
-             round(list_dot_product(cv, qv)
-                   / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 6) AS cosine,
+             {guarded_cosine_sql('cv', 'qv')} AS cosine,
              row_number() OVER (
                PARTITION BY query_id
-               ORDER BY round(list_dot_product(cv, qv)
-                        / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 6) DESC,
+               ORDER BY {guarded_cosine_sql('cv', 'qv')} DESC,
                         neighbor_id) AS rank
       FROM cand
     ) WHERE rank <= {k}
@@ -387,10 +399,7 @@ def ivf_oracle_sql(
         )
         arms.append(f"SELECT id, v, {cid} AS cid, {chain} AS d FROM e")
     dist_union = "\n      UNION ALL ".join(arms)
-    cos = (
-        "round(list_dot_product(cv, qv) / (sqrt(list_dot_product(cv, cv)) "
-        "* sqrt(list_dot_product(qv, qv))), 6)"
-    )
+    cos = guarded_cosine_sql("cv", "qv")
     return f"""
     WITH e AS (SELECT {id_col} AS id, {vec_col}::DOUBLE[] AS v FROM {table}),
     d AS (

@@ -2329,8 +2329,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
          q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 5),
          scored AS (
            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                  round(list_dot_product(c.v, q.v)
-                        / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.v, q.v))), 6) AS cosine
+                  CASE WHEN sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.v, q.v)) = 0 THEN NULL
+                       ELSE round(list_dot_product(c.v, q.v)
+                            / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.v, q.v))), 6) END AS cosine
            FROM c CROSS JOIN q WHERE c.vec_id != q.vec_id
          )
     SELECT query_id, neighbor_id, cosine, rank FROM (
@@ -2418,11 +2419,13 @@ def similarity_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM planted)
     SELECT l.vec_id AS id_a, r.vec_id AS id_b,
-           round(list_dot_product(l.v, r.v)
-                 / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))), 6) AS cosine
+           CASE WHEN sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v)) = 0 THEN NULL
+                ELSE round(list_dot_product(l.v, r.v)
+                     / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))), 6) END AS cosine
     FROM e l JOIN e r ON l.vec_id < r.vec_id
-    WHERE round(list_dot_product(l.v, r.v)
-                / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))), 6) >= 0.9
+    WHERE CASE WHEN sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v)) = 0 THEN NULL
+               ELSE round(list_dot_product(l.v, r.v)
+                    / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))), 6) END >= 0.9
     """,
 )
 def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2591,11 +2594,9 @@ def _embedding_lsh_oracle() -> str:
            {bucket_cols}
           FROM e)
     SELECT l.id AS id_a, r.id AS id_b,
-           round(list_dot_product(l.v, r.v)
-                 / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))), 6) AS cosine
+           {_similarity.guarded_cosine_sql('l.v', 'r.v')} AS cosine
     FROM b l JOIN b r ON ({any_table}) AND l.id < r.id
-    WHERE round(list_dot_product(l.v, r.v)
-          / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))), 6) >= 0.9
+    WHERE coalesce({_similarity.guarded_cosine_sql('l.v', 'r.v')} >= 0.9, false)
     """
 
 
@@ -3733,37 +3734,10 @@ def drift_psi_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "docs_quality_quantile_filter",
-    r"""
-    WITH per_doc AS (
-      SELECT doc_id AS id, t AS tok, count(*) AS c
-      FROM (
-        SELECT doc_id,
-               unnest(list_filter(
-                 string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
-                 x -> x <> '')) AS t
-        FROM documents
-      ) GROUP BY 1, 2
-    ),
-    tf AS (SELECT tok, sum(c) AS ct FROM per_doc GROUP BY tok),
-    total AS (SELECT sum(ct) AS n FROM tf),
-    scored AS (
-      SELECT id, CAST(sum(c) AS BIGINT) AS n_tokens,
-             round(CAST(sum(CAST(round(ln(f.ct * 1.0 / total.n), 6) AS DECIMAL(38,6)) * c)
-                        AS DOUBLE) / sum(c), 6) AS avg_logprob
-      FROM per_doc p JOIN tf f ON p.tok = f.tok, total
-      GROUP BY id
-    ),
-    th AS (
-      SELECT avg_logprob AS t FROM (
-        SELECT avg_logprob,
-               row_number() OVER (ORDER BY avg_logprob) AS rn,
-               count(*) OVER () AS n
-        FROM scored
-      ) WHERE rn = CAST(ceil(0.2 * n) AS BIGINT)
-    )
-    SELECT s.id AS doc_id, s.n_tokens, s.avg_logprob
-    FROM scored s, th WHERE s.avg_logprob >= th.t
-    """,
+    # oracle attached below — composed from the REGISTERED unigram-score
+    # oracle (single source: a change to the scoring SQL can never silently
+    # diverge the gate's oracle from the score's)
+    None,
 )
 def docs_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The standard final curation gate: score every doc (unigram LM
@@ -3781,6 +3755,24 @@ def docs_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("avg_logprob").isNotNull()
     )
     return filter_by_score_quantile(scored, "avg_logprob", q=0.2)
+
+
+ORACLES["docs_quality_quantile_filter"] = f"""
+    WITH scored AS (
+      SELECT * FROM ({ORACLES["docs_unigram_logprob"]})
+      WHERE avg_logprob IS NOT NULL
+    ),
+    th AS (
+      SELECT avg_logprob AS t FROM (
+        SELECT avg_logprob,
+               row_number() OVER (ORDER BY avg_logprob) AS rn,
+               count(*) OVER () AS n
+        FROM scored
+      ) WHERE rn = CAST(ceil(0.2 * n) AS BIGINT)
+    )
+    SELECT s.doc_id, s.n_tokens, s.avg_logprob
+    FROM scored s, th WHERE s.avg_logprob >= th.t
+    """
 
 
 @query(

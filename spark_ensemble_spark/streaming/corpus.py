@@ -204,14 +204,24 @@ write_stream_exactly_once` pattern), so a crash-replayed batch rewrites its
         hash_fn=hash_fn,
     )
 
-    def index_exists(sub: str) -> bool:
-        # explicit existence probe instead of a bare try/except around the
-        # read: a transient listing error or corrupt footer must FAIL the
-        # batch (checkpoint replays it), never silently skip cross-batch
-        # dedup and pollute the corpus
-        p = spark._jvm.org.apache.hadoop.fs.Path(f"{index_path}/{sub}")
-        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-        return fs.exists(p)
+    def read_index(sub: str):
+        """The index relation, or None before any COMMITTED write. Only the
+        two deterministic no-data conditions degrade to "no index yet":
+        path missing (first batch) and schema-uninferrable (a torn write
+        left only _temporary files — treating that as fatal would wedge the
+        stream in a permanent replay loop, since this batch's own overwrite
+        is what repairs the directory). Everything else — transient listing
+        errors, corrupt footers — propagates and fails the batch, so
+        cross-batch dedup is never silently skipped."""
+        from pyspark.errors import AnalysisException
+
+        try:
+            return spark.read.parquet(f"{index_path}/{sub}")
+        except AnalysisException as e:
+            cls = getattr(e, "getErrorClass", lambda: "")() or str(e)
+            if "PATH_NOT_FOUND" in cls or "UNABLE_TO_INFER_SCHEMA" in cls:
+                return None
+            raise
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         fp = fingerprint(F.coalesce(F.col(text_col), F.lit("")))
@@ -227,18 +237,15 @@ write_stream_exactly_once` pattern), so a crash-replayed batch rewrites its
             **sig_kwargs,
         ).select("id_a", "id_b")
         batch = resolve_duplicates(batch, pairs, id_col)
-        if index_exists("sig") and index_exists("fp"):
+        sig_raw, fp_raw = read_index("sig"), read_index("fp")
+        if sig_raw is not None and fp_raw is not None:
             # A crash-replayed batch finds its OWN batch_id partitions in the
             # index; deduping against them would reject every replayed doc
             # and overwrite the output with an empty frame — data loss the
             # batch_id filter prevents (only STRICTLY EARLIER batches count
             # as corpus).
-            sig_index = spark.read.parquet(f"{index_path}/sig").filter(
-                F.col("batch_id") < batch_id
-            )
-            fp_index = spark.read.parquet(f"{index_path}/fp").filter(
-                F.col("batch_id") < batch_id
-            )
+            sig_index = sig_raw.filter(F.col("batch_id") < batch_id)
+            fp_index = fp_raw.filter(F.col("batch_id") < batch_id)
             # corpus_df=None is safe: both index frames are supplied, so the
             # corpus text path is never touched
             accepted = dedup_against_corpus(

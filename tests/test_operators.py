@@ -1628,3 +1628,57 @@ def test_semantic_dedup_with_trained_centroids(spark, sf_dir):
     for i in range(10):  # identical twins share every centroid distance:
         # exactly one of (i, i+1e6) survives, whichever the tie-break picks
         assert (i in kept) != (i + 1_000_000 in kept)
+
+
+def test_incremental_dedup_stream_torn_index_recovers(spark, tmp_path):
+    """A torn first-batch index write (directories exist, no committed
+    parquet) must be treated as 'no index yet' — the batch's own overwrite
+    repairs it — rather than failing schema inference forever in a
+    checkpoint replay loop."""
+    from spark_ensemble_spark.streaming.corpus import incremental_dedup_stream
+
+    (tmp_path / "index" / "sig" / "batch_id=0").mkdir(parents=True)
+    (tmp_path / "index" / "fp" / "batch_id=0").mkdir(parents=True)
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta " * 5), (2, "one two three four " * 5)],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(src / "d1"))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src) + "/*"
+    )
+    q = incremental_dedup_stream(
+        spark,
+        stream,
+        out_path=str(tmp_path / "corpus"),
+        index_path=str(tmp_path / "index"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.doc_id for r in spark.read.parquet(str(tmp_path / "corpus")).collect()}
+    assert got == {1, 2}
+
+
+def test_embedding_dup_pairs_zero_vector_never_duplicates(spark):
+    """Two all-zero vectors have undefined cosine: they must neither crash
+    (ANSI 0/0) nor be marked duplicates of each other or of anything."""
+    from spark_ensemble_spark.operators.dedup import embedding_dup_pairs
+
+    rows = [
+        (1, [0.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),
+        (3, [1.0, 0.0, 0.0, 0.0]),
+        (4, [1.0, 0.001, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in embedding_dup_pairs(
+            df, "embedding", "vec_id", threshold=0.99, brute_force=True
+        ).collect()
+    }
+    assert pairs == {(3, 4)}

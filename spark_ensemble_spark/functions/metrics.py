@@ -222,9 +222,11 @@ def population_stability_index(
         )
 
     a, b = counts(df_a, "n_a"), counts(df_b, "n_b")
-    # totals re-aggregate the bucket frames — each snapshot is scanned ONCE
-    ta = a.agg(F.sum("n_a").alias("__ta"))
-    tb = b.agg(F.sum("n_b").alias("__tb"))
+    # totals re-aggregate the bucket frames — each snapshot is scanned ONCE;
+    # coalesce(0) keeps an EMPTY snapshot fully smoothed instead of NULLing
+    # every term through a NULL total
+    ta = a.agg(F.coalesce(F.sum("n_a"), F.lit(0)).alias("__ta"))
+    tb = b.agg(F.coalesce(F.sum("n_b"), F.lit(0)).alias("__tb"))
     k = len(edges) + 2  # underflow + intervals + overflow (+ null bucket -1)
     joined = (
         a.join(b, "bucket", "full_outer")
@@ -275,8 +277,8 @@ def psi_oracle_sql(
       SELECT {bucket} AS bucket, count(*) AS n_b
       FROM (SELECT {value_col} AS v FROM {source_b}) GROUP BY 1
     ),
-    na AS (SELECT CAST(sum(n_a) AS BIGINT) AS t FROM a),
-    nb AS (SELECT CAST(sum(n_b) AS BIGINT) AS t FROM b),
+    na AS (SELECT CAST(coalesce(sum(n_a), 0) AS BIGINT) AS t FROM a),
+    nb AS (SELECT CAST(coalesce(sum(n_b), 0) AS BIGINT) AS t FROM b),
     j AS (
       SELECT coalesce(a.bucket, b.bucket) AS bucket,
              CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,

@@ -135,3 +135,59 @@ def test_pq_empty_queries(spark):
     books = pq_fixed_codebooks(dim=8, num_subspaces=2, num_codewords=4)
     empty_q = corpus.filter(F.col("vec_id") < 0)
     assert pq_topk(corpus, empty_q, books, k=3).count() == 0
+
+
+def test_continuation_ops_on_empty(empty_docs, spark):
+    from spark_ensemble_spark.operators.corpus import (
+        bigram_logprob_score,
+        dsir_log_weights,
+        split_by_hash,
+        unigram_logprob_score,
+    )
+    from spark_ensemble_spark.operators.dedup import semantic_dedup
+    from spark_ensemble_spark.operators.similarity import ann_recall
+
+    assert bigram_logprob_score(empty_docs).count() == 0
+    assert unigram_logprob_score(empty_docs).count() == 0
+    assert split_by_hash(empty_docs, "doc_id", {"a": 1.0, "b": 1.0}).count() == 0
+    assert (
+        dsir_log_weights(
+            empty_docs.withColumn("t", F.lit(True)), target_col="t", buckets=16
+        ).count()
+        == 0
+    )
+    empty_vecs = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    assert semantic_dedup(empty_vecs, "embedding", "vec_id", cents).count() == 0
+    empty_topk = spark.createDataFrame(
+        [], "query_id long, neighbor_id long, rank int"
+    )
+    assert ann_recall(empty_topk, empty_topk, k=5).count() == 0
+
+
+def test_continuation_ops_null_text(null_docs):
+    from spark_ensemble_spark.operators.corpus import (
+        bigram_logprob_score,
+        dsir_log_weights,
+    )
+
+    bi = {r.doc_id: r.n_bigrams for r in bigram_logprob_score(null_docs).collect()}
+    assert bi[1] == 0 and bi[2] == 0 and bi[3] > 0  # null/empty never dropped
+    w = dsir_log_weights(
+        null_docs.withColumn("t", F.col("source") == "books"),
+        target_col="t",
+        buckets=64,
+    )
+    assert w.count() == 3  # every doc scores, null text included
+
+
+def test_psi_empty_snapshot(spark):
+    """An empty comparison side is fully smoothed — finite terms, no crash."""
+    from spark_ensemble_spark.functions.metrics import (
+        population_stability_index,
+    )
+
+    a = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    b = spark.createDataFrame([], "v double")
+    rows = population_stability_index(a, b, "v", [1.5]).collect()
+    assert rows and all(abs(r.psi_term) < float("inf") for r in rows)

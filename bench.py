@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "similarity_srp_recall",
     "docs_quality_quantile_filter",
     "drift_psi_orders",
+    "events_funnel",
 ]
 
 

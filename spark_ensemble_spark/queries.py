@@ -3775,6 +3775,55 @@ ORACLES["docs_quality_quantile_filter"] = f"""
     """
 
 
+_FUNNEL_H = 7 * 86_400 * 1_000_000  # 7 days in epoch microseconds
+
+
+@query(
+    "events_funnel",
+    f"""
+    WITH f AS (
+      SELECT user_id AS u, event_type AS e, epoch_us(ts) AS t
+      FROM events WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    s0 AS (SELECT u, min(t) AS prev FROM f WHERE e = 'view' GROUP BY u),
+    s1 AS (
+      SELECT f.u, min(f.t) AS prev
+      FROM f JOIN s0 USING (u)
+      WHERE f.e = 'click' AND f.t > s0.prev AND f.t <= s0.prev + {_FUNNEL_H}
+      GROUP BY f.u
+    ),
+    s2 AS (
+      SELECT f.u, min(f.t) AS prev
+      FROM f JOIN s1 USING (u)
+      WHERE f.e = 'purchase' AND f.t > s1.prev AND f.t <= s1.prev + {_FUNNEL_H}
+      GROUP BY f.u
+    ),
+    counts AS (
+      SELECT 0 AS step, 'view' AS step_name, CAST(count(*) AS BIGINT) AS n_users FROM s0
+      UNION ALL
+      SELECT 1, 'click', CAST(count(*) AS BIGINT) FROM s1
+      UNION ALL
+      SELECT 2, 'purchase', CAST(count(*) AS BIGINT) FROM s2
+    ),
+    n0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s0)
+    SELECT step, step_name, n_users,
+           round(CASE WHEN n0.n > 0 THEN n_users / n0.n END, 6) AS conversion
+    FROM counts, n0
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed funnel view→click→purchase (each step strictly after the
+    previous, within 7 days of it): greedy earliest-match per user, one
+    user-key equi-join + min-agg per step. The oracle replays the step-wise
+    min chain on exact epoch-microsecond integers."""
+    from spark_ensemble_spark.streaming.events import funnel_conversion
+
+    events = load_table(spark, sf_dir, "events")
+    return funnel_conversion(
+        events, ["view", "click", "purchase"], horizon_us=_FUNNEL_H
+    )
+
+
 @query(
     "docs_split_assign",
     _corpus.split_by_hash_oracle_sql(

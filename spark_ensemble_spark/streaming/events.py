@@ -11,6 +11,7 @@ Kafka with checkpointed exactly-once ``foreachBatch`` sinks.
 from __future__ import annotations
 
 import tempfile
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -671,4 +672,68 @@ def streaming_top_event_types(
         counts.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("window_start", "event_type", "n", "rank")
+    )
+
+
+def funnel_conversion(
+    events: DataFrame,
+    steps: Sequence[str],
+    horizon_us: Optional[int] = None,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel analysis: for each user, step i counts as reached iff
+    an event of ``steps[i]`` occurs STRICTLY AFTER the user's step-(i−1)
+    time (greedy earliest-match, the standard windowed-funnel semantics),
+    within ``horizon_us`` microseconds of it when a horizon is given.
+
+    Returns one row per step: ``(step, step_name, n_users, conversion)``
+    with ``conversion = n_users / n_users(step 0)`` rounded to 6 (NULL when
+    nobody enters the funnel — never a divide-by-zero).
+
+    Scale shape: per step one equi-join on the user key + one min-aggregate
+    — K shuffles for a K-step funnel, all on the same key so AQE/exchange
+    reuse keeps them cheap; per-user state is a single timestamp, never an
+    event list. Timestamps compare as epoch microseconds (exact integers,
+    engine-replayable)."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    f = events.filter(F.col(type_col).isin(list(steps))).select(
+        F.col(user_col).alias("__u"),
+        F.col(type_col).alias("__e"),
+        F.unix_micros(F.col(ts_col)).alias("__t"),
+    )
+    cur = (
+        f.filter(F.col("__e") == steps[0])
+        .groupBy("__u")
+        .agg(F.min("__t").alias("__prev"))
+    )
+    frames = [cur]
+    for s in steps[1:]:
+        cond = F.col("__t") > F.col("__prev")
+        if horizon_us is not None:
+            cond = cond & (F.col("__t") <= F.col("__prev") + F.lit(horizon_us))
+        cur = (
+            f.filter(F.col("__e") == s)
+            .join(cur.select("__u", "__prev"), "__u")
+            .filter(cond)
+            .groupBy("__u")
+            .agg(F.min("__t").alias("__prev"))
+        )
+        frames.append(cur)
+    counts = None
+    for i, (s, fr) in enumerate(zip(steps, frames)):
+        c = fr.agg(F.count(F.lit(1)).cast("bigint").alias("n_users")).select(
+            F.lit(i).alias("step"), F.lit(s).alias("step_name"), "n_users"
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    entered = frames[0].agg(F.count(F.lit(1)).alias("__n0"))
+    return counts.crossJoin(F.broadcast(entered)).select(
+        "step",
+        "step_name",
+        "n_users",
+        F.round(
+            F.when(F.col("__n0") > 0, F.col("n_users") / F.col("__n0")), 6
+        ).alias("conversion"),
     )

@@ -1682,3 +1682,42 @@ def test_embedding_dup_pairs_zero_vector_never_duplicates(spark):
         ).collect()
     }
     assert pairs == {(3, 4)}
+
+
+def test_funnel_conversion_semantics(spark):
+    """Greedy earliest-match funnel: order matters (a click BEFORE the
+    first view doesn't count), the horizon cuts late conversions, and an
+    empty entry step yields NULL conversions rather than dividing by
+    zero."""
+    import datetime as dt
+
+    from spark_ensemble_spark.streaming.events import funnel_conversion
+
+    t = lambda m: dt.datetime(2026, 1, 1, 0, m)
+    rows = [
+        # user 1: view -> click -> purchase, all in order
+        (1, t(0), "view"), (1, t(1), "click"), (1, t(2), "purchase"),
+        # user 2: click BEFORE the view — click step not reached
+        (2, t(0), "click"), (2, t(1), "view"),
+        # user 3: view then click 2 HOURS later — outside a 1-hour horizon
+        (3, t(0), "view"), (3, dt.datetime(2026, 1, 1, 2, 0), "click"),
+        # user 4: never enters the funnel
+        (4, t(0), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {
+        r.step_name: (r.n_users, r.conversion)
+        for r in funnel_conversion(
+            df, ["view", "click", "purchase"], horizon_us=3600 * 1_000_000
+        ).collect()
+    }
+    assert out == {
+        "view": (3, 1.0),
+        "click": (1, round(1 / 3, 6)),
+        "purchase": (1, round(1 / 3, 6)),
+    }
+    empty = funnel_conversion(
+        df.filter(F.col("event_type") == "purchase"),
+        ["view", "click"],
+    ).collect()
+    assert [(r.n_users, r.conversion) for r in empty] == [(0, None), (0, None)]

@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "docs_quality_quantile_filter",
     "drift_psi_orders",
     "events_funnel",
+    "fuzzy_join_parts",
 ]
 
 

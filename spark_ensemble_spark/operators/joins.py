@@ -155,3 +155,43 @@ def range_join(
         (F.col(f"l.{left_ts}") >= F.col(f"r.{right_start}"))
         & (F.col(f"l.{left_ts}") <= F.col(f"r.{right_end}"))
     )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_distance: int = 2,
+    block_len: int = 4,
+    how: str = "inner",
+) -> DataFrame:
+    """Entity-resolution join: rows whose normalized strings are within
+    ``max_distance`` edits, candidates limited to a shared
+    ``block_len``-char normalized prefix — the two-table generalization of
+    the blocked self-match (``fuzzy_part_name_pairs``). Appends
+    ``__dist``; ``how='left'`` keeps unmatched left rows (NULL right side)
+    for the "match or keep for manual review" pipeline shape.
+
+    Scale shape: one equi-join on the prefix block — levenshtein (quadratic
+    per pair) runs only inside blocks, never across the cross product. The
+    prefix blocker trades recall for that bound (edits INSIDE the prefix
+    can move a row out of its block — the standard trade; use the MinHash
+    band blocker for typo-anywhere recall)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how}")
+    norm_l = F.lower(F.trim(F.col(left_col)))
+    norm_r = F.lower(F.trim(F.col(right_col)))
+    l = left.withColumn("__block", F.substring(norm_l, 1, block_len))
+    r = right.withColumn("__block_r", F.substring(norm_r, 1, block_len))
+    joined = l.join(
+        r,
+        (F.col("__block") == F.col("__block_r"))
+        & (F.levenshtein(norm_l, norm_r) <= max_distance),
+        how,
+    )
+    dist = F.levenshtein(norm_l, norm_r)
+    return joined.withColumn(
+        "__dist",
+        dist if how == "inner" else F.when(F.col("__block_r").isNotNull(), dist),
+    ).drop("__block", "__block_r")

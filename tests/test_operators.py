@@ -1721,3 +1721,27 @@ def test_funnel_conversion_semantics(spark):
         ["view", "click"],
     ).collect()
     assert [(r.n_users, r.conversion) for r in empty] == [(0, None), (0, None)]
+
+
+def test_fuzzy_join_left_keeps_unmatched(spark):
+    """how='left' keeps rows with no fuzzy partner (NULL right side, NULL
+    dist) — the match-or-review pipeline shape; inner drops them. Blocking
+    is by normalized prefix, so a prefix-breaking edit is (documented)
+    missed."""
+    from spark_ensemble_spark.operators.joins import fuzzy_join
+
+    left = spark.createDataFrame(
+        [(1, "Widget Mark II"), (2, "Gadget Pro"), (3, "Unique Thing")],
+        ["id", "name"],
+    )
+    right = spark.createDataFrame(
+        [(10, "widget mark ii "), (20, "gadget pros"), (30, "XXnique Thing")],
+        ["rid", "rname"],
+    )
+    inner = fuzzy_join(left, right, "name", "rname", max_distance=1)
+    got = {(r["id"], r["rid"], r["__dist"]) for r in inner.collect()}
+    # 1↔10 normalized-equal (dist 0); 2↔20 one insertion; 3↔30 blocked away
+    assert got == {(1, 10, 0), (2, 20, 1)}
+    left_out = fuzzy_join(left, right, "name", "rname", max_distance=1, how="left")
+    by_id = {(r["id"], r["rid"], r["__dist"]) for r in left_out.collect()}
+    assert (3, None, None) in by_id and len(by_id) == 3

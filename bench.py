@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "drift_psi_orders",
     "events_funnel",
     "fuzzy_join_parts",
+    "events_cohort_retention",
 ]
 
 

@@ -3810,6 +3810,40 @@ def fuzzy_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_cohort_retention",
+    """
+    WITH cohorts AS (
+      SELECT user_id AS u, date_trunc('week', min(ts))::DATE AS cw
+      FROM events GROUP BY 1
+    ),
+    active AS (
+      SELECT DISTINCT user_id AS u, date_trunc('week', ts)::DATE AS aw
+      FROM events
+    ),
+    cells AS (
+      SELECT cw,
+             CAST(date_diff('day', cw, aw) / 7 AS INT) AS week_offset,
+             CAST(count(*) AS BIGINT) AS n_users
+      FROM active JOIN cohorts USING (u)
+      WHERE date_diff('day', cw, aw) / 7 <= 8
+      GROUP BY 1, 2
+    )
+    SELECT strftime(c.cw, '%Y-%m-%d') AS cohort_week, c.week_offset,
+           c.n_users, round(c.n_users / b.n_users, 6) AS retention
+    FROM cells c JOIN cells b ON b.cw = c.cw AND b.week_offset = 0
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix (cohort = week of first event; cell =
+    users active k weeks later, retention vs cohort size). Monday-start
+    date_trunc weeks and day-diff/7 offsets are exact integers on both
+    engines, so the whole matrix is hash-checked."""
+    from spark_ensemble_spark.streaming.events import cohort_retention
+
+    return cohort_retention(load_table(spark, sf_dir, "events"), max_offset=8)
+
+
 _FUNNEL_H = 7 * 86_400 * 1_000_000  # 7 days in epoch microseconds
 
 

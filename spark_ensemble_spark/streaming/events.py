@@ -737,3 +737,54 @@ def funnel_conversion(
             F.when(F.col("__n0") > 0, F.col("n_users") / F.col("__n0")), 6
         ).alias("conversion"),
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    max_offset: int = 8,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Weekly cohort-retention matrix: users are cohorted by the week of
+    their FIRST event; cell (cohort, k) counts users active in week
+    cohort+k, with ``retention`` relative to the cohort's size (offset 0 —
+    always the full cohort, since the first-event week is active by
+    definition).
+
+    Returns ``(cohort_week, week_offset, n_users, retention)`` for offsets
+    0..``max_offset``.
+
+    Scale shape: one groupBy(user) for cohorts, one distinct over
+    (user, week), one join back on the user key, one matrix aggregate —
+    every exchange is on user or (cohort, offset) keys; weeks are
+    date_trunc'd DATEs (Monday start on both engines) so offsets are exact
+    integers."""
+    cohorts = events.groupBy(F.col(user_col).alias("__u")).agg(
+        F.date_trunc("week", F.min(ts_col)).cast("date").alias("__cw")
+    )
+    active = events.select(
+        F.col(user_col).alias("__u"),
+        F.date_trunc("week", F.col(ts_col)).cast("date").alias("__aw"),
+    ).distinct()
+    cells = (
+        active.join(cohorts, "__u")
+        .withColumn(
+            "week_offset",
+            (F.datediff(F.col("__aw"), F.col("__cw")) / 7).cast("int"),
+        )
+        .filter(F.col("week_offset") <= max_offset)
+        .groupBy("__cw", "week_offset")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+    base = cells.filter(F.col("week_offset") == 0).select(
+        F.col("__cw").alias("__cw0"), F.col("n_users").alias("__n0")
+    )
+    return (
+        cells.join(base, cells["__cw"] == base["__cw0"])
+        .select(
+            F.date_format("__cw", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_users",
+            F.round(F.col("n_users") / F.col("__n0"), 6).alias("retention"),
+        )
+    )

@@ -1745,3 +1745,32 @@ def test_fuzzy_join_left_keeps_unmatched(spark):
     left_out = fuzzy_join(left, right, "name", "rname", max_distance=1, how="left")
     by_id = {(r["id"], r["rid"], r["__dist"]) for r in left_out.collect()}
     assert (3, None, None) in by_id and len(by_id) == 3
+
+
+def test_cohort_retention_matrix(spark):
+    """Hand-built two-cohort fixture: retention fractions and offsets are
+    exact; a user counts in its FIRST-event cohort only; offset 0 is always
+    the full cohort."""
+    import datetime as dt
+
+    from spark_ensemble_spark.streaming.events import cohort_retention
+
+    # cohort A = week of Mon 2026-01-05: users 1,2; user 1 returns in week+1
+    # cohort B = week of Mon 2026-01-12: user 3 (also active week+2)
+    rows = [
+        (1, dt.datetime(2026, 1, 5, 10)), (2, dt.datetime(2026, 1, 7, 9)),
+        (1, dt.datetime(2026, 1, 14, 8)),   # A, offset 1
+        (3, dt.datetime(2026, 1, 12, 12)),
+        (3, dt.datetime(2026, 1, 26, 12)),  # B, offset 2
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        (r.cohort_week, r.week_offset): (r.n_users, r.retention)
+        for r in cohort_retention(df).collect()
+    }
+    assert out == {
+        ("2026-01-05", 0): (2, 1.0),
+        ("2026-01-05", 1): (1, 0.5),
+        ("2026-01-12", 0): (1, 1.0),
+        ("2026-01-12", 2): (1, 1.0),
+    }

@@ -169,29 +169,51 @@ def fuzzy_join(
     """Entity-resolution join: rows whose normalized strings are within
     ``max_distance`` edits, candidates limited to a shared
     ``block_len``-char normalized prefix — the two-table generalization of
-    the blocked self-match (``fuzzy_part_name_pairs``). Appends
-    ``__dist``; ``how='left'`` keeps unmatched left rows (NULL right side)
-    for the "match or keep for manual review" pipeline shape.
+    the blocked self-match (``fuzzy_part_name_pairs``). Appends a ``__dist``
+    column (collision-free renamed if taken); ``how='left'`` keeps
+    unmatched left rows (NULL right side, NULL dist) for the
+    "match or keep for manual review" pipeline shape.
+
+    ``left_col`` and ``right_col`` MAY share a name (two catalogs with the
+    same schema): expressions are alias-qualified, so nothing is ambiguous —
+    though as with any Spark join, duplicate payload names in the OUTPUT
+    still need the caller to select/rename.
 
     Scale shape: one equi-join on the prefix block — levenshtein (quadratic
-    per pair) runs only inside blocks, never across the cross product. The
-    prefix blocker trades recall for that bound (edits INSIDE the prefix
-    can move a row out of its block — the standard trade; use the MinHash
-    band blocker for typo-anywhere recall)."""
+    per pair) runs only inside blocks, never across the cross product; on
+    the inner path it is evaluated ONCE per block pair (post-join column,
+    not a join predicate). The prefix blocker trades recall for that bound
+    (edits INSIDE the prefix can move a row out of its block — the standard
+    trade; use the MinHash band blocker for typo-anywhere recall)."""
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how}")
-    norm_l = F.lower(F.trim(F.col(left_col)))
-    norm_r = F.lower(F.trim(F.col(right_col)))
-    l = left.withColumn("__block", F.substring(norm_l, 1, block_len))
-    r = right.withColumn("__block_r", F.substring(norm_r, 1, block_len))
-    joined = l.join(
-        r,
-        (F.col("__block") == F.col("__block_r"))
-        & (F.levenshtein(norm_l, norm_r) <= max_distance),
-        how,
-    )
+    taken = set(left.columns) | set(right.columns)
+
+    def fresh(base: str) -> str:
+        name, i = base, 0
+        while name in taken:
+            i += 1
+            name = f"{base}_{i}"
+        taken.add(name)
+        return name
+
+    al, ar, dist_c = fresh("__fj_l"), fresh("__fj_r"), fresh("__dist")
+    la, ra = left.alias(al), right.alias(ar)
+    norm_l = F.lower(F.trim(F.col(f"{al}.{left_col}")))
+    norm_r = F.lower(F.trim(F.col(f"{ar}.{right_col}")))
+    block_eq = F.substring(norm_l, 1, block_len) == F.substring(norm_r, 1, block_len)
     dist = F.levenshtein(norm_l, norm_r)
-    return joined.withColumn(
-        "__dist",
-        dist if how == "inner" else F.when(F.col("__block_r").isNotNull(), dist),
-    ).drop("__block", "__block_r")
+    if how == "inner":
+        # block-only join predicate; the edit distance is a post-join column
+        # so Catalyst evaluates it once per candidate
+        return (
+            la.join(ra, block_eq, "inner")
+            .withColumn(dist_c, dist)
+            .filter(F.col(dist_c) <= max_distance)
+        )
+    # LEFT: the distance must live in the ON clause (filtering after the
+    # join would drop the NULL-extended unmatched rows). levenshtein(x, NULL)
+    # is NULL, so unmatched rows report NULL dist with no special casing.
+    return la.join(ra, block_eq & (dist <= max_distance), "left").withColumn(
+        dist_c, dist
+    )

@@ -697,8 +697,10 @@ def funnel_conversion(
     reuse keeps them cheap; per-user state is a single timestamp, never an
     event list. Timestamps compare as epoch microseconds (exact integers,
     engine-replayable)."""
-    if not steps:
-        raise ValueError("steps must be non-empty")
+    if isinstance(steps, str) or not steps:
+        # a bare string satisfies Sequence[str] and would silently build a
+        # garbage per-CHARACTER funnel
+        raise ValueError(f"steps must be a non-empty sequence of names, got {steps!r}")
     f = events.filter(F.col(type_col).isin(list(steps))).select(
         F.col(user_col).alias("__u"),
         F.col(type_col).alias("__e"),

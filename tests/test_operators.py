@@ -1774,3 +1774,24 @@ def test_cohort_retention_matrix(spark):
         ("2026-01-12", 0): (1, 1.0),
         ("2026-01-12", 2): (1, 1.0),
     }
+
+
+def test_fuzzy_join_same_column_name_and_collisions(spark):
+    """The natural entity-resolution shape — both catalogs call the column
+    'name' — must work (alias-qualified refs), and a caller __dist column
+    must not be clobbered (fresh-name discipline)."""
+    from spark_ensemble_spark.operators.joins import fuzzy_join
+
+    a = spark.createDataFrame([(1, "widget mk ii", 9)], ["id", "name", "__dist"])
+    b = spark.createDataFrame([(10, "widget mk iii")], ["rid", "name"])
+    out = fuzzy_join(a, b, "name", "name", max_distance=1).collect()
+    assert len(out) == 1
+    row = out[0].asDict()
+    assert row["__dist"] == 9  # caller's column untouched
+    assert row["__dist_1"] == 1  # computed distance landed in a fresh name
+    import pytest as _pytest
+
+    from spark_ensemble_spark.streaming.events import funnel_conversion
+
+    with _pytest.raises(ValueError, match="sequence of names"):
+        funnel_conversion(a.withColumnRenamed("name", "event_type"), "view")

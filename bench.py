@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "events_funnel",
     "fuzzy_join_parts",
     "events_cohort_retention",
+    "orders_price_outliers",
 ]
 
 

@@ -3814,6 +3814,42 @@ def fuzzy_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orders_price_outliers",
+    """
+    WITH v AS (SELECT o_orderkey, o_totalprice AS x FROM orders),
+    m AS (
+      SELECT x AS med FROM (
+        SELECT x, row_number() OVER (ORDER BY x) AS rn, count(*) OVER () AS n
+        FROM v
+      ) WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
+    ),
+    d AS (SELECT abs(x - med) AS dv FROM v, m),
+    md AS (
+      SELECT dv AS mad FROM (
+        SELECT dv, row_number() OVER (ORDER BY dv) AS rn, count(*) OVER () AS n
+        FROM d
+      ) WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
+    )
+    SELECT o_orderkey, x AS o_totalprice,
+           abs(x - m.med) > 3.5 * md.mad AS is_outlier
+    FROM v, m, md
+    """,
+)
+def orders_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier flags over order prices (k=3.5, the
+    classic robust-z cut): two exact GK quantile passes + one narrow flag
+    projection — extreme rows cannot drag the gate the way mean/stddev
+    z-scores allow. The oracle replays both exact-rank medians and the
+    strict-> boundary."""
+    from spark_ensemble_spark.functions.stats import mad_outlier_flags
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    return mad_outlier_flags(orders, "o_totalprice", k=3.5)
+
+
+@query(
     "events_cohort_retention",
     """
     WITH cohorts AS (

@@ -283,3 +283,29 @@ def test_temperature_weight_invariants(sizes, tau):
     if tau <= 1.0:
         smallest = ks[0]
         assert w[smallest] >= shares[smallest] - 1e-12
+
+
+def test_mad_outlier_flags_semantics(spark):
+    """Planted extreme values flag; NULLs get NULL flags; a zero-MAD
+    (majority-constant) column flags exactly the non-median values; an
+    all-NULL column returns NULL flags rather than crashing."""
+    from pyspark.sql import functions as F
+
+    from spark_ensemble_spark.functions.stats import mad_outlier_flags
+
+    vals = [float(x) for x in [10, 11, 12, 13, 14, 15, 16]] + [9000.0, None]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = {r.x: r.is_outlier for r in mad_outlier_flags(df, "x").collect()}
+    assert got[9000.0] is True
+    assert got[None] is None
+    assert all(got[v] is False for v in [10.0, 13.0, 16.0])
+    const = spark.createDataFrame(
+        [(5.0,), (5.0,), (5.0,), (7.0,)], "x double"
+    )
+    got2 = {(r.x, r.is_outlier) for r in mad_outlier_flags(const, "x").collect()}
+    assert got2 == {(5.0, False), (7.0, True)}  # zero MAD: != median flags
+    allnull = spark.createDataFrame([(None,), (None,)], "x double")
+    assert [r.is_outlier for r in mad_outlier_flags(allnull, "x").collect()] == [
+        None,
+        None,
+    ]

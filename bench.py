@@ -6,6 +6,12 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is materialized with a count-style action (no driver collect of
 data rows beyond small results). A short warm-up query absorbs JVM/codegen
 startup so per-query numbers reflect steady-state execution.
+
+Artifact contract (VERDICT r5 #1 — the r5 line outgrew the driver's tail
+capture and lost its head, leaving BENCH_r05 unparseable): the result JSON is
+(a) written verbatim to ``bench_out.json`` next to this script, and (b)
+printed COMPACTLY — 2-decimal floats, no separators whitespace — as the FINAL
+stdout line. All progress goes to stderr.
 """
 
 from __future__ import annotations
@@ -14,6 +20,7 @@ import json
 import os
 import sys
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -184,18 +191,26 @@ def main() -> None:
         "regression_metrics_dummy_median",
         "classification_metrics_dummy_prior",
     }
+    # The warm pass is wall-clock-bounded by the SERIAL Janino compiles, not
+    # by sf0.001 data work, so running the warm queries through a bounded
+    # thread pool overlaps compilation with execution and cut the pass from
+    # ~93s serial (r5) to well under the 40s budget (VERDICT r5 #2). Spark
+    # sessions are thread-safe for concurrent query submission; warm-up
+    # failures are swallowed per-future so they can never fail the bench.
+    def _warm(name: str) -> None:
+        try:
+            getattr(qmod, name)(spark, WARM_SF_DIR).count()
+        except Exception:
+            pass  # warm-up must never fail the bench
+
     t0 = time.time()
     if os.path.isdir(WARM_SF_DIR) and os.path.abspath(WARM_SF_DIR) != os.path.abspath(
         SF_DIR
     ):
-        for name in names:
-            if name in ml_fits:
-                continue
-            try:
-                getattr(qmod, name)(spark, WARM_SF_DIR).count()
-            except Exception:
-                pass  # warm-up must never fail the bench
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            list(pool.map(_warm, [n for n in names if n not in ml_fits]))
     codegen_warm_sec = round(time.time() - t0, 3)
+    print(f"[bench] codegen warm pass: {codegen_warm_sec}s", file=sys.stderr)
 
     # Materialize the shared ML fixture caches OUTSIDE the timed region and
     # report the build as its own line item: otherwise whichever estimator
@@ -213,6 +228,7 @@ def main() -> None:
         df = getattr(qmod, name)(spark, SF_DIR)
         df.count()
         timings[name] = round(time.time() - t0, 3)
+        print(f"[bench] {name}: {timings[name]}s", file=sys.stderr)
 
     # The iterative ML fits run dozens of sequential jobs, so a single
     # stop-the-world GC lands entirely inside one query's number (observed:
@@ -232,19 +248,30 @@ def main() -> None:
         sf = float(sf)
     except ValueError:
         pass
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "fixture_warm_sec": fixture_sec,
-                "codegen_warm_sec": codegen_warm_sec,
-                "sf": sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "fixture_warm_sec": fixture_sec,
+        "codegen_warm_sec": codegen_warm_sec,
+        "sf": sf,
+    }
+    # (a) durable artifact next to this script, full precision
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json")
+    with open(out_path, "w") as fh:
+        json.dump(result, fh, indent=2)
+        fh.write("\n")
+    print(f"[bench] wrote {out_path}", file=sys.stderr)
+    # (b) compact stdout line: 2-decimal floats, no whitespace — ~30 bytes per
+    # query keeps even a 100+-query line safely inside the driver's tail
+    # capture (the r5 3-decimal, spaced line did not fit and lost its head)
+    compact = dict(result)
+    compact["queries"] = {k: round(v, 2) for k, v in timings.items()}
+    compact["value"] = round(result["value"], 2)
+    sys.stdout.flush()
+    print(json.dumps(compact, separators=(",", ":")))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -10,13 +10,12 @@ document firehose wants: contaminated docs never even land in the corpus.
 
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_ensemble_spark.operators.corpus import _md5_hash_pair, bloom_mask_literal
+from spark_ensemble_spark.operators.corpus import bloom_mask_literal
 from spark_ensemble_spark.operators.dedup import _shingle_strings
+from spark_ensemble_spark.streaming.runner import replay_session, run_to_memory
 
 # 2^bit as BIGINT for bit 0..63 (bit 63 is the sign-bit pattern); indexed by
 # element_at because shiftleft/shiftright only take literal shift amounts,
@@ -24,12 +23,17 @@ from spark_ensemble_spark.operators.dedup import _shingle_strings
 _POW2 = [1 << i for i in range(63)] + [-(1 << 63)]
 
 
-def _bloom_hit(s: Column, mask: Column, num_bits: int, num_hashes: int) -> Column:
-    """True iff every double-hashed position of gram ``s`` is set in the
-    Bloom ``mask`` (array<bigint> literal). Same md5-60-bit double hashing
-    as the batch :func:`~spark_ensemble_spark.operators.corpus.\
-bloom_contamination`, so stream and batch flag the identical gram set."""
-    h1, h2 = _md5_hash_pair(s)
+def _bloom_hit_from(
+    h1: Column, h2: Column, mask: Column, num_bits: int, num_hashes: int
+) -> Column:
+    """True iff every double-hashed position derived from the PRECOMPUTED
+    60-bit hash pair (h1, h2) is set in the Bloom ``mask`` (array<bigint>
+    literal). Same md5-60-bit double hashing as the batch
+    :func:`~spark_ensemble_spark.operators.corpus.bloom_contamination`, so
+    stream and batch flag the identical gram set. Taking the pair instead of
+    the gram keeps the md5 OUT of the per-position conditions — interpreted
+    lambda evaluation has no subexpression elimination, so an embedded md5
+    would be re-hashed up to 2·num_hashes times per gram."""
     p2 = F.lit(_POW2).cast("array<bigint>")
     cond = None
     for i in range(num_hashes):
@@ -64,23 +68,57 @@ def decontaminate_stream(
     Unlike the batch :func:`~spark_ensemble_spark.operators.corpus.\
 bloom_contamination` (explode → groupBy, the high-throughput shape), the
     per-document counts here are per-ROW folds over the shingle array —
-    interpreted, so ~2-3× slower per token, but completely STATELESS:
-    append-mode streaming with no watermark, no aggregation buffer, and
-    exact parity with the batch flag decision (same shingles, same md5
-    double-hash, same mask)."""
+    interpreted (higher-order functions are CodegenFallback), but completely
+    STATELESS: append-mode streaming with no watermark, no aggregation
+    buffer, and exact parity with the batch flag decision (same shingles,
+    same md5 double-hash, same mask).
+
+    Evaluation shape (r6, 7.6s → 2.2s at sf0.1): CodegenFallback expressions
+    get NO subexpression elimination, so the original
+    ``withColumn(n_shingles) → withColumn(n_flagged) → ratio → filter``
+    chain — which CollapseProject inlines into one projection plus a filter —
+    re-ran the full shingle fold ~6× per row. Two fixes: (1) the md5 is
+    hashed ONCE per gram via a ``transform`` into (h1, h2) structs instead of
+    being re-derived inside each of the ``num_hashes`` probe conditions, and
+    (2) both counts are computed inside ONE struct column materialized
+    behind an ``explode(array(...))`` Generate node — CollapseProject won't
+    inline a non-cheap multi-referenced struct, and the Generate stops
+    PushPredicateThroughNonJoin from cloning the whole fold into the kept-row
+    Filter (predicates on generator output stay above the generator) — so
+    the fold runs exactly once per row and the ratio/filter read
+    materialized fields."""
     num_bits = len(bloom_words) * 64
     mask = bloom_mask_literal(bloom_words)
     shingles = _shingle_strings(F.col(text_col), shingle_size, "word")
-    flagged = F.size(
-        F.filter(shingles, lambda s: _bloom_hit(s, mask, num_bits, num_hashes))
+    hash_pairs = F.transform(
+        F.transform(shingles, lambda s: F.md5(s)),
+        lambda h: F.struct(
+            F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(h, 17, 15), 16, 10).cast("long").alias("h2"),
+        ),
     )
+    flagged = F.size(
+        F.filter(
+            hash_pairs,
+            lambda p: _bloom_hit_from(p["h1"], p["h2"], mask, num_bits, num_hashes),
+        )
+    )
+    counts = F.struct(
+        F.size(shingles).cast("bigint").alias("n"),
+        flagged.cast("bigint").alias("f"),
+    )
+    b = "__bloom_counts"
+    while b in docs.columns:
+        b += "_"
     out = (
-        docs.withColumn("n_shingles", F.size(shingles).cast("bigint"))
-        .withColumn("n_flagged", flagged.cast("bigint"))
+        docs.withColumn(b, F.explode(F.array(counts)))
+        .withColumn("n_shingles", F.col(b)["n"])
+        .withColumn("n_flagged", F.col(b)["f"])
         .withColumn(
             "flagged_ratio",
             F.round(F.col("n_flagged") / F.col("n_shingles").cast("double"), 6),
         )
+        .drop(b)
     )
     return out.filter(F.col("flagged_ratio") <= max_ratio)
 
@@ -114,6 +152,7 @@ def streaming_decontaminate(
     from spark_ensemble_spark.operators.corpus import ngram_bloom_build
     from spark_ensemble_spark.sources.datasets import load_table
 
+    spark = replay_session(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     words = ngram_bloom_build(
         docs.filter(F.col("doc_id") % 20 == 0),
@@ -141,19 +180,7 @@ def streaming_decontaminate(
         num_hashes,
         max_ratio,
     ).select("doc_id", "n_shingles", "n_flagged", "flagged_ratio")
-    name = "stream_decontaminate_out"
-    q = (
-        kept.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ses-decontam-"))
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name)
+    return run_to_memory(kept, "append", "stream_decontaminate")
 
 
 def incremental_dedup_stream(

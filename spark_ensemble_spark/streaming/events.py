@@ -10,7 +10,6 @@ Kafka with checkpointed exactly-once ``foreachBatch`` sinks.
 
 from __future__ import annotations
 
-import tempfile
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -19,6 +18,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupStateTimeout
 
 from ..sources.datasets import scanned_events_ts_type, ts_as_timestamp
+from .runner import replay_session, run_to_memory
 
 
 def event_schema(ts_type: T.DataType) -> T.StructType:
@@ -39,7 +39,6 @@ def event_schema(ts_type: T.DataType) -> T.StructType:
         ]
     )
 
-_QUERY_SEQ = [0]
 
 
 def streaming_windowed_counts(
@@ -51,6 +50,7 @@ def streaming_windowed_counts(
     """Tumbling-window counts per event_type computed by a real streaming
     query (file source → watermark → window agg → memory sink), returned as a
     batch DataFrame once the backlog is fully processed."""
+    spark = replay_session(spark)
     # The file stream source wants a directory/glob, not a single file path.
     events = read_events_stream(spark, sf_dir)
     agg = (
@@ -71,20 +71,7 @@ def streaming_windowed_counts(
             "total_value",
         )
     )
-    _QUERY_SEQ[0] += 1
-    name = f"stream_counts_{_QUERY_SEQ[0]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ses-stream-"))
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name)
+    return run_to_memory(agg, "complete", "stream_counts")
 
 
 def dedup_stream(
@@ -122,21 +109,9 @@ def streaming_dedup(
     ``delay`` covers the dataset's full 30-day span, so the key set equals the
     batch DISTINCT regardless of how the replay is micro-batched; a production
     deployment tunes it down to its real lateness/duplication horizon."""
+    spark = replay_session(spark)
     deduped = dedup_stream(read_events_stream(spark, sf_dir), list(keys), delay)
-    _QUERY_SEQ[0] += 1
-    name = f"stream_dedup_{_QUERY_SEQ[0]}"
-    q = (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ses-dedup-"))
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name)
+    return run_to_memory(deduped, "append", "stream_dedup")
 
 
 def windowed_reach_stream(
@@ -173,21 +148,9 @@ def streaming_user_reach(
     """File-replay harness for :func:`windowed_reach_stream` (complete-mode
     memory sink). Verified in-suite: exact windows/event-counts, HLL estimate
     within its rsd bound of the exact batch distinct."""
+    spark = replay_session(spark)
     agg = windowed_reach_stream(read_events_stream(spark, sf_dir), window=window)
-    _QUERY_SEQ[0] += 1
-    name = f"stream_reach_{_QUERY_SEQ[0]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ses-reach-"))
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name)
+    return run_to_memory(agg, "complete", "stream_reach")
 
 
 def enrich_stream(
@@ -215,6 +178,7 @@ def streaming_enriched_purchases(
     """File-replay harness: purchase events enriched with the customer
     dimension (segment), emitted row-level through an append memory sink —
     result equals the batch inner join (oracle in tests)."""
+    spark = replay_session(spark)
     events = read_events_stream(spark, sf_dir).filter(
         F.col("event_type") == "purchase"
     )
@@ -230,20 +194,7 @@ def streaming_enriched_purchases(
         F.col("c_mktsegment").alias("segment"),
         F.round(F.col("value").cast("decimal(38,6)"), 4).cast("double").alias("value"),
     )
-    _QUERY_SEQ[0] += 1
-    name = f"stream_enrich_{_QUERY_SEQ[0]}"
-    q = (
-        enriched.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ses-enrich-"))
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name)
+    return run_to_memory(enriched, "append", "stream_enrich")
 
 
 def click_purchase_stream(
@@ -304,22 +255,10 @@ def streaming_click_attribution(
     join — inner stream-stream joins emit exactly the matching pairs once
     both sides have arrived, independent of micro-batching."""
     pairs = click_purchase_stream(
-        read_events_stream(spark, sf_dir), window_minutes=window_minutes
+        read_events_stream(replay_session(spark), sf_dir),
+        window_minutes=window_minutes,
     )
-    _QUERY_SEQ[0] += 1
-    name = f"stream_attr_{_QUERY_SEQ[0]}"
-    q = (
-        pairs.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ses-attr-"))
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name)
+    return run_to_memory(pairs, "append", "stream_attr")
 
 
 def sessionize_batch(
@@ -586,22 +525,9 @@ def streaming_sessionize_native(
     comparison target is the batch result MINUS each user's last session —
     the in-suite test accounts for exactly that."""
     sessions = sessionized_stream_native(
-        read_events_stream(spark, sf_dir), gap_minutes=gap_minutes
+        read_events_stream(replay_session(spark), sf_dir), gap_minutes=gap_minutes
     )
-    _QUERY_SEQ[0] += 1
-    name = f"stream_sessions_native_{_QUERY_SEQ[0]}"
-    q = (
-        sessions.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ses-native-"))
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name)
+    return run_to_memory(sessions, "append", "stream_sessions_native")
 
 
 def latest_sessions(sessions: DataFrame) -> DataFrame:
@@ -631,22 +557,9 @@ def streaming_sessionize(
     ``sessionized_stream`` plan runs on Kafka with an upsert (foreachBatch)
     sink keyed on (user_id, session_seq)."""
     sessions = sessionized_stream(
-        read_events_stream(spark, sf_dir), gap_minutes=gap_minutes
+        read_events_stream(replay_session(spark), sf_dir), gap_minutes=gap_minutes
     )
-    _QUERY_SEQ[0] += 1
-    name = f"stream_sessions_{_QUERY_SEQ[0]}"
-    q = (
-        sessions.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ses-state-"))
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return latest_sessions(spark.table(name))
+    return latest_sessions(run_to_memory(sessions, "append", "stream_sessions"))
 
 
 def streaming_top_event_types(

@@ -1770,14 +1770,54 @@ def bagging_tree_regressor(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("n_models", F.lit(len(model.models)).cast("long"))
 
 
-@query("bagging_tree_classifier")
+def _classifier_derived_facts(model, full: DataFrame, n_models: int | None):
+    """Derived facts a SQL oracle can share for a stochastic classifier fit
+    (same pattern as the r5 regressor twins): ``n_pred`` = one prediction per
+    input row, ``improved`` = ensemble accuracy beats the no-information
+    modal-class baseline (the classification analogue of stddev_pop for
+    regressors), and — when the algorithm fits a deterministic count —
+    ``n_models``. The baseline share is a 1-row aggregate broadcast into the
+    facts row (the repo's standard scalar-broadcast pattern)."""
+    baseline = (
+        full.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg((F.max("c") / F.sum("c")).alias("__p0"))
+    )
+    pred = model.transform(full)
+    facts = pred.agg(
+        F.count(F.lit(1)).alias("n_pred"),
+        F.avg((F.col("prediction") == F.col("label")).cast("double")).alias("__acc"),
+    ).crossJoin(F.broadcast(baseline))
+    out = facts.select(
+        "n_pred", (F.col("__acc") > F.col("__p0")).cast("long").alias("improved")
+    )
+    if n_models is not None:
+        out = out.withColumn("n_models", F.lit(n_models).cast("long"))
+    return out
+
+
+@query(
+    "bagging_tree_classifier",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_pred,
+           CAST(1 AS BIGINT) AS improved,
+           CAST(10 AS BIGINT) AS n_models
+    FROM lineitem
+    """,
+)
 def bagging_tree_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stochastic config (rows-only check): soft-voted depth-5 trees."""
+    """Soft-voted depth-5 trees verified via DERIVED FACTS a SQL oracle can
+    share (mirrors the reference's statistical-only assertions,
+    BaggingClassifierSuite.scala, and the r5 regressor-twin pattern):
+    one prediction per input row, ensemble accuracy beats the modal-class
+    baseline, and all 10 requested learners were fitted (bagging never
+    stops early)."""
     from pyspark.ml.classification import DecisionTreeClassifier
 
     from spark_ensemble_spark.classification.bagging import BaggingClassifier
 
-    train, test = multiclass_dataset(spark, sf_dir).randomSplit([0.8, 0.2], seed=0)
+    full = multiclass_dataset(spark, sf_dir)
+    train, _ = full.randomSplit([0.8, 0.2], seed=0)
     model = BaggingClassifier(
         baseLearner=DecisionTreeClassifier(maxDepth=5),
         numBaseLearners=10,
@@ -1787,8 +1827,7 @@ def bagging_tree_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         parallelism=4,
         seed=3,
     ).fit(train)
-    out = model.transform(test)
-    return out.groupBy("prediction").agg(F.count(F.lit(1)).alias("n"))
+    return _classifier_derived_facts(model, full, len(model.models))
 
 
 @query(
@@ -1878,22 +1917,32 @@ def boosting_dummy_prior_classifier(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-@query("boosting_tree_classifier")
+@query(
+    "boosting_tree_classifier",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_pred,
+           CAST(1 AS BIGINT) AS improved
+    FROM lineitem
+    """,
+)
 def boosting_tree_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SAMME.R over depth-5 trees (rows-only check)."""
+    """SAMME.R over depth-5 trees verified via derived facts: one prediction
+    per input row, boosted accuracy beats the modal-class baseline.
+    ``n_models`` intentionally NOT asserted — boosting may discard rounds
+    whose weighted error leaves the admissible band, which is data- not
+    seed-dependent (same carve-out as boosting_tree_regressor)."""
     from pyspark.ml.classification import DecisionTreeClassifier
 
     from spark_ensemble_spark.classification.boosting import BoostingClassifier
 
-    train, test = multiclass_dataset(spark, sf_dir).randomSplit([0.7, 0.3], seed=0)
+    full = multiclass_dataset(spark, sf_dir)
+    train, _ = full.randomSplit([0.7, 0.3], seed=0)
     model = BoostingClassifier(
         baseLearner=DecisionTreeClassifier(maxDepth=5),
         numBaseLearners=5,
         algorithm="real",
     ).fit(train)
-    return model.transform(test).groupBy("prediction").agg(
-        F.count(F.lit(1)).alias("n")
-    )
+    return _classifier_derived_facts(model, full, None)
 
 
 @query(
@@ -1989,14 +2038,25 @@ def gbm_dummy_prior_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("gbm_tree_classifier")
+@query(
+    "gbm_tree_classifier",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_pred,
+           CAST(1 AS BIGINT) AS improved
+    FROM lineitem
+    """,
+)
 def gbm_tree_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multiclass GBM (logloss, K regressors per round; rows-only check)."""
+    """Multiclass GBM (logloss, K regressors per round) verified via derived
+    facts: one prediction per input row, boosted accuracy beats the
+    modal-class baseline. ``n_models`` not asserted — GBM may stop early on
+    a degenerate line-search step (same carve-out as gbm_tree_regressor)."""
     from pyspark.ml.regression import DecisionTreeRegressor
 
     from spark_ensemble_spark.classification.gbm import GBMClassifier
 
-    train, test = multiclass_dataset(spark, sf_dir).randomSplit([0.7, 0.3], seed=0)
+    full = multiclass_dataset(spark, sf_dir)
+    train, _ = full.randomSplit([0.7, 0.3], seed=0)
     model = GBMClassifier(
         baseLearner=DecisionTreeRegressor(maxDepth=5),
         numBaseLearners=2,
@@ -2004,9 +2064,7 @@ def gbm_tree_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         parallelism=3,
         learningRate=0.5,
     ).fit(train)
-    return model.transform(test).groupBy("prediction").agg(
-        F.count(F.lit(1)).alias("n")
-    )
+    return _classifier_derived_facts(model, full, None)
 
 
 @query(
@@ -4275,7 +4333,7 @@ def classification_metrics_dummy_prior(spark: SparkSession, sf_dir: str) -> Data
 #   q6_revenue_forecast        = q1's scan→filter→agg shape via the SQL API
 #   dedup_minhash_pairs        = xxhash64 twin of dedup_minhash_md5
 #   dedup_simhash_pairs        = xxhash64 twin of dedup_simhash_md5
-#   bagging/boosting/gbm_tree_classifier = rows-only twins of the regressor
+#   bagging/boosting/gbm_tree_classifier = derived-fact twins of the regressor
 #                                tree fits + the oracle-checked dummy configs
 #   similarity_ivf_topk        = KMeans twin of the oracle-checked
 #                                similarity_ivf_fixed probe/scan path

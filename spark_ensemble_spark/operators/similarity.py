@@ -633,6 +633,20 @@ def pq_oracle_sql(
     """
 
 
+def _centroid_array_sql(centroids: list) -> str:
+    """Nested array literal ``array(array(...), ...)`` of the centroid grid,
+    with the same exact-repr double casts as every other literal in this
+    module so both engines subtract bit-identical values."""
+    return (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"CAST('{x!r}' AS DOUBLE)" for x in c) + ")"
+            for c in centroids
+        )
+        + ")"
+    )
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -642,19 +656,28 @@ def ivfpq_topk(
     nprobe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ top-k: the billion-scale serving layout — IVF coarse pruning
-    composed with PQ/ADC scoring (no-residual variant: codes quantize the raw
-    vector, not ``v - centroid``, which is what keeps encode identical to the
-    flat PQ index and the whole path oracle-checkable).
+    composed with PQ/ADC scoring.
+
+    ``residual=True`` (the production default of e.g. FAISS's IVFPQ, and the
+    standard accuracy win at identical serving cost) quantizes
+    ``v − centroid(cell)`` instead of the raw vector: residuals are smaller
+    and centered, so the same codebooks spend their codewords on the part of
+    the geometry the coarse quantizer didn't already explain. The query-side
+    LUT is then PER PROBED CELL (``q − centroid(cell)`` vs the codewords) —
+    still nprobe × num_subspaces × num_codewords doubles per query, built
+    once before the broadcast. ``residual=False`` keeps encode identical to
+    the flat PQ index (codes shareable between both serving paths).
 
     One pass over the corpus produces BOTH the cell assignment and the PQ
     codes (the inverted-list index: ``num_subspaces`` bytes + a cell id per
     vector). Queries probe their ``nprobe`` nearest cells and carry a
-    per-query LUT; candidates surface via an EQUI-join on the cell id — the
-    scan is cut to ``~nprobe/num_clusters`` of the corpus AND each candidate
-    scores in O(num_subspaces) lookups. At 100 TB this is the only listed ANN
-    variant that cuts both the bytes-per-candidate (PQ) and the
+    per-(query, cell) LUT; candidates surface via an EQUI-join on the cell
+    id — the scan is cut to ``~nprobe/num_clusters`` of the corpus AND each
+    candidate scores in O(num_subspaces) lookups. At 100 TB this is the only
+    listed ANN variant that cuts both the bytes-per-candidate (PQ) and the
     candidates-per-query (IVF); `pq_topk` alone still scans every code row
     per query.
 
@@ -663,20 +686,45 @@ def ivfpq_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__cv")
     )
-    enc = c.select(
-        "neighbor_id",
-        F.element_at(_centroid_ranking("__cv", centroids), 1).alias("cell"),
-        _pq_codes("__cv", codebooks).alias("codes"),
-    )
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
     )
     probes = F.slice(_centroid_ranking("__qv", centroids), 1, nprobe)
-    q = q.select(
-        "query_id",
-        F.explode(probes).alias("cell"),
-        _pq_lut("__qv", codebooks).alias("__lut"),
-    )
+    if residual:
+        cent_sql = _centroid_array_sql(centroids)
+        enc = c.select(
+            "neighbor_id",
+            "__cv",
+            F.element_at(_centroid_ranking("__cv", centroids), 1).alias("cell"),
+        ).select(
+            "neighbor_id",
+            "cell",
+            F.expr(
+                f"zip_with(__cv, element_at({cent_sql}, cell + 1), (a, b) -> a - b)"
+            ).alias("__rv"),
+        )
+        enc = enc.select(
+            "neighbor_id", "cell", _pq_codes("__rv", codebooks).alias("codes")
+        )
+        q = q.select("query_id", "__qv", F.explode(probes).alias("cell")).select(
+            "query_id",
+            "cell",
+            F.expr(
+                f"zip_with(__qv, element_at({cent_sql}, cell + 1), (a, b) -> a - b)"
+            ).alias("__qrv"),
+        )
+        q = q.select("query_id", "cell", _pq_lut("__qrv", codebooks).alias("__lut"))
+    else:
+        enc = c.select(
+            "neighbor_id",
+            F.element_at(_centroid_ranking("__cv", centroids), 1).alias("cell"),
+            _pq_codes("__cv", codebooks).alias("codes"),
+        )
+        q = q.select(
+            "query_id",
+            F.explode(probes).alias("cell"),
+            _pq_lut("__qv", codebooks).alias("__lut"),
+        )
     # each corpus row lives in exactly one cell and a query's probed cells are
     # distinct, so a (query, neighbor) pair can never appear twice — no dedup
     # stage needed before the top-k window
@@ -702,11 +750,16 @@ def ivfpq_oracle_sql(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_pred: str = "vec_id < 5",
+    residual: bool = False,
 ) -> str:
     """DuckDB SQL reproducing ``ivfpq_topk(..., centroids=..., codebooks=...)``
     exactly: cell assignment/probes use :func:`ivf_oracle_sql`'s distance
     chains, code assignment and the LUT use :func:`pq_oracle_sql`'s, and ADC
-    is the same explicit left-to-right LUT-lookup sum."""
+    is the same explicit left-to-right LUT-lookup sum. With ``residual=True``
+    every per-cid arm additionally carries ``rv = v − centroid(cid)``
+    (element-wise, same double literals both engines) and the code/LUT
+    chains read ``rv`` instead of ``v`` — replaying the residual encode
+    bit-for-bit."""
     num_sub = len(codebooks)
     sub = len(codebooks[0][0])
 
@@ -715,13 +768,19 @@ def ivfpq_oracle_sql(
         chain = " + ".join(
             f"(v[{j + 1}]-({x!r}))*(v[{j + 1}]-({x!r}))" for j, x in enumerate(c)
         )
-        arms.append(f"SELECT id, v, {cid} AS cid, {chain} AS d FROM e")
+        cols = f"SELECT id, v, {cid} AS cid, {chain} AS d"
+        if residual:
+            rv = ", ".join(f"v[{j + 1}]-({x!r})" for j, x in enumerate(c))
+            cols += f", [{rv}] AS rv"
+        arms.append(f"{cols} FROM e")
     dist_union = "\n      UNION ALL ".join(arms)
+
+    base = "rv" if residual else "v"
 
     def pq_chain(m: int, c: list) -> str:
         off = m * sub
         return " + ".join(
-            f"(v[{off + j + 1}]-({x!r}))*(v[{off + j + 1}]-({x!r}))"
+            f"({base}[{off + j + 1}]-({x!r}))*({base}[{off + j + 1}]-({x!r}))"
             for j, x in enumerate(c)
         )
 

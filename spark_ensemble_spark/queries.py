@@ -4100,14 +4100,17 @@ ORACLES["similarity_pq_topk"] = _similarity.pq_oracle_sql(
     None,  # oracle attached below (needs centroid + codebook literals)
 )
 def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ top-5 for the first five vectors — the billion-scale layout:
-    one corpus pass emits (cell, 8-byte codes); queries probe 3 of 8 cells
-    and ADC-score candidates via an equi-join on the cell id. Cuts BOTH
-    candidates-per-query (IVF) and bytes-per-candidate (PQ)."""
+    """RESIDUAL IVF-PQ top-5 for the first five vectors — the billion-scale
+    layout: one corpus pass emits (cell, 8-byte codes of v − centroid(cell));
+    queries probe 3 of 8 cells, carry a per-(query, cell) residual LUT, and
+    ADC-score candidates via an equi-join on the cell id. Cuts BOTH
+    candidates-per-query (IVF) and bytes-per-candidate (PQ); residual
+    encoding is the standard accuracy win at identical serving cost (r6).
+    The oracle replays the residual encode bit-for-bit."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
     return _similarity.ivfpq_topk(
-        emb, queries_df, _IVF_CENTROIDS, _pq_books(), k=5, nprobe=3
+        emb, queries_df, _IVF_CENTROIDS, _pq_books(), k=5, nprobe=3, residual=True
     )
 
 
@@ -4116,6 +4119,7 @@ ORACLES["similarity_ivfpq_topk"] = _similarity.ivfpq_oracle_sql(
     _similarity.pq_fixed_codebooks(dim=64, num_subspaces=8, num_codewords=16),
     k=5,
     nprobe=3,
+    residual=True,
 )
 
 

@@ -496,6 +496,60 @@ def test_ivfpq_prunes_candidates_vs_flat_pq(spark, sf_dir):
     assert both.count() == 0
 
 
+def test_ivfpq_residual_beats_no_residual_recall(spark):
+    """Residual encoding (codes quantize v − centroid(cell)) must strictly
+    beat raw-vector encoding on clustered data at identical serving cost
+    (VERDICT r5 #5). Fixture: 4 well-separated clusters at magnitude ~8 with
+    ~N(0, 0.25) within-cluster noise, fixed pseudo-random codebooks whose
+    codewords live near the origin — raw vectors are far outside the
+    codeword range so raw-PQ ADC ranks near-randomly, while residuals sit
+    inside it. Truth = exact squared-L2 top-k computed in-process."""
+    import random
+
+    from spark_ensemble_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_fixed_codebooks,
+    )
+
+    from pyspark.sql import functions as F
+
+    dim, k, n_per = 16, 5, 50
+    rnd = random.Random(7)
+    cents = [[8.0 if j // 4 == i else 0.0 for j in range(dim)] for i in range(4)]
+    rows = []
+    for i in range(4 * n_per):
+        c = cents[i % 4]
+        rows.append((i, [c[j] + rnd.gauss(0, 0.25) for j in range(dim)]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).cache()
+    q = df.filter(F.col("vec_id") < 5)
+    books = pq_fixed_codebooks(dim=dim, num_subspaces=4, num_codewords=16)
+
+    vecs = {i: v for i, v in rows}
+    truth = {}
+    for qid in range(5):
+        qv = vecs[qid]
+        d = sorted(
+            (sum((a - b) ** 2 for a, b in zip(qv, vecs[i])), i)
+            for i in vecs
+            if i != qid
+        )
+        truth[qid] = {i for _, i in d[:k]}
+
+    def recall(residual):
+        out = ivfpq_topk(
+            df, q, cents, books, k=k, nprobe=2, residual=residual
+        ).collect()
+        hits = sum(1 for r in out if r.neighbor_id in truth[r.query_id])
+        return hits / (5 * k)
+
+    r_res, r_raw = recall(True), recall(False)
+    df.unpersist()
+    assert r_res > r_raw, (r_res, r_raw)
+    # untrained random codewords bound the ceiling, but residual codes must
+    # still be far above chance (k/(n−1) ≈ 0.025 here)
+    assert r_res >= 0.4, r_res
+
+
 def test_write_zorder_parquet_prunes_both_columns(spark, tmp_path):
     """Z-ordered layout: per-file min/max spans must be a small fraction of
     the global range on BOTH interleaved columns (a single-column sort only

@@ -174,7 +174,14 @@ def mad_outlier_flags(
     quantile oracle proved) + one narrow flag projection. ``tol`` ~1e-4 at
     100 TB buys sketch-speed for a rank error far inside any sane ``k``.
     A zero MAD (>50% identical values) flags only values different from
-    the median — never divides by zero."""
+    the median — never divides by zero.
+
+    The input is localCheckpoint-ed first (same rationale as
+    ``filter_by_score_quantile``): the two quantile passes are ACTIONS over
+    whatever scoring pipeline produced ``value_col``, plus the caller's own
+    consume — without materialization an expensive upstream would run three
+    times."""
+    df = df.localCheckpoint(eager=True)
     med = df.approxQuantile(value_col, [0.5], tol)
     if not med:
         return df.withColumn("is_outlier", F.lit(None).cast("boolean"))

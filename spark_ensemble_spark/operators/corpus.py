@@ -1271,10 +1271,16 @@ def dsir_log_weights(
         .crossJoin(F.broadcast(n_tgt))
         .select(
             "__b",
+            # __nt coalesces like PSI's empty-snapshot totals: a target with
+            # ZERO features (empty target_df, or no rows where target_col is
+            # true) yields the add-1-smoothed UNIFORM target log(1/buckets)
+            # instead of silently NULLing every document's log_weight
+            # (ADVICE r5). Downstream selection then weights ∝ inverse raw
+            # frequency — defined, deterministic, and visible in the scores.
             F.round(
                 F.log(
                     (F.coalesce(F.col("__ct"), F.lit(0)) + 1)
-                    / (F.col("__nt") + F.lit(buckets))
+                    / (F.coalesce(F.col("__nt"), F.lit(0)) + F.lit(buckets))
                 )
                 - F.log((F.col("__cr") + 1) / (F.col("__nr") + F.lit(buckets))),
                 round_to,

@@ -1454,21 +1454,34 @@ def semantic_dedup(
     """Survivors of SemDeDup: the input rows minus every ``drop_id`` marked
     by :func:`semantic_dup_pairs`, with the assigned ``cluster`` appended.
     One anti-join on the id — the dropped-id set is distinct-reduced first,
-    so the join moves ids, not vectors."""
+    so the join moves ids, not vectors.
+
+    ``cluster`` is the one RESERVED output name (raised on loudly rather
+    than silently duplicated); the internal temp column is fresh-named
+    against the input's columns (same discipline as ``joins.fuzzy_join``,
+    ADVICE r5)."""
     from .similarity import _nearest_centroid
 
+    if "cluster" in df.columns:
+        raise ValueError(
+            "semantic_dedup appends a 'cluster' column; rename the input's "
+            "existing 'cluster' column first"
+        )
     pairs = semantic_dup_pairs(
         df, vec_col, id_col, centroids, threshold, max_cluster_size
     )
     dropped = pairs.select(F.col("drop_id").alias("__drop")).distinct()
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    nearest = _nearest_centroid("__v", centroids)
+    v = "__v"
+    while v in df.columns:
+        v += "_"
+    nearest = _nearest_centroid(v, centroids)
     survivors = df.join(
         dropped, df[id_col] == dropped["__drop"], "left_anti"
     )
-    return survivors.withColumn("__v", vec).select(
+    return survivors.withColumn(v, vec).select(
         *df.columns, nearest["i"].alias("cluster")
-    ).drop("__v")
+    ).drop(v)
 
 
 def semantic_dedup_oracle_sql(

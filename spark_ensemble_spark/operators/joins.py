@@ -223,6 +223,16 @@ def fuzzy_join(
     # LEFT: the distance must live in the ON clause (filtering after the
     # join would drop the NULL-extended unmatched rows). levenshtein(x, NULL)
     # is NULL, so unmatched rows report NULL dist with no special casing.
+    #
+    # Known double evaluation (ADVICE r5, deliberate): the ON clause runs
+    # levenshtein once per block candidate and the withColumn re-runs it per
+    # MATCHED output row — ≤2× the inner path's cost, bounded by the same
+    # prefix-block + length pre-filter. The alternatives are worse or
+    # unsound: an inner-join ∪ anti-join rebuild re-evaluates the same
+    # distance inside the anti's ON clause (still 2×) and needs a unique
+    # left key; computing the distance post-join on a block-only left join
+    # cannot distinguish "no block match" from "all candidates above
+    # max_distance" without dropping the NULL-extension contract.
     return la.join(ra, block_eq & (dist <= max_distance), "left").withColumn(
         dist_c, dist
     )

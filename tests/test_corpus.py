@@ -702,6 +702,35 @@ def test_dsir_select_deterministic_and_empty_text(spark):
     assert any(c[k] != dict(a).get(k, c[k]) for k in c)  # seed moved a key
 
 
+def test_dsir_empty_target_never_nulls_scores(spark):
+    """An empty target distribution (empty target_df, or a target_col that is
+    never true) must yield well-defined add-1-smoothed UNIFORM-target scores
+    — never silently NULL every log_weight (ADVICE r5, same empty-snapshot
+    class PSI fixed). Both wiring modes are exercised."""
+    from spark_ensemble_spark.operators.corpus import dsir_log_weights
+
+    raw = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "zeta eta"), (3, "alpha zeta")],
+        ["doc_id", "text"],
+    )
+    empty_tgt = raw.filter(F.col("doc_id") < 0)
+    scores = dsir_log_weights(raw, empty_tgt, "text", "doc_id", buckets=64)
+    rows = scores.collect()
+    assert len(rows) == 3
+    assert all(r.log_weight is not None for r in rows), rows
+
+    scores2 = dsir_log_weights(
+        raw.withColumn("__never", F.lit(False)),
+        text_col="text",
+        id_col="doc_id",
+        buckets=64,
+        target_col="__never",
+    )
+    rows2 = scores2.collect()
+    assert len(rows2) == 3
+    assert all(r.log_weight is not None for r in rows2), rows2
+
+
 def test_bigram_logprob_sees_transitions_unigram_misses(spark):
     """A scrambled doc keeps the exact unigram bag (identical unigram score)
     but breaks the transitions — only the bigram score separates them."""

@@ -1477,6 +1477,19 @@ def test_semantic_dedup_drop_rule_and_cluster_scoping(spark):
     assert {r.vec_id for r in kept.collect()} == {2, 3, 4, 5}
     by_id = {r.vec_id: r.cluster for r in kept.collect()}
     assert by_id[3] == 1 and by_id[4] == 0
+    # column hygiene (ADVICE r5): an input already carrying the reserved
+    # output name fails loudly; a colliding temp name is fresh-named away
+    import pytest
+
+    with pytest.raises(ValueError, match="cluster"):
+        semantic_dedup(
+            df.withColumn("cluster", F.lit(0)), "embedding", "vec_id", cents
+        )
+    with_v = semantic_dedup(
+        df.withColumn("__v", F.lit("x")), "embedding", "vec_id", cents, 0.99
+    )
+    assert {r.vec_id for r in with_v.collect()} == {2, 3, 4, 5}
+    assert "__v" in with_v.columns  # caller's column untouched
 
 
 def test_semantic_dedup_hot_cluster_quarantine(spark):

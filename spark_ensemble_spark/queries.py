@@ -4363,6 +4363,14 @@ def classification_metrics_dummy_prior(spark: SparkSession, sf_dir: str) -> Data
 #   part_brand_stats           = (folded r5 continuation) grouped-stats twin
 #                                of q1's aggregate family; slot freed for
 #                                dsir_select_en
+#   events_json_props          = (folded r6) get_json_object projection;
+#                                slot freed for contamination_bloom
+#   top_tokens                 = (folded r6) explode→count→top-k covered by
+#                                text_analysis + topk_orders_per_priority;
+#                                slot freed for docs_quality_quantile_filter
+#   clickers_never_purchased   = (folded r6) decorrelated NOT-EXISTS, same
+#                                anti-join family as q4_priority_exists;
+#                                slot freed for events_funnel
 # ---------------------------------------------------------------------------
 
 REGISTRY_ORDER = [
@@ -4380,8 +4388,18 @@ REGISTRY_ORDER = [
     "dsir_select_en",
     "streaming_click_attribution",
     "streaming_dedup",
-    "events_json_props",
-    "top_tokens",
+    # -- r6 rotation: the driver's 50-row window tracks the engine frontier
+    # (VERDICT r5 #7). events_json_props (get_json_object projection — JSON
+    # extraction stays covered in-window by events_sessionize's event
+    # pipeline), top_tokens (explode→count→top-k — covered by text_analysis
+    # + topk_orders_per_priority), and clickers_never_purchased
+    # (decorrelated NOT-EXISTS — same anti-join family q4_priority_exists
+    # keeps in-window) fold out; all three remain extra-oracle-verified at
+    # sf0.001+sf0.01. In: Bloom decontamination, the GK quantile quality
+    # gate, and windowed funnel conversion.
+    "contamination_bloom",
+    "docs_quality_quantile_filter",
+    "events_funnel",
     # -- new r3 --
     "similarity_ivf_fixed",
     # -- new r4: corpus-curation operators, driver-visible at last --
@@ -4400,7 +4418,6 @@ REGISTRY_ORDER = [
     "similarity_pq_topk",
     "topk_orders_per_priority",
     "revenue_rollup",
-    "clickers_never_purchased",
     "weighted_median_price",
     # -- ensemble estimators (SURVEY §2.1) --
     "dummy_mean_regressor",

@@ -134,6 +134,12 @@ BENCH_QUERIES = [
     "fuzzy_join_parts",
     "events_cohort_retention",
     "orders_price_outliers",
+    # round-6 additions: classifier tree derived facts + streaming model
+    # scoring (online inference)
+    "bagging_tree_classifier",
+    "boosting_tree_classifier",
+    "gbm_tree_classifier",
+    "streaming_scored_events",
 ]
 
 
@@ -190,6 +196,9 @@ def main() -> None:
         "stacking_dummy_prior_classifier",
         "regression_metrics_dummy_median",
         "classification_metrics_dummy_prior",
+        "bagging_tree_classifier",
+        "boosting_tree_classifier",
+        "gbm_tree_classifier",
     }
     # The warm pass is wall-clock-bounded by the SERIAL Janino compiles, not
     # by sf0.001 data work, so running the warm queries through a bounded

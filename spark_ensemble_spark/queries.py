@@ -3449,6 +3449,28 @@ ORACLES["streaming_decontaminate"] = (
 
 
 @query(
+    "streaming_scored_events",
+    """
+    SELECT event_id,
+           round((SELECT avg(value) FROM events), 6) AS prediction
+    FROM events
+    """,
+)
+def streaming_scored_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online inference (r6): a fitted bagged ensemble scoring the replayed
+    event stream as a STATELESS append projection — ensemble transforms are
+    pure column expressions, so the model composes with readStream with no
+    state store. Deterministic config (3 × Dummy(mean) bagged) makes the
+    constant prediction SQL-oracle-checkable: every event row scored, each
+    with the bagged mean = avg(value)."""
+    from spark_ensemble_spark.streaming.scoring import (
+        streaming_scored_events as run,
+    )
+
+    return run(spark, sf_dir)
+
+
+@query(
     "streaming_sessionize",
     """
     WITH ordered AS (

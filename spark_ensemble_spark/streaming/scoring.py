@@ -1,0 +1,71 @@
+"""Online inference: fitted ensemble models applied to structured streams.
+
+Every ensemble model in this package transforms via pure column expressions
+over its base models' transforms (``core/base.py`` — no collect, no state),
+so a fitted model composes with ``readStream`` as a STATELESS append-mode
+projection: the classic online-scoring deployment where the model is
+broadcast-resident and each micro-batch scores independently. No watermark,
+no state store — the streaming cost is exactly the batch transform's cost
+per micro-batch.
+
+The reference is batch-only (SURVEY.md §1.4); this extends its estimator
+surface to the stream side the same way ``streaming/events.py`` extends the
+relational surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .events import read_events_stream
+from .runner import replay_session, run_to_memory
+
+
+def score_stream(model, stream: DataFrame) -> DataFrame:
+    """Apply a fitted model (any Transformer whose transform is expression-
+    only — every ensemble model here qualifies) to a streaming DataFrame.
+    Returns the scored stream; start it with any append-mode sink. Exists as
+    a named seam so pipelines read ``score_stream(model, stream)`` rather
+    than relying implicitly on transform/stream composability."""
+    return model.transform(stream)
+
+
+def _event_features(df: DataFrame) -> DataFrame:
+    """Shared batch/stream feature projection for the scoring harness: a
+    1-dim constant feature vector (the Dummy base ignores features; the
+    point is exercising the full transform chain) + the value label."""
+    from pyspark.ml.functions import array_to_vector
+
+    return df.select(
+        "event_id",
+        array_to_vector(F.array(F.lit(1.0))).alias("features"),
+        F.col("value").alias("label"),
+    )
+
+
+def streaming_scored_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-replay harness for :func:`score_stream`: fit a deterministic
+    bagged ensemble (3 × Dummy(mean) — the bagged mean of identical means is
+    avg(label), SQL-oracle-checkable) on the BATCH events table, then score
+    the replayed event stream with it. Output: one scored row per event —
+    the oracle checks the row count and the constant prediction, i.e. that
+    the whole fit→broadcast→stream-transform chain ran."""
+    from spark_ensemble_spark import DummyRegressor
+    from spark_ensemble_spark.regression.bagging import BaggingRegressor
+    from spark_ensemble_spark.sources.datasets import load_events
+
+    spark = replay_session(spark)
+    batch = _event_features(load_events(spark, sf_dir))
+    model = BaggingRegressor(
+        baseLearner=DummyRegressor(strategy="mean"),
+        numBaseLearners=3,
+        replacement=False,
+        subsampleRatio=1.0,
+        subspaceRatio=1.0,
+    ).fit(batch)
+    stream = _event_features(read_events_stream(spark, sf_dir))
+    scored = score_stream(model, stream).select(
+        "event_id", F.round("prediction", 6).alias("prediction")
+    )
+    return run_to_memory(scored, "append", "stream_scored")

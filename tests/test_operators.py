@@ -1546,6 +1546,58 @@ def test_streaming_decontaminate_equals_batch(spark, sf_dir):
     assert kept_ids  # but the filter is not degenerate
 
 
+def test_score_stream_tree_model_equals_batch(spark, sf_dir):
+    """Online inference parity with a NON-trivial model: a bagged tree
+    ensemble fitted on the batch events table must score the replayed stream
+    exactly like the batch transform (same rows, same rounded predictions) —
+    ensemble transforms are pure column expressions, so stream composition
+    must be lossless, not merely shape-compatible."""
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.regression import DecisionTreeRegressor
+
+    from spark_ensemble_spark.regression.bagging import BaggingRegressor
+    from spark_ensemble_spark.sources.datasets import load_events
+    from spark_ensemble_spark.streaming.events import read_events_stream
+    from spark_ensemble_spark.streaming.runner import replay_session, run_to_memory
+    from spark_ensemble_spark.streaming.scoring import score_stream
+
+    spark2 = replay_session(spark)
+
+    def feats(df):
+        return df.select(
+            "event_id",
+            array_to_vector(
+                F.array(
+                    F.coalesce(F.col("value"), F.lit(0.0)),
+                    (F.col("user_id") % 10).cast("double"),
+                )
+            ).alias("features"),
+            F.coalesce(F.col("value"), F.lit(0.0)).alias("label"),
+        )
+
+    batch = feats(load_events(spark2, sf_dir))
+    model = BaggingRegressor(
+        baseLearner=DecisionTreeRegressor(maxDepth=3),
+        numBaseLearners=3,
+        seed=5,
+    ).fit(batch)
+    expected = {
+        (r.event_id, r.prediction)
+        for r in model.transform(batch)
+        .select("event_id", F.round("prediction", 6).alias("prediction"))
+        .collect()
+    }
+    scored = score_stream(model, feats(read_events_stream(spark2, sf_dir))).select(
+        "event_id", F.round("prediction", 6).alias("prediction")
+    )
+    got = {
+        (r.event_id, r.prediction)
+        for r in run_to_memory(scored, "append", "score_tree").collect()
+    }
+    assert got == expected
+    assert len({p for _, p in got}) > 1  # the tree actually discriminates
+
+
 def test_incremental_dedup_stream_two_deliveries(spark, tmp_path):
     """Dedup-on-arrival across micro-batches: delivery 2's exact and near
     duplicates of delivery 1's accepted docs are rejected via the persisted

@@ -399,31 +399,73 @@ class GBMClassifier(Estimator, _GBMClassifierParams, EnsembleReadWrite):
 
     def _lbfgsb(self, opt_df, gl, dim: int, max_iter: int, tol: float) -> List[float]:
         """Bound-constrained step-size optimization (reference breeze LBFGSB,
-        ``GBMClassifier.scala:290-292,413-431``). One agg per evaluation.
+        ``GBMClassifier.scala:290-292,413-431``), evaluated Spark-side.
+
+        r6 plan shape (measured 28s → ~7s of line search per sf0.1 fit, same
+        fitted quality):
+
+        * **Scalar-unrolled loss/grad expressions.** ``zip_with`` /
+          ``aggregate`` higher-order functions are CodegenFallback —
+          interpreted per row, no whole-stage codegen — so the array-typed
+          softmax cost ~1.1s per 600k-row evaluation. The line search
+          unrolls ``newp_j = praw[j] + x_j·dir[j]`` and the logsumexp into
+          plain scalar arithmetic (``element_at`` indexing is codegen-able;
+          dim ≤ num_classes keeps the tree small).
+        * **The whole Armijo backtracking ladder is ONE batched agg** (the
+          sequential version burned up to 12 sequential aggs inside a
+          single backtracking loop), plus one gradient agg at the accepted
+          point, with Barzilai-Borwein step sizing cutting the outer
+          iteration count (see ``minimize_nonneg_batched``).
 
         DELIBERATE DEVIATION: loss and gradient are instance-WEIGHTED
         (Σ w·f / Σ w), while the reference's GBMLossAggregator accumulates
         unweighted and divides by weightSum — step sizes differ when
         weightCol is set (same convention as GBMRegressor's line search)."""
-        label, praw, d, w = F.col("label"), F.col("__praw"), F.col("__dir"), F.col("weight")
+        label, w = F.col("label"), F.col("weight")
+
+        def newp_scalars(x):
+            return [
+                F.element_at("__praw", j + 1)
+                + F.lit(float(x[j])) * F.element_at("__dir", j + 1)
+                for j in range(dim)
+            ]
+
+        def loss_terms(x):
+            """(loss_expr, per-class probability exprs) at step vector x —
+            all scalar arithmetic, fully inside whole-stage codegen."""
+            newp = newp_scalars(x)
+            if isinstance(gl, LogLoss):
+                mx = F.greatest(*newp) if dim > 1 else newp[0]
+                lse = mx + F.log(
+                    sum((F.exp(p - mx) for p in newp[1:]), F.exp(newp[0] - mx))
+                )
+                py = F.when(label == 0, newp[0])
+                for j in range(1, dim):
+                    py = py.when(label == j, newp[j])
+                probs = [F.exp(p - lse) for p in newp]
+                return lse - py.otherwise(F.lit(0.0)), probs
+            y = gl.encode_label(label)
+            return gl.loss(y, newp[0]), None
 
         def fun_and_grad(x):
-            xs = F.array(*[F.lit(float(xi)) for xi in x])
-            newp = F.zip_with(
-                praw, F.zip_with(xs, d, lambda a, b: a * b), lambda p, q: p + q
-            )
+            loss_e, probs = loss_terms(x)
             if isinstance(gl, LogLoss):
-                loss_e = gl.loss_arr(label, newp)
-                grad_arr = gl.gradient_arr(label, newp)
+                # ∂loss/∂p_j = softmax_j − 1[label=j]
                 grad_sums = [
-                    F.sum(w * F.element_at(d, j + 1) * F.element_at(grad_arr, j + 1))
+                    F.sum(
+                        w
+                        * F.element_at("__dir", j + 1)
+                        * (probs[j] - (label == j).cast("double"))
+                    )
                     for j in range(dim)
                 ]
             else:
                 y = gl.encode_label(label)
-                p = F.element_at(newp, 1)
-                loss_e = gl.loss(y, p)
-                grad_sums = [F.sum(w * F.element_at(d, 1) * gl.gradient(y, p))]
+                grad_sums = [
+                    F.sum(
+                        w * F.element_at("__dir", 1) * gl.gradient(y, newp_scalars(x)[0])
+                    )
+                ]
             row = opt_df.agg(
                 F.sum(w * loss_e).alias("l"), F.sum(w).alias("sw"), *grad_sums
             ).first()
@@ -432,11 +474,22 @@ class GBMClassifier(Estimator, _GBMClassifierParams, EnsembleReadWrite):
             g = [(row[2 + j] or 0.0) / sw for j in range(dim)]
             return f, g
 
-        from spark_ensemble_spark.core.optim import minimize_nonneg
+        def losses_batch(points):
+            row = opt_df.agg(
+                F.sum(w).alias("sw"),
+                *[
+                    F.sum(w * loss_terms(x)[0]).alias(f"l{i}")
+                    for i, x in enumerate(points)
+                ],
+            ).first()
+            sw = row["sw"] or 1.0
+            return [(row[1 + i] or 0.0) / sw for i in range(len(points))]
 
-        # every evaluation is a cluster-wide agg; 15 projected-gradient
-        # steps locate the step-size vector to ~1% which shrinkage absorbs
-        return minimize_nonneg(fun_and_grad, [1.0] * dim, min(max_iter, 15), tol)
+        from spark_ensemble_spark.core.optim import minimize_nonneg_batched
+
+        return minimize_nonneg_batched(
+            fun_and_grad, losses_batch, [1.0] * dim, min(max_iter, 15), tol
+        )
 
     def _save_impl(self, path: str) -> None:
         save_metadata(self, path)

@@ -106,6 +106,74 @@ def minimize_nonneg(
     return x
 
 
+def minimize_nonneg_batched(
+    fun_and_grad: Callable[[Sequence[float]], Tuple[float, List[float]]],
+    losses_batch: Callable[[Sequence[Sequence[float]]], List[float]],
+    x0: Sequence[float],
+    max_iter: int = 15,
+    tol: float = 1e-6,
+    rel_tol: float = 1e-4,
+    ladder: int = 8,
+) -> List[float]:
+    """min f(x) s.t. x ≥ 0 — projected gradient where the whole Armijo
+    backtracking LADDER is evaluated in one ``losses_batch`` call.
+
+    Motivation (r6, measured): for the GBM classifier every function
+    evaluation is a cluster-wide ``agg``; the sequential
+    :func:`minimize_nonneg` spent up to 12 aggs inside a single backtracking
+    loop (one fit iteration burned 32 evals / 12.7s at sf0.1). Here each
+    outer iteration costs exactly TWO aggs — one batched loss scan over a
+    CONSTANT-width candidate ladder (constant width keeps the generated plan
+    structurally identical across iterations, so codegen compiles once) and
+    one gradient evaluation at the accepted point — plus a relative-
+    improvement stop (``rel_tol``), since a GBM step size multiplied by a
+    learning rate only needs ~1% accuracy.
+    """
+    x = [max(float(v), 0.0) for v in x0]
+    f, g = fun_and_grad(x)
+    step = 1.0
+    x_prev = g_prev = None
+    for _ in range(max_iter):
+        gnorm = math.sqrt(sum(gi * gi for gi in g))
+        if gnorm < tol:
+            break
+        if x_prev is not None:
+            # Barzilai-Borwein step: step ≈ (Δx·Δx)/(Δx·Δg) adapts the
+            # magnitude from observed curvature — plain projected gradient
+            # with multiplicative growth crawled toward step sizes of 2-6
+            # over all 15 iterations (measured f trajectories); BB lands
+            # there in 2-3.
+            dx = [a - b for a, b in zip(x, x_prev)]
+            dg = [a - b for a, b in zip(g, g_prev)]
+            denom = sum(a * b for a, b in zip(dx, dg))
+            if denom > 1e-18:
+                step = min(max(sum(a * a for a in dx) / denom, 1e-4), 1e4)
+        scales = [step * (0.3 ** j) for j in range(ladder)]
+        cands = [
+            [max(xi - s * gi, 0.0) for xi, gi in zip(x, g)] for s in scales
+        ]
+        fcs = losses_batch(cands)
+        accepted = None
+        for s, c, fc in zip(scales, cands, fcs):
+            if all(abs(ci - xi) < 1e-15 for ci, xi in zip(c, x)):
+                continue  # projection made this rung a no-op
+            desc = sum(gi * (ci - xi) for gi, ci, xi in zip(g, c, x))
+            if fc <= f + 1e-4 * desc:
+                accepted = (s, c, fc)
+                break
+        if accepted is None:
+            break
+        s, c, fc = accepted
+        improved_enough = (f - fc) >= rel_tol * max(abs(f), 1e-12)
+        x_prev, g_prev = x, g
+        x, f = c, fc
+        if not improved_enough:
+            break
+        _, g = fun_and_grad(x)
+        step = s
+    return x
+
+
 def minimize_scalar_batched(
     fun_batch: Callable[[Sequence[float]], List[float]],
     lo: float = 0.0,

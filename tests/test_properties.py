@@ -93,6 +93,40 @@ def test_batched_minimizer_matches_sequential():
         assert got == pytest.approx(c, abs=max(0.03 * c, 0.05))
 
 
+@given(
+    centers=st.lists(
+        st.floats(min_value=-2.0, max_value=5.0), min_size=1, max_size=6
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_nonneg_batched_minimizer_quadratic(centers):
+    """The ladder-batched BB variant solves the same constrained quadratic
+    as the sequential minimizer (solution max(c_i, 0)) — and with few
+    evaluations (each losses_batch call is one cluster agg in production,
+    so the eval budget IS the cost model)."""
+    from spark_ensemble_spark.core.optim import minimize_nonneg_batched
+
+    evals = [0]
+
+    def fg(x):
+        evals[0] += 1
+        f = sum((xi - ci) ** 2 for xi, ci in zip(x, centers))
+        g = [2 * (xi - ci) for xi, ci in zip(x, centers)]
+        return f, g
+
+    def lb(points):
+        evals[0] += 1
+        return [sum((xi - ci) ** 2 for xi, ci in zip(p, centers)) for p in points]
+
+    got = minimize_nonneg_batched(fg, lb, [1.0] * len(centers), max_iter=30, tol=1e-10)
+    expected = [max(c, 0.0) for c in centers]
+    for g, e in zip(got, expected):
+        assert g == pytest.approx(e, abs=0.05)
+    # BB lands on a quadratic's curvature in a couple of steps: the whole
+    # solve must stay within a small, bounded number of aggs
+    assert evals[0] <= 25, evals[0]
+
+
 def test_weighted_median_expression(spark):
     """Catalyst weighted-median == reference semantics (sort, cumulative
     weight >= half total) over random cases, evaluated as one DataFrame."""

@@ -135,11 +135,12 @@ BENCH_QUERIES = [
     "events_cohort_retention",
     "orders_price_outliers",
     # round-6 additions: classifier tree derived facts + streaming model
-    # scoring (online inference)
+    # scoring (online inference) + leakage-safe splits
     "bagging_tree_classifier",
     "boosting_tree_classifier",
     "gbm_tree_classifier",
     "streaming_scored_events",
+    "docs_split_leakage_safe",
 ]
 
 

@@ -1545,6 +1545,104 @@ def split_by_hash_oracle_sql(
     return f"SELECT {id_col}, {case} AS split FROM {table}"
 
 
+def leakage_safe_splits(
+    df: DataFrame,
+    pairs: DataFrame,
+    weights: Dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic split assignment with a NEAR-DUPLICATE LEAKAGE GUARD:
+    every connected component of ``pairs`` (near-dup pairs from ANY of the
+    dedup families: MinHash/SimHash/n-gram/embedding/semantic) lands in ONE
+    split. Plain per-document splitting leaks: a near-copy of a training
+    document in the eval split inflates eval scores — the split must be
+    decided per GROUP, not per row (the reason eval decontamination exists
+    at all, applied at split time).
+
+    Appends ``split`` and ``split_group`` (the group key the hash was drawn
+    on — the component's min id for pair members, the document's own id
+    otherwise; both are RESERVED output names). Assignment is
+    :func:`split_by_hash`'s md5-threshold draw computed on the group key,
+    so retries, engines, and partitionings cannot move it, and re-running
+    with MORE discovered pairs only merges groups (a key only ever drops to
+    a smaller component min).
+
+    Plan shape: connected components over the pairs
+    (:func:`~spark_ensemble_spark.operators.dedup.dup_clusters`,
+    O(log diameter) rounds on the pair members only — typically ≪ corpus),
+    ONE left equi-join of the corpus on the id, then the narrow
+    zero-shuffle split projection on the key."""
+    from .dedup import dup_clusters
+
+    for reserved in ("split", "split_group"):
+        if reserved in df.columns:
+            raise ValueError(
+                f"leakage_safe_splits appends a {reserved!r} column; rename "
+                f"the input's existing {reserved!r} column first"
+            )
+    clusters = dup_clusters(pairs).select(
+        F.col("id").alias("__ls_id"), F.col("cluster_id").alias("__ls_cluster")
+    )
+    joined = df.join(clusters, df[id_col] == F.col("__ls_id"), "left").drop(
+        "__ls_id"
+    )
+    keyed = joined.withColumn(
+        "split_group", F.coalesce(F.col("__ls_cluster"), F.col(id_col))
+    ).drop("__ls_cluster")
+    return split_by_hash(keyed, "split_group", weights, seed)
+
+
+def leakage_safe_splits_oracle_sql(
+    weights: Dict[str, float],
+    edges_sql: str,
+    seed: int = 0,
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB SQL replaying :func:`leakage_safe_splits` bit-for-bit:
+    ``edges_sql`` produces the (src, dst) pair rows, a recursive CTE
+    computes the same min-member components as ``dup_clusters``, and the
+    split case replays :func:`split_by_hash`'s md5 uniform on the group
+    key."""
+    total = float(sum(weights.values()))
+    names = list(weights)
+    denom = float((1 << 60) + 1)
+    u = (
+        f"((('0x' || substring(md5(split_group::VARCHAR || ':{seed}'), 1, 15))"
+        f"::BIGINT + 1) / {denom!r})"
+    )
+    case = f"'{names[-1]}'"
+    acc = 0.0
+    arms = []
+    for name in names[:-1]:
+        acc += weights[name] / total
+        arms.append((name, acc))
+    for name, bound in reversed(arms):
+        case = f"CASE WHEN {u} < {bound!r} THEN '{name}' ELSE {case} END"
+    return f"""
+    WITH RECURSIVE edges AS (
+      {edges_sql}
+    ),
+    undirected AS (
+      SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ),
+    reach(id, r) AS (
+      SELECT src, src FROM undirected
+      UNION
+      SELECT u.src, r.r FROM undirected u JOIN reach r ON r.id = u.dst
+    ),
+    comp AS (
+      SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+    ),
+    keyed AS (
+      SELECT t.{id_col}, coalesce(c.cluster_id, t.{id_col}) AS split_group
+      FROM {table} t LEFT JOIN comp c ON c.id = t.{id_col}
+    )
+    SELECT {id_col}, split_group, {case} AS split FROM keyed
+    """
+
+
 # ---------------------------------------------------------------------------
 # quantile-threshold quality filtering (the final gate of a curation pass)
 # ---------------------------------------------------------------------------

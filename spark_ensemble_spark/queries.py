@@ -4031,6 +4031,41 @@ def docs_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "split")
 
 
+@query(
+    "docs_split_leakage_safe",
+    _corpus.leakage_safe_splits_oracle_sql(
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        edges_sql=(
+            "SELECT d.doc_id AS src, d.doc_id + 1 AS dst\n"
+            "      FROM documents d JOIN documents e ON e.doc_id = d.doc_id + 1\n"
+            "      WHERE d.doc_id % 100 <= 29"
+        ),
+        seed=5,
+    ),
+)
+def docs_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split assignment with the near-dup LEAKAGE GUARD (r6): every
+    connected component of the chain fixture's pairs lands in ONE split —
+    per-document splitting would put near-copies of training documents in
+    the eval split. The oracle replays the component closure (recursive
+    CTE), the group-key coalesce, AND the md5 split draw on the key, so
+    every row's group and split are hash-checked."""
+    from spark_ensemble_spark.operators.corpus import leakage_safe_splits
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.select("doc_id")
+    cand = ids.filter(F.col("doc_id") % 100 <= 29).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    pairs = cand.join(
+        ids.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi"
+    )
+    out = leakage_safe_splits(
+        docs, pairs, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=5
+    )
+    return out.select("doc_id", "split_group", "split")
+
+
 # ---------------------------------------------------------------------------
 # DSIR (Xie et al. 2023): importance-resample the raw corpus toward a target
 # distribution via hashed-n-gram likelihood ratios + Gumbel top-k.

@@ -702,6 +702,51 @@ def test_dsir_select_deterministic_and_empty_text(spark):
     assert any(c[k] != dict(a).get(k, c[k]) for k in c)  # seed moved a key
 
 
+def test_leakage_safe_splits_cluster_atomic(spark):
+    """Every near-dup component must land in ONE split (the whole point);
+    unpaired docs keep their own id as the group key and match plain
+    split_by_hash; reserved output names fail loudly; discovering MORE
+    pairs only merges groups (keys never split apart)."""
+    import pytest
+
+    from spark_ensemble_spark.operators.corpus import (
+        leakage_safe_splits,
+        split_by_hash,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], ["doc_id", "text"]
+    )
+    # two components: {0,1,2} (chain) and {10, 11}
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], ["id_a", "id_b"]
+    )
+    w = {"train": 0.5, "val": 0.25, "test": 0.25}
+    out = leakage_safe_splits(docs, pairs, w, seed=3).collect()
+    by_id = {r.doc_id: (r.split_group, r.split) for r in out}
+    assert len(by_id) == 40
+    assert {by_id[i] for i in (0, 1, 2)} == {(0, by_id[0][1])}
+    assert {by_id[i] for i in (10, 11)} == {(10, by_id[10][1])}
+    # unpaired docs: group = own id, split = plain split_by_hash draw
+    plain = {
+        r.doc_id: r.split
+        for r in split_by_hash(docs, "doc_id", w, seed=3).collect()
+    }
+    for i in range(40):
+        if i not in (0, 1, 2, 10, 11):
+            assert by_id[i] == (i, plain[i])
+    # merge monotonicity: linking the two components drops every member's
+    # key to the global min
+    more = pairs.union(spark.createDataFrame([(2, 10)], ["id_a", "id_b"]))
+    out2 = {
+        r.doc_id: r.split_group
+        for r in leakage_safe_splits(docs, more, w, seed=3).collect()
+    }
+    assert {out2[i] for i in (0, 1, 2, 10, 11)} == {0}
+    with pytest.raises(ValueError, match="split"):
+        leakage_safe_splits(docs.withColumn("split", F.lit("x")), pairs, w)
+
+
 def test_dsir_empty_target_never_nulls_scores(spark):
     """An empty target distribution (empty target_df, or a target_col that is
     never true) must yield well-defined add-1-smoothed UNIFORM-target scores

@@ -109,6 +109,22 @@ def _cap_hot_buckets(
     )
 
 
+def _eval_once_column(df: DataFrame, name: str, expr: Column) -> DataFrame:
+    """``withColumn`` whose value a pushed-down predicate cannot re-inline.
+
+    Every similarity verify stage computes an expensive per-pair expression
+    (a signature-agreement fold, a cosine, a gram-set Jaccard) and filters
+    on it. PushPredicateThroughNonJoin clones the aliased expression into
+    the Filter below the Project, so the verify expression runs TWICE per
+    candidate — and the fold-shaped ones are CodegenFallback (higher-order
+    functions), which get no subexpression elimination at all (r6; the same
+    class cost streaming decontamination a 6× multiplier). The
+    ``explode(array(...))`` Generate node is a pushdown barrier — predicates
+    on generator output stay above it — so the expression evaluates exactly
+    once per row at the cost of a row copy."""
+    return df.withColumn(name, F.explode(F.array(expr)))
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
@@ -352,7 +368,7 @@ def minhash_dup_pairs(
     # long-lived pipeline doesn't accumulate pinned pair sets that only an
     # explicit caller-side unpersist() would free.
     out = (
-        cand.withColumn("est_jaccard", F.round(est, 6))
+        _eval_once_column(cand, "est_jaccard", F.round(est, 6))
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
         .localCheckpoint(eager=True)
@@ -692,11 +708,13 @@ def ngram_jaccard_pairs(
     inter = F.size(F.array_intersect(F.col("l.grams"), F.col("r.grams")))
     union = F.size(F.array_union(F.col("l.grams"), F.col("r.grams")))
     out = (
-        left.join(right, join_cond)
+        _eval_once_column(
+            left.join(right, join_cond), "jaccard", F.round(inter / union, 6)
+        )
         .select(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
-            F.round(inter / union, 6).alias("jaccard"),
+            "jaccard",
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -876,9 +894,11 @@ def embedding_dup_pairs(
             F.col("r.v").alias("vb"),
         )
     cos = _cosine(F.col("va"), F.col("vb"))
-    return cand.select(
-        "id_a", "id_b", F.round(cos, 6).alias("cosine")
-    ).filter(F.col("cosine") >= threshold)
+    return (
+        _eval_once_column(cand, "cosine", F.round(cos, 6))
+        .select("id_a", "id_b", "cosine")
+        .filter(F.col("cosine") >= threshold)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1102,9 +1122,13 @@ def dedup_against_corpus(
     # (same rationale as minhash_dup_pairs): storage is reclaimed by the
     # ContextCleaner once the result is GC'd.
     matched = (
-        new_b.join(corp_b, ["band", "bucket"])
-        .dropDuplicates(["n_id", "c_id"])
-        .withColumn("__est", F.round(est, 6))
+        _eval_once_column(
+            new_b.join(corp_b, ["band", "bucket"]).dropDuplicates(
+                ["n_id", "c_id"]
+            ),
+            "__est",
+            F.round(est, 6),
+        )
         .filter(F.col("__est") >= threshold)
         .select(F.col("n_id").alias("__mid"))
         .distinct()
@@ -1426,17 +1450,18 @@ operators.similarity.ivf_fixed_centroids` for the oracle-checkable path or a
         .when(F.col("r.d") < F.col("l.d"), F.col("r.id"))
         .otherwise(F.greatest(F.col("l.id"), F.col("r.id")))
     )
+    joined = left.join(
+        right,
+        (F.col("l.cluster") == F.col("r.cluster"))
+        & (F.col("l.id") < F.col("r.id")),
+    )
     return (
-        left.join(
-            right,
-            (F.col("l.cluster") == F.col("r.cluster"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
+        _eval_once_column(joined, "cosine", cos)
         .select(
             F.col("l.cluster").alias("cluster"),
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
-            cos.alias("cosine"),
+            "cosine",
             drop.alias("drop_id"),
         )
         .filter(F.col("cosine") >= threshold)

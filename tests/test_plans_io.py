@@ -550,6 +550,60 @@ def test_ivfpq_residual_beats_no_residual_recall(spark):
     assert r_res >= 0.4, r_res
 
 
+def test_leakage_safe_splits_plan_single_equijoin(spark, sf_dir):
+    """The leakage guard must stay one corpus equi-join + a narrow split
+    projection: no cartesian product, no broadcast-nested-loop, and the
+    split draw itself adds no exchange (the only exchanges belong to the
+    connected-components subtree over the pair members)."""
+    from spark_ensemble_spark.operators.corpus import leakage_safe_splits
+    from spark_ensemble_spark.sources.datasets import load_table
+
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.select("doc_id")
+    pairs = (
+        ids.filter(F.col("doc_id") % 100 <= 29)
+        .select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b"))
+        .join(ids.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi")
+    )
+    out = leakage_safe_splits(docs, pairs, {"a": 0.5, "b": 0.5}, seed=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_score_stream_plan_is_stateless(spark, sf_dir):
+    """Online inference must add ZERO streaming state: the scored stream's
+    plan carries no state-store operator (no aggregation, no dedup, no
+    stream join) — the model is pure column expressions over the source."""
+    from pyspark.ml.functions import array_to_vector
+
+    from spark_ensemble_spark import DummyRegressor
+    from spark_ensemble_spark.regression.bagging import BaggingRegressor
+    from spark_ensemble_spark.sources.datasets import load_events
+    from spark_ensemble_spark.streaming.events import read_events_stream
+    from spark_ensemble_spark.streaming.scoring import score_stream
+
+    from pyspark.sql import functions as F
+
+    def feats(df):
+        return df.select(
+            "event_id",
+            array_to_vector(F.array(F.lit(1.0))).alias("features"),
+            F.coalesce(F.col("value"), F.lit(0.0)).alias("label"),
+        )
+
+    model = BaggingRegressor(
+        baseLearner=DummyRegressor(strategy="mean"), numBaseLearners=2
+    ).fit(feats(load_events(spark, sf_dir)))
+    scored = score_stream(model, feats(read_events_stream(spark, sf_dir)))
+    assert scored.isStreaming
+    plan = scored._jdf.queryExecution().analyzed().toString()
+    for stateful in ("Aggregate", "Deduplicate", "FlatMapGroupsWithState"):
+        assert stateful not in plan, plan
+
+
 def test_write_zorder_parquet_prunes_both_columns(spark, tmp_path):
     """Z-ordered layout: per-file min/max spans must be a small fraction of
     the global range on BOTH interleaved columns (a single-column sort only

@@ -550,6 +550,42 @@ def test_ivfpq_residual_beats_no_residual_recall(spark):
     assert r_res >= 0.4, r_res
 
 
+def test_verify_folds_evaluate_once(spark, sf_dir):
+    """Structural pin for the r6 eval-once fix: the expensive verify
+    expressions (cosine folds, Bloom md5 fold) must appear exactly once in
+    the optimized plan — predicate pushdown used to clone them into the
+    Filter below the Project, re-running interpreted CodegenFallback folds
+    per candidate (2× on verify stages, ~6× on the decontamination chain).
+    If a future optimizer change collapses the explode(array(...)) barrier,
+    these counts catch it."""
+    import re
+
+    from spark_ensemble_spark.operators.corpus import ngram_bloom_build
+    from spark_ensemble_spark.operators.dedup import embedding_dup_pairs
+    from spark_ensemble_spark.sources.datasets import load_table
+    from spark_ensemble_spark.streaming.corpus import decontaminate_stream
+
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = ngram_bloom_build(
+        docs.filter(F.col("doc_id") % 20 == 0), "text", 8, 1 << 20, 4
+    )
+    batch = decontaminate_stream(docs, words, "text", "doc_id", 8, 4, 0.5)
+    plan = batch._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("md5") == 1, f"Bloom md5 fold duplicated: {plan.count('md5')}"
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_dup_pairs(emb, "embedding", "vec_id", threshold=0.9, dim=64)
+    pplan = pairs._jdf.queryExecution().optimizedPlan().toString()
+    # the cosine fold (3 aggregates: dot + two norms) must not be cloned
+    # into any Filter node — filters may only reference the generated column
+    filter_lines = [ln for ln in pplan.split("\n") if re.match(r"\s*\+?-?\s*Filter ", ln)]
+    assert filter_lines, pplan
+    for ln in filter_lines:
+        assert "aggregate(" not in ln, ln[:300]
+
+
 def test_leakage_safe_splits_plan_single_equijoin(spark, sf_dir):
     """The leakage guard must stay one corpus equi-join + a narrow split
     projection: no cartesian product, no broadcast-nested-loop, and the

@@ -1551,6 +1551,7 @@ def leakage_safe_splits(
     weights: Dict[str, float],
     id_col: str = "doc_id",
     seed: int = 0,
+    clusters: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Deterministic split assignment with a NEAR-DUPLICATE LEAKAGE GUARD:
     every connected component of ``pairs`` (near-dup pairs from ANY of the
@@ -1572,7 +1573,11 @@ def leakage_safe_splits(
     (:func:`~spark_ensemble_spark.operators.dedup.dup_clusters`,
     O(log diameter) rounds on the pair members only — typically ≪ corpus),
     ONE left equi-join of the corpus on the id, then the narrow
-    zero-shuffle split projection on the key."""
+    zero-shuffle split projection on the key. A pipeline that already
+    resolved components (for dedup itself) passes them via ``clusters``
+    (an ``(id, cluster_id)`` frame, e.g. a persisted ``dup_clusters``
+    output) and skips the recompute entirely — the same "indexes are data"
+    posture as incremental dedup; ``pairs`` is then ignored."""
     from .dedup import dup_clusters
 
     for reserved in ("split", "split_group"):
@@ -1581,7 +1586,9 @@ def leakage_safe_splits(
                 f"leakage_safe_splits appends a {reserved!r} column; rename "
                 f"the input's existing {reserved!r} column first"
             )
-    clusters = dup_clusters(pairs).select(
+    if clusters is None:
+        clusters = dup_clusters(pairs)
+    clusters = clusters.select(
         F.col("id").alias("__ls_id"), F.col("cluster_id").alias("__ls_cluster")
     )
     joined = df.join(clusters, df[id_col] == F.col("__ls_id"), "left").drop(

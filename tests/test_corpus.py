@@ -745,6 +745,17 @@ def test_leakage_safe_splits_cluster_atomic(spark):
     assert {out2[i] for i in (0, 1, 2, 10, 11)} == {0}
     with pytest.raises(ValueError, match="split"):
         leakage_safe_splits(docs.withColumn("split", F.lit("x")), pairs, w)
+    # precomputed-clusters fast path: identical output, no CC recompute
+    from spark_ensemble_spark.operators.dedup import dup_clusters
+
+    pre = dup_clusters(pairs)
+    out3 = {
+        (r.doc_id, r.split_group, r.split)
+        for r in leakage_safe_splits(
+            docs, pairs.limit(0), w, seed=3, clusters=pre
+        ).collect()
+    }
+    assert out3 == {(r.doc_id, *by_id[r.doc_id]) for r in out}
 
 
 def test_dsir_empty_target_never_nulls_scores(spark):

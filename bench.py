@@ -7,12 +7,19 @@ Each query is materialized with a count-style action (no driver collect of
 data rows beyond small results). A short warm-up query absorbs JVM/codegen
 startup so per-query numbers reflect steady-state execution.
 
-Artifact contract (VERDICT r5 #1 — the r5 line outgrew the driver's tail
-capture and lost its head, leaving BENCH_r05 unparseable): the result JSON is
-(a) written verbatim to ``bench_out.json`` next to this script, and (b)
-printed COMPACTLY — 2-decimal floats, no separators whitespace — as the FINAL
-stdout line. All progress goes to stderr.
+Artifact contract (VERDICT r6 #1 — third iteration; even the r6 compact
+93-query line outgrew the driver's stdout tail window, so BENCH_r06 recorded
+``parsed: null``): the FINAL stdout line is now a TINY summary (<200 chars —
+metric/value/unit/sf/n_queries/warm line items and a pointer to the full map)
+that cannot outgrow any tail capture. The complete per-query result is
+(a) written verbatim to ``bench_out.json`` next to this script, and
+(b) committed in-repo as ``docs/BENCH_r{N}_full.json`` (round inferred from
+the existing BENCH_r*.json artifacts) so per-query history survives rounds.
+All progress goes to stderr.
 """
+
+import glob
+import re
 
 from __future__ import annotations
 
@@ -141,6 +148,10 @@ BENCH_QUERIES = [
     "gbm_tree_classifier",
     "streaming_scored_events",
     "docs_split_leakage_safe",
+    # round-7 additions: real multimodal codecs (BMP decode, raw-frame
+    # sampling) through the Arrow seam
+    "multimodal_image_decode",
+    "multimodal_frame_sample",
 ]
 
 
@@ -268,19 +279,45 @@ def main() -> None:
         "sf": sf,
     }
     # (a) durable artifact next to this script, full precision
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json")
+    repo = os.path.dirname(os.path.abspath(__file__))
+    out_path = os.path.join(repo, "bench_out.json")
     with open(out_path, "w") as fh:
         json.dump(result, fh, indent=2)
         fh.write("\n")
     print(f"[bench] wrote {out_path}", file=sys.stderr)
-    # (b) compact stdout line: 2-decimal floats, no whitespace — ~30 bytes per
-    # query keeps even a 100+-query line safely inside the driver's tail
-    # capture (the r5 3-decimal, spaced line did not fit and lost its head)
-    compact = dict(result)
-    compact["queries"] = {k: round(v, 2) for k, v in timings.items()}
-    compact["value"] = round(result["value"], 2)
+    # (b) in-repo per-round history: docs/BENCH_r{N}_full.json, round inferred
+    # from the driver's already-recorded BENCH_r*.json files (this run becomes
+    # the NEXT round's artifact). Best-effort — never fails the bench.
+    try:
+        rounds = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(repo, "BENCH_r*.json"))
+            if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+        ]
+        full_path = os.path.join(repo, "docs", f"BENCH_r{max(rounds, default=0) + 1:02d}_full.json")
+        with open(full_path, "w") as fh:
+            json.dump(result, fh, indent=2)
+            fh.write("\n")
+        print(f"[bench] wrote {full_path}", file=sys.stderr)
+    except OSError:
+        pass
+    # (c) FINAL stdout line: tiny summary only. The r5 full line and even the
+    # r6 compact 93-query line both outgrew the driver's stdout tail window
+    # (BENCH_r06 parsed: null, 67/93 rows survived, head + total lost). <200
+    # chars cannot outgrow any tail capture; the per-query map lives in the
+    # files above.
+    summary = {
+        "metric": result["metric"],
+        "value": round(result["value"], 2),
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "codegen_warm_sec": round(codegen_warm_sec, 1),
+        "fixture_warm_sec": round(fixture_sec, 1),
+        "queries": {"__full__": "bench_out.json"},
+    }
     sys.stdout.flush()
-    print(json.dumps(compact, separators=(",", ":")))
+    print(json.dumps(summary, separators=(",", ":")))
     sys.stdout.flush()
 
 

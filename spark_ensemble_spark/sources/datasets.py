@@ -10,6 +10,8 @@ from.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.ml.feature import VectorAssembler
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -120,9 +122,19 @@ REGRESSION_FEATURES = ["l_quantity", "l_discount", "l_tax", "l_partkey", "l_supp
 # SparkContext identity so a restarted session rebuilds instead of holding a
 # stale plan.
 _FIXTURE_CACHE: dict = {}
+# bench.py warms fixture-backed queries from a thread pool; an unsynchronized
+# check-then-build would let two threads double-build and leak a persisted
+# duplicate frame into the timed pass. One lock covers the whole build: the
+# builds are rare (3 per session) and cheap relative to the race's cost.
+_FIXTURE_LOCK = threading.Lock()
 
 
 def _cached_fixture(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFrame:
+    with _FIXTURE_LOCK:
+        return _cached_fixture_locked(spark, sf_dir, kind, build)
+
+
+def _cached_fixture_locked(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFrame:
     sc = spark.sparkContext
     # applicationId+startTime is stable for a context's lifetime and never
     # recycled (unlike id(), which CPython can reuse after GC of a stopped

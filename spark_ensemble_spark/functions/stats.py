@@ -160,6 +160,7 @@ def mad_outlier_flags(
     value_col: str,
     k: float = 3.5,
     tol: float = 0.0,
+    materialize: str = "persist",
 ) -> DataFrame:
     """Robust outlier detection: flag rows whose value lies more than ``k``
     median-absolute-deviations from the median — the data-cleaning gate
@@ -176,12 +177,22 @@ def mad_outlier_flags(
     A zero MAD (>50% identical values) flags only values different from
     the median — never divides by zero.
 
-    The input is localCheckpoint-ed first (same rationale as
+    The input is materialized first (same rationale as
     ``filter_by_score_quantile``): the two quantile passes are ACTIONS over
     whatever scoring pipeline produced ``value_col``, plus the caller's own
     consume — without materialization an expensive upstream would run three
-    times."""
-    df = df.localCheckpoint(eager=True)
+    times. ``materialize`` picks how: ``"persist"`` (default) keeps lineage,
+    so a lost executor recomputes instead of failing every downstream action
+    — the right default on preemptible/spot executors; ``"checkpoint"``
+    severs lineage via eager ``localCheckpoint`` (faster re-reads, no
+    recompute path — non-replicated blocks); ``None`` skips materialization
+    for cheap inputs that don't mind three evaluations (r6 ADVICE)."""
+    if materialize == "persist":
+        df = df.persist()
+    elif materialize == "checkpoint":
+        df = df.localCheckpoint(eager=True)
+    elif materialize is not None:
+        raise ValueError(f"materialize must be 'persist'/'checkpoint'/None, got {materialize!r}")
     med = df.approxQuantile(value_col, [0.5], tol)
     if not med:
         return df.withColumn("is_outlier", F.lit(None).cast("boolean"))

@@ -1547,8 +1547,8 @@ def split_by_hash_oracle_sql(
 
 def leakage_safe_splits(
     df: DataFrame,
-    pairs: DataFrame,
-    weights: Dict[str, float],
+    pairs: Optional[DataFrame] = None,
+    weights: Optional[Dict[str, float]] = None,
     id_col: str = "doc_id",
     seed: int = 0,
     clusters: Optional[DataFrame] = None,
@@ -1577,9 +1577,25 @@ def leakage_safe_splits(
     resolved components (for dedup itself) passes them via ``clusters``
     (an ``(id, cluster_id)`` frame, e.g. a persisted ``dup_clusters``
     output) and skips the recompute entirely — the same "indexes are data"
-    posture as incremental dedup; ``pairs`` is then ignored."""
+    posture as incremental dedup. Exactly one of ``pairs`` / ``clusters``
+    must be given: passing neither has no leakage guard to apply (use
+    :func:`split_by_hash` directly), and passing both is ambiguous — the
+    caller must decide which grouping is authoritative (r6 ADVICE)."""
     from .dedup import dup_clusters
 
+    if pairs is None and clusters is None:
+        raise ValueError(
+            "leakage_safe_splits needs near-dup evidence: pass pairs "
+            "(raw near-dup pairs) or clusters (precomputed components); "
+            "for plain per-document splitting use split_by_hash"
+        )
+    if pairs is not None and clusters is not None:
+        raise ValueError(
+            "pass either pairs or clusters, not both — with clusters "
+            "supplied the pairs input would be silently ignored"
+        )
+    if weights is None:
+        raise ValueError("weights is required (e.g. {'train': 0.9, 'eval': 0.1})")
     for reserved in ("split", "split_group"):
         if reserved in df.columns:
             raise ValueError(

@@ -752,10 +752,17 @@ def test_leakage_safe_splits_cluster_atomic(spark):
     out3 = {
         (r.doc_id, r.split_group, r.split)
         for r in leakage_safe_splits(
-            docs, pairs.limit(0), w, seed=3, clusters=pre
+            docs, weights=w, seed=3, clusters=pre
         ).collect()
     }
     assert out3 == {(r.doc_id, *by_id[r.doc_id]) for r in out}
+
+    # input validation (r6 ADVICE): neither/both pair inputs are errors, not
+    # silent no-guard splits or a silently-ignored pairs frame
+    with pytest.raises(ValueError, match="near-dup evidence"):
+        leakage_safe_splits(docs, weights=w)
+    with pytest.raises(ValueError, match="not both"):
+        leakage_safe_splits(docs, pairs, w, clusters=pre)
 
 
 def test_dsir_empty_target_never_nulls_scores(spark):

@@ -281,14 +281,84 @@ def test_multimodal_stub(spark, sf_dir):
         assert r.n_bytes > 0 and 0 <= r.first_byte < 256 and r.byte_sum > 0
 
 
-def test_multimodal_codec_stubs_raise(spark, sf_dir):
-    from spark_ensemble_spark.operators.multimodal import decode_image, frame_sample
+def test_multimodal_bmp_decode_roundtrip(spark, sf_dir):
+    """Real BMP decode (r6 VERDICT #3 — stub retired): generated payloads
+    are honest BMP bytes, and the decoder recovers dimensions, channel
+    means, and the position-sensitive top-left probe from the BYTES."""
+    from spark_ensemble_spark.operators.multimodal import (
+        decode_image,
+        synthetic_bmp_corpus,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    with pytest.raises(NotImplementedError):
-        decode_image(docs)
-    with pytest.raises(NotImplementedError):
-        frame_sample(docs)
+    corpus = synthetic_bmp_corpus(docs, limit_ids=40)
+    # payloads are real BMPs: magic, declared size, 54-byte headers
+    for r in corpus.collect():
+        assert r.payload[:2] == b"BM" and r.n_bytes == len(r.payload) >= 54
+    out = {r.doc_id: r for r in decode_image(corpus).collect()}
+    assert len(out) == 40
+    for i, r in out.items():
+        w, h = 4 + i % 5, 3 + i % 4
+        assert (r.width, r.height) == (w, h)
+        assert r.top_left_r == (i * 7) % 256
+        exp_r = sum((i * 7 + x * 3 + y * 5) % 256 for x in range(w) for y in range(h)) / (w * h)
+        assert r.mean_r == exp_r  # exact: integer sum / n in IEEE double
+
+
+def test_multimodal_bmp_decode_topdown_and_errors(spark):
+    """The decoder honors the header, not fixture conventions: a NEGATIVE
+    height means top-down row order (no flip), and non-24bpp payloads fail
+    loudly instead of returning garbage."""
+    import struct
+
+    from spark_ensemble_spark.operators.multimodal import decode_image
+
+    w, h = 2, 2
+    # top-down 2x2: rows stored first-row-first; pixel (0,0) = BGR (3,2,1)
+    rows = bytes([3, 2, 1, 9, 8, 7, 0, 0]) + bytes([30, 20, 10, 90, 80, 70, 0, 0])
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(rows), 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, w, -h, 1, 24, 0, len(rows), 2835, 2835, 0, 0
+    )
+    df = spark.createDataFrame([(1, header + rows)], "doc_id long, payload binary")
+    r = decode_image(df).collect()[0]
+    assert (r.width, r.height, r.top_left_r) == (2, 2, 1)
+    assert r.mean_b == (3 + 9 + 30 + 90) / 4 and r.mean_r == (1 + 7 + 10 + 70) / 4
+
+    bad = struct.pack("<2sIHHI", b"BM", 62, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, 1, 1, 1, 8, 0, 8, 2835, 2835, 0, 0
+    ) + bytes(8)
+    with pytest.raises(Exception, match="unsupported BMP"):
+        decode_image(
+            spark.createDataFrame([(1, bad)], "doc_id long, payload binary")
+        ).collect()
+
+
+def test_multimodal_frame_sample(spark, sf_dir):
+    """Every-Nth-frame selection over raw multi-frame payloads: frame 0
+    always kept, offsets exact, per-frame facts match the closed form."""
+    from spark_ensemble_spark.operators.multimodal import (
+        frame_sample,
+        synthetic_video_corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    vids = synthetic_video_corpus(docs, limit_ids=30)
+    out = frame_sample(vids, every_n=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(range(30))
+    for i, rows in by_doc.items():
+        nf, fs = 8 + i % 5, 16 + i % 7
+        assert sorted(r.frame_idx for r in rows) == list(range(0, nf, 4))
+        for r in rows:
+            assert r.n_bytes == fs
+            assert r.first_byte == (i * 13 + r.frame_idx * 7) % 256
+            assert r.byte_sum == sum(
+                (i * 13 + r.frame_idx * 7 + j) % 256 for j in range(fs)
+            )
+    with pytest.raises(ValueError, match="every_n"):
+        frame_sample(vids, every_n=0)
 
 
 def test_streaming_equals_batch(spark, sf_dir):

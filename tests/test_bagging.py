@@ -77,9 +77,68 @@ def test_bagging_classifier_hard_and_soft(clf_splits):
         row = out.select("probability").first()
         assert sum(row.probability) == pytest.approx(1.0, abs=1e-9)
     base_acc = ev.evaluate(base.fit(train).transform(test))
-    assert accs["hard"] > 0.5
-    assert accs["hard"] >= base_acc * 0.9
+    # beats-single-tree (BaggingClassifierSuite.scala:48-78), with 0.005
+    # absolute slack documented: depth-5 trees on this 3-class fixture are
+    # LOW-variance (~0.57-0.58 everywhere), so bagging's variance reduction
+    # has little to remove and the margin is thin (measured +0.009 at
+    # sf0.001, +0.001 at sf0.01). The strict reference assertion is carried
+    # by test_bagging_beats_best_member_and_diversifies on high-variance
+    # members, where the property has real headroom.
+    assert accs["hard"] > base_acc - 0.005
     assert abs(accs["hard"] - accs["soft"]) < 0.2
+
+
+def test_bagging_beats_best_member_and_diversifies(clf_splits):
+    """The two reference assertions this suite's docstring claims
+    (r6 VERDICT #4): the ensemble beats its BEST member
+    (``BaggingClassifierSuite.scala:80-112``), and ADJACENT member pairs
+    (the reference's ``sliding(2)``) agree on < 0.85 of test rows
+    (``:114-155``). Both need high-VARIANCE members — bagging averages
+    variance away, so overfit depth-12 trees (single-tree accuracy ~0.51-0.55
+    here vs ~0.58 for depth 5) are where the properties hold with real
+    margin (measured: ensemble beats best member by ~0.03 at sf0.001 and
+    sf0.01; max adjacent agreement 0.55-0.66). Member scoring reuses the
+    model's own chained-JVM-transform path (score_base_models) — one pass,
+    no per-member collect."""
+    from pyspark.sql import functions as F
+
+    from spark_ensemble_spark.core.base import score_base_models
+
+    train, test = clf_splits
+    model = BaggingClassifier(
+        baseLearner=DecisionTreeClassifier(maxDepth=12),
+        numBaseLearners=20,
+        replacement=True,
+        subsampleRatio=0.8,
+        subspaceRatio=0.8,
+        votingStrategy="hard",
+        parallelism=8,
+        seed=0,
+    ).fit(train)
+    ev = MulticlassClassificationEvaluator(metricName="accuracy")
+    ens_acc = ev.evaluate(model.transform(test))
+    scored, outs, _ = score_base_models(
+        test,
+        model.getFeaturesCol(),
+        model.models,
+        model.subspaces,
+        model.numFeatures,
+        prefix="__m_",
+    )
+    preds = [o["prediction"] for o in outs]
+    member_acc = [
+        F.avg((F.col(p) == F.col("label")).cast("double")).alias(f"acc{i}")
+        for i, p in enumerate(preds)
+    ]
+    adjacent_agree = [
+        F.avg((F.col(preds[i]) == F.col(preds[i + 1])).cast("double")).alias(f"ag{i}")
+        for i in range(len(preds) - 1)
+    ]
+    row = scored.agg(*member_acc, *adjacent_agree).first()
+    best_member = max(row[f"acc{i}"] for i in range(len(preds)))
+    max_agree = max(row[f"ag{i}"] for i in range(len(preds) - 1))
+    assert ens_acc > best_member, (ens_acc, best_member)
+    assert max_agree < 0.85, max_agree
 
 
 def test_subspace_slicing_used(reg_splits):

@@ -149,9 +149,10 @@ BENCH_QUERIES = [
     "streaming_scored_events",
     "docs_split_leakage_safe",
     # round-7 additions: real multimodal codecs (BMP decode, raw-frame
-    # sampling) through the Arrow seam
+    # sampling) through the Arrow seam; trained-quantizer IVF recall
     "multimodal_image_decode",
     "multimodal_frame_sample",
+    "similarity_ivf_trained_recall",
 ]
 
 

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from typing import List, Optional, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -85,22 +85,31 @@ def _cap_hot_buckets(
     so the right production follow-up is a cheap exact-dedup pass over them,
     not a pairwise compare; the count is published via ``observe()`` under
     ``metric_name`` (rows_quarantined / max_bucket_seen) so pipelines can see
-    what was routed away. The count-join shuffles on the same bucket keys as
-    the candidate self-join, so the capped side arrives at the join already
-    hash-distributed — no additional exchange is introduced for the join
-    itself. ``max_bucket_size=None``/0 disables the cap.
+    what was routed away.
+
+    Implementation: ``count(*) OVER (PARTITION BY bucket)`` rather than a
+    groupBy-count + join-back — ONE branch over the banded frame instead of
+    two (r7: the join form cost the SRP family a second evaluation of its
+    interpreted bucket folds and an extra agg exchange; measured 2.9→2.4s
+    on embedding_dup_pairs_lsh at sf0.1 with identical output). The window
+    exchange hash-partitions on the same bucket keys the candidate
+    self-join needs, so the join downstream starts co-partitioned. A hot
+    bucket lands in one window task, but the per-bucket work is a LINEAR
+    count — the same single-reducer exposure the join form had, without the
+    quadratic pair blow-up the cap exists to prevent.
+    ``max_bucket_size=None``/0 disables the cap.
     """
     if not max_bucket_size:
         return banded
-    counts = banded.groupBy(*bucket_cols).agg(
-        F.count(F.lit(1)).alias("__bucket_n")
-    )
+    w = Window.partitionBy(*[F.col(c) for c in bucket_cols])
     return (
-        banded.join(counts, on=list(bucket_cols))
+        banded.withColumn("__bucket_n", F.count(F.lit(1)).over(w))
         .observe(
             metric_name,
             F.sum(
-                (F.col("__bucket_n") > max_bucket_size).cast("long")
+                F.when(F.col("__bucket_n") > max_bucket_size, 1)
+                .otherwise(0)
+                .cast("long")
             ).alias("rows_quarantined"),
             F.max("__bucket_n").alias("max_bucket_seen"),
         )
@@ -842,9 +851,18 @@ def embedding_dup_pairs(
     the cap above n/2^planes (or add planes/tables — still the right
     first-order skew knob) so healthy buckets stay below it.
     """
+    from spark_ensemble_spark.sources.datasets import spread_to_parallelism
+
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = df.select(F.col(id_col).alias("id"), vec.alias("v"))
     if not brute_force:
+        # The SRP bucket folds are higher-order functions (CodegenFallback —
+        # interpreted, num_tables × num_planes × dim element ops per row);
+        # on the single-row-group test files the scan yields 1-2 partitions
+        # and the fold stage runs 2-wide on a 32-core box. Same gate as the
+        # MinHash/SimHash/n-gram families: no-op on production inputs that
+        # already have ≥parallelism splits.
+        base = spread_to_parallelism(base)
         if dim is None:
             dim = len(df.select(vec_col).first()[0])
         # one seed stream, num_tables disjoint plane sets (same layout as

@@ -254,6 +254,35 @@ def ivf_fixed_centroids(dim: int, num_clusters: int, seed: int = 23) -> list:
     return out
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    num_clusters: int = 16,
+    seed: int = 13,
+    max_iter: int = 8,
+) -> list:
+    """Train the IVF coarse quantizer with KMeans and EXPORT the centroids
+    as plain float literals — the "train → export → codegen" production
+    shape (same posture as the SemDeDup centroid export): the exported list
+    feeds :func:`ivf_topk`'s ``centroids=`` path, so serving runs the exact
+    deterministic fold-chain assignment the fixed-centroid oracle checks,
+    and the trained quantizer becomes data (JSON-serializable, versionable,
+    reusable across engines) instead of a JVM model object. Centroids are
+    sorted lexicographically so downstream cluster ids are stable regardless
+    of KMeans' internal ordering. The returned list is ``num_clusters``
+    small vectors — driver-side by design, like any model coefficient."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = corpus.select(
+        array_to_vector(_as_double(F.col(vec_col))).alias("feat")
+    )
+    model = KMeans(
+        k=num_clusters, seed=seed, maxIter=max_iter, featuresCol="feat"
+    ).fit(feat)
+    return sorted([list(map(float, c)) for c in model.clusterCenters()])
+
+
 def _centroid_dist_chains(vec_sql: str, centroids: list) -> list:
     """Squared-L2 distance to each centroid as a left ``F.aggregate`` fold
     over ``zip_with`` — the same IEEE evaluation order as the left-to-right
@@ -376,6 +405,33 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def brute_topk_oracle_sql(
+    k: int = 5,
+    query_pred: str = "vec_id < 5",
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB SQL reproducing :func:`brute_force_topk` for any (k, query
+    set): guarded cosine rounded to 6 BEFORE ranking (same as the engine),
+    ties broken on neighbor id."""
+    cos = guarded_cosine_sql("c.v", "q.v")
+    return f"""
+    WITH c AS (SELECT {id_col} AS id, {vec_col}::DOUBLE[] AS v FROM {table}),
+         q AS (SELECT {id_col} AS id, {vec_col}::DOUBLE[] AS v FROM {table}
+               WHERE {query_pred}),
+         scored AS (
+           SELECT q.id AS query_id, c.id AS neighbor_id, {cos} AS cosine
+           FROM c CROSS JOIN q WHERE c.id != q.id
+         )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
 
 
 def ivf_oracle_sql(

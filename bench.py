@@ -18,13 +18,12 @@ the existing BENCH_r*.json artifacts) so per-query history survives rounds.
 All progress goes to stderr.
 """
 
-import glob
-import re
-
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import sys
 import time
 from concurrent.futures import ThreadPoolExecutor
@@ -148,9 +147,11 @@ BENCH_QUERIES = [
     "gbm_tree_classifier",
     "streaming_scored_events",
     "docs_split_leakage_safe",
-    # round-7 additions: real multimodal codecs (BMP decode, raw-frame
-    # sampling) through the Arrow seam; trained-quantizer IVF recall
+    # round-7 additions: real multimodal codecs (BMP decode/resize, WAV
+    # decode, raw-frame sampling) through the Arrow seam; trained IVF recall
     "multimodal_image_decode",
+    "multimodal_image_resize",
+    "multimodal_audio_decode",
     "multimodal_frame_sample",
     "similarity_ivf_trained_recall",
 ]
@@ -264,6 +265,22 @@ def main() -> None:
         t0 = time.time()
         getattr(qmod, name)(spark, SF_DIR).count()
         timings[name] = min(timings[name], round(time.time() - t0, 3))
+
+    # One-shot queries whose first sample came back slow get the same
+    # min-of-2 treatment: a GC/compile stall landing inside a single sample
+    # swings a 3s row to 14s run-over-run (r7 pair: dedup_minhash_md5
+    # 3.1↔14.6s, dedup_clusters 6.8↔13.3s, while isolated steady-state was
+    # stable) and poisons the per-round artifact. Bounded cost: only rows
+    # already past the threshold re-run, so the extra wall is ~the sum of
+    # the slow rows' steady-state times, not a full second pass.
+    RERUN_THRESHOLD_SEC = 2.0
+    for name in names:
+        if name in ml_fits or timings[name] <= RERUN_THRESHOLD_SEC:
+            continue
+        t0 = time.time()
+        getattr(qmod, name)(spark, SF_DIR).count()
+        timings[name] = min(timings[name], round(time.time() - t0, 3))
+        print(f"[bench] {name} (rerun): {timings[name]}s", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:

@@ -225,6 +225,190 @@ def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# real audio decode: 16-bit PCM WAV (RIFF)
+# ---------------------------------------------------------------------------
+
+AUDIO_SCHEMA = (
+    "doc_id long, sample_rate int, n_channels int, n_samples int, "
+    "mean_amp double, max_amp int"
+)
+
+
+def synthetic_wav_corpus(
+    df: DataFrame, id_col: str = "doc_id", limit_ids: int = 300
+) -> DataFrame:
+    """Deterministic 16-bit PCM mono WAV payloads keyed on the id — honest
+    RIFF containers (RIFF/WAVE header, ``fmt `` chunk, ``data`` chunk), so
+    :func:`decode_audio` exercises real chunk walking.
+
+    sample_rate = 8000, n_samples = 64 + id % 33,
+    sample(k) = ((id*31 + k*17) % 65536) - 32768 — closed form, so a SQL
+    oracle replays the decoded amplitude facts analytically."""
+    import struct
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                n = 64 + i % 33
+                k = np.arange(n)
+                samples = (((i * 31 + k * 17) % 65536) - 32768).astype("<i2")
+                data = samples.tobytes()
+                fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 2, 2, 16)
+                payload = (
+                    b"RIFF"
+                    + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+                    + b"WAVE"
+                    + b"fmt "
+                    + struct.pack("<I", len(fmt))
+                    + fmt
+                    + b"data"
+                    + struct.pack("<I", len(data))
+                    + data
+                )
+                out.append((i, payload))
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    base = df.filter(F.col(id_col) < limit_ids).select(F.col(id_col).alias(id_col))
+    return (
+        base.mapInPandas(gen, schema="doc_id long, payload binary")
+        .withColumn("media_type", F.lit("audio/wav"))
+        .withColumn("n_bytes", F.octet_length("payload"))
+    )
+
+
+def decode_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Decode 16-bit PCM WAV payloads (pure numpy, no external codec): walk
+    the RIFF chunk list to find ``fmt `` and ``data`` (never assume fixed
+    offsets — real encoders insert LIST/INFO chunks), then emit per-clip
+    amplitude facts. ``mean_amp`` is the exact integer sample sum divided
+    once in IEEE double (bit-replayable by a SQL oracle); compressed audio
+    (MP3/Opus) would swap the chunk parse for a library call in the same
+    Arrow iterator."""
+
+    def op(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        def decode(b: bytes):
+            if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                raise ValueError("not a RIFF/WAVE payload")
+            pos, fmt, data = 12, None, None
+            while pos + 8 <= len(b):
+                cid = b[pos : pos + 4]
+                (size,) = struct.unpack_from("<I", b, pos + 4)
+                body = b[pos + 8 : pos + 8 + size]
+                if cid == b"fmt ":
+                    fmt = struct.unpack_from("<HHIIHH", body, 0)
+                elif cid == b"data":
+                    data = body
+                pos += 8 + size + (size & 1)  # chunks are word-aligned
+            if fmt is None or data is None:
+                raise ValueError("missing fmt/data chunk")
+            codec, channels, rate, _, _, bits = fmt
+            if codec != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV variant: codec={codec} bits={bits}")
+            samples = np.frombuffer(data, "<i2")
+            n = len(samples) // channels
+            s64 = samples.astype(np.int64)
+            return (rate, channels, n, s64.sum() / len(samples), int(s64.max()))
+
+        for pdf in batches:
+            decoded = [decode(b) for b in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": [d[0] for d in decoded],
+                    "n_channels": [d[1] for d in decoded],
+                    "n_samples": [d[2] for d in decoded],
+                    "mean_amp": [d[3] for d in decoded],
+                    "max_amp": [d[4] for d in decoded],
+                }
+            )
+
+    from spark_ensemble_spark.sources.datasets import spread_to_parallelism
+
+    return spread_to_parallelism(df).mapInPandas(op, schema=AUDIO_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# image resize (decode → nearest-neighbor resample → facts)
+# ---------------------------------------------------------------------------
+
+RESIZE_SCHEMA = (
+    "doc_id long, width int, height int, mean_r double, mean_g double, mean_b double"
+)
+
+
+def resize_image(df: DataFrame, out_w: int = 3, out_h: int = 2, payload_col: str = "payload") -> DataFrame:
+    """Decode 24-bit BMP payloads and nearest-neighbor resample to
+    ``out_w × out_h`` (output pixel (i, j) reads input pixel
+    ``(floor(i*h/out_h), floor(j*w/out_w))`` — the standard box-origin
+    mapping), emitting the resized dimensions and per-channel means. The
+    sampled coordinates are integer arithmetic, so a SQL oracle replays the
+    resized facts analytically; a library-backed bilinear/Lanczos resize
+    would swap only the resample line in the same iterator."""
+    if out_w < 1 or out_h < 1:
+        raise ValueError(f"resize target must be >= 1x1, got {out_w}x{out_h}")
+
+    def op(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        def decode_rgb(b: bytes):
+            if len(b) < 54 or b[:2] != b"BM":
+                raise ValueError("not a BMP payload")
+            (offset,) = struct.unpack_from("<I", b, 10)
+            w, h_signed = struct.unpack_from("<ii", b, 18)
+            (bpp,) = struct.unpack_from("<H", b, 28)
+            if bpp != 24:
+                raise ValueError(f"unsupported BMP variant: bpp={bpp}")
+            h = abs(h_signed)
+            stride = (w * 3 + 3) // 4 * 4
+            rows = np.frombuffer(b, np.uint8, count=h * stride, offset=offset)
+            img = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+            if h_signed > 0:
+                img = img[::-1]
+            return img[:, :, ::-1]  # BGR file order -> RGB
+
+        for pdf in batches:
+            recs = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                img = decode_rgb(payload)
+                h, w = img.shape[:2]
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                small = img[np.ix_(ys, xs)].astype(np.int64)
+                n = out_w * out_h
+                recs.append(
+                    (
+                        int(doc_id),
+                        out_w,
+                        out_h,
+                        small[:, :, 0].sum() / n,
+                        small[:, :, 1].sum() / n,
+                        small[:, :, 2].sum() / n,
+                    )
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=["doc_id", "width", "height", "mean_r", "mean_g", "mean_b"],
+            )
+
+    from spark_ensemble_spark.sources.datasets import spread_to_parallelism
+
+    return spread_to_parallelism(df).mapInPandas(op, schema=RESIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
 # frame sampling over raw multi-frame payloads
 # ---------------------------------------------------------------------------
 

@@ -2965,6 +2965,80 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_audio_decode",
+    """
+    WITH d AS (
+      SELECT doc_id, 64 + doc_id % 33 AS n
+      FROM documents WHERE doc_id < 300
+    ),
+    s AS (
+      SELECT d.doc_id, d.n, gk.k
+      FROM d, LATERAL (SELECT unnest(range(0, d.n)) AS k) gk
+    )
+    SELECT doc_id,
+           8000::INT AS sample_rate,
+           1::INT AS n_channels,
+           n::INT AS n_samples,
+           avg(((doc_id*31 + k*17) % 65536) - 32768) AS mean_amp,
+           max(((doc_id*31 + k*17) % 65536) - 32768)::INT AS max_amp
+    FROM s GROUP BY doc_id, n
+    """,
+)
+def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode: deterministic 16-bit PCM WAVs (honest RIFF chunk
+    structure) generated from doc ids, decoded back out of the BYTES by a
+    chunk-walking parser (decode_audio). The oracle replays the amplitude
+    facts analytically from the sample formula — a byte-order, chunk-offset,
+    or sign bug in encoder or decoder breaks the hash. mean_amp is an exact
+    integer sum divided once in IEEE double on both engines."""
+    from spark_ensemble_spark.operators.multimodal import (
+        decode_audio,
+        synthetic_wav_corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_audio(synthetic_wav_corpus(docs))
+
+
+@query(
+    "multimodal_image_resize",
+    """
+    WITH d AS (
+      SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+      FROM documents WHERE doc_id < 400
+    ),
+    px AS (
+      SELECT d.doc_id,
+             ((gj.j * d.w) // 3) AS x,
+             ((gi.i * d.h) // 2) AS y
+      FROM d,
+           LATERAL (SELECT unnest(range(0, 3)) AS j) gj,
+           LATERAL (SELECT unnest(range(0, 2)) AS i) gi
+    )
+    SELECT doc_id,
+           3::INT AS width,
+           2::INT AS height,
+           avg((doc_id*7 + x*3 + y*5) % 256) AS mean_r,
+           avg((doc_id*7 + x*3 + y*5 + 11) % 256) AS mean_g,
+           avg((doc_id*7 + x*3 + y*5 + 22) % 256) AS mean_b
+    FROM px GROUP BY doc_id
+    """,
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → nearest-neighbor resize (3×2) → per-channel facts over the
+    same generated BMP corpus as multimodal_image_decode. The oracle replays
+    the sampled coordinates (floor(i·h/out_h), floor(j·w/out_w)) and pixel
+    formula analytically, so the resample grid itself is hash-checked."""
+    from spark_ensemble_spark.operators.multimodal import (
+        resize_image,
+        synthetic_bmp_corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_image(synthetic_bmp_corpus(docs), out_w=3, out_h=2)
+
+
+@query(
     "streaming_event_counts",
     """
     SELECT event_type,

@@ -333,6 +333,74 @@ def test_multimodal_bmp_decode_topdown_and_errors(spark):
         ).collect()
 
 
+def test_multimodal_wav_decode_roundtrip(spark, sf_dir):
+    """Real WAV decode: generated payloads are honest RIFF containers and
+    the chunk-walking parser recovers rate/channels/sample facts from the
+    BYTES; an extra chunk before ``data`` must not break the walk."""
+    import struct
+
+    from spark_ensemble_spark.operators.multimodal import (
+        decode_audio,
+        synthetic_wav_corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = synthetic_wav_corpus(docs, limit_ids=30)
+    for r in corpus.collect():
+        assert r.payload[:4] == b"RIFF" and r.payload[8:12] == b"WAVE"
+    out = {r.doc_id: r for r in decode_audio(corpus).collect()}
+    assert len(out) == 30
+    for i, r in out.items():
+        n = 64 + i % 33
+        assert (r.sample_rate, r.n_channels, r.n_samples) == (8000, 1, n)
+        samples = [((i * 31 + k * 17) % 65536) - 32768 for k in range(n)]
+        assert r.max_amp == max(samples)
+        assert r.mean_amp == sum(samples) / n
+
+    # chunk walking: a LIST chunk between fmt and data must be skipped
+    data = struct.pack("<4h", 100, -200, 300, -32768)
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd size, padded
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    r = decode_audio(
+        spark.createDataFrame([(7, payload)], "doc_id long, payload binary")
+    ).collect()[0]
+    assert (r.sample_rate, r.n_samples, r.max_amp) == (16000, 4, 300)
+    assert r.mean_amp == (100 - 200 + 300 - 32768) / 4
+
+
+def test_multimodal_resize(spark, sf_dir):
+    """Nearest-neighbor resize: sampled coordinates follow the box-origin
+    mapping, resized facts match the closed form, and a degenerate resize
+    target fails loudly."""
+    from spark_ensemble_spark.operators.multimodal import (
+        resize_image,
+        synthetic_bmp_corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = {r.doc_id: r for r in resize_image(
+        synthetic_bmp_corpus(docs, limit_ids=25), out_w=3, out_h=2
+    ).collect()}
+    assert len(out) == 25
+    for i, r in out.items():
+        w, h = 4 + i % 5, 3 + i % 4
+        xs = [(j * w) // 3 for j in range(3)]
+        ys = [(k * h) // 2 for k in range(2)]
+        exp = [
+            (i * 7 + x * 3 + y * 5) % 256 for x in xs for y in ys
+        ]
+        assert (r.width, r.height) == (3, 2)
+        assert r.mean_r == sum(exp) / 6
+    with pytest.raises(ValueError, match="resize target"):
+        resize_image(synthetic_bmp_corpus(docs, limit_ids=2), out_w=0)
+
+
 def test_multimodal_frame_sample(spark, sf_dir):
     """Every-Nth-frame selection over raw multi-frame payloads: frame 0
     always kept, offsets exact, per-frame facts match the closed form."""

@@ -343,3 +343,80 @@ def test_mad_outlier_flags_semantics(spark):
         None,
         None,
     ]
+
+
+# ---------------------------------------------------------------------------
+# multimodal codec round-trips against INDEPENDENT test-local encoders
+# (the fixture generators share pixel/sample formulas with their oracles;
+# these properties rule out compensating encoder/decoder bugs by writing the
+# container bytes here, from arbitrary arrays, with separate code)
+# ---------------------------------------------------------------------------
+
+
+def _encode_bmp_testlocal(rgb) -> bytes:
+    """Reference BMP writer, independent of synthetic_bmp_corpus: iterates
+    pixels in plain Python (no numpy reshape tricks shared with the engine)."""
+    import struct
+
+    h = len(rgb)
+    w = len(rgb[0])
+    stride = (w * 3 + 3) // 4 * 4
+    rows = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for x in range(w):
+            r, g, b = rgb[y][x]
+            row += bytes([b, g, r])
+        row += bytes(stride - len(row))
+        rows += row
+    return (
+        struct.pack("<2sIHHI", b"BM", 54 + len(rows), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 0, 0, 0, 0)
+        + bytes(rows)
+    )
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.integers(1, 9),
+    st.integers(1, 7),
+    st.integers(0, 2**32 - 1),
+)
+def test_bmp_decode_matches_plain_python(spark, w, h, seed):
+    from spark_ensemble_spark.operators.multimodal import decode_image
+
+    rnd = random.Random(seed)
+    rgb = [[(rnd.randrange(256), rnd.randrange(256), rnd.randrange(256)) for _ in range(w)] for _ in range(h)]
+    payload = _encode_bmp_testlocal(rgb)
+    r = decode_image(
+        spark.createDataFrame([(1, payload)], "doc_id long, payload binary")
+    ).collect()[0]
+    n = w * h
+    assert (r.width, r.height) == (w, h)
+    assert r.top_left_r == rgb[0][0][0]
+    assert r.mean_r == sum(px[0] for row in rgb for px in row) / n
+    assert r.mean_g == sum(px[1] for row in rgb for px in row) / n
+    assert r.mean_b == sum(px[2] for row in rgb for px in row) / n
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.integers(-32768, 32767), min_size=1, max_size=200))
+def test_wav_decode_matches_plain_python(spark, samples):
+    import struct
+
+    from spark_ensemble_spark.operators.multimodal import decode_audio
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 44100, 88200, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    r = decode_audio(
+        spark.createDataFrame([(1, payload)], "doc_id long, payload binary")
+    ).collect()[0]
+    assert (r.sample_rate, r.n_channels, r.n_samples) == (44100, 1, len(samples))
+    assert r.max_amp == max(samples)
+    assert r.mean_amp == sum(samples) / len(samples)

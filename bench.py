@@ -154,6 +154,8 @@ BENCH_QUERIES = [
     "multimodal_audio_decode",
     "multimodal_frame_sample",
     "similarity_ivf_trained_recall",
+    # GPT-style sequence-packing manifest (concat-and-cut windows)
+    "docs_pack_windows",
 ]
 
 

@@ -1711,3 +1711,59 @@ def filter_by_score_quantile(
     df = df.localCheckpoint(eager=True)
     threshold = score_quantile_threshold(df, score_col, q, tol)
     return df.filter(F.col(score_col) >= F.lit(threshold))
+
+
+def pack_token_windows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    capacity: int = 512,
+    num_buckets: int = 8,
+) -> DataFrame:
+    """Sequence-packing PLAN for pretraining batches: documents are
+    concatenated in deterministic id order within a bucket and the token
+    stream is cut into fixed ``capacity``-token training windows (the
+    GPT-style concat-and-cut convention — documents may straddle a window
+    boundary; the attention mask, not the packer, separates them). Emits
+    each document's placement: bucket, start offset in the bucket's token
+    stream, and the first/last window it lands in — the manifest a
+    materialization pass (or a data loader) consumes to build examples
+    without ever re-tokenizing.
+
+    Spark-first shape: ONE shuffle on the bucket key + a per-bucket window
+    cumsum — no UDF, no driver state. ``num_buckets`` is the parallelism
+    knob (buckets are the independent packing shards; production uses
+    thousands); placement is a pure function of (id order, token counts),
+    so retries, engines, and partitionings cannot move a document, and a
+    DuckDB oracle replays every offset exactly. Token counts use the
+    whitespace tokenizer (text.token_count) — swap in bpe_ish_token_count
+    for sub-word budgeting; the plan is identical."""
+    from pyspark.sql import Window
+
+    from .text import token_count
+
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(id_col) % num_buckets).cast("int").alias("bucket"),
+        token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = base.withColumn(
+        "start_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
+    )
+    return placed.select(
+        "doc_id",
+        "bucket",
+        "n_tokens",
+        "start_offset",
+        F.floor(F.col("start_offset") / capacity).cast("bigint").alias("first_window"),
+        F.floor((F.col("start_offset") + F.col("n_tokens") - 1) / capacity)
+        .cast("bigint")
+        .alias("last_window"),
+    )

@@ -4262,6 +4262,40 @@ def docs_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_pack_windows",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             (doc_id % 8)::INT AS bucket,
+             len({_TEXT_TOKENS_SQL})::BIGINT AS n_tokens
+      FROM documents
+    ),
+    p AS (
+      SELECT *,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY bucket ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS start_offset
+      FROM t
+    )
+    SELECT doc_id, bucket, n_tokens, start_offset,
+           (start_offset // 512)::BIGINT AS first_window,
+           ((start_offset + n_tokens - 1) // 512)::BIGINT AS last_window
+    FROM p
+    """,
+)
+def docs_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing plan (concat-and-cut): per-bucket token
+    cumsum places every document in fixed 512-token training windows. The
+    oracle replays bucket assignment, the whitespace token count, and every
+    offset/window id exactly — one shuffle on the bucket key, no UDF."""
+    from spark_ensemble_spark.operators.corpus import pack_token_windows
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_token_windows(docs, capacity=512, num_buckets=8)
+
+
+@query(
     "docs_split_leakage_safe",
     _corpus.leakage_safe_splits_oracle_sql(
         {"train": 0.8, "val": 0.1, "test": 0.1},

@@ -833,3 +833,37 @@ def test_filter_by_score_quantile_semantics(spark):
     assert score_quantile_threshold(df, "score", 0.4) == 2.0
     kept = {r.doc_id for r in filter_by_score_quantile(df, "score", 0.4).collect()}
     assert kept == {2, 3, 4, 5}  # both ties survive; NULL row does not
+
+
+def test_pack_token_windows(spark):
+    """Concat-and-cut packing manifest: offsets are the exact per-bucket
+    cumsum in id order, window ids follow floor division, straddling is
+    exactly start//cap != (end-1)//cap, and total windows per bucket is
+    ceil(bucket_tokens/cap)."""
+    from spark_ensemble_spark.operators.corpus import pack_token_windows
+
+    rows = [
+        (i, " ".join(f"w{k}" for k in range(3 + (i * 7) % 11))) for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in pack_token_windows(
+        docs, capacity=10, num_buckets=4
+    ).collect()}
+    assert len(out) == 40
+    # replay in plain python
+    streams = {}
+    for i in range(40):
+        n = 3 + (i * 7) % 11
+        b = i % 4
+        start = streams.get(b, 0)
+        streams[b] = start + n
+        r = out[i]
+        assert (r.bucket, r.n_tokens, r.start_offset) == (b, n, start)
+        assert r.first_window == start // 10
+        assert r.last_window == (start + n - 1) // 10
+    # bucket window counts close: last doc's last_window+1 == ceil(total/cap)
+    for b, total in streams.items():
+        last = max(out[i].last_window for i in range(40) if i % 4 == b)
+        assert last + 1 == -(-total // 10)
+    with pytest.raises(ValueError, match="capacity"):
+        pack_token_windows(docs, capacity=0)

@@ -156,6 +156,8 @@ BENCH_QUERIES = [
     "similarity_ivf_trained_recall",
     # GPT-style sequence-packing manifest (concat-and-cut windows)
     "docs_pack_windows",
+    # PCA dim reduction via train -> export -> codegen (pre-ANN pass)
+    "embedding_pca_facts",
 ]
 
 

@@ -136,3 +136,71 @@ def split_counts(
         .groupBy("split")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def train_pca_projection(
+    corpus: DataFrame, vec_col: str = "embedding", k: int = 8, dim: int | None = None
+) -> dict:
+    """Train a centering PCA projection and EXPORT it as plain literals —
+    the train → export → codegen posture (same as train_ivf_centroids):
+    ``{"mean": [dim floats], "components": [k lists of dim floats],
+    "offsets": [k floats]}``, where ``offsets[j] = mean·components[j]`` so
+    serving is ``proj_j(v) = dot(v, c_j) − offset_j`` (centering folded into
+    a precomputed scalar — one fold per output dim, no per-row subtraction
+    pass). The exported dict is model-sized driver state, JSON-serializable
+    and reusable across engines.
+
+    Dimensionality reduction is the standard pre-ANN pass at corpus scale:
+    64→8 dims cuts candidate-scoring flops and index bytes ~8× while PCA
+    keeps the highest-variance directions (a random projection of the same
+    k keeps ~k/dim of the variance). Spark's ``ml.PCA`` famously does NOT
+    center its input, so the mean is computed here and subtracted before
+    the fit — otherwise component 1 just points at the data mean."""
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector
+
+    v = _as_double(F.col(vec_col))
+    base = corpus.select(v.alias("v"))
+    if dim is None:
+        dim = len(base.first()[0])
+    mean_row = base.agg(
+        *[F.avg(F.element_at("v", i + 1)).alias(f"m{i}") for i in range(dim)]
+    ).first()
+    mean = [float(mean_row[f"m{i}"]) for i in range(dim)]
+    mean_arr = "array(" + ",".join(f"CAST('{x!r}' AS DOUBLE)" for x in mean) + ")"
+    centered = base.select(
+        F.expr(f"zip_with(v, {mean_arr}, (x, m) -> x - m)").alias("c")
+    )
+    model = PCA(k=k, inputCol="feat", outputCol="__p").fit(
+        centered.select(array_to_vector("c").alias("feat"))
+    )
+    pc = model.pc.toArray()  # dim × k
+    components = [[float(pc[i, j]) for i in range(dim)] for j in range(k)]
+    offsets = [
+        float(sum(m * c for m, c in zip(mean, comp))) for comp in components
+    ]
+    return {"mean": mean, "components": components, "offsets": offsets}
+
+
+def pca_project(
+    df: DataFrame,
+    projection: dict,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Apply an exported PCA projection as deterministic fold chains:
+    ``out[j] = aggregate(zip_with(v, c_j)) − offset_j`` — the same
+    left-to-right IEEE order as the SRP/IVF chains, so given fixed literals
+    the projection is bit-replayable by a SQL oracle. One narrow projection,
+    no shuffle; k folds per row (k ≪ dim is the point)."""
+    dots = []
+    for comp, off in zip(projection["components"], projection["offsets"]):
+        arr = "array(" + ",".join(f"CAST('{x!r}' AS DOUBLE)" for x in comp) + ")"
+        dots.append(
+            F.expr(
+                f"aggregate(zip_with(transform({vec_col}, e -> CAST(e AS DOUBLE)), "
+                f"{arr}, (a, b) -> a * b), "
+                f"CAST(0.0 AS DOUBLE), (s, x) -> s + x) - CAST('{off!r}' AS DOUBLE)"
+            )
+        )
+    return df.withColumn(out_col, F.array(*dots))

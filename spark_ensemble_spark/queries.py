@@ -2965,6 +2965,65 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_pca_facts",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(8 AS BIGINT) AS k,
+           CAST(1 AS BIGINT) AS variance_monotone,
+           CAST(1 AS BIGINT) AS centered,
+           CAST(1 AS BIGINT) AS beats_axis_aligned
+    FROM embeddings
+    """,
+)
+def embedding_pca_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA dimensionality reduction (64→8) via train → export → codegen
+    (train_pca_projection / pca_project): the trained components are
+    engine-specific (same carve-out as the KMeans quantizer), so the oracle
+    checks DERIVED facts a correct PCA must satisfy: projected dims have
+    ~zero mean (centering is real — Spark's ml.PCA does not center),
+    variances arrive in non-increasing eigenvalue order, and the captured
+    top-8 variance beats the axis-aligned first-8-coordinates baseline
+    (PCA's defining optimality). Projection itself is k deterministic fold
+    chains — one narrow pass, no shuffle."""
+    from spark_ensemble_spark.operators.embeddings import (
+        pca_project,
+        train_pca_projection,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = train_pca_projection(emb, k=8, dim=64)
+    out = pca_project(emb, proj)
+    el = lambda j: F.element_at("pca", j + 1)  # noqa: E731
+    raw = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.var_samp(el(j)).alias(f"pv{j}") for j in range(8)],
+        *[F.avg(el(j)).alias(f"pm{j}") for j in range(8)],
+        *[
+            F.var_samp(F.element_at(raw, j + 1)).alias(f"rv{j}")
+            for j in range(8)
+        ],
+    )
+    pca_var = sum(F.col(f"pv{j}") for j in range(8))
+    axis_var = sum(F.col(f"rv{j}") for j in range(8))
+    monotone = None
+    for j in range(7):
+        c = F.col(f"pv{j}") >= F.col(f"pv{j+1}") - F.lit(1e-9)
+        monotone = c if monotone is None else (monotone & c)
+    centered = None
+    for j in range(8):
+        c = F.abs(F.col(f"pm{j}")) < F.lit(1e-6)
+        centered = c if centered is None else (centered & c)
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.lit(8).cast("bigint").alias("k"),
+        monotone.cast("long").alias("variance_monotone"),
+        centered.cast("long").alias("centered"),
+        (pca_var >= axis_var).cast("long").alias("beats_axis_aligned"),
+    )
+
+
+@query(
     "multimodal_audio_decode",
     """
     WITH d AS (

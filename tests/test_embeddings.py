@@ -181,3 +181,52 @@ def test_ann_recall_padded_approx_cannot_inflate(spark):
     got = {r.query_id: (r.n_true, r.n_hit, r.recall) for r in
            ann_recall(approx, exact, k=5).collect()}
     assert got == {1: (2, 1, 0.5), 2: (2, 0, 0.0)}
+
+
+def test_pca_projection_recovers_dominant_directions(spark):
+    """train → export → codegen PCA on an anisotropic fixture: variance is
+    planted in coordinates 0 and 1 (scales 10 and 5) over 16 dims; the
+    top-2 exported components must capture nearly all of it, projected
+    means are ~0 (centering is real), and the fold-chain projection matches
+    a plain-python dot product on sampled rows."""
+    import math
+    import random
+
+    from spark_ensemble_spark.operators.embeddings import (
+        pca_project,
+        train_pca_projection,
+    )
+
+    rnd = random.Random(3)
+    dim, n = 16, 400
+    rows = []
+    for i in range(n):
+        v = [rnd.gauss(0, 0.1) for _ in range(dim)]
+        v[0] += rnd.gauss(0, 10.0)
+        v[1] += rnd.gauss(5.0, 5.0)  # nonzero mean: centering must remove it
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).cache()
+    proj = train_pca_projection(df, k=2, dim=dim)
+    assert len(proj["components"]) == 2 and len(proj["mean"]) == dim
+    out = pca_project(df, proj).select("vec_id", "pca").collect()
+    # total variance vs captured variance, plain python
+    by_id = {r.vec_id: r.pca for r in out}
+    cols = list(zip(*[rows[i][1] for i in range(n)]))
+    total_var = sum(
+        sum((x - sum(c) / n) ** 2 for x in c) / (n - 1) for c in cols
+    )
+    pcols = list(zip(*[by_id[i] for i in range(n)]))
+    cap_var = sum(
+        sum((x - sum(c) / n) ** 2 for x in c) / (n - 1) for c in pcols
+    )
+    assert cap_var / total_var > 0.95, cap_var / total_var
+    # projected means ~0
+    for c in pcols:
+        assert abs(sum(c) / n) < 1e-9
+    # fold chain == plain dot product − offset on a sample
+    for i in (0, 7, 123):
+        v = rows[i][1]
+        for j in (0, 1):
+            exp = sum(a * b for a, b in zip(v, proj["components"][j])) - proj["offsets"][j]
+            assert math.isclose(by_id[i][j], exp, rel_tol=0, abs_tol=1e-9)
+    df.unpersist()

@@ -9,9 +9,11 @@ deterministic hash-based dataset splitting (train/val/test assignment that is
 reproducible across runs, engines, and row order — never ``rand()``, whose
 output depends on partitioning).
 
-Everything is pure Catalyst on ``array<float/double>`` columns — no UDFs, no
-driver collects; the only wide stage in the module is ``dim_stats``'s
-aggregation, which reduces to ``dim`` rows via map-side partials.
+Everything is pure Catalyst on ``array<float/double>`` columns — no UDFs; the
+only wide stage in the module is ``dim_stats``'s aggregation, which reduces
+to ``dim`` rows via map-side partials. The sole driver state is model-sized:
+``train_pca_projection`` exports a (mean, k×dim components) literal dict, the
+same train → export → codegen posture as the IVF/SemDeDup centroid exports.
 """
 
 from __future__ import annotations

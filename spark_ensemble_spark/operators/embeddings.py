@@ -184,6 +184,23 @@ def train_pca_projection(
     return {"mean": mean, "components": components, "offsets": offsets}
 
 
+def save_pca_projection(projection: dict, path: str) -> None:
+    """Persist an exported projection as JSON — the serving artifact a later
+    job (or another engine) loads without retraining; pairs with the PQ
+    index persistence (`similarity.save_pq_index`) for a fully
+    re-loadable embedding pipeline."""
+    from spark_ensemble_spark.core.persistence import save_json
+
+    save_json(path, projection)
+
+
+def load_pca_projection(path: str) -> dict:
+    """Inverse of :func:`save_pca_projection`."""
+    from spark_ensemble_spark.core.persistence import load_json
+
+    return load_json(path)
+
+
 def pca_project(
     df: DataFrame,
     projection: dict,

@@ -764,3 +764,43 @@ def test_dsir_broadcasts_logratio_never_corpus(spark, sf_dir):
 
     for m in re.finditer(r"BroadcastExchange[^\n]*\n(?:\s*\+- [^\n]*\n){0,2}", plan):
         assert "FileScan parquet" not in m.group(0), m.group(0)
+
+
+def test_pack_token_windows_plan_single_shuffle(spark, sf_dir):
+    """The packing manifest's scale contract: ONE hash exchange (the bucket
+    key) + the per-bucket window sort — no join, no extra shuffle, and the
+    window's sort keys are exactly (bucket, doc_id)."""
+    from spark_ensemble_spark.operators.corpus import pack_token_windows
+    from spark_ensemble_spark.sources.datasets import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = pack_token_windows(docs, capacity=256, num_buckets=8)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_pca_projection_save_load_roundtrip(spark, tmp_path):
+    """The exported projection is a serving artifact: JSON round-trip
+    preserves every literal bit, so the re-loaded fold chains produce
+    identical projections."""
+    from spark_ensemble_spark.operators.embeddings import (
+        load_pca_projection,
+        pca_project,
+        save_pca_projection,
+        train_pca_projection,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float((i * 13 + j * 7) % 17) for j in range(8)]) for i in range(50)],
+        ["vec_id", "embedding"],
+    ).cache()
+    proj = train_pca_projection(df, k=3, dim=8)
+    p = str(tmp_path / "pca.json")
+    save_pca_projection(proj, p)
+    loaded = load_pca_projection(p)
+    assert loaded == proj  # bit-exact: floats survive JSON round-trip
+    a = pca_project(df, proj).select("vec_id", "pca").collect()
+    b = pca_project(df, loaded).select("vec_id", "pca").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    df.unpersist()

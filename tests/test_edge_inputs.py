@@ -191,3 +191,41 @@ def test_psi_empty_snapshot(spark):
     b = spark.createDataFrame([], "v double")
     rows = population_stability_index(a, b, "v", [1.5]).collect()
     assert rows and all(abs(r.psi_term) < float("inf") for r in rows)
+
+
+def test_round7_ops_on_empty(empty_docs, spark):
+    """r7 operators on empty frames: the Arrow seams must still emit their
+    declared schema with zero rows (a mapInPandas iterator that never
+    yields), packing and PCA projection must return empty well-formed
+    frames."""
+    from spark_ensemble_spark.operators.corpus import pack_token_windows
+    from spark_ensemble_spark.operators.embeddings import pca_project
+    from spark_ensemble_spark.operators.multimodal import (
+        decode_audio,
+        decode_image,
+        frame_sample,
+        resize_image,
+        synthetic_bmp_corpus,
+        synthetic_video_corpus,
+        synthetic_wav_corpus,
+    )
+
+    bmp = synthetic_bmp_corpus(empty_docs)
+    assert decode_image(bmp).count() == 0
+    assert decode_image(bmp).columns == [
+        "doc_id", "width", "height", "mean_r", "mean_g", "mean_b", "top_left_r",
+    ]
+    assert resize_image(bmp).count() == 0
+    assert decode_audio(synthetic_wav_corpus(empty_docs)).count() == 0
+    assert frame_sample(synthetic_video_corpus(empty_docs)).count() == 0
+
+    packed = pack_token_windows(empty_docs)
+    assert packed.count() == 0
+    assert packed.columns == [
+        "doc_id", "bucket", "n_tokens", "start_offset", "first_window", "last_window",
+    ]
+
+    proj = {"mean": [0.0, 0.0], "components": [[1.0, 0.0]], "offsets": [0.0]}
+    empty_vecs = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = pca_project(empty_vecs, proj)
+    assert out.count() == 0 and out.columns == ["vec_id", "embedding", "pca"]

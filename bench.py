@@ -158,6 +158,8 @@ BENCH_QUERIES = [
     "docs_pack_windows",
     # PCA dim reduction via train -> export -> codegen (pre-ANN pass)
     "embedding_pca_facts",
+    # multimodal decode composed with readStream (stateless Arrow seam)
+    "streaming_multimodal_decode",
 ]
 
 

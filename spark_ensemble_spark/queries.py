@@ -2884,9 +2884,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "multimodal_image_decode",
-    """
+_IMAGE_DECODE_ORACLE = """
     WITH d AS (
       SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
       FROM documents WHERE doc_id < 400
@@ -2905,8 +2903,10 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
            avg((doc_id*7 + x*3 + y*5 + 22) % 256) AS mean_b,
            ((doc_id*7) % 256)::INT AS top_left_r
     FROM px GROUP BY doc_id, w, h
-    """,
-)
+    """
+
+
+@query("multimodal_image_decode", _IMAGE_DECODE_ORACLE)
 def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode (no stub): deterministic 24-bit BMPs are generated
     from doc ids (synthetic_bmp_corpus — honest BMP bytes: bottom-up rows,
@@ -2923,6 +2923,28 @@ def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return decode_image(synthetic_bmp_corpus(docs))
+
+
+@query("streaming_multimodal_decode", _IMAGE_DECODE_ORACLE)
+def streaming_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal decode seam applied IN the ingest stream: binary
+    payload generation and the BMP decoder are both stateless Arrow
+    ``mapInPandas`` projections, so they compose with ``readStream`` in
+    append mode with no watermark and no state store — per-micro-batch cost
+    is the batch decode's. The streamed output must hash-match the SAME
+    analytic oracle as the batch path, so stream/batch decode parity is
+    value-checked, not just row-counted."""
+    from spark_ensemble_spark.operators.multimodal import (
+        decode_image,
+        synthetic_bmp_corpus,
+    )
+    from spark_ensemble_spark.streaming.corpus import read_documents_stream
+    from spark_ensemble_spark.streaming.runner import replay_session, run_to_memory
+
+    spark = replay_session(spark)
+    stream = read_documents_stream(spark, sf_dir)
+    decoded = decode_image(synthetic_bmp_corpus(stream))
+    return run_to_memory(decoded, "append", "stream_mm_decode")
 
 
 @query(

@@ -41,6 +41,12 @@ def spread_to_parallelism(df: DataFrame) -> DataFrame:
     exchange (measured: a blanket load-time spread made tree fits and
     mapInPandas seams 2-3× SLOWER — 10 thread-parallel fits × 32 tasks thrash
     the scheduler, and each extra partition spins another Arrow worker)."""
+    # Streaming frames can't answer getNumPartitions (``.rdd`` on a stream
+    # throws) and their micro-batch partitioning is the source's business —
+    # the gate is a no-op there, which also lets every decode operator that
+    # spreads compose with readStream unchanged (r7).
+    if df.isStreaming:
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:

@@ -160,6 +160,9 @@ BENCH_QUERIES = [
     "embedding_pca_facts",
     # multimodal decode composed with readStream (stateless Arrow seam)
     "streaming_multimodal_decode",
+    # winnowing (MOSS rolling-hash) fingerprints + fingerprint-blocked pairs
+    "docs_winnow_fingerprints",
+    "dedup_winnow_pairs",
 ]
 
 

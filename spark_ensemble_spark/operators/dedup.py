@@ -733,6 +733,50 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# winnowing-fingerprint near-dup pairs (rolling-hash blocking)
+# ---------------------------------------------------------------------------
+
+
+def winnow_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 30,
+    max_fp_docs: Optional[int] = 100,
+) -> DataFrame:
+    """Near-dup candidate pairs by shared winnowing fingerprints (the MOSS
+    overlap signal): two documents pair when they share at least
+    ``min_shared`` distinct winnowed rolling-hash fingerprints.
+
+    Plan shape is the bucketed-never-all-pairs discipline of the other LSH
+    families: explode per-doc fingerprints (scan-local projection,
+    :func:`~spark_ensemble_spark.operators.text.winnow_documents`),
+    quarantine ubiquitous fingerprints — boilerplate k-grams that occur in
+    more than ``max_fp_docs`` documents block O(n²) pairs while carrying no
+    dup signal (the same idf logic as dropping stopwords) — via
+    :func:`_cap_hot_buckets`, then ONE equi-join on the fingerprint value
+    and a count-aggregate per pair. Cost is Σ(per-fingerprint doc count)²,
+    bounded by ``distinct_fps * max_fp_docs²`` — never n². Output is
+    ``(id_a, id_b, n_shared)`` with ``id_a < id_b``, all-integer (no
+    floating-point hazard in the oracle compare)."""
+    from spark_ensemble_spark.operators.text import winnow_documents
+
+    fps = winnow_documents(df, text_col=text_col, id_col=id_col, k=k, w=w)
+    fps = _cap_hot_buckets(fps, ["fp"], max_fp_docs, "winnow_fp_cap")
+    left = fps.select(F.col(id_col).alias("id_a"), "fp")
+    right = fps.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        left.join(right, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
+# ---------------------------------------------------------------------------
 # embedding cosine near-dup (sign-random-projection LSH blocks)
 # ---------------------------------------------------------------------------
 

@@ -174,6 +174,183 @@ def hashed_bow_features(
     )
 
 
+# ---------------------------------------------------------------------------
+# Winnowing document fingerprints (rolling hash).
+#
+# Schleimer, Wilkerson, Aiken, "Winnowing: Local Algorithms for Document
+# Fingerprinting" (SIGMOD 2003) — the MOSS fingerprint: hash every
+# character k-gram of the normalized text with a Rabin-Karp polynomial
+# rolling hash, slide a window of w consecutive k-gram hashes, and keep the
+# minimum of each window. Any shared substring of length >= k + w - 1
+# between two documents is guaranteed to share at least one selected
+# fingerprint, so fingerprint overlap is a sound near-dup candidate signal.
+#
+# Implementation is pure Catalyst (transform/slice/array_min folds — zero
+# UDFs, zero shuffles: one projection per document). The polynomial hash is
+# evaluated per position as sum(code_j * base^(k-1-j)) % mod: with
+# base=257, k<=8 and codes <= 122 the unreduced sum stays < 2^63, so the
+# single end mod is EXACTLY the classic incremental rolling-hash value and
+# any engine (DuckDB included) replays it from the same closed form. k is a
+# small constant, so the O(n*k) windowed form is O(n) per document — at
+# 100 TB this is a scan-local projection; no state, no exchange.
+#
+# The one genuine hazard of expressing a rolling hash as nested
+# higher-order functions is ELEMENT-WISE RE-EVALUATION: HOF lambdas run on
+# the interpreted path (CodegenFallback), where a subexpression referenced
+# inside the lambda body is re-evaluated at EVERY element — a naive
+# "hash = f(substring(norm, i, 1), …)" form re-runs the regexp_replace
+# normalization (and an O(len) substring scan) len×k times per row,
+# turning O(len·k) into O(len²·k) with a regex in the inner loop (measured:
+# a single 500-doc partition pinned a core for >13 minutes). The fix is
+# _let(): binding a value as a single-element-array transform's lambda
+# variable forces exactly one evaluation per row, and nested lambdas close
+# over it for O(1) element_at access. norm → codes → hashes are each bound
+# once; the inner loops touch only bound arrays.
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 5
+WINNOW_W = 4
+WINNOW_BASE = 257
+WINNOW_MOD = 1_000_003
+
+_WINNOW_NORM_RE = "[^a-z0-9]"
+
+
+def _winnow_norm(text: Column) -> Column:
+    """Winnowing normalization: lowercase, strip everything outside
+    [a-z0-9] (whitespace AND punctuation) — so fingerprints are insensitive
+    to formatting and word spacing, per the paper's recommendation."""
+    return F.regexp_replace(F.lower(text), _WINNOW_NORM_RE, "")
+
+
+def _let(value: Column, body) -> Column:
+    """Evaluate ``value`` ONCE per row and pass the bound result to
+    ``body`` — Catalyst has no let-expression, but a single-element-array
+    ``transform`` is one: the lambda variable is the evaluated argument,
+    so every reference inside ``body`` (including inside nested lambdas,
+    which close over outer lambda variables) reads the bound value instead
+    of re-evaluating the defining expression element-wise."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
+def winnow_fingerprints(
+    text: Column,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    base: int = WINNOW_BASE,
+    mod: int = WINNOW_MOD,
+) -> Column:
+    """Distinct winnowed fingerprints of ``text`` as a sorted bigint array.
+
+    Documents with fewer than ``k`` normalized characters fingerprint to an
+    empty array; documents with between 1 and ``w - 1`` k-grams keep the
+    single global minimum (the degenerate one-window case)."""
+    max_code = 122  # 'z'; normalized alphabet is [a-z0-9]
+    assert max_code * sum(base**j for j in range(k)) < 2**62, "hash overflow"
+    coeffs = [base ** (k - 1 - j) for j in range(k)]
+    empty = F.array().cast("array<bigint>")
+
+    def kgram_hash(codes: Column):
+        # codes is a bound array: k O(1) element_at reads per position.
+        def at(i: Column) -> Column:
+            total = F.lit(0).cast("long")
+            for j, c in enumerate(coeffs):
+                total = total + F.element_at(codes, i + F.lit(j)).cast(
+                    "long"
+                ) * F.lit(c)
+            return total % F.lit(mod)
+
+        return at
+
+    def from_hashes(hashes: Column) -> Column:
+        nh = F.size(hashes)
+        nw = nh - F.lit(w - 1)
+        return (
+            F.when(
+                nw >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), nw),
+                    lambda p: F.array_min(F.slice(hashes, p, w)),
+                ),
+            )
+            .when(nh >= 1, F.array(F.array_min(hashes)))
+            .otherwise(empty)
+        )
+
+    def from_codes(codes: Column) -> Column:
+        nk = F.size(codes) - F.lit(k - 1)
+        hashes = F.when(
+            F.size(codes) >= F.lit(k),
+            F.transform(F.sequence(F.lit(1), nk), kgram_hash(codes)),
+        ).otherwise(empty)
+        return _let(hashes, from_hashes)
+
+    def from_norm(s: Column) -> Column:
+        codes = F.when(
+            F.length(s) >= F.lit(k),
+            F.transform(F.split(s, ""), lambda ch: F.ascii(ch)),
+        ).otherwise(F.array().cast("array<int>"))
+        return _let(codes, from_codes)
+
+    wins = _let(_winnow_norm(text), from_norm)
+    return F.array_sort(F.array_distinct(wins))
+
+
+def winnow_table_sql(
+    source: str,
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    base: int = WINNOW_BASE,
+    mod: int = WINNOW_MOD,
+) -> str:
+    """DuckDB replay of :func:`winnow_fingerprints` over a table expression:
+    a SELECT producing ``(id, fps)`` — sorted distinct fingerprint list per
+    row — from the same closed-form polynomial and window-min chain, so the
+    whole rolling-hash pipeline is cross-engine checkable."""
+    norm = f"regexp_replace(lower({text_expr}), '{_WINNOW_NORM_RE}', '', 'g')"
+    kh = " + ".join(
+        f"ascii(substr(s, i+{j}, 1)) * {base ** (k - 1 - j)}" for j in range(k)
+    )
+    return f"""
+      SELECT id, CASE
+          WHEN len(hs) >= {w} THEN list_sort(list_distinct(
+              list_transform(range(1, len(hs) - {w - 1} + 1),
+                  p -> list_aggregate(list_slice(hs, p, p + {w - 1}), 'min'))))
+          WHEN len(hs) >= 1 THEN [list_aggregate(hs, 'min')]
+          ELSE CAST([] AS BIGINT[]) END AS fps
+      FROM (
+        SELECT id, CASE WHEN length(s) >= {k}
+            THEN list_transform(range(1, length(s) - {k - 1} + 1), i -> ({kh}) % {mod})
+            ELSE CAST([] AS BIGINT[]) END AS hs
+        FROM (SELECT {id_expr} AS id, {norm} AS s FROM {source})
+      )"""
+
+
+def winnow_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """``(id, fp)`` exploded winnowed fingerprints — the candidate-signal
+    shape :func:`~spark_ensemble_spark.operators.dedup.winnow_dup_pairs`
+    consumes. One scan, one projection, no shuffle (beyond the same
+    small-input spread gate every interpreted-fold LSH family uses: the
+    rolling-hash folds are CodegenFallback, so a single-row-group test file
+    must not pin them to one or two tasks; no-op on production inputs that
+    already have ≥parallelism splits)."""
+    from spark_ensemble_spark.sources.datasets import spread_to_parallelism
+
+    df = spread_to_parallelism(df)
+    return df.select(
+        F.col(id_col),
+        F.explode(winnow_fingerprints(F.col(text_col), k=k, w=w)).alias("fp"),
+    )
+
+
 def redact(text: Column, kinds: Optional[Sequence[str]] = None) -> Column:
     """Replace PII-shaped substrings with typed placeholder tokens.
 

@@ -22,6 +22,7 @@ from spark_ensemble_spark.functions import metrics as _metrics
 from spark_ensemble_spark.operators import corpus as _corpus
 from spark_ensemble_spark.operators import dedup as _dedup
 from spark_ensemble_spark.operators import similarity as _similarity
+from spark_ensemble_spark.operators import text as _text
 from spark_ensemble_spark.sources.datasets import (
     binary_dataset,
     load_table,
@@ -2277,6 +2278,88 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", F.round(T.quality_score(F.col("text")), 6).alias("quality")
+    )
+
+
+@query(
+    "docs_winnow_fingerprints",
+    f"""
+    WITH f AS ({_text.winnow_table_sql("documents")})
+    SELECT id AS doc_id,
+           len(fps) AS n_fps,
+           coalesce(list_aggregate(fps, 'min'), -1) AS fp_min,
+           coalesce(list_aggregate(fps, 'max'), -1) AS fp_max,
+           CAST(coalesce(list_aggregate(fps, 'sum'), 0) AS BIGINT) AS fp_sum
+    FROM f
+    """,
+)
+def docs_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) document fingerprints — Schleimer et al.'s
+    MOSS selection: Rabin-Karp polynomial hash of every character 5-gram,
+    min of each 4-hash window, distinct. Pure Catalyst projection (one scan,
+    zero shuffles, whole-stage codegen). The oracle replays the identical
+    closed-form polynomial and window-min chain in DuckDB; the compared
+    per-doc facts (count/min/max/exact integer sum over the distinct set)
+    pin the fingerprint SET content, all-integer so there is no
+    floating-point hazard at any SF."""
+    from spark_ensemble_spark.operators.text import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(fps).alias("n_fps"),
+        F.coalesce(F.array_min(fps), F.lit(-1)).alias("fp_min"),
+        F.coalesce(F.array_max(fps), F.lit(-1)).alias("fp_max"),
+        F.aggregate(
+            fps, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("fp_sum"),
+    )
+
+
+_WINNOW_CAP, _WINNOW_MIN_SHARED = 100, 30
+
+
+@query(
+    "dedup_winnow_pairs",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 20
+    ),
+    f AS ({_text.winnow_table_sql("docs")}),
+    e AS (SELECT id, unnest(fps) AS fp FROM f),
+    c AS (SELECT id, fp, count(*) OVER (PARTITION BY fp) AS nfp FROM e),
+    kk AS (SELECT id, fp FROM c WHERE nfp <= {_WINNOW_CAP})
+    SELECT l.id AS id_a, r.id AS id_b, count(*) AS n_shared
+    FROM kk l JOIN kk r ON l.fp = r.fp AND l.id < r.id
+    GROUP BY 1, 2
+    HAVING count(*) >= {_WINNOW_MIN_SHARED}
+    """,
+)
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style near-dup pairs by shared winnowed rolling-hash
+    fingerprints, on the planted-duplicate fixture (doc_id < 20 docs
+    repeated under shifted ids). Ubiquitous fingerprints — corpus
+    boilerplate k-grams occurring in more than 100 documents — are
+    quarantined before the self-join (the idf/skew guard), which the oracle
+    replays as a per-fingerprint window count, so blocking recall AND the
+    skew cap are hash-checked at any SF. All-integer output."""
+    from spark_ensemble_spark.operators.dedup import winnow_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.unionByName(
+        docs.filter(F.col("doc_id") < 20).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(1_000_000)
+        )
+    )
+    return winnow_dup_pairs(
+        planted,
+        "text",
+        "doc_id",
+        min_shared=_WINNOW_MIN_SHARED,
+        max_fp_docs=_WINNOW_CAP,
     )
 
 

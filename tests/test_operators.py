@@ -2036,3 +2036,72 @@ def test_fuzzy_join_same_column_name_and_collisions(spark):
 
     with _pytest.raises(ValueError, match="sequence of names"):
         funnel_conversion(a.withColumnRenamed("name", "event_type"), "view")
+
+
+def test_winnow_guarantee_and_edges(spark):
+    """The winnowing guarantee (Schleimer et al. §3): any shared substring
+    of length >= k + w - 1 normalized characters between two documents
+    yields at least one SHARED selected fingerprint. Plus the degenerate
+    tiers: < k chars -> no fingerprints; one-window minimum for short docs;
+    fingerprints insensitive to case/punctuation/whitespace."""
+    from spark_ensemble_spark.operators.text import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, "PREFIX AAA " + shared + " suffix one"),
+        (2, "zzz unrelated lead-in " + shared + " tail!!!"),
+        (3, "completely different content about spark shuffles"),
+        (4, ""),            # no fingerprints
+        (5, "ab"),          # < k normalized chars
+        (6, "a b, C!d"),    # 4 normalized chars < k=5
+        (7, "abcde"),       # exactly one k-gram -> one fingerprint
+        (8, "The Quick-Brown FOX jumps OVER the lazy dog"),  # = shared, renormalized
+        (9, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    fps = {
+        r.doc_id: set(r.fps)
+        for r in df.select(
+            "doc_id", winnow_fingerprints(F.col("text")).alias("fps")
+        ).collect()
+    }
+    assert len(shared.replace(" ", "")) >= WINNOW_K + WINNOW_W - 1
+    assert fps[1] & fps[2], "shared substring must share a fingerprint"
+    assert fps[4] == set() and fps[5] == set() and fps[6] == set()
+    assert fps[9] == set()
+    assert len(fps[7]) == 1
+    # normalization: doc 8 is doc-text 'shared' modulo case/punct/space —
+    # its fingerprint set equals the standalone fingerprints of `shared`
+    shared_only = spark.createDataFrame([(0, shared)], "doc_id int, text string")
+    shared_fps = set(
+        shared_only.select(winnow_fingerprints(F.col("text")).alias("f"))
+        .collect()[0]
+        .f
+    )
+    assert fps[8] == shared_fps
+
+
+def test_winnow_dup_pairs_planted_and_cap(spark):
+    """Planted near-identical docs pair; unrelated docs don't; a
+    boilerplate fingerprint occurring in more than max_fp_docs documents is
+    quarantined (cap -> the pair signal it would have carried vanishes)."""
+    from spark_ensemble_spark.operators.dedup import winnow_dup_pairs
+
+    body = "spark ensemble methods bagging boosting stacking gradient trees"
+    rows = [(i, f"unique preamble {i} zz " + body) for i in range(6)]
+    rows += [(100, "totally unrelated text about parquet file footers today")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    # every pair of the 6 planted docs shares the long body
+    out = winnow_dup_pairs(df, min_shared=5, max_fp_docs=None).collect()
+    pairs = {(r.id_a, r.id_b) for r in out}
+    assert all(a < b for a, b in pairs)
+    assert {(a, b) for a in range(6) for b in range(a + 1, 6)} <= pairs
+    assert not any(100 in p for p in pairs)
+    # cap: the shared-body fingerprints occur in 6 docs; max_fp_docs=5
+    # quarantines them all -> no pair survives min_shared
+    capped = winnow_dup_pairs(df, min_shared=5, max_fp_docs=5).collect()
+    assert capped == []

@@ -163,6 +163,8 @@ BENCH_QUERIES = [
     # winnowing (MOSS rolling-hash) fingerprints + fingerprint-blocked pairs
     "docs_winnow_fingerprints",
     "dedup_winnow_pairs",
+    # BM25 lexical retrieval (inverted-index probe, broadcast query side)
+    "docs_bm25_topk",
 ]
 
 

@@ -1,0 +1,203 @@
+"""Full-text retrieval over the corpus: BM25 top-k scoring.
+
+The missing retrieval primitive next to the ANN family: given a (small) set
+of keyword queries, rank documents by Okapi BM25 (Robertson & Walker;
+Robertson & Zaragoza 2009, "The Probabilistic Relevance Framework: BM25 and
+Beyond"). ANN answers "which docs are semantically near this vector";
+BM25 answers "which docs match these terms" — the lexical side of hybrid
+retrieval, and the standard first-stage ranker for RAG corpus prep.
+
+Scale posture (the 100 TB contract):
+
+- The corpus is exploded ONCE into per-(doc, term) counts with map-side
+  partial aggregation — the same grouped frame every other text operator
+  builds; no second scan, no self-join, and the raw text never shuffles
+  (only (id, term, tf, dl) rows do).
+- The query set is the SMALL side by construction (thousands of queries ×
+  tens of terms); its distinct term set broadcasts, and a LEFT-SEMI join
+  prunes the posting table to query-term postings IMMEDIATELY — everything
+  downstream (df counts, scoring, the final agg) is bounded by matched
+  posting lists, not corpus size.
+- Per-term document frequencies are computed from the PRUNED posting table
+  (a left-semi join keeps every posting row of a kept term, so the counts
+  are exact) — a query-vocabulary-sized frame that broadcasts.
+- ``max_df`` is the posting-list skew guard: terms appearing in more than
+  ``max_df`` documents are dropped before scoring (the classic stopword
+  prune — a term in half the corpus carries ~zero idf but would drag a
+  posting list of n/2 rows through the join). Same role as the LSH
+  families' ``_cap_hot_buckets``.
+- The scoring agg shuffles on (query, doc) with partial aggregation; the
+  final top-k is a per-query window over that bounded frame.
+
+Determinism: per-term BM25 contributions are rounded then DECIMAL-summed
+(the ``unigram_logprob_score`` discipline) so partial-agg order cannot move
+a score; ranking breaks ties by doc id. ``ln`` is evaluated once per
+(query-term, doc) on identical double inputs in both engines.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from spark_ensemble_spark.operators.corpus import _words
+
+__all__ = ["bm25_topk", "bm25_oracle_sql"]
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 6,
+    max_df: Optional[int] = None,
+) -> DataFrame:
+    """Top-``k`` documents per query by Okapi BM25.
+
+    Returns ``(query_id, doc_id, score DECIMAL(38,round_to), rank)`` with
+    ``rank`` 1-based by ``(score desc, doc_id asc)``. A query whose terms
+    match nothing (or whose every term was ``max_df``-pruned) returns no
+    rows — retrieval found nothing, which is an answer, not an error.
+
+    ``score = Σ_terms round(idf(t) · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)),
+    round_to)`` with ``idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))`` (the
+    Lucene-style non-negative form) and ``dl/avgdl`` computed as
+    ``(dl·N)/Σdl`` — exact integer product, ONE double division, so the
+    normalization is bit-identical on any IEEE engine.
+    """
+    words = _words(F.col(text_col))
+    base = docs.select(
+        F.col(id_col).alias("__id"),
+        F.size(words).alias("__dl"),
+        F.explode(words).alias("__t"),
+    )
+    tf = base.groupBy("__id", "__t").agg(
+        F.count(F.lit(1)).alias("__tf"), F.max("__dl").alias("__dl")
+    )
+    # N and Σdl from the docs frame itself (counts empty docs too — they
+    # are real documents and belong in N and the length average).
+    stats = docs.select(F.size(_words(F.col(text_col))).alias("__w")).agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__w").alias("__sdl")
+    )
+
+    qterms = queries.select(
+        F.col(query_id_col).alias("__qid"),
+        F.explode(F.array_distinct(_words(F.col(query_text_col)))).alias("__t"),
+    )
+    qvocab = qterms.select("__t").distinct()
+
+    # Prune the posting table to query-term postings FIRST: left-semi keeps
+    # every (doc, term) row of a kept term, so downstream df counts stay
+    # exact while everything is bounded by matched posting lists.
+    postings = tf.join(F.broadcast(qvocab), "__t", "leftsemi")
+    qdf = postings.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    if max_df is not None:
+        qdf = qdf.filter(F.col("__df") <= F.lit(max_df))
+
+    n, sdl = F.col("__n"), F.col("__sdl")
+    dl_ratio = (F.col("__dl") * n).cast("double") / sdl
+    idf = F.log(
+        F.lit(1.0) + (n - F.col("__df") + F.lit(0.5)) / (F.col("__df") + F.lit(0.5))
+    )
+    tf_norm = (F.col("__tf") * F.lit(k1 + 1.0)) / (
+        F.col("__tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl_ratio)
+    )
+    contrib = F.round(idf * tf_norm, round_to).cast(f"decimal(38,{round_to})")
+
+    scored = (
+        postings.join(F.broadcast(qdf), "__t")
+        .join(F.broadcast(qterms), "__t")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("__qid", "__id")
+        .agg(F.sum(contrib).alias("score"))
+    )
+    w = Window.partitionBy("__qid").orderBy(F.desc("score"), F.asc("__id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col("__id").alias(id_col),
+            F.col("score").cast(f"decimal(38,{round_to})").alias("score"),
+            "rank",
+        )
+    )
+
+
+def bm25_oracle_sql(
+    query_rows: Sequence[Tuple[str, str]],
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 6,
+    max_df: Optional[int] = None,
+) -> str:
+    """DuckDB SQL replaying :func:`bm25_topk` bit-for-bit for a literal
+    query set: same tokenization, the exact-integer ``(dl·N)/Σdl`` length
+    normalization, the same ln-idf, per-term rounding then DECIMAL
+    summation, and the same ``(score desc, id asc)`` tie-break."""
+    values = ", ".join(f"('{qid}', '{qtext}')" for qid, qtext in query_rows)
+    df_filter = f"WHERE cnt <= {max_df}" if max_df is not None else ""
+    return f"""
+    WITH q(query_id, query_text) AS (VALUES {values}),
+    toks AS (
+      SELECT {id_col} AS id, u.t AS t
+      FROM {table},
+           unnest(string_split(regexp_replace(lower(trim(coalesce({text_col}, ''))),
+                               '\\s+', ' ', 'g'), ' ')) AS u(t)
+      WHERE u.t != ''
+    ),
+    tf AS (SELECT id, t, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT id, count(*) AS dl FROM toks GROUP BY 1),
+    stats AS (
+      SELECT (SELECT count(*) FROM {table}) AS n,
+             (SELECT count(*) FROM toks) AS sdl
+    ),
+    qt AS (
+      SELECT DISTINCT query_id, u.t AS t
+      FROM q,
+           unnest(string_split(regexp_replace(lower(trim(coalesce(query_text, ''))),
+                               '\\s+', ' ', 'g'), ' ')) AS u(t)
+      WHERE u.t != ''
+    ),
+    qdf AS (
+      SELECT t, cnt AS df FROM (
+        SELECT t, count(*) AS cnt FROM tf
+        WHERE t IN (SELECT t FROM qt) GROUP BY t
+      ) {df_filter}
+    ),
+    contrib AS (
+      SELECT qt.query_id, tf.id,
+             CAST(round(
+               ln(1.0 + (stats.n - qdf.df + 0.5) / (qdf.df + 0.5))
+               * ((tf.tf * {k1 + 1.0!r}) /
+                  (tf.tf + {k1!r} * ({1.0 - b!r} + {b!r} *
+                    (CAST(dl.dl * stats.n AS DOUBLE) / stats.sdl)))),
+               {round_to}) AS DECIMAL(38,{round_to})) AS s
+      FROM tf
+      JOIN qdf ON tf.t = qdf.t
+      JOIN qt ON tf.t = qt.t
+      JOIN dl ON tf.id = dl.id
+      CROSS JOIN stats
+    ),
+    scores AS (
+      SELECT query_id, id, CAST(sum(s) AS DECIMAL(38,{round_to})) AS score
+      FROM contrib GROUP BY 1, 2
+    )
+    SELECT query_id, id AS {id_col}, score, rank FROM (
+      SELECT query_id, id, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, id ASC) AS INT) AS rank
+      FROM scores
+    ) WHERE rank <= {k}"""

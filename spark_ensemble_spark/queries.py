@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from spark_ensemble_spark.functions import metrics as _metrics
 from spark_ensemble_spark.operators import corpus as _corpus
 from spark_ensemble_spark.operators import dedup as _dedup
+from spark_ensemble_spark.operators import retrieval as _retrieval
 from spark_ensemble_spark.operators import similarity as _similarity
 from spark_ensemble_spark.operators import text as _text
 from spark_ensemble_spark.sources.datasets import (
@@ -2360,6 +2361,45 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         min_shared=_WINNOW_MIN_SHARED,
         max_fp_docs=_WINNOW_CAP,
+    )
+
+
+# BM25 retrieval: a literal keyword-query set over the corpus vocabulary
+# (the fixture docs are whitespace-token text), including one query with a
+# no-match term (contributes nothing) and one all-miss query (no rows).
+_BM25_QUERIES = (
+    ("q_join", "spark window join"),
+    ("q_scan", "hash scan merge"),
+    ("q_mixed", "stream batch zzznope"),
+    ("q_miss", "qqqnothing zzznope"),
+)
+_BM25_K, _BM25_MAX_DF = 7, 4000
+
+
+@query(
+    "docs_bm25_topk",
+    _retrieval.bm25_oracle_sql(
+        _BM25_QUERIES, k=_BM25_K, max_df=_BM25_MAX_DF
+    ),
+)
+def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k lexical retrieval — the keyword-side ranker next to
+    the ANN family. Inverted-index plan: one corpus explode into (doc,
+    term, tf) with map-side partials, LEFT-SEMI prune to the broadcast
+    query vocabulary before anything else, df counts from the pruned
+    postings, ``max_df`` stopword guard, rounded-then-DECIMAL-summed
+    per-term contributions (partial-agg order cannot move a score), and a
+    per-query top-k window with a doc-id tie-break. The DuckDB oracle
+    replays tokenization, the exact-integer length normalization, ln-idf,
+    rounding, and the tie-break — every score and rank hash-checked."""
+    from spark_ensemble_spark.operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        list(_BM25_QUERIES), "query_id string, query_text string"
+    )
+    return bm25_topk(
+        docs, queries, k=_BM25_K, max_df=_BM25_MAX_DF
     )
 
 

@@ -2105,3 +2105,70 @@ def test_winnow_dup_pairs_planted_and_cap(spark):
     # quarantines them all -> no pair survives min_shared
     capped = winnow_dup_pairs(df, min_shared=5, max_fp_docs=5).collect()
     assert capped == []
+
+
+def test_bm25_hand_values_and_pruning(spark):
+    """BM25 scores match a plain-python replay of the formula on a
+    hand-sized corpus; ranking is (score desc, doc_id asc); empty docs
+    count in N and avgdl but never match; max_df prunes a term's whole
+    posting list; a no-match query returns no rows."""
+    import math
+
+    from spark_ensemble_spark.operators.retrieval import bm25_topk
+
+    corpus = {
+        1: "apple banana apple",
+        2: "banana cherry",
+        3: "cherry cherry cherry durian",
+        4: "",
+    }
+    docs = spark.createDataFrame(list(corpus.items()), "doc_id int, text string")
+    qs = spark.createDataFrame(
+        [("qa", "apple cherry"), ("qm", "nothinghere")],
+        "query_id string, query_text string",
+    )
+    out = {
+        (r.query_id, r.doc_id): (float(r.score), r.rank)
+        for r in bm25_topk(docs, qs, k=10).collect()
+    }
+
+    toks = {d: t.split() for d, t in corpus.items()}
+    n, sdl = len(toks), sum(len(v) for v in toks.values())
+
+    def expected(q, d):
+        s = 0.0
+        for t in set(q.split()):
+            tf = toks[d].count(t)
+            df = sum(1 for v in toks.values() if t in v)
+            if tf == 0:
+                continue
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            dlr = (len(toks[d]) * n) / sdl
+            s += round(idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dlr)), 6)
+        return round(s, 6)
+
+    assert set(out) == {("qa", 1), ("qa", 2), ("qa", 3)}  # qm: no rows
+    for d in (1, 2, 3):
+        assert out[("qa", d)][0] == expected("apple cherry", d)
+    assert [d for (q, d), (_, r) in sorted(out.items(), key=lambda kv: kv[1][1])] == [1, 3, 2]
+
+    # max_df=1 prunes cherry (df=2): only apple survives -> only doc 1
+    pruned = bm25_topk(docs, qs, k=10, max_df=1).collect()
+    assert [(r.query_id, r.doc_id, r.rank) for r in pruned] == [("qa", 1, 1)]
+
+
+def test_bm25_tie_break_and_k(spark):
+    """Identical docs tie on score -> doc_id ascending breaks the tie, and
+    k truncates the ranking deterministically."""
+    from spark_ensemble_spark.operators.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(10, "same words here"), (2, "same words here"), (7, "same words here")],
+        "doc_id int, text string",
+    )
+    qs = spark.createDataFrame([("q", "words")], "query_id string, query_text string")
+    out = bm25_topk(docs, qs, k=2).collect()
+    assert [(r.doc_id, r.rank) for r in sorted(out, key=lambda r: r.rank)] == [
+        (2, 1),
+        (7, 2),
+    ]

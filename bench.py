@@ -165,6 +165,8 @@ BENCH_QUERIES = [
     "dedup_winnow_pairs",
     # BM25 lexical retrieval (inverted-index probe, broadcast query side)
     "docs_bm25_topk",
+    # hybrid lexical+semantic retrieval via reciprocal-rank fusion
+    "docs_hybrid_rrf",
 ]
 
 

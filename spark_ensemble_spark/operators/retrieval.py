@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 
 from spark_ensemble_spark.operators.corpus import _words
 
-__all__ = ["bm25_topk", "bm25_oracle_sql"]
+__all__ = ["bm25_topk", "bm25_oracle_sql", "rrf_fuse", "rrf_oracle_sql"]
 
 
 def bm25_topk(
@@ -59,8 +59,14 @@ def bm25_topk(
     b: float = 0.75,
     round_to: int = 6,
     max_df: Optional[int] = None,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Top-``k`` documents per query by Okapi BM25.
+
+    ``exclude_self=True`` drops candidates whose document id equals the
+    query id — for query-by-document retrieval where query ids share the
+    document id domain (a document trivially retrieves itself); the ANN
+    family's ``brute_force_topk`` applies the same convention.
 
     Returns ``(query_id, doc_id, score DECIMAL(38,round_to), rank)`` with
     ``rank`` 1-based by ``(score desc, doc_id asc)``. A query whose terms
@@ -112,10 +118,13 @@ def bm25_topk(
     )
     contrib = F.round(idf * tf_norm, round_to).cast(f"decimal(38,{round_to})")
 
+    matched = postings.join(F.broadcast(qdf), "__t").join(
+        F.broadcast(qterms), "__t"
+    )
+    if exclude_self:
+        matched = matched.filter(F.col("__id") != F.col("__qid"))
     scored = (
-        postings.join(F.broadcast(qdf), "__t")
-        .join(F.broadcast(qterms), "__t")
-        .crossJoin(F.broadcast(stats))
+        matched.crossJoin(F.broadcast(stats))
         .groupBy("__qid", "__id")
         .agg(F.sum(contrib).alias("score"))
     )
@@ -133,7 +142,7 @@ def bm25_topk(
 
 
 def bm25_oracle_sql(
-    query_rows: Sequence[Tuple[str, str]],
+    query_rows: Optional[Sequence[Tuple[str, str]]] = None,
     table: str = "documents",
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -142,15 +151,29 @@ def bm25_oracle_sql(
     b: float = 0.75,
     round_to: int = 6,
     max_df: Optional[int] = None,
+    queries_sql: Optional[str] = None,
+    exclude_self: bool = False,
 ) -> str:
-    """DuckDB SQL replaying :func:`bm25_topk` bit-for-bit for a literal
-    query set: same tokenization, the exact-integer ``(dl·N)/Σdl`` length
-    normalization, the same ln-idf, per-term rounding then DECIMAL
-    summation, and the same ``(score desc, id asc)`` tie-break."""
-    values = ", ".join(f"('{qid}', '{qtext}')" for qid, qtext in query_rows)
+    """DuckDB SQL replaying :func:`bm25_topk` bit-for-bit: same
+    tokenization, the exact-integer ``(dl·N)/Σdl`` length normalization,
+    the same ln-idf, per-term rounding then DECIMAL summation, and the same
+    ``(score desc, id asc)`` tie-break.
+
+    The query set comes either from literal ``query_rows`` or from
+    ``queries_sql`` — a SELECT producing ``(query_id, query_text)`` —
+    exactly one must be given. ``exclude_self`` mirrors the operator's
+    query-by-document convention (query ids share the doc id domain)."""
+    if (query_rows is None) == (queries_sql is None):
+        raise ValueError("give exactly one of query_rows / queries_sql")
+    if queries_sql is None:
+        values = ", ".join(f"('{qid}', '{qtext}')" for qid, qtext in query_rows)
+        q_cte = f"q(query_id, query_text) AS (VALUES {values})"
+    else:
+        q_cte = f"q AS ({queries_sql})"
     df_filter = f"WHERE cnt <= {max_df}" if max_df is not None else ""
+    self_filter = "WHERE tf.id != qt.query_id" if exclude_self else ""
     return f"""
-    WITH q(query_id, query_text) AS (VALUES {values}),
+    WITH {q_cte},
     toks AS (
       SELECT {id_col} AS id, u.t AS t
       FROM {table},
@@ -190,6 +213,7 @@ def bm25_oracle_sql(
       JOIN qt ON tf.t = qt.t
       JOIN dl ON tf.id = dl.id
       CROSS JOIN stats
+      {self_filter}
     ),
     scores AS (
       SELECT query_id, id, CAST(sum(s) AS DECIMAL(38,{round_to})) AS score
@@ -200,4 +224,95 @@ def bm25_oracle_sql(
              CAST(row_number() OVER (PARTITION BY query_id
                                      ORDER BY score DESC, id ASC) AS INT) AS rank
       FROM scores
+    ) WHERE rank <= {k}"""
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 10,
+    c: int = 60,
+    round_to: int = 9,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) of
+    two or more per-query rankings: ``score(d) = Σ_r 1/(c + rank_r(d))``
+    over the lists that contain ``d`` — the standard score-free combiner
+    for hybrid retrieval (BM25 ⊕ embedding ANN), robust exactly because it
+    ignores incomparable raw scores and uses only ranks.
+
+    Returns ``(query_id, doc_id, rrf_score DECIMAL, n_lists, rank)`` with
+    ``rank`` 1-based by ``(rrf_score desc, doc_id asc)`` per query.
+
+    Scale posture: inputs are ALREADY top-k rankings, so every frame here
+    is ``O(k · |queries| · #lists)`` — union, one (query, doc) agg, one
+    per-query window; nothing corpus-sized. Each ``1/(c+rank)`` is one
+    double division on exact integers (engine-stable), rounded then
+    DECIMAL-summed so addition order cannot move a fused score."""
+    if len(rankings) < 2:
+        raise ValueError("rrf_fuse needs at least two rankings")
+    parts = [
+        r.select(
+            F.col(query_id_col).alias("__qid"),
+            F.col(id_col).alias("__id"),
+            F.col(rank_col).cast("int").alias("__rank"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    contrib = F.round(
+        F.lit(1.0) / (F.lit(c) + F.col("__rank")), round_to
+    ).cast(f"decimal(38,{round_to})")
+    scored = u.groupBy("__qid", "__id").agg(
+        F.sum(contrib).alias("rrf_score"),
+        F.count(F.lit(1)).cast("int").alias("n_lists"),
+    )
+    w = Window.partitionBy("__qid").orderBy(F.desc("rrf_score"), F.asc("__id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col("__id").alias(id_col),
+            F.col("rrf_score").cast(f"decimal(38,{round_to})").alias("rrf_score"),
+            "n_lists",
+            "rank",
+        )
+    )
+
+
+def rrf_oracle_sql(
+    ranking_sqls: Sequence[str],
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 10,
+    c: int = 60,
+    round_to: int = 9,
+) -> str:
+    """DuckDB SQL replaying :func:`rrf_fuse` over ranking subqueries (each
+    producing at least ``(query_id, id, rank)`` columns): the same
+    ``1/(c+rank)`` contributions, rounding, DECIMAL sum, and tie-break."""
+    lists = " UNION ALL ".join(
+        f"SELECT {query_id_col} AS qid, {id_col} AS id, {rank_col} AS rnk"
+        f" FROM ({s})"
+        for s in ranking_sqls
+    )
+    return f"""
+    WITH u AS ({lists}),
+    fused AS (
+      SELECT qid, id,
+             CAST(sum(CAST(round(1.0 / (CAST({c} AS INT) + rnk), {round_to})
+                           AS DECIMAL(38,{round_to}))) AS DECIMAL(38,{round_to})) AS rrf_score,
+             CAST(count(*) AS INT) AS n_lists
+      FROM u GROUP BY 1, 2
+    )
+    SELECT qid AS {query_id_col}, id AS {id_col}, rrf_score, n_lists, rank
+    FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY qid
+                     ORDER BY rrf_score DESC, id ASC) AS INT) AS rank
+      FROM fused
     ) WHERE rank <= {k}"""

@@ -2403,6 +2403,67 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hybrid retrieval: query-by-document over doc_ids < 3 (the fixture keys
+# documents and embeddings by the same id), fusing the BM25 ranking of the
+# doc's own text with the brute-force cosine ranking of its embedding via
+# reciprocal-rank fusion. Both branch rankings and the fusion arithmetic
+# are fully oracle-replayable.
+_HYBRID_K, _HYBRID_C = 8, 60
+_HYBRID_QUERIES_SQL = (
+    "SELECT doc_id AS query_id, text AS query_text FROM documents WHERE doc_id < 3"
+)
+_HYBRID_ANN_SQL = f"""
+  WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       qv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 3),
+       scored AS (
+         SELECT qv.vec_id AS query_id, c.vec_id AS doc_id,
+                {_similarity.guarded_cosine_sql('c.v', 'qv.v')} AS cosine
+         FROM c CROSS JOIN qv WHERE c.vec_id != qv.vec_id)
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rank
+    FROM scored) WHERE rank <= {_HYBRID_K}
+"""
+
+
+@query(
+    "docs_hybrid_rrf",
+    _retrieval.rrf_oracle_sql(
+        [
+            _retrieval.bm25_oracle_sql(
+                queries_sql=_HYBRID_QUERIES_SQL, k=_HYBRID_K, exclude_self=True
+            ),
+            _HYBRID_ANN_SQL,
+        ],
+        k=_HYBRID_K,
+        c=_HYBRID_C,
+    ),
+)
+def docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical ⊕ semantic retrieval via reciprocal-rank fusion
+    (Cormack et al. 2009): per query document, fuse the BM25 ranking of its
+    text with the exact cosine ranking of its embedding —
+    ``Σ 1/(c + rank)`` over the lists containing each candidate. The fusion
+    stage touches only the two top-k frames (``O(k·|queries|·2)`` rows);
+    both branch rankings AND the fused scores/ranks are hash-checked
+    against the DuckDB replay."""
+    from spark_ensemble_spark.operators.retrieval import bm25_topk, rrf_fuse
+    from spark_ensemble_spark.operators.similarity import brute_force_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    lex = bm25_topk(docs, queries, k=_HYBRID_K, exclude_self=True).select(
+        "query_id", "doc_id", "rank"
+    )
+    vec = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 3), k=_HYBRID_K
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    return rrf_fuse([lex, vec], k=_HYBRID_K, c=_HYBRID_C)
+
+
 @query(
     "dedup_exact",
     "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))",

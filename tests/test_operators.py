@@ -2172,3 +2172,38 @@ def test_bm25_tie_break_and_k(spark):
         (2, 1),
         (7, 2),
     ]
+
+
+def test_rrf_fuse_hand_values(spark):
+    """RRF scores match Σ 1/(c+rank) by hand; docs in both lists beat
+    docs in one; tie-break by doc id; needs >= 2 rankings."""
+    import pytest as _pytest
+
+    from spark_ensemble_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [("q", 1, 1), ("q", 2, 2), ("q", 3, 3)],
+        "query_id string, doc_id int, rank int",
+    )
+    b = spark.createDataFrame(
+        [("q", 2, 1), ("q", 4, 2)], "query_id string, doc_id int, rank int"
+    )
+    out = {
+        r.doc_id: (float(r.rrf_score), r.n_lists, r.rank)
+        for r in rrf_fuse([a, b], k=10, c=60).collect()
+    }
+    exp = {
+        2: round(1 / 62, 9) + round(1 / 61, 9),
+        1: round(1 / 61, 9),
+        4: round(1 / 62, 9),
+        3: round(1 / 63, 9),
+    }
+    assert set(out) == set(exp)
+    for d, s in exp.items():
+        assert abs(out[d][0] - s) < 1e-12
+    assert out[2][1] == 2 and out[1][1] == 1
+    # rank order: doc2 (both lists) first; doc1 (1/61) then doc4 (1/62) then doc3
+    assert [d for d, v in sorted(out.items(), key=lambda kv: kv[1][2])] == [2, 1, 4, 3]
+
+    with _pytest.raises(ValueError, match="at least two"):
+        rrf_fuse([a])

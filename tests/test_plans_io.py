@@ -804,3 +804,35 @@ def test_pca_projection_save_load_roundtrip(spark, tmp_path):
     b = pca_project(df, loaded).select("vec_id", "pca").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     df.unpersist()
+
+
+def test_bm25_broadcasts_query_side_never_corpus(spark, sf_dir):
+    """BM25's joins broadcast only query-sized frames (query terms, the
+    pruned df table, the 1-row stats aggregate); the corpus posting table
+    is never broadcast and never cross-joined — the plan must show
+    broadcast hash joins and zero cartesian/nested-loop nodes, with the
+    posting prune (left-semi against the query vocabulary) present."""
+    from spark_ensemble_spark.operators.retrieval import bm25_topk
+    from spark_ensemble_spark.sources.datasets import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    qs = spark.createDataFrame(
+        [("q1", "spark window join"), ("q2", "hash scan")],
+        "query_id string, query_text string",
+    )
+    out = bm25_topk(docs, qs, k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the ONLY nested-loop node allowed is the 1-row stats crossJoin (the
+    # repo-wide broadcast-1-row-aggregate idiom); a second one would mean a
+    # corpus-sized cross product
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "LeftSemi" in plan, "posting prune against query vocabulary missing"
+    assert "BroadcastHashJoin" in plan
+    # no corpus-sized build side: nothing directly under a BroadcastExchange
+    # may be a parquet scan (query frames are createDataFrame locals; the
+    # pruned df table hangs off aggregates)
+    import re
+
+    for m in re.finditer(r"BroadcastExchange[^\n]*\n(?:\s*\+- [^\n]*\n){0,2}", plan):
+        assert "FileScan parquet" not in m.group(0), m.group(0)

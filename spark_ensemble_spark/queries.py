@@ -4974,10 +4974,33 @@ def classification_metrics_dummy_prior(spark: SparkSession, sf_dir: str) -> Data
 #                                the computed ground truth inside the
 #                                srp/ivf/pq recall extra-oracles; slot freed
 #                                for dedup_resolved_corpus
+#   q3_top_revenue_orders      = (folded late-r7) 3-table join+agg shape
+#                                covered in-window by q5_nation_revenue, its
+#                                top-k window by topk_orders_per_priority;
+#                                slot freed for docs_bm25_topk
+#   text_language_id           = (folded late-r7) narrow text-scoring
+#                                projection family covered in-window by
+#                                text_analysis; slot freed for
+#                                dedup_winnow_pairs
+#   dedup_exact                = (folded late-r7) md5-normalize-groupBy-min
+#                                is the first stage of in-window
+#                                dedup_incremental; slot freed for
+#                                docs_hybrid_rrf
 # ---------------------------------------------------------------------------
 
 REGISTRY_ORDER = [
-    # -- r7 rotation first: the window tracks the engine frontier (VERDICT r6
+    # -- late-r7 frontier: BM25 lexical retrieval, winnowing (MOSS) dedup
+    # pairs, and hybrid lexical⊕semantic RRF fusion. Out (fold notes at the
+    # bottom; all three remain extra-oracle-verified ×2-3 SFs and benched):
+    # q3_top_revenue_orders (join+agg shape covered by q5_nation_revenue,
+    # top-k window by topk_orders_per_priority), text_language_id (narrow
+    # text-scoring projection family covered by text_analysis),
+    # dedup_exact (the md5-normalize-groupBy stage is the first stage of
+    # in-window dedup_incremental).
+    "docs_bm25_topk",
+    "dedup_winnow_pairs",
+    "docs_hybrid_rrf",
+    # -- r7 rotation: the window tracks the engine frontier (VERDICT r6
     # #2). In: leakage-safe splits (near-dup components land in ONE split),
     # streaming model scoring (online inference), residual IVF-PQ ANN, and
     # the end-to-end resolved corpus (dedup clusters → canonical survivors).
@@ -5018,9 +5041,8 @@ REGISTRY_ORDER = [
     # -- new r4: corpus-curation operators, driver-visible at last --
     "strip_boilerplate",
     "contamination_overlap",
-    # -- relational core --
+    # -- relational core (q3_top_revenue_orders folded late-r7: see header) --
     "q1_pricing_summary",
-    "q3_top_revenue_orders",
     "q5_nation_revenue",
     "q4_priority_exists",
     # -- new r5: incremental dedup + PQ ANN promoted into the driver window
@@ -5047,10 +5069,9 @@ REGISTRY_ORDER = [
     "stacking_dummy_regressor",
     "stacking_dummy_prior_classifier",
     "stacking_tree_classifier",
-    # -- text / dedup / similarity / multimodal / streaming --
+    # -- text / dedup / similarity / multimodal / streaming
+    # (text_language_id + dedup_exact folded late-r7: see header) --
     "text_analysis",
-    "text_language_id",
-    "dedup_exact",
     "dedup_minhash_md5",
     "dedup_ngram_jaccard",
     "dedup_clusters",

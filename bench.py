@@ -167,6 +167,8 @@ BENCH_QUERIES = [
     "docs_bm25_topk",
     # hybrid lexical+semantic retrieval via reciprocal-rank fusion
     "docs_hybrid_rrf",
+    # BM25 query alerting at ingest (frozen-stats model, stateless stream)
+    "streaming_bm25_alerts",
 ]
 
 

@@ -79,6 +79,12 @@ def bm25_topk(
     ``(dl·N)/Σdl`` — exact integer product, ONE double division, so the
     normalization is bit-identical on any IEEE engine.
     """
+    from spark_ensemble_spark.sources.datasets import spread_to_parallelism
+
+    # Same small-input spread gate as the LSH families: the tokenize +
+    # explode stage must not be pinned to a single-row-group test file's
+    # one task; no-op on production inputs with ≥parallelism splits.
+    docs = spread_to_parallelism(docs)
     words = _words(F.col(text_col))
     base = docs.select(
         F.col(id_col).alias("__id"),
@@ -153,6 +159,7 @@ def bm25_oracle_sql(
     max_df: Optional[int] = None,
     queries_sql: Optional[str] = None,
     exclude_self: bool = False,
+    ranked: bool = True,
 ) -> str:
     """DuckDB SQL replaying :func:`bm25_topk` bit-for-bit: same
     tokenization, the exact-integer ``(dl·N)/Σdl`` length normalization,
@@ -162,7 +169,11 @@ def bm25_oracle_sql(
     The query set comes either from literal ``query_rows`` or from
     ``queries_sql`` — a SELECT producing ``(query_id, query_text)`` —
     exactly one must be given. ``exclude_self`` mirrors the operator's
-    query-by-document convention (query ids share the doc id domain)."""
+    query-by-document convention (query ids share the doc id domain).
+    ``ranked=False`` emits ALL positive ``(query_id, doc_id, score)`` rows
+    with no rank column — the replay of :func:`bm25_frozen_scores`' frozen
+    scoring projection (the streaming seam), whose per-doc computation
+    cannot rank globally."""
     if (query_rows is None) == (queries_sql is None):
         raise ValueError("give exactly one of query_rows / queries_sql")
     if queries_sql is None:
@@ -172,6 +183,17 @@ def bm25_oracle_sql(
         q_cte = f"q AS ({queries_sql})"
     df_filter = f"WHERE cnt <= {max_df}" if max_df is not None else ""
     self_filter = "WHERE tf.id != qt.query_id" if exclude_self else ""
+    if ranked:
+        final = f"""SELECT query_id, id AS {id_col}, score, rank FROM (
+      SELECT query_id, id, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, id ASC) AS INT) AS rank
+      FROM scores
+    ) WHERE rank <= {k}"""
+    else:
+        final = (
+            f"SELECT query_id, id AS {id_col}, score FROM scores WHERE score > 0"
+        )
     return f"""
     WITH {q_cte},
     toks AS (
@@ -219,12 +241,8 @@ def bm25_oracle_sql(
       SELECT query_id, id, CAST(sum(s) AS DECIMAL(38,{round_to})) AS score
       FROM contrib GROUP BY 1, 2
     )
-    SELECT query_id, id AS {id_col}, score, rank FROM (
-      SELECT query_id, id, score,
-             CAST(row_number() OVER (PARTITION BY query_id
-                                     ORDER BY score DESC, id ASC) AS INT) AS rank
-      FROM scores
-    ) WHERE rank <= {k}"""
+    {final}"""
+
 
 
 def rrf_fuse(
@@ -316,3 +334,124 @@ def rrf_oracle_sql(
                      ORDER BY rrf_score DESC, id ASC) AS INT) AS rank
       FROM fused
     ) WHERE rank <= {k}"""
+
+
+def bm25_query_model(
+    docs: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df: Optional[int] = None,
+):
+    """Compile a FROZEN BM25 scoring model from a static reference corpus:
+    per-(query, term) idf plus the corpus stats ``(N, Σdl)``, as plain
+    Python values. The collected state is bounded by the QUERY vocabulary
+    (tens to thousands of rows — the bloom-mask/mixing-rates class of
+    driver state, never corpus-sized), which is what makes the model
+    broadcastable as pure literals into a stateless streaming projection
+    (:func:`bm25_frozen_scores`).
+
+    Returns ``(model, n_docs, sum_dl)`` with
+    ``model = {query_id: [(term, idf), ...]}`` (terms sorted for a
+    deterministic fold order)."""
+    words = _words(F.col(text_col))
+    tf = (
+        docs.select(F.col(id_col).alias("__id"), F.explode(words).alias("__t"))
+        .groupBy("__id", "__t")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    qterms = queries.select(
+        F.col(query_id_col).alias("__qid"),
+        F.explode(F.array_distinct(_words(F.col(query_text_col)))).alias("__t"),
+    )
+    qvocab = qterms.select("__t").distinct()
+    qdf = (
+        tf.join(F.broadcast(qvocab), "__t", "leftsemi")
+        .groupBy("__t")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+    if max_df is not None:
+        qdf = qdf.filter(F.col("__df") <= F.lit(max_df))
+    n, sdl = (
+        docs.select(F.size(_words(F.col(text_col))).alias("__w"))
+        .agg(F.count(F.lit(1)), F.sum("__w"))
+        .first()
+    )
+    sdl = int(sdl or 0)
+    # query-vocab-sized collect: (query_id, term, df) rows only
+    rows = (
+        qterms.join(F.broadcast(qdf), "__t")
+        .select("__qid", "__t", "__df")
+        .collect()
+    )
+    import math
+
+    model: dict = {}
+    for r in rows:
+        df_t = r["__df"]
+        idf = math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
+        model.setdefault(r["__qid"], []).append((r["__t"], idf))
+    for terms in model.values():
+        terms.sort()
+    return model, int(n), sdl
+
+
+def bm25_frozen_scores(
+    text: Column,
+    model,
+    n_docs: int,
+    sum_dl: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 6,
+) -> Column:
+    """Score a document's text against every query of a compiled
+    :func:`bm25_query_model` as ONE narrow column expression — an
+    ``array<struct<query_id, score>>`` with one entry per query whose score
+    is positive (at least one term matched).
+
+    This is the streaming seam: the model is pure literals and the
+    computation reads only the row's own text, so the expression composes
+    with ``readStream`` as a STATELESS append-mode projection (the Bloom
+    decontamination pattern — no watermark, no state store). Per-row cost
+    is O(dl · total query terms) bound-array element ops: the token array
+    is bound ONCE via ``_let`` (the winnowing lesson — a closed-over
+    subexpression re-evaluates per element on the interpreted path), and
+    each term's tf is a single pass over it."""
+    from spark_ensemble_spark.operators.text import _let
+
+    if not model:
+        return F.array().cast(
+            f"array<struct<query_id:string,score:decimal(38,{round_to})>>"
+        )
+
+    def scores(words: Column) -> Column:
+        dl_ratio = (F.size(words) * F.lit(n_docs)).cast("double") / F.lit(
+            max(sum_dl, 1)
+        )
+        entries = []
+        for qid, terms in sorted(model.items(), key=lambda kv: str(kv[0])):
+            score = None
+            for term, idf in terms:
+                tf = F.size(F.filter(words, lambda w: w == F.lit(term)))
+                tf_norm = (tf * F.lit(k1 + 1.0)) / (
+                    tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl_ratio)
+                )
+                contrib = F.round(F.lit(idf) * tf_norm, round_to).cast(
+                    f"decimal(38,{round_to})"
+                )
+                score = contrib if score is None else score + contrib
+            entries.append(
+                F.struct(
+                    F.lit(qid).alias("query_id"),
+                    score.cast(f"decimal(38,{round_to})").alias("score"),
+                )
+            )
+        arr = F.array(*entries)
+        return F.filter(arr, lambda e: e["score"] > 0)
+
+    return _let(_words(text), scores)

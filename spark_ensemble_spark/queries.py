@@ -2465,6 +2465,27 @@ def docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_bm25_alerts",
+    _retrieval.bm25_oracle_sql(_BM25_QUERIES, ranked=False),
+)
+def streaming_bm25_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 query alerting applied IN the ingest stream: the frozen-stats
+    query model (per-term idf + corpus N/Σdl, compiled batch-side — the
+    collected state is query-vocabulary-sized) is pure literals, so scoring
+    is a stateless append-mode projection over the document stream: no
+    watermark, no state store. The token array is let-bound once per row
+    (the interpreted-HOF single-evaluation discipline). The oracle is the
+    UNRANKED BM25 replay — every positive (doc, query) score over the same
+    corpus — so stream scoring parity is hash-checked to the last rounded
+    decimal."""
+    from spark_ensemble_spark.streaming.corpus import (
+        streaming_bm25_alerts as run,
+    )
+
+    return run(spark, sf_dir, _BM25_QUERIES)
+
+
+@query(
     "dedup_exact",
     "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))",
 )

@@ -302,3 +302,66 @@ write_stream_exactly_once` pattern), so a crash-replayed batch rewrites its
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def bm25_alert_stream(
+    docs: DataFrame,
+    model,
+    n_docs: int,
+    sum_dl: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 6,
+) -> DataFrame:
+    """Query alerting at INGEST: score each incoming document against a
+    compiled frozen-stats BM25 query model
+    (:func:`~spark_ensemble_spark.operators.retrieval.bm25_query_model`)
+    and emit one ``(id, query_id, score)`` row per positive match. The
+    model is pure literals (query-vocabulary-sized), so this is a
+    STATELESS append-mode projection — the Bloom-decontamination pattern:
+    no watermark, no state store, per-micro-batch cost = the batch
+    projection's. Works identically on batch frames (stream/batch parity
+    is the test)."""
+    from spark_ensemble_spark.operators.retrieval import bm25_frozen_scores
+
+    scores = bm25_frozen_scores(
+        F.col(text_col), model, n_docs, sum_dl, k1=k1, b=b, round_to=round_to
+    )
+    return docs.select(
+        F.col(id_col), F.explode(scores).alias("__e")
+    ).select(
+        id_col,
+        F.col("__e.query_id").alias("query_id"),
+        F.col("__e.score").alias("score"),
+    )
+
+
+def streaming_bm25_alerts(
+    spark: SparkSession,
+    sf_dir: str,
+    query_rows,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """File-replay harness: compile the BM25 query model from the batch
+    documents table (the frozen reference corpus), stream the same table
+    through :func:`bm25_alert_stream`, and return every positive
+    (doc, query) score."""
+    from spark_ensemble_spark.operators.retrieval import bm25_query_model
+    from spark_ensemble_spark.sources.datasets import load_table
+
+    spark = replay_session(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    queries = spark.createDataFrame(
+        list(query_rows), "query_id string, query_text string"
+    )
+    model, n, sdl = bm25_query_model(docs, queries, k1=k1, b=b)
+    stream = (
+        read_documents_stream(spark, sf_dir)
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    alerts = bm25_alert_stream(stream, model, n, sdl, k1=k1, b=b)
+    return run_to_memory(alerts, "append", "stream_bm25_alerts")

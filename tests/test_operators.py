@@ -2207,3 +2207,41 @@ def test_rrf_fuse_hand_values(spark):
 
     with _pytest.raises(ValueError, match="at least two"):
         rrf_fuse([a])
+
+
+def test_bm25_alert_stream_equals_batch(spark, sf_dir):
+    """The frozen-stats BM25 scoring projection emits IDENTICAL rows on
+    the document stream and on the batch frame (stateless seam parity),
+    and the compiled model's scores agree with bm25_topk's corpus scoring
+    on the same corpus (same idf/stats, unranked)."""
+    from spark_ensemble_spark.operators.retrieval import (
+        bm25_query_model,
+        bm25_topk,
+    )
+    from spark_ensemble_spark.sources.datasets import load_table
+    from spark_ensemble_spark.streaming.corpus import (
+        bm25_alert_stream,
+        streaming_bm25_alerts,
+    )
+
+    qrows = [("q1", "spark window join"), ("q2", "hash scan")]
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    model, n, sdl = bm25_query_model(
+        docs, spark.createDataFrame(qrows, "query_id string, query_text string")
+    )
+    batch = {
+        (r.doc_id, r.query_id): r.score
+        for r in bm25_alert_stream(docs, model, n, sdl).collect()
+    }
+    streamed = {
+        (r.doc_id, r.query_id): r.score
+        for r in streaming_bm25_alerts(spark, sf_dir, qrows).collect()
+    }
+    assert streamed == batch and batch
+    # agree with the corpus-side scorer (k large enough to keep every match)
+    qdf = spark.createDataFrame(qrows, "query_id string, query_text string")
+    full = {
+        (r.doc_id, r.query_id): r.score
+        for r in bm25_topk(docs, qdf, k=10**9).collect()
+    }
+    assert batch == full

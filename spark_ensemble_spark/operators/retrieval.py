@@ -44,7 +44,51 @@ from pyspark.sql import functions as F
 
 from spark_ensemble_spark.operators.corpus import _words
 
-__all__ = ["bm25_topk", "bm25_oracle_sql", "rrf_fuse", "rrf_oracle_sql"]
+__all__ = [
+    "bm25_topk",
+    "bm25_oracle_sql",
+    "build_bm25_index",
+    "rrf_fuse",
+    "rrf_oracle_sql",
+]
+
+
+def build_bm25_index(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> Tuple[DataFrame, DataFrame]:
+    """One-pass BM25 posting index build: returns ``(postings, stats)``
+    with ``postings = (term, <id_col>, tf, dl)`` and the 1-row
+    ``stats = (n_docs, sum_dl)``.
+
+    This is the PRODUCTION serving shape (the persisted-signature-index
+    precedent of ``dedup_against_corpus``): pay the corpus explode ONCE at
+    index time, persist — ideally bucketed+sorted by ``term`` via
+    ``sources.io.write_bucketed_table`` — then every query batch served
+    through ``bm25_topk(index=...)`` touches only posting lists, and the
+    per-term df aggregation runs shuffle-free on the bucket distribution.
+    Serving without an index re-explodes the corpus twice per query batch
+    (the df-count pass and the scoring pass) — fine for one-off analytics,
+    wrong for a query service."""
+    from spark_ensemble_spark.sources.datasets import spread_to_parallelism
+
+    docs = spread_to_parallelism(docs)
+    words = _words(F.col(text_col))
+    postings = (
+        docs.select(
+            F.col(id_col).alias("__id"),
+            F.size(words).alias("__dl"),
+            F.explode(words).alias("__t"),
+        )
+        .groupBy("__id", "__t")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("__dl").alias("dl"))
+        .select(
+            F.col("__t").alias("term"), F.col("__id").alias(id_col), "tf", "dl"
+        )
+    )
+    stats = docs.select(F.size(_words(F.col(text_col))).alias("__w")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("__w").alias("sum_dl")
+    )
+    return postings, stats
 
 
 def bm25_topk(
@@ -60,8 +104,14 @@ def bm25_topk(
     round_to: int = 6,
     max_df: Optional[int] = None,
     exclude_self: bool = False,
+    index: Optional[DataFrame] = None,
+    index_stats: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Top-``k`` documents per query by Okapi BM25.
+
+    Pass a prebuilt ``(index, index_stats)`` pair from
+    :func:`build_bm25_index` (persisted, ideally term-bucketed) to serve
+    without re-exploding the corpus — ``docs`` may then be ``None``.
 
     ``exclude_self=True`` drops candidates whose document id equals the
     query id — for query-by-document retrieval where query ids share the
@@ -79,32 +129,50 @@ def bm25_topk(
     ``(dl·N)/Σdl`` — exact integer product, ONE double division, so the
     normalization is bit-identical on any IEEE engine.
     """
-    from spark_ensemble_spark.sources.datasets import spread_to_parallelism
+    if (index is None) != (index_stats is None):
+        raise ValueError("pass index and index_stats together")
+    if index is not None:
+        tf = index.select(
+            F.col("term").alias("__t"),
+            F.col(id_col).alias("__id"),
+            F.col("tf").alias("__tf"),
+            F.col("dl").alias("__dl"),
+        )
+        stats = index_stats.select(
+            F.col("n_docs").alias("__n"), F.col("sum_dl").alias("__sdl")
+        )
+    else:
+        if docs is None:
+            raise ValueError("need docs or a prebuilt index")
+        from spark_ensemble_spark.sources.datasets import spread_to_parallelism
 
-    # Same small-input spread gate as the LSH families: the tokenize +
-    # explode stage must not be pinned to a single-row-group test file's
-    # one task; no-op on production inputs with ≥parallelism splits.
-    docs = spread_to_parallelism(docs)
-    words = _words(F.col(text_col))
-    base = docs.select(
-        F.col(id_col).alias("__id"),
-        F.size(words).alias("__dl"),
-        F.explode(words).alias("__t"),
-    )
-    tf = base.groupBy("__id", "__t").agg(
-        F.count(F.lit(1)).alias("__tf"), F.max("__dl").alias("__dl")
-    )
-    # N and Σdl from the docs frame itself (counts empty docs too — they
-    # are real documents and belong in N and the length average).
-    stats = docs.select(F.size(_words(F.col(text_col))).alias("__w")).agg(
-        F.count(F.lit(1)).alias("__n"), F.sum("__w").alias("__sdl")
-    )
+        # Same small-input spread gate as the LSH families: the tokenize +
+        # explode stage must not be pinned to a single-row-group test
+        # file's one task; no-op on production inputs with ≥parallelism
+        # splits.
+        docs = spread_to_parallelism(docs)
+        words = _words(F.col(text_col))
+        base = docs.select(
+            F.col(id_col).alias("__id"),
+            F.size(words).alias("__dl"),
+            F.explode(words).alias("__t"),
+        )
+        tf = base.groupBy("__id", "__t").agg(
+            F.count(F.lit(1)).alias("__tf"), F.max("__dl").alias("__dl")
+        )
+        # N and Σdl from the docs frame itself (counts empty docs too —
+        # they are real documents and belong in N and the length average).
+        stats = docs.select(F.size(_words(F.col(text_col))).alias("__w")).agg(
+            F.count(F.lit(1)).alias("__n"), F.sum("__w").alias("__sdl")
+        )
 
     qterms = queries.select(
         F.col(query_id_col).alias("__qid"),
         F.explode(F.array_distinct(_words(F.col(query_text_col)))).alias("__t"),
     )
-    qvocab = qterms.select("__t").distinct()
+    # no .distinct(): the semi-join build side dedups inside the hashed
+    # relation, and the distinct would cost a term-keyed exchange
+    qvocab = qterms.select("__t")
 
     # Prune the posting table to query-term postings FIRST: left-semi keeps
     # every (doc, term) row of a kept term, so downstream df counts stay
@@ -368,7 +436,9 @@ def bm25_query_model(
         F.col(query_id_col).alias("__qid"),
         F.explode(F.array_distinct(_words(F.col(query_text_col)))).alias("__t"),
     )
-    qvocab = qterms.select("__t").distinct()
+    # no .distinct(): the semi-join build side dedups inside the hashed
+    # relation, and the distinct would cost a term-keyed exchange
+    qvocab = qterms.select("__t")
     qdf = (
         tf.join(F.broadcast(qvocab), "__t", "leftsemi")
         .groupBy("__t")

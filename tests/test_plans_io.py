@@ -836,3 +836,51 @@ def test_bm25_broadcasts_query_side_never_corpus(spark, sf_dir):
 
     for m in re.finditer(r"BroadcastExchange[^\n]*\n(?:\s*\+- [^\n]*\n){0,2}", plan):
         assert "FileScan parquet" not in m.group(0), m.group(0)
+
+
+def test_bm25_index_serving_equivalence_and_no_term_shuffle(spark, sf_dir, tmp_path):
+    """Serving from a term-bucketed persisted BM25 index returns EXACTLY
+    the inline result, and the per-term df aggregation runs on the bucket
+    distribution — no exchange keyed on the term column anywhere in the
+    serving plan (the only exchanges belong to the (query, doc) scoring agg
+    and the per-query window)."""
+    from spark_ensemble_spark.operators.retrieval import bm25_topk, build_bm25_index
+    from spark_ensemble_spark.sources.datasets import load_table
+    from spark_ensemble_spark.sources.io import write_bucketed_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    qs = spark.createDataFrame(
+        [("q1", "spark window join"), ("q2", "hash scan merge")],
+        "query_id string, query_text string",
+    )
+    inline = {
+        (r.query_id, r.doc_id): (r.score, r.rank)
+        for r in bm25_topk(docs, qs, k=5).collect()
+    }
+
+    postings, stats = build_bm25_index(docs)
+    spark.sql("DROP TABLE IF EXISTS bm25_idx_test")
+    import shutil
+
+    shutil.rmtree("spark-warehouse/bm25_idx_test", ignore_errors=True)
+    write_bucketed_table(postings, "bm25_idx_test", "term", num_buckets=8)
+    idx = spark.table("bm25_idx_test")
+    served_df = bm25_topk(None, qs, k=5, index=idx, index_stats=stats)
+    served = {
+        (r.query_id, r.doc_id): (r.score, r.rank) for r in served_df.collect()
+    }
+    assert served == inline and inline
+
+    plan = served_df._jdf.queryExecution().executedPlan().toString()
+    # AQE plan strings append the pre-adaptive "Initial Plan" — judge the
+    # FINAL plan only
+    final = plan.split("== Initial Plan ==")[0]
+    import re
+
+    term_exchanges = [
+        m.group(0)
+        for m in re.finditer(r"Exchange hashpartitioning\(__t#\d+,", final)
+    ]
+    assert not term_exchanges, term_exchanges
+    assert "Bucketed: true" in final
+    spark.sql("DROP TABLE IF EXISTS bm25_idx_test")

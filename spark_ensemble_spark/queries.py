@@ -2446,7 +2446,9 @@ def docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``Σ 1/(c + rank)`` over the lists containing each candidate. The fusion
     stage touches only the two top-k frames (``O(k·|queries|·2)`` rows);
     both branch rankings AND the fused scores/ranks are hash-checked
-    against the DuckDB replay."""
+    against the DuckDB replay. The brute-force cosine branch is the ORACLE
+    path (exact, replayable); production swaps in ``ivf_topk``/``pq_topk``
+    for the semantic branch — ``rrf_fuse`` is ranking-agnostic."""
     from spark_ensemble_spark.operators.retrieval import bm25_topk, rrf_fuse
     from spark_ensemble_spark.operators.similarity import brute_force_topk
 

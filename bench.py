@@ -169,6 +169,8 @@ BENCH_QUERIES = [
     "docs_hybrid_rrf",
     # BM25 query alerting at ingest (frozen-stats model, stateless stream)
     "streaming_bm25_alerts",
+    # conjunctive (AND-semantics) BM25
+    "docs_bm25_conjunctive",
 ]
 
 

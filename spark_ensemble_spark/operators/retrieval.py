@@ -106,8 +106,16 @@ def bm25_topk(
     exclude_self: bool = False,
     index: Optional[DataFrame] = None,
     index_stats: Optional[DataFrame] = None,
+    require_all_terms: bool = False,
 ) -> DataFrame:
     """Top-``k`` documents per query by Okapi BM25.
+
+    ``require_all_terms=True`` switches to conjunctive (AND) semantics: a
+    candidate must match EVERY effective query term — "effective" meaning
+    the terms surviving the ``max_df`` prune, the same convention as a
+    search engine dropping stopwords from the query before conjunction.
+    Costs one extra broadcast of the per-query term counts; the candidate
+    set only shrinks.
 
     Pass a prebuilt ``(index, index_stats)`` pair from
     :func:`build_bm25_index` (persisted, ideally term-bucketed) to serve
@@ -200,8 +208,20 @@ def bm25_topk(
     scored = (
         matched.crossJoin(F.broadcast(stats))
         .groupBy("__qid", "__id")
-        .agg(F.sum(contrib).alias("score"))
+        .agg(
+            F.sum(contrib).alias("score"),
+            F.count(F.lit(1)).alias("__nmatch"),
+        )
     )
+    if require_all_terms:
+        qn = (
+            qterms.join(F.broadcast(qdf), "__t")
+            .groupBy("__qid")
+            .agg(F.count(F.lit(1)).alias("__qn"))
+        )
+        scored = scored.join(F.broadcast(qn), "__qid").filter(
+            F.col("__nmatch") == F.col("__qn")
+        )
     w = Window.partitionBy("__qid").orderBy(F.desc("score"), F.asc("__id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -228,6 +248,7 @@ def bm25_oracle_sql(
     queries_sql: Optional[str] = None,
     exclude_self: bool = False,
     ranked: bool = True,
+    require_all_terms: bool = False,
 ) -> str:
     """DuckDB SQL replaying :func:`bm25_topk` bit-for-bit: same
     tokenization, the exact-integer ``(dl·N)/Σdl`` length normalization,
@@ -251,6 +272,11 @@ def bm25_oracle_sql(
         q_cte = f"q AS ({queries_sql})"
     df_filter = f"WHERE cnt <= {max_df}" if max_df is not None else ""
     self_filter = "WHERE tf.id != qt.query_id" if exclude_self else ""
+    conj_having = (
+        "HAVING count(*) = (SELECT qn FROM qn WHERE qn.query_id = contrib.query_id)"
+        if require_all_terms
+        else ""
+    )
     if ranked:
         final = f"""SELECT query_id, id AS {id_col}, score, rank FROM (
       SELECT query_id, id, score,
@@ -305,9 +331,13 @@ def bm25_oracle_sql(
       CROSS JOIN stats
       {self_filter}
     ),
+    qn AS (
+      SELECT query_id, count(*) AS qn FROM qt JOIN qdf ON qt.t = qdf.t GROUP BY 1
+    ),
     scores AS (
       SELECT query_id, id, CAST(sum(s) AS DECIMAL(38,{round_to})) AS score
       FROM contrib GROUP BY 1, 2
+      {conj_having}
     )
     {final}"""
 
@@ -525,3 +555,33 @@ def bm25_frozen_scores(
         return F.filter(arr, lambda e: e["score"] > 0)
 
     return _let(_words(text), scores)
+
+
+def merge_bm25_index(
+    index: DataFrame,
+    index_stats: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Tuple[DataFrame, DataFrame]:
+    """Append-only BM25 index maintenance: tokenize ONLY the new delivery,
+    union its postings into the existing index, and add the stats — the
+    indexed corpus is never re-read (the ``incremental_dedup_stream``
+    discipline). Assumes delivery doc ids are disjoint from the index (an
+    upstream exact-dedup/anti-join is the usual guard); re-delivered ids
+    would double-count.
+
+    Returns the merged ``(postings, stats)``. For a persisted bucketed
+    index, write the new postings with the same ``bucketBy`` spec and
+    ``mode='append'`` — bucket co-location is per-file, so appended files
+    keep the shuffle-free df aggregation."""
+    new_postings, new_stats = build_bm25_index(new_docs, text_col, id_col)
+    postings = index.unionByName(new_postings)
+    stats = (
+        index_stats.unionByName(new_stats)
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("sum_dl").alias("sum_dl"),
+        )
+    )
+    return postings, stats

@@ -2467,6 +2467,33 @@ def docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_bm25_conjunctive",
+    _retrieval.bm25_oracle_sql(
+        _BM25_QUERIES, k=_BM25_K, max_df=_BM25_MAX_DF, require_all_terms=True
+    ),
+)
+def docs_bm25_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (AND-semantics) BM25: candidates must match EVERY
+    effective query term — the search-engine default for precise queries.
+    Same inverted-index plan as docs_bm25_topk plus one broadcast of the
+    per-query effective-term counts; the oracle replays the count-equality
+    gate along with every score and rank."""
+    from spark_ensemble_spark.operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        list(_BM25_QUERIES), "query_id string, query_text string"
+    )
+    return bm25_topk(
+        docs,
+        queries,
+        k=_BM25_K,
+        max_df=_BM25_MAX_DF,
+        require_all_terms=True,
+    )
+
+
+@query(
     "streaming_bm25_alerts",
     _retrieval.bm25_oracle_sql(_BM25_QUERIES, ranked=False),
 )

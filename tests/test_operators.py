@@ -2245,3 +2245,49 @@ def test_bm25_alert_stream_equals_batch(spark, sf_dir):
         for r in bm25_topk(docs, qdf, k=10**9).collect()
     }
     assert batch == full
+
+
+def test_bm25_conjunctive_and_merge_index(spark):
+    """require_all_terms keeps only docs matching every effective query
+    term; merging a delivery into an index serves the same results as an
+    index rebuilt from the full corpus."""
+    from spark_ensemble_spark.operators.retrieval import (
+        bm25_topk,
+        build_bm25_index,
+        merge_bm25_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana cherry"),
+            (2, "apple banana"),
+            (3, "apple durian"),
+            (4, "banana cherry"),
+        ],
+        "doc_id int, text string",
+    )
+    qs = spark.createDataFrame(
+        [("q", "apple banana")], "query_id string, query_text string"
+    )
+    loose = {r.doc_id for r in bm25_topk(docs, qs, k=10).collect()}
+    strict = {
+        r.doc_id for r in bm25_topk(docs, qs, k=10, require_all_terms=True).collect()
+    }
+    assert loose == {1, 2, 3, 4}
+    assert strict == {1, 2}
+
+    old, new = docs.filter(F.col("doc_id") <= 2), docs.filter(F.col("doc_id") > 2)
+    idx0, st0 = build_bm25_index(old)
+    idx1, st1 = merge_bm25_index(idx0, st0, new)
+    merged = {
+        (r.query_id, r.doc_id): (r.score, r.rank)
+        for r in bm25_topk(None, qs, k=10, index=idx1, index_stats=st1).collect()
+    }
+    full_idx, full_st = build_bm25_index(docs)
+    rebuilt = {
+        (r.query_id, r.doc_id): (r.score, r.rank)
+        for r in bm25_topk(
+            None, qs, k=10, index=full_idx, index_stats=full_st
+        ).collect()
+    }
+    assert merged == rebuilt and merged

@@ -393,3 +393,46 @@ def test_dsir_weights_2m_docs(spark):
     )
     out = dsir_log_weights(docs, buckets=4096, target_col="is_tgt")
     assert out.count() == n
+
+
+def test_bm25_index_and_serve_2m(spark, big_docs):
+    """BM25 at scale: index build over 2M docs (one explode + grouped agg),
+    then serve a query batch from the index — posting lists for a 20-word
+    vocab are huge (every term matches every doc), so this exercises the
+    worst-case posting fan-in; max_df then shows the stopword prune
+    collapsing the work."""
+    from spark_ensemble_spark.operators.retrieval import bm25_topk, build_bm25_index
+
+    postings, stats = build_bm25_index(big_docs)
+    postings = postings.persist()
+    try:
+        qs = spark.createDataFrame(
+            [("q1", "alpha tango"), ("q2", "shared passage repeats")],
+            "query_id string, query_text string",
+        )
+        out = bm25_topk(
+            None, qs, k=10, index=postings, index_stats=stats
+        ).collect()
+        assert len(out) == 20
+        # the planted passage docs dominate q2
+        q2 = [r.doc_id for r in out if r.query_id == "q2"]
+        assert all(d % 100 == 0 for d in q2)
+        # stopword prune: every term is in ~all docs; max_df below n drops
+        # them all -> no results, and the pruned plan touches ~no postings
+        pruned = bm25_topk(
+            None, qs, k=10, index=postings, index_stats=stats, max_df=1000
+        ).collect()
+        assert pruned == []
+    finally:
+        postings.unpersist()
+
+
+def test_winnow_fingerprints_2m(spark, big_docs):
+    """Winnowing fingerprints complete over 2M docs (pure projection, no
+    shuffle) and the planted passage shares fingerprints across its
+    repeats."""
+    from spark_ensemble_spark.operators.text import winnow_documents
+
+    fps = winnow_documents(big_docs)
+    n = fps.count()
+    assert n > 2_000_000  # several fingerprints per doc

@@ -171,6 +171,9 @@ BENCH_QUERIES = [
     "streaming_bm25_alerts",
     # conjunctive (AND-semantics) BM25
     "docs_bm25_conjunctive",
+    # distributed BPE tokenizer: merge learning + vocab-collapsed encode
+    "bpe_train_merges",
+    "docs_bpe_tokens",
 ]
 
 

@@ -1,0 +1,286 @@
+"""Distributed BPE tokenizer training and application.
+
+Byte-pair-encoding merge learning (Sennrich, Haddow & Birch, ACL 2016 —
+"Neural Machine Translation of Rare Words with Subword Units") re-expressed
+as the iterative DataFrame loop this engine already uses for boosting/GBM:
+
+* the corpus collapses ONCE to a ``(word, count)`` vocabulary table — all
+  subsequent per-merge work is proportional to the DISTINCT vocabulary, not
+  the corpus (the insight that makes BPE training tractable at 100 TB: a
+  trillion tokens is still only ~10^7-10^8 distinct pre-tokenized words);
+* each merge round is one explode → groupBy(sum) over that vocab frame plus
+  a single-ROW ``collect()`` of the argmax pair — the same bounded-driver-
+  state discipline as the GBM line-search argmax (never data, one row per
+  iteration);
+* the winning pair is applied to every word via a pure-Catalyst
+  ``aggregate`` fold (left-to-right non-overlapping merge — exactly the
+  reference BPE semantics), and the evolving vocab frame goes through
+  :class:`~spark_ensemble_spark.core.utils.DFIterationCache` so the
+  per-round ``withColumn`` chain cannot grow the plan unboundedly.
+
+Encoding a corpus with learned merges follows the same vocab-collapse shape:
+tokenize each DISTINCT word once (M nested folds in one projection over the
+vocab frame), then join token counts back to the exploded corpus — two
+corpus-sized shuffles (explode + re-agg) and vocab-sized compute, never
+per-occurrence re-tokenization.
+
+Symbols are joined with the ASCII unit separator (``\\x1e``, never present
+in whitespace-tokenized text), which gives the fold a constant-time "last
+symbol equals the merge LHS" test: ``SEP || acc`` ends with ``SEP || lhs``
+iff the final symbol is exactly ``lhs`` (the separator cannot occur inside
+a symbol, so the match cannot start mid-symbol). Merging then appends just
+``rhs`` to the accumulator. The DuckDB oracles replay the identical fold as
+per-iteration recursive CTEs (:func:`bpe_train_oracle_sql`), so the whole
+training trajectory — pair counts, argmax tie-breaks, merge application —
+is hash-checked end to end, not just the final token counts.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from spark_ensemble_spark.core.utils import DFIterationCache
+from spark_ensemble_spark.operators.text import tokens
+
+SEP = "\x1e"
+
+MERGES_SCHEMA = "merge_rank int, lhs string, rhs string, pair_count long"
+
+
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Collapse a corpus to its ``(w, cnt)`` vocabulary — the one
+    corpus-sized shuffle in BPE training."""
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def char_syms(word: Column) -> Column:
+    """A word as its character symbols joined with :data:`SEP` (the initial
+    BPE state; no end-of-word marker — words are already the merge units,
+    GPT-2-style pre-tokenization)."""
+    return F.array_join(F.split(word, ""), SEP)
+
+
+def apply_merge(syms: Column, lhs: str, rhs: str) -> Column:
+    """Left-to-right non-overlapping application of one merge to a
+    SEP-joined symbol string, as a pure-Catalyst ``aggregate`` fold.
+
+    The accumulator is itself a SEP-joined string: when its last symbol is
+    exactly ``lhs`` (the ``SEP || acc ends-with SEP || lhs`` test) and the
+    next symbol is ``rhs``, merging is just appending ``rhs``; a freshly
+    merged symbol equals ``lhs || rhs`` ≠ ``lhs``, so it can never be
+    consumed twice — the standard non-overlap guarantee (``aaa`` under
+    ``(a,a)`` → ``aa a``, never ``a aa``)."""
+    return F.aggregate(
+        F.split(syms, SEP),
+        F.lit(""),
+        lambda acc, x: F.when(acc == F.lit(""), x)
+        .when(
+            F.concat(F.lit(SEP), acc).endswith(F.lit(SEP + lhs)) & (x == F.lit(rhs)),
+            F.concat(acc, F.lit(rhs)),
+        )
+        .otherwise(F.concat(acc, F.lit(SEP), x)),
+    )
+
+
+def adjacent_pairs(syms: Column) -> Column:
+    """All adjacent symbol pairs of a SEP-joined symbol string as
+    ``array<struct<l,r>>`` (empty for single-symbol words — guarded, since
+    ``sequence(1, 0)`` would otherwise count DOWN)."""
+    lst = F.split(syms, SEP)
+    return F.when(
+        F.size(lst) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(lst) - 1),
+            lambda i: F.struct(
+                F.element_at(lst, i).alias("l"),
+                F.element_at(lst, i + F.lit(1)).alias("r"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+
+
+def bpe_train(
+    df: Optional[DataFrame],
+    text_col: str = "text",
+    num_merges: int = 10,
+    min_count: int = 1,
+    vocab: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Learn ``num_merges`` BPE merges from a corpus (or a precomputed
+    ``(w, cnt)`` ``vocab`` frame) and return them as a DataFrame
+    ``(merge_rank, lhs, rhs, pair_count)``.
+
+    Per round: pair counts are one explode + groupBy(sum) over the vocab
+    frame; the argmax (count DESC, lhs ASC, rhs ASC — deterministic across
+    engines) is a one-row collect; the merge applies as an
+    :func:`apply_merge` fold and the frame is re-materialized through
+    ``DFIterationCache``. Stops early when no pair reaches ``min_count``.
+    """
+    if vocab is None:
+        if df is None:
+            raise ValueError("pass a corpus df or a precomputed vocab")
+        vocab = word_counts(df, text_col)
+    spark = vocab.sparkSession
+    words = vocab.select(char_syms(F.col("w")).alias("s"), F.col("cnt"))
+    cache = DFIterationCache(interval=4, keep=2)
+    words = cache.update(words)
+    merges: List[Tuple[int, str, str, int]] = []
+    try:
+        for rank in range(int(num_merges)):
+            best = (
+                words.select(F.explode(adjacent_pairs(F.col("s"))).alias("pr"), "cnt")
+                .groupBy(F.col("pr.l").alias("lhs"), F.col("pr.r").alias("rhs"))
+                .agg(F.sum("cnt").alias("pair_count"))
+                .orderBy(F.desc("pair_count"), "lhs", "rhs")
+                .limit(1)
+                .collect()
+            )
+            if not best or best[0].pair_count < min_count:
+                break
+            lhs, rhs, cnt = best[0].lhs, best[0].rhs, int(best[0].pair_count)
+            merges.append((rank, lhs, rhs, cnt))
+            words = cache.update(
+                words.withColumn("s", apply_merge(F.col("s"), lhs, rhs))
+            )
+    finally:
+        cache.close()
+    return spark.createDataFrame(merges, MERGES_SCHEMA)
+
+
+def segment_expr(word: Column, merges: List[Tuple[str, str]]) -> Column:
+    """The SEP-joined BPE segmentation of ``word`` under ``merges`` (applied
+    in rank order) as one nested-fold projection — each fold's input is
+    evaluated exactly once per row, so cost is linear in the merge count."""
+    s = char_syms(word)
+    for lhs, rhs in merges:
+        s = apply_merge(s, lhs, rhs)
+    return s
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    merges: List[Tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document BPE token counts under a learned merge list:
+    ``(id_col, n_tokens)``.
+
+    Tokenization cost is vocab-sized (each DISTINCT word segments once);
+    the corpus pays only the explode and the join-back on the word key —
+    documents with no words (empty text) drop, same as the SQL replay."""
+    doc_words = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w")
+    ).filter(F.col("w") != "")
+    vocab_tok = (
+        doc_words.select("w")
+        .distinct()
+        .select(
+            "w",
+            F.size(F.split(segment_expr(F.col("w"), merges), SEP)).alias("__w_tokens"),
+        )
+    )
+    return (
+        doc_words.join(vocab_tok, "w")
+        .groupBy(id_col)
+        .agg(F.sum("__w_tokens").alias("n_tokens"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle generators: the training loop unrolled as per-iteration
+# recursive CTEs (pair counts -> argmax -> fold), byte-identical semantics.
+# ---------------------------------------------------------------------------
+
+_TOKENIZE = r"string_split_regex(lower(trim({text_col})), '\s+')"
+
+
+def _iteration_ctes(i: int) -> str:
+    """CTEs advancing the oracle's vocab state ``w{i}`` → ``w{i+1}``:
+    pair counts ``p{i}``, argmax ``b{i}``, and the merge fold ``f{i}``
+    (a recursive CTE walking each word's symbol list with the same
+    string-accumulator semantics as :func:`apply_merge`)."""
+    return f"""
+    l{i} AS MATERIALIZED (SELECT w, string_split(s, chr(30)) AS lst, cnt FROM w{i}),
+    p{i} AS MATERIALIZED (
+      SELECT pr.l AS lhs, pr.r AS rhs, CAST(sum(cnt) AS BIGINT) AS pair_count
+      FROM (
+        SELECT cnt,
+               unnest(list_transform(range(1, len(lst)),
+                                     j -> {{'l': lst[j], 'r': lst[j + 1]}})) AS pr
+        FROM l{i}
+      )
+      GROUP BY 1, 2
+    ),
+    b{i} AS MATERIALIZED (SELECT lhs, rhs, pair_count FROM p{i}
+             ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+    f{i} AS (
+      SELECT w, lst, cnt, 1 AS pos, lst[1] AS acc FROM l{i}
+      UNION ALL
+      SELECT f.w, f.lst, f.cnt, f.pos + 1,
+             CASE WHEN right(chr(30) || f.acc, 1 + length(b.lhs)) = chr(30) || b.lhs
+                       AND f.lst[f.pos + 1] = b.rhs
+                  THEN f.acc || b.rhs
+                  ELSE f.acc || chr(30) || f.lst[f.pos + 1] END
+      FROM f{i} f, b{i} b WHERE f.pos < len(f.lst)
+    ),
+    w{i + 1} AS MATERIALIZED (SELECT w, acc AS s, cnt FROM f{i} WHERE pos = len(lst))"""
+
+
+def _train_ctes(num_merges: int, source: str, text_col: str) -> str:
+    head = f"""WITH RECURSIVE
+    w0 AS (
+      SELECT w,
+             list_aggregate(list_transform(range(1, length(w) + 1), i -> w[i]),
+                            'string_agg', chr(30)) AS s,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest({_TOKENIZE.format(text_col=text_col)}) AS w FROM {source})
+      WHERE w <> ''
+      GROUP BY w
+    )"""
+    return head + ",".join([""] + [_iteration_ctes(i) for i in range(num_merges)])
+
+
+def bpe_train_oracle_sql(
+    num_merges: int = 10, source: str = "documents", text_col: str = "text"
+) -> str:
+    """DuckDB replay of :func:`bpe_train` (``min_count=1``; the fixture's
+    vocabulary never runs dry inside ``num_merges``, asserted by the row
+    count the compare already checks)."""
+    rows = "\n      UNION ALL ".join(
+        f"SELECT {i} AS merge_rank, lhs, rhs, pair_count FROM b{i}"
+        for i in range(num_merges)
+    )
+    return f"""{_train_ctes(num_merges, source, text_col)}
+    SELECT merge_rank, lhs, rhs, pair_count FROM ({rows})
+    ORDER BY merge_rank
+    """
+
+
+def bpe_token_counts_oracle_sql(
+    num_merges: int = 10,
+    source: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB replay of train-then-encode: the final vocab state ``w{M}``
+    provides per-word token counts; documents re-join on the word key."""
+    return f"""{_train_ctes(num_merges, source, text_col)},
+    d AS (
+      SELECT {id_col}, unnest({_TOKENIZE.format(text_col=text_col)}) AS w
+      FROM {source}
+    ),
+    v AS (SELECT w, len(string_split(s, chr(30))) AS w_tokens FROM w{num_merges})
+    SELECT d.{id_col}, CAST(sum(v.w_tokens) AS BIGINT) AS n_tokens
+    FROM d JOIN v USING (w)
+    WHERE d.w <> ''
+    GROUP BY d.{id_col}
+    """

@@ -22,6 +22,7 @@ from spark_ensemble_spark.functions import metrics as _metrics
 from spark_ensemble_spark.operators import corpus as _corpus
 from spark_ensemble_spark.operators import dedup as _dedup
 from spark_ensemble_spark.operators import retrieval as _retrieval
+from spark_ensemble_spark.operators import tokenizer as _tokenizer
 from spark_ensemble_spark.operators import similarity as _similarity
 from spark_ensemble_spark.operators import text as _text
 from spark_ensemble_spark.sources.datasets import (
@@ -2220,6 +2221,45 @@ def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(T.punct_ratio(t), 6).alias("punct_ratio"),
         F.round(T.quality_score(t), 6).alias("quality"),
     )
+
+
+# BPE tokenizer training: 10 merges learned from the corpus itself. The
+# oracle unrolls the full training loop (pair counts -> argmax -> fold) as
+# per-iteration MATERIALIZED recursive CTEs, so pair statistics, tie-breaks,
+# and merge application are all hash-checked, not just the final table.
+# min_count=1 with a fixed merge count keeps the Spark loop and the unrolled
+# SQL at the same length at every SF (the fixture vocabulary never runs dry
+# inside 10 merges; the row-count compare would catch it if it did).
+_BPE_MERGES = 10
+
+
+@query("bpe_train_merges", _tokenizer.bpe_train_oracle_sql(num_merges=_BPE_MERGES))
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge learning (Sennrich et al. 2016) as the engine's
+    iterative vocab-table loop: corpus collapses once to (word, count),
+    each round is one explode+groupBy over the vocab frame plus a 1-row
+    argmax collect, merges apply as pure-Catalyst folds."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _tokenizer.bpe_train(docs, num_merges=_BPE_MERGES)
+
+
+@query(
+    "docs_bpe_tokens", _tokenizer.bpe_token_counts_oracle_sql(num_merges=_BPE_MERGES)
+)
+def docs_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-encode: learn 10 BPE merges, then tokenize the corpus with
+    them — segmentation runs once per DISTINCT word (vocab-sized compute),
+    documents pay only the explode and the word-key join back. The collected
+    merge table is bounded driver state (10 rows, the centroid-export
+    pattern)."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r.lhs, r.rhs)
+        for r in _tokenizer.bpe_train(docs, num_merges=_BPE_MERGES)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    return _tokenizer.bpe_token_counts(docs, merges)
 
 
 @query(

@@ -1,0 +1,99 @@
+"""BPE tokenizer training/encoding semantics.
+
+The classic worked example (Sennrich et al. 2016 §3.2 shape; the counts are
+the standard five-word corpus) pins the merge order; the synthetic-word tests
+pin the left-to-right non-overlap fold and the tie-break. Cross-engine parity
+at sf0.001/sf0.01 is covered by tests/test_extra_oracles.py via the
+registered ``bpe_train_merges`` / ``docs_bpe_tokens`` oracles.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_ensemble_spark.operators import tokenizer as tk
+
+CORPUS = [("hug", 10), ("pug", 5), ("pun", 12), ("bun", 4), ("hugs", 5)]
+
+
+@pytest.fixture(scope="module")
+def vocab(spark):
+    return spark.createDataFrame(CORPUS, "w string, cnt long")
+
+
+def test_bpe_train_worked_example(vocab):
+    """hug:10 pug:5 pun:12 bun:4 hugs:5 → (u,g)@20, (u,n)@16, (h,ug)@15."""
+    merges = tk.bpe_train(None, vocab=vocab, num_merges=3).orderBy("merge_rank")
+    got = [(r.merge_rank, r.lhs, r.rhs, r.pair_count) for r in merges.collect()]
+    assert got == [(0, "u", "g", 20), (1, "u", "n", 16), (2, "h", "ug", 15)]
+
+
+def test_bpe_train_runs_dry(spark):
+    """Single-symbol words have no pairs: training stops at zero merges."""
+    v = spark.createDataFrame([("a", 5), ("b", 3)], "w string, cnt long")
+    assert tk.bpe_train(None, vocab=v, num_merges=4).count() == 0
+
+
+def test_bpe_train_tiebreak_lexicographic(spark):
+    """Equal pair counts break on (lhs, rhs) ascending — 'ab' and 'cd' both
+    count 1; (a,b) wins."""
+    v = spark.createDataFrame([("cd", 1), ("ab", 1)], "w string, cnt long")
+    r = tk.bpe_train(None, vocab=v, num_merges=1).collect()[0]
+    assert (r.lhs, r.rhs, r.pair_count) == ("a", "b", 1)
+
+
+def test_apply_merge_non_overlapping(spark):
+    """aaaa under (a,a) → aa|aa; aaa → aa|a (a merged symbol is never
+    re-consumed as the LHS within the same pass)."""
+    df = spark.createDataFrame([("aaaa",), ("aaa",), ("ba",)], "w string")
+    out = df.select(
+        "w", F.split(tk.segment_expr(F.col("w"), [("a", "a")]), tk.SEP).alias("t")
+    ).collect()
+    got = {r.w: r.t for r in out}
+    assert got == {"aaaa": ["aa", "aa"], "aaa": ["aa", "a"], "ba": ["b", "a"]}
+
+
+def test_apply_merge_requires_exact_symbol(spark):
+    """LHS must match a whole symbol: 'ba' followed by 'c' does NOT merge
+    under (a,c) — the separator-anchored suffix test cannot fire mid-symbol."""
+    df = spark.createDataFrame([("bac",)], "w string")
+    # first merge (b,a) builds symbol 'ba'; then (a,c) must not touch it
+    segs = df.select(
+        F.split(tk.segment_expr(F.col("w"), [("b", "a"), ("a", "c")]), tk.SEP).alias(
+            "t"
+        )
+    ).collect()[0].t
+    assert segs == ["ba", "c"]
+
+
+def test_bpe_token_counts_by_hand(spark):
+    """After merges (u,g)+(h,ug): 'hug hug pun'→4 tokens (hug=1, pun=3);
+    empty-text docs drop (no words — same as the SQL replay)."""
+    docs = spark.createDataFrame(
+        [(1, "hug hug pun"), (2, "hugs bun"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = tk.bpe_token_counts(docs, [("u", "g"), ("h", "ug")])
+    got = {r.doc_id: r.n_tokens for r in out.collect()}
+    assert got == {1: 1 + 1 + 3, 2: 2 + 3}
+
+
+def test_segment_concat_recovers_word(spark, sf_dir):
+    """Invariant: segmentation is a partition of the word — concatenating
+    the symbols recovers the original word for every vocab entry, under the
+    merges actually learned from the fixture corpus."""
+    from spark_ensemble_spark.sources.datasets import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r.lhs, r.rhs)
+        for r in tk.bpe_train(docs, num_merges=6).orderBy("merge_rank").collect()
+    ]
+    assert len(merges) == 6
+    vocab = tk.word_counts(docs)
+    bad = vocab.select(
+        "w",
+        F.array_join(
+            F.split(tk.segment_expr(F.col("w"), merges), tk.SEP), ""
+        ).alias("glued"),
+    ).filter(F.col("w") != F.col("glued"))
+    assert bad.count() == 0

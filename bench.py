@@ -174,6 +174,8 @@ BENCH_QUERIES = [
     # distributed BPE tokenizer: merge learning + vocab-collapsed encode
     "bpe_train_merges",
     "docs_bpe_tokens",
+    # frozen-merges token counting at ingest (stateless stream projection)
+    "streaming_bpe_tokens",
 ]
 
 

@@ -195,6 +195,23 @@ def bpe_token_counts(
     )
 
 
+def token_count_expr(text: Column, merges: List[Tuple[str, str]]) -> Column:
+    """Per-ROW BPE token count under a frozen merge list, as one pure column
+    expression — the INGEST path: no vocabulary state, no join, so it
+    composes with ``readStream`` as a stateless append-mode projection (the
+    Bloom-mask / frozen-BM25-model pattern). Cost is words × merges per row;
+    the batch path (:func:`bpe_token_counts`) amortizes segmentation over
+    distinct words instead and wins whenever the corpus is at rest.
+
+    Whitespace-only text counts zero tokens (callers mirroring the batch
+    path's drop-empty semantics filter ``> 0``)."""
+    words = F.filter(tokens(text), lambda w: w != F.lit(""))
+    per_word = F.transform(
+        words, lambda w: F.size(F.split(segment_expr(w, merges), SEP)).cast("long")
+    )
+    return F.aggregate(per_word, F.lit(0).cast("long"), lambda a, x: a + x)
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle generators: the training loop unrolled as per-iteration
 # recursive CTEs (pair counts -> argmax -> fold), byte-identical semantics.

@@ -2263,6 +2263,21 @@ def docs_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_bpe_tokens",
+    _tokenizer.bpe_token_counts_oracle_sql(num_merges=_BPE_MERGES),
+)
+def streaming_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting at ingest: merges learned batch-side freeze into a
+    pure per-row expression (no vocab state, no join), and the replayed
+    document stream must reproduce the batch vocab-join path's counts AND
+    the DuckDB training replay — train→freeze→ingest triple parity, the
+    frozen-BM25-alerting pattern applied to tokenization."""
+    from spark_ensemble_spark.streaming.corpus import streaming_bpe_tokens as run
+
+    return run(spark, sf_dir, num_merges=_BPE_MERGES)
+
+
+@query(
     "text_language_id",
     """
     WITH scored AS (

@@ -365,3 +365,55 @@ def streaming_bm25_alerts(
     )
     alerts = bm25_alert_stream(stream, model, n, sdl, k1=k1, b=b)
     return run_to_memory(alerts, "append", "stream_bm25_alerts")
+
+
+def bpe_token_stream(
+    docs: DataFrame,
+    merges,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token counting at INGEST under a frozen BPE merge list: one
+    ``(id, n_tokens)`` row per incoming document with at least one word —
+    the stateless-projection family (Bloom decontamination, frozen-BM25
+    alerting): merges are literals, so there is no vocabulary state, no
+    join, no watermark, and per-micro-batch cost equals the batch
+    projection's. Works identically on batch frames (stream/batch parity is
+    the test); the at-rest corpus path
+    (:func:`~spark_ensemble_spark.operators.tokenizer.bpe_token_counts`)
+    instead amortizes segmentation over distinct words."""
+    from spark_ensemble_spark.operators.tokenizer import token_count_expr
+
+    return docs.select(
+        F.col(id_col),
+        token_count_expr(F.col(text_col), merges).alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+
+
+def streaming_bpe_tokens(
+    spark: SparkSession, sf_dir: str, num_merges: int = 10
+) -> DataFrame:
+    """File-replay harness: learn the merge list from the batch documents
+    table (the frozen tokenizer), then stream the same table through
+    :func:`bpe_token_stream`. The result must equal both the batch
+    vocab-join path and the unrolled DuckDB training replay — the
+    train→freeze→ingest triple parity."""
+    from spark_ensemble_spark.operators.tokenizer import bpe_train
+    from spark_ensemble_spark.sources.datasets import load_table
+
+    spark = replay_session(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = [
+        (r.lhs, r.rhs)
+        for r in bpe_train(docs, num_merges=num_merges).orderBy("merge_rank").collect()
+    ]
+    # Single-row-group test files land on one task and the per-row
+    # words × merges fold chain is the cost center — same spread rationale
+    # as streaming_decontaminate.
+    stream = (
+        read_documents_stream(spark, sf_dir)
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    counted = bpe_token_stream(stream, merges)
+    return run_to_memory(counted, "append", "stream_bpe_tokens")

@@ -436,3 +436,19 @@ def test_winnow_fingerprints_2m(spark, big_docs):
     fps = winnow_documents(big_docs)
     n = fps.count()
     assert n > 2_000_000  # several fingerprints per doc
+
+
+def test_bpe_train_and_encode_2m(spark, big_docs):
+    """BPE at scale: the corpus-collapse does the heavy lifting — 2M docs /
+    ~60M word occurrences fold to a ~28-entry vocab in ONE shuffle, then 5
+    merge rounds run on that tiny frame (per-round cost is job overhead,
+    not data). Encode pays the two corpus-sized shuffles (explode +
+    word-key join back) and must complete with a row per doc."""
+    from spark_ensemble_spark.operators.tokenizer import bpe_token_counts, bpe_train
+
+    merges = bpe_train(big_docs, num_merges=5).orderBy("merge_rank").collect()
+    assert len(merges) == 5
+    assert all(m.pair_count > 1_000_000 for m in merges)  # 2M docs x 30 words
+    pairs = [(m.lhs, m.rhs) for m in merges]
+    out = bpe_token_counts(big_docs, pairs)
+    assert out.count() == 2_000_000

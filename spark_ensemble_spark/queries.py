@@ -5091,6 +5091,13 @@ def classification_metrics_dummy_prior(spark: SparkSession, sf_dir: str) -> Data
 #                                is the first stage of in-window
 #                                dedup_incremental; slot freed for
 #                                docs_hybrid_rrf
+#   dedup_ngram_jaccard        = (folded late-r7) length-prefilter + blocked
+#                                exact-verify pair shape covered in-window by
+#                                dedup_minhash_md5 (banded join + verify) and
+#                                embedding_dup_pairs_lsh; slot freed for
+#                                docs_bpe_tokens (iterative BPE train+encode,
+#                                the only driver-loop family with a full
+#                                trajectory-replay oracle)
 # ---------------------------------------------------------------------------
 
 REGISTRY_ORDER = [
@@ -5178,7 +5185,9 @@ REGISTRY_ORDER = [
     # (text_language_id + dedup_exact folded late-r7: see header) --
     "text_analysis",
     "dedup_minhash_md5",
-    "dedup_ngram_jaccard",
+    # -- late-r7: BPE train+encode promoted (dedup_ngram_jaccard folded:
+    # see header) --
+    "docs_bpe_tokens",
     "dedup_clusters",
     "embedding_dup_pairs_lsh",
     "multimodal_decode",

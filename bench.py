@@ -176,6 +176,8 @@ BENCH_QUERIES = [
     "docs_bpe_tokens",
     # frozen-merges token counting at ingest (stateless stream projection)
     "streaming_bpe_tokens",
+    # shuffle-key skew diagnostics (heavy hitters + salt plan)
+    "events_key_skew",
 ]
 
 

@@ -210,3 +210,96 @@ def mad_outlier_flags(
         "is_outlier",
         F.when(F.col(value_col).isNotNull(), flag),
     )
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 20,
+    rows_per_task: int = 100_000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Shuffle-key skew diagnostics: the top-``top_n`` heaviest keys with
+    their share of the table, the max/avg skew factor, and a per-key salt
+    plan — the pre-flight check before any big groupBy/join on ``key_col``
+    (a 1000-executor shuffle is only as fast as its heaviest key; AQE's
+    skew-join split helps joins, but aggregation fan-in and state-store
+    hot-spots need the key histogram up front).
+
+    Columns: ``key_value`` (stringified), ``cnt``, ``key_rank``, ``share``
+    (of all rows), ``skew_factor`` (max key count / mean key count — 1.0 is
+    perfectly uniform), ``salt_factor`` (``ceil(cnt / rows_per_task)``, the
+    replication a salted repartition of THIS key would need to bound every
+    task at ``rows_per_task`` rows), ``total_rows``, ``distinct_keys``.
+
+    Scale shape: one groupBy(count) over the table (map-side partials), a
+    distributed ``orderBy().limit(top_n)`` top-k (TakeOrdered — never a
+    single-partition global sort), ranking only the ≤``top_n`` survivors,
+    and the 1-row totals frame broadcast back (the bounded-crossJoin
+    pattern). NULL keys profile like any other value (stringified NULL
+    stays NULL — they are frequently THE heavy key worth finding)."""
+    counts = df.groupBy(
+        F.col(key_col).cast("string").alias("key_value")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("total_rows"),
+        F.count(F.lit(1)).alias("distinct_keys"),
+        F.max("cnt").alias("__max_cnt"),
+    )
+    top = counts.orderBy(F.desc("cnt"), F.asc_nulls_first("key_value")).limit(top_n)
+    w = Window.orderBy(F.desc("cnt"), F.asc_nulls_first("key_value"))
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .withColumn("key_rank", F.row_number().over(w))
+        .select(
+            "key_value",
+            "cnt",
+            "key_rank",
+            F.round(F.col("cnt") / F.col("total_rows"), round_to).alias("share"),
+            F.round(
+                F.col("__max_cnt") * F.col("distinct_keys") / F.col("total_rows"),
+                round_to,
+            ).alias("skew_factor"),
+            ((F.col("cnt") + F.lit(rows_per_task) - 1) / F.lit(rows_per_task))
+            .cast("long")
+            .alias("salt_factor"),
+            "total_rows",
+            "distinct_keys",
+        )
+    )
+
+
+def key_skew_profile_oracle_sql(
+    source: str,
+    key_col: str,
+    top_n: int = 20,
+    rows_per_task: int = 100_000,
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`key_skew_profile` (integer-exact counts and
+    salt factors; share/skew_factor are single divisions of identical
+    integers, rounded once on both sides)."""
+    return f"""
+    WITH c AS (
+      SELECT CAST({key_col} AS VARCHAR) AS key_value,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM {source} GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS total_rows,
+             CAST(count(*) AS BIGINT) AS distinct_keys,
+             CAST(max(cnt) AS BIGINT) AS max_cnt
+      FROM c
+    ),
+    top AS (
+      SELECT key_value, cnt,
+             CAST(row_number() OVER (ORDER BY cnt DESC, key_value NULLS FIRST) AS INT) AS key_rank
+      FROM c ORDER BY cnt DESC, key_value NULLS FIRST LIMIT {top_n}
+    )
+    SELECT key_value, cnt, key_rank,
+           round(cnt * 1.0 / total_rows, {round_to}) AS share,
+           round(max_cnt * 1.0 * distinct_keys / total_rows, {round_to}) AS skew_factor,
+           (cnt + {rows_per_task} - 1) // {rows_per_task} AS salt_factor,
+           total_rows, distinct_keys
+    FROM top, t
+    """

@@ -2277,6 +2277,27 @@ def streaming_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run(spark, sf_dir, num_merges=_BPE_MERGES)
 
 
+from spark_ensemble_spark.functions.stats import (  # noqa: E402
+    key_skew_profile_oracle_sql as _skew_oracle,
+)
+
+
+@query(
+    "events_key_skew",
+    _skew_oracle("events", "user_id", top_n=20, rows_per_task=50),
+)
+def events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics over events.user_id: top-20 heavy keys,
+    share, max/avg skew factor, and the per-key salt plan — the pre-flight
+    histogram a pipeline reads before shuffling 100 TB on a key. Top-k is a
+    distributed TakeOrdered (never a global single-partition sort); the
+    1-row totals frame broadcasts back."""
+    from spark_ensemble_spark.functions.stats import key_skew_profile
+
+    ev = load_table(spark, sf_dir, "events")
+    return key_skew_profile(ev, "user_id", top_n=20, rows_per_task=50)
+
+
 @query(
     "text_language_id",
     """

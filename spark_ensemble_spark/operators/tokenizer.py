@@ -212,6 +212,28 @@ def token_count_expr(text: Column, merges: List[Tuple[str, str]]) -> Column:
     return F.aggregate(per_word, F.lit(0).cast("long"), lambda a, x: a + x)
 
 
+def save_bpe_merges(spark, merges: List[Tuple[str, str]], path: str) -> None:
+    """Persist a learned merge list as one JSON line (the tokenizer IS its
+    merge list — query-vocabulary-class metadata, same single-line sink
+    discipline as the PQ codebooks: a DataFrame text sink so overwrite is
+    atomic-enough and a torn re-train can't leave two JSON lines)."""
+    import json
+
+    meta = json.dumps({"merges": [[l, r] for l, r in merges], "sep": SEP})
+    spark.createDataFrame([(meta,)], "value string").coalesce(1).write.mode(
+        "overwrite"
+    ).text(path)
+
+
+def load_bpe_merges(path: str) -> List[Tuple[str, str]]:
+    """Load a :func:`save_bpe_merges` file → merge list in rank order, ready
+    for :func:`bpe_token_counts` / :func:`token_count_expr` — train once,
+    freeze, tokenize everywhere (batch and ingest) without retraining."""
+    from spark_ensemble_spark.core.persistence import load_json
+
+    return [tuple(m) for m in load_json(path)["merges"]]
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle generators: the training loop unrolled as per-iteration
 # recursive CTEs (pair counts -> argmax -> fold), byte-identical semantics.

@@ -97,3 +97,34 @@ def test_segment_concat_recovers_word(spark, sf_dir):
         ).alias("glued"),
     ).filter(F.col("w") != F.col("glued"))
     assert bad.count() == 0
+
+
+def test_bpe_merges_save_load_roundtrip(spark, tmp_path):
+    """Train → save → load → encode equals encode-with-fresh-merges; a
+    second save (re-train) overwrites cleanly."""
+    from spark_ensemble_spark.operators.tokenizer import (
+        bpe_token_counts,
+        load_bpe_merges,
+        save_bpe_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hug hug pun"), (2, "hugs bun pun pun")], "doc_id long, text string"
+    )
+    merges = [
+        (r.lhs, r.rhs)
+        for r in tk.bpe_train(docs, num_merges=3).orderBy("merge_rank").collect()
+    ]
+    path = str(tmp_path / "bpe_merges.json")
+    save_bpe_merges(spark, merges, path)
+    loaded = load_bpe_merges(path)
+    assert loaded == merges
+    fresh = sorted(
+        (r.doc_id, r.n_tokens) for r in bpe_token_counts(docs, merges).collect()
+    )
+    replay = sorted(
+        (r.doc_id, r.n_tokens) for r in bpe_token_counts(docs, loaded).collect()
+    )
+    assert fresh == replay
+    save_bpe_merges(spark, merges[:1], path)  # overwrite, no torn second line
+    assert load_bpe_merges(path) == merges[:1]

@@ -452,3 +452,17 @@ def test_bpe_train_and_encode_2m(spark, big_docs):
     pairs = [(m.lhs, m.rhs) for m in merges]
     out = bpe_token_counts(big_docs, pairs)
     assert out.count() == 2_000_000
+
+
+def test_key_skew_profile_20m(spark, big_events):
+    """Skew diagnostics complete over 20M rows / 50k keys: groupBy(count)
+    with map-side partials + distributed TakeOrdered top-k — no global
+    sort, no driver histogram."""
+    from spark_ensemble_spark.functions.stats import key_skew_profile
+
+    out = key_skew_profile(big_events, "user_id", top_n=10, rows_per_task=100)
+    rows = out.collect()
+    assert len(rows) == 10
+    assert rows[0].total_rows == 20_000_000 and rows[0].distinct_keys == 50_000
+    # uniform modulo distribution: every key ~400 rows, salt ceil(400/100)=4
+    assert all(380 <= r.cnt <= 420 and r.salt_factor == 4 for r in rows)

@@ -178,6 +178,8 @@ BENCH_QUERIES = [
     "streaming_bpe_tokens",
     # shuffle-key skew diagnostics (heavy hitters + salt plan)
     "events_key_skew",
+    # per-language BPE training (grouped lockstep loop, zero driver state)
+    "bpe_train_by_lang",
 ]
 
 

@@ -155,6 +155,96 @@ def bpe_train(
     return spark.createDataFrame(merges, MERGES_SCHEMA)
 
 
+def apply_merge_cols(syms: Column, lhs: Column, rhs: Column) -> Column:
+    """:func:`apply_merge` with COLUMN-valued pair — the grouped-training
+    fold, where each row's group carries its own winning pair. A NULL pair
+    (group ran dry this round, or the left join found no winner) makes the
+    merge condition NULL → false, so the fold is a clean no-op copy."""
+    return F.aggregate(
+        F.split(syms, SEP),
+        F.lit(""),
+        lambda acc, x: F.when(acc == F.lit(""), x)
+        .when(
+            F.concat(F.lit(SEP), acc).endswith(F.concat(F.lit(SEP), lhs))
+            & (x == rhs),
+            F.concat(acc, rhs),
+        )
+        .otherwise(F.concat(acc, F.lit(SEP), x)),
+    )
+
+
+def bpe_train_grouped(
+    df: Optional[DataFrame],
+    group_col: str,
+    text_col: str = "text",
+    num_merges: int = 10,
+    vocab: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Learn an independent BPE merge list PER GROUP (per language, per
+    domain, per source) in one lockstep loop —
+    ``(group_col, merge_rank, lhs, rhs, pair_count)``.
+
+    Unlike the global trainer, this collects NOTHING: each round's
+    per-group argmax is a ``row_number`` window over the (group, pair)
+    count frame, the winners LEFT-broadcast-join back to the vocab on the
+    group key, and the merge applies through the column-valued fold
+    (:func:`apply_merge_cols` — groups that ran dry join NULL and no-op).
+    Driver state is zero; the number of groups scales horizontally, which
+    is the shape multi-domain tokenizer training needs at 100 TB — one
+    pass trains every domain's tokenizer simultaneously. Groups whose
+    vocabulary runs dry before ``num_merges`` simply stop contributing
+    rows (their trajectory is shorter, same as running them alone)."""
+    from pyspark.sql import Window
+
+    if vocab is None:
+        if df is None:
+            raise ValueError("pass a corpus df or a precomputed grouped vocab")
+        vocab = (
+            df.select(
+                F.col(group_col).alias("g"),
+                F.explode(tokens(F.col(text_col))).alias("w"),
+            )
+            .filter(F.col("w") != "")
+            .groupBy("g", "w")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+    else:
+        vocab = vocab.select(F.col(group_col).alias("g"), "w", "cnt")
+    words = vocab.select("g", char_syms(F.col("w")).alias("s"), F.col("cnt"))
+    cache = DFIterationCache(interval=4, keep=2)
+    words = cache.update(words)
+    win = Window.partitionBy("g").orderBy(
+        F.desc("pair_count"), F.asc("lhs"), F.asc("rhs")
+    )
+    rounds: List[DataFrame] = []
+    for rank in range(int(num_merges)):
+        winners = (
+            words.select("g", F.explode(adjacent_pairs(F.col("s"))).alias("pr"), "cnt")
+            .groupBy("g", F.col("pr.l").alias("lhs"), F.col("pr.r").alias("rhs"))
+            .agg(F.sum("cnt").alias("pair_count"))
+            .withColumn("__rn", F.row_number().over(win))
+            .filter(F.col("__rn") == 1)
+            .select("g", "lhs", "rhs", "pair_count")
+        )
+        winners = cache.update(winners)
+        rounds.append(winners.withColumn("merge_rank", F.lit(rank)))
+        words = cache.update(
+            words.join(
+                F.broadcast(winners.select("g", "lhs", "rhs")), "g", "left"
+            )
+            .withColumn(
+                "s", apply_merge_cols(F.col("s"), F.col("lhs"), F.col("rhs"))
+            )
+            .select("g", "s", "cnt")
+        )
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        F.col("g").alias(group_col), "merge_rank", "lhs", "rhs", "pair_count"
+    )
+
+
 def segment_expr(word: Column, merges: List[Tuple[str, str]]) -> Column:
     """The SEP-joined BPE segmentation of ``word`` under ``merges`` (applied
     in rank order) as one nested-fold projection — each fold's input is
@@ -301,6 +391,73 @@ def bpe_train_oracle_sql(
     return f"""{_train_ctes(num_merges, source, text_col)}
     SELECT merge_rank, lhs, rhs, pair_count FROM ({rows})
     ORDER BY merge_rank
+    """
+
+
+def _grouped_iteration_ctes(i: int) -> str:
+    """Grouped analogue of :func:`_iteration_ctes`: per-group argmax via a
+    window, fold joins the winner on the group key (LEFT — dry groups pass
+    through unchanged; the NULL pair makes the CASE condition NULL)."""
+    return f"""
+    l{i} AS MATERIALIZED (SELECT g, w, string_split(s, chr(30)) AS lst, cnt FROM w{i}),
+    b{i} AS MATERIALIZED (
+      SELECT g, lhs, rhs, pair_count FROM (
+        SELECT g, lhs, rhs, pair_count,
+               row_number() OVER (PARTITION BY g ORDER BY pair_count DESC, lhs, rhs) AS rn
+        FROM (
+          SELECT g, pr.l AS lhs, pr.r AS rhs, CAST(sum(cnt) AS BIGINT) AS pair_count
+          FROM (
+            SELECT g, cnt,
+                   unnest(list_transform(range(1, len(lst)),
+                                         j -> {{'l': lst[j], 'r': lst[j + 1]}})) AS pr
+            FROM l{i}
+          )
+          GROUP BY 1, 2, 3
+        )
+      ) WHERE rn = 1
+    ),
+    f{i} AS (
+      SELECT g, w, lst, cnt, 1 AS pos, lst[1] AS acc FROM l{i}
+      UNION ALL
+      SELECT f.g, f.w, f.lst, f.cnt, f.pos + 1,
+             CASE WHEN right(chr(30) || f.acc, 1 + length(b.lhs)) = chr(30) || b.lhs
+                       AND f.lst[f.pos + 1] = b.rhs
+                  THEN f.acc || b.rhs
+                  ELSE f.acc || chr(30) || f.lst[f.pos + 1] END
+      FROM f{i} f LEFT JOIN b{i} b ON f.g = b.g WHERE f.pos < len(f.lst)
+    ),
+    w{i + 1} AS MATERIALIZED (SELECT g, w, acc AS s, cnt FROM f{i} WHERE pos = len(lst))"""
+
+
+def bpe_train_grouped_oracle_sql(
+    group_col: str,
+    num_merges: int = 10,
+    source: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """DuckDB replay of :func:`bpe_train_grouped`: the grouped trajectory
+    unrolled — per-group pair counts, per-group argmax, LEFT-joined fold."""
+    head = f"""WITH RECURSIVE
+    w0 AS MATERIALIZED (
+      SELECT g, w,
+             list_aggregate(list_transform(range(1, length(w) + 1), i -> w[i]),
+                            'string_agg', chr(30)) AS s,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM (
+        SELECT {group_col} AS g, unnest({_TOKENIZE.format(text_col=text_col)}) AS w
+        FROM {source}
+      )
+      WHERE w <> ''
+      GROUP BY g, w
+    )"""
+    ctes = head + ",".join([""] + [_grouped_iteration_ctes(i) for i in range(num_merges)])
+    rows = "\n      UNION ALL ".join(
+        f"SELECT g, {i} AS merge_rank, lhs, rhs, pair_count FROM b{i}"
+        for i in range(num_merges)
+    )
+    return f"""{ctes}
+    SELECT g AS {group_col}, merge_rank, lhs, rhs, pair_count FROM ({rows})
+    ORDER BY {group_col}, merge_rank
     """
 
 

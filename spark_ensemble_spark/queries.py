@@ -2263,6 +2263,21 @@ def docs_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bpe_train_by_lang",
+    _tokenizer.bpe_train_grouped_oracle_sql("lang", num_merges=6),
+)
+def bpe_train_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language BPE training in one lockstep loop with ZERO driver
+    state: each round's per-group argmax is a window over the (lang, pair)
+    counts, winners broadcast-join back on the group key, and the merge
+    applies through the column-valued fold (dry groups join NULL and
+    no-op). One pass trains every domain's tokenizer simultaneously — the
+    multi-domain shape at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _tokenizer.bpe_train_grouped(docs, "lang", num_merges=6)
+
+
+@query(
     "streaming_bpe_tokens",
     _tokenizer.bpe_token_counts_oracle_sql(num_merges=_BPE_MERGES),
 )

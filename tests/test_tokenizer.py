@@ -128,3 +128,26 @@ def test_bpe_merges_save_load_roundtrip(spark, tmp_path):
     assert fresh == replay
     save_bpe_merges(spark, merges[:1], path)  # overwrite, no torn second line
     assert load_bpe_merges(path) == merges[:1]
+
+
+def test_bpe_train_grouped_independent_trajectories(spark):
+    """Two groups with different vocabularies learn DIFFERENT merges in the
+    same lockstep loop; a group that runs dry early simply stops
+    contributing rows while the other continues."""
+    rows = (
+        [("g1", "hug hug hug pun pun")] * 3      # g1: (u,g) first
+        + [("g2", "lo lo lo lo wi")] * 2          # g2: (l,o) first, dries fast
+    )
+    df = spark.createDataFrame([(g, t) for g, t in rows], "grp string, text string")
+    out = tk.bpe_train_grouped(df, "grp", num_merges=4).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r.grp, []).append((r.merge_rank, r.lhs, r.rhs, r.pair_count))
+    g1 = sorted(by_g["g1"])
+    g2 = sorted(by_g["g2"])
+    # g1: hug x9, pun x6 -> (u,g)@9 wins round 0 (ties: (h,u)@9? h<u so (h,u))
+    assert g1[0][1:3] in {("h", "u"), ("u", "g")}
+    # g2 vocab: lo x8, wi x2 -> round0 (l,o)@8; round1 (w,i)@2; then dry
+    assert g2[0][1:3] == ("l", "o") and g2[1][1:3] == ("w", "i")
+    assert len(g2) == 2  # dry after every word is one symbol
+    assert len(g1) == 4  # still merging at round 3

@@ -180,6 +180,8 @@ BENCH_QUERIES = [
     "events_key_skew",
     # per-language BPE training (grouped lockstep loop, zero driver state)
     "bpe_train_by_lang",
+    # final-vocab artifact (token, freq, deterministic token_id)
+    "bpe_vocab",
 ]
 
 

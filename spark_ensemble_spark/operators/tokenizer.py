@@ -302,6 +302,54 @@ def token_count_expr(text: Column, merges: List[Tuple[str, str]]) -> Column:
     return F.aggregate(per_word, F.lit(0).cast("long"), lambda a, x: a + x)
 
 
+def bpe_vocab(
+    df: DataFrame,
+    merges: List[Tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """The final token vocabulary a trained BPE tokenizer ships:
+    ``(token, freq, token_id)`` — every post-merge symbol with its corpus
+    frequency, ids assigned by (freq DESC, token ASC) so the table is
+    deterministic across engines and runs.
+
+    Same vocab-collapse shape as encoding: distinct words segment once,
+    tokens explode from the vocab frame weighted by word counts — the
+    corpus is scanned exactly once (for the word counts)."""
+    from pyspark.sql import Window
+
+    wc = word_counts(df, text_col)
+    toks = wc.select(
+        F.explode(F.split(segment_expr(F.col("w"), merges), SEP)).alias("token"),
+        F.col("cnt"),
+    )
+    freqs = toks.groupBy("token").agg(F.sum("cnt").alias("freq"))
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    # token vocabularies are bounded (chars + one entry per merge at most
+    # adds len(merges) symbols), so the global ranking window runs over a
+    # frame that is small BY CONSTRUCTION — not a data-sized sort.
+    return freqs.withColumn("token_id", F.row_number().over(w))
+
+
+def bpe_vocab_oracle_sql(
+    num_merges: int = 10, source: str = "documents", text_col: str = "text"
+) -> str:
+    """DuckDB replay of :func:`bpe_vocab` under the merges that
+    :func:`bpe_train` learns from the same corpus (reuses the unrolled
+    training CTEs' final state ``w{M}``)."""
+    return f"""{_train_ctes(num_merges, source, text_col)},
+    toks AS (
+      SELECT unnest(string_split(s, chr(30))) AS token, cnt
+      FROM w{num_merges}
+    ),
+    freqs AS (
+      SELECT token, CAST(sum(cnt) AS BIGINT) AS freq FROM toks GROUP BY token
+    )
+    SELECT token, freq,
+           CAST(row_number() OVER (ORDER BY freq DESC, token) AS INT) AS token_id
+    FROM freqs
+    """
+
+
 def save_bpe_merges(spark, merges: List[Tuple[str, str]], path: str) -> None:
     """Persist a learned merge list as one JSON line (the tokenizer IS its
     merge list — query-vocabulary-class metadata, same single-line sink

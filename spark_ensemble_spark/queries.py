@@ -2262,6 +2262,22 @@ def docs_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tokenizer.bpe_token_counts(docs, merges)
 
 
+@query("bpe_vocab", _tokenizer.bpe_vocab_oracle_sql(num_merges=_BPE_MERGES))
+def bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shippable tokenizer artifact: train 10 merges, then emit the
+    final token vocabulary (token, corpus freq, deterministic token_id).
+    The ranking window runs over a frame bounded by chars + one symbol per
+    merge — small by construction, never a data-sized sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r.lhs, r.rhs)
+        for r in _tokenizer.bpe_train(docs, num_merges=_BPE_MERGES)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    return _tokenizer.bpe_vocab(docs, merges)
+
+
 @query(
     "bpe_train_by_lang",
     _tokenizer.bpe_train_grouped_oracle_sql("lang", num_merges=6),

@@ -151,3 +151,16 @@ def test_bpe_train_grouped_independent_trajectories(spark):
     assert g2[0][1:3] == ("l", "o") and g2[1][1:3] == ("w", "i")
     assert len(g2) == 2  # dry after every word is one symbol
     assert len(g1) == 4  # still merging at round 3
+
+
+def test_bpe_vocab_by_hand(spark):
+    """Corpus 'hug hug pun' under merges (u,g)+(h,ug): tokens hug x2,
+    p/u/n x1 each → ids by freq desc then token asc."""
+    from spark_ensemble_spark.operators.tokenizer import bpe_vocab
+
+    docs = spark.createDataFrame([(1, "hug hug pun")], "doc_id long, text string")
+    got = {
+        r.token: (r.freq, r.token_id)
+        for r in bpe_vocab(docs, [("u", "g"), ("h", "ug")]).collect()
+    }
+    assert got == {"hug": (2, 1), "n": (1, 2), "p": (1, 3), "u": (1, 4)}

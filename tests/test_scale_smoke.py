@@ -466,3 +466,16 @@ def test_key_skew_profile_20m(spark, big_events):
     assert rows[0].total_rows == 20_000_000 and rows[0].distinct_keys == 50_000
     # uniform modulo distribution: every key ~400 rows, salt ceil(400/100)=4
     assert all(380 <= r.cnt <= 420 and r.salt_factor == 4 for r in rows)
+
+
+def test_bpe_train_grouped_2m(spark, big_docs):
+    """Grouped BPE over 2M docs split into 5 synthetic domains: the grouped
+    vocab is domains x words (~140 rows after the one corpus collapse), the
+    per-round argmax is a window over it, and NOTHING collects — the loop
+    is driver-state-free end to end."""
+    from spark_ensemble_spark.operators.tokenizer import bpe_train_grouped
+
+    docs = big_docs.withColumn("domain", (F.col("doc_id") % 5).cast("string"))
+    out = bpe_train_grouped(docs, "domain", num_merges=4).collect()
+    assert len(out) == 20  # 5 domains x 4 rounds, none runs dry
+    assert all(r.pair_count > 100_000 for r in out)

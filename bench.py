@@ -182,6 +182,8 @@ BENCH_QUERIES = [
     "bpe_train_by_lang",
     # final-vocab artifact (token, freq, deterministic token_id)
     "bpe_vocab",
+    # documents as token-id sequences (the model input)
+    "docs_bpe_token_ids",
 ]
 
 

@@ -350,6 +350,113 @@ def bpe_vocab_oracle_sql(
     """
 
 
+def bpe_encode_ids(
+    df: DataFrame,
+    merges: List[Tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The model input: each document as its token-ID sequence
+    ``(id_col, n_tokens, token_ids array<int>)`` under the learned merges,
+    with ids from :func:`bpe_vocab`'s deterministic (freq DESC, token ASC)
+    assignment over THIS corpus.
+
+    Same vocab-collapse economics as counting: each DISTINCT word segments
+    once and its id SUB-SEQUENCE is prebuilt on the vocab frame (a
+    vocab-sized broadcast-class join with the token table), so the
+    corpus-sized work is one posexplode and one ordered reassembly —
+    ``sort_array`` on (position, ids) structs, never a window over the
+    corpus."""
+    doc_words = df.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("__pos", "w")
+    ).filter(F.col("w") != "")
+    vocab_ids = bpe_vocab(df, merges, text_col).select("token", "token_id")
+    word_seq = (
+        doc_words.select("w")
+        .distinct()
+        .select(
+            "w",
+            F.posexplode(F.split(segment_expr(F.col("w"), merges), SEP)).alias(
+                "__tpos", "token"
+            ),
+        )
+        .join(vocab_ids, "token")
+        .groupBy("w")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("__tpos", "token_id"))),
+                lambda s: s["token_id"],
+            ).alias("__ids")
+        )
+    )
+    return (
+        doc_words.join(word_seq, "w")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("__pos", "__ids"))),
+                    lambda s: s["__ids"],
+                )
+            ).alias("token_ids")
+        )
+        .select(
+            id_col,
+            F.size("token_ids").cast("long").alias("n_tokens"),
+            "token_ids",
+        )
+    )
+
+
+def bpe_encode_ids_oracle_sql(
+    num_merges: int = 10,
+    source: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB replay of :func:`bpe_encode_ids` (train CTEs → vocab ids →
+    per-word id sub-sequences → ordered per-document concatenation)."""
+    return f"""{_train_ctes(num_merges, source, text_col)},
+    vt AS MATERIALIZED (
+      SELECT token, CAST(row_number() OVER (ORDER BY freq DESC, token) AS INT) AS token_id
+      FROM (
+        SELECT token, CAST(sum(cnt) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split(s, chr(30))) AS token, cnt FROM w{num_merges})
+        GROUP BY token
+      )
+    ),
+    wseq AS MATERIALIZED (
+      SELECT w, list(token_id ORDER BY tpos) AS ids
+      FROM (
+        SELECT w, pr.token AS token, pr.tpos AS tpos
+        FROM (
+          SELECT w,
+                 unnest(list_transform(range(1, len(toks) + 1),
+                                       i -> {{'tpos': i, 'token': toks[i]}})) AS pr
+          FROM (SELECT w, string_split(s, chr(30)) AS toks FROM w{num_merges})
+        )
+      )
+      JOIN vt USING (token)
+      GROUP BY w
+    ),
+    d AS (
+      SELECT {id_col}, pr.w AS w, pr.pos AS pos
+      FROM (
+        SELECT {id_col},
+               unnest(list_transform(range(1, len(ws) + 1),
+                                     i -> {{'pos': i, 'w': ws[i]}})) AS pr
+        FROM (SELECT {id_col}, {_TOKENIZE.format(text_col=text_col)} AS ws FROM {source})
+      )
+      WHERE pr.w <> ''
+    )
+    SELECT {id_col},
+           CAST(sum(len(ids)) AS BIGINT) AS n_tokens,
+           flatten(list(ids ORDER BY pos)) AS token_ids
+    FROM d JOIN wseq USING (w)
+    GROUP BY {id_col}
+    """
+
+
 def save_bpe_merges(spark, merges: List[Tuple[str, str]], path: str) -> None:
     """Persist a learned merge list as one JSON line (the tokenizer IS its
     merge list — query-vocabulary-class metadata, same single-line sink

@@ -2279,6 +2279,27 @@ def bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_bpe_token_ids",
+    _tokenizer.bpe_encode_ids_oracle_sql(num_merges=_BPE_MERGES),
+)
+def docs_bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The model input end to end: train merges, derive the deterministic
+    vocab ids, and emit each document's token-ID sequence. Per-word id
+    sub-sequences prebuild on the vocab frame; the corpus-sized work is one
+    posexplode + ordered reassembly via sort_array over (position, ids)
+    structs — never a window over the corpus. Every id in every sequence
+    hash-checked against the SQL replay."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r.lhs, r.rhs)
+        for r in _tokenizer.bpe_train(docs, num_merges=_BPE_MERGES)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    return _tokenizer.bpe_encode_ids(docs, merges)
+
+
+@query(
     "bpe_train_by_lang",
     _tokenizer.bpe_train_grouped_oracle_sql("lang", num_merges=6),
 )

@@ -164,3 +164,14 @@ def test_bpe_vocab_by_hand(spark):
         for r in bpe_vocab(docs, [("u", "g"), ("h", "ug")]).collect()
     }
     assert got == {"hug": (2, 1), "n": (1, 2), "p": (1, 3), "u": (1, 4)}
+
+
+def test_bpe_encode_ids_by_hand(spark):
+    """'hug hug pun' under (u,g)+(h,ug): vocab ids hug=1,n=2,p=3,u=4 →
+    sequence [1, 1, 3, 4, 2] in document order."""
+    from spark_ensemble_spark.operators.tokenizer import bpe_encode_ids
+
+    docs = spark.createDataFrame([(1, "hug hug pun")], "doc_id long, text string")
+    r = bpe_encode_ids(docs, [("u", "g"), ("h", "ug")]).collect()[0]
+    assert r.n_tokens == 5
+    assert list(r.token_ids) == [1, 1, 3, 4, 2]

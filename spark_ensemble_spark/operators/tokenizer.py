@@ -355,11 +355,19 @@ def bpe_encode_ids(
     merges: List[Tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    vocab_ids: Optional[DataFrame] = None,
+    unk_id: int = 0,
 ) -> DataFrame:
     """The model input: each document as its token-ID sequence
-    ``(id_col, n_tokens, token_ids array<int>)`` under the learned merges,
-    with ids from :func:`bpe_vocab`'s deterministic (freq DESC, token ASC)
-    assignment over THIS corpus.
+    ``(id_col, n_tokens, token_ids array<int>)`` under the learned merges.
+
+    With ``vocab_ids=None`` (self-encoding, the training-corpus path) ids
+    come from :func:`bpe_vocab`'s deterministic (freq DESC, token ASC)
+    assignment over THIS corpus — every token is in-vocabulary by
+    construction. Passing an exported ``(token, token_id)`` frame instead
+    applies a FROZEN tokenizer to UNSEEN text: post-merge symbols missing
+    from the frozen vocabulary map to ``unk_id`` (the standard <unk>
+    convention — a LEFT join + coalesce, so OOV never drops positions).
 
     Same vocab-collapse economics as counting: each DISTINCT word segments
     once and its id SUB-SEQUENCE is prebuilt on the vocab frame (a
@@ -370,7 +378,10 @@ def bpe_encode_ids(
     doc_words = df.select(
         F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("__pos", "w")
     ).filter(F.col("w") != "")
-    vocab_ids = bpe_vocab(df, merges, text_col).select("token", "token_id")
+    if vocab_ids is None:
+        vocab_ids = bpe_vocab(df, merges, text_col).select("token", "token_id")
+    else:
+        vocab_ids = vocab_ids.select("token", "token_id")
     word_seq = (
         doc_words.select("w")
         .distinct()
@@ -380,11 +391,20 @@ def bpe_encode_ids(
                 "__tpos", "token"
             ),
         )
-        .join(vocab_ids, "token")
+        .join(vocab_ids, "token", "left")
         .groupBy("w")
         .agg(
             F.transform(
-                F.sort_array(F.collect_list(F.struct("__tpos", "token_id"))),
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            "__tpos",
+                            F.coalesce(
+                                F.col("token_id"), F.lit(unk_id).cast("int")
+                            ).alias("token_id"),
+                        )
+                    )
+                ),
                 lambda s: s["token_id"],
             ).alias("__ids")
         )

@@ -175,3 +175,23 @@ def test_bpe_encode_ids_by_hand(spark):
     r = bpe_encode_ids(docs, [("u", "g"), ("h", "ug")]).collect()[0]
     assert r.n_tokens == 5
     assert list(r.token_ids) == [1, 1, 3, 4, 2]
+
+
+def test_bpe_encode_ids_frozen_vocab_oov(spark):
+    """Applying a FROZEN tokenizer to unseen text: post-merge symbols
+    missing from the frozen vocab map to unk_id without dropping
+    positions."""
+    from spark_ensemble_spark.operators.tokenizer import bpe_encode_ids
+
+    frozen = spark.createDataFrame(
+        [("hug", 1), ("p", 2), ("u", 3), ("n", 4)], "token string, token_id int"
+    )
+    unseen = spark.createDataFrame(
+        [(1, "hug zap pun")], "doc_id long, text string"
+    )
+    r = bpe_encode_ids(
+        unseen, [("u", "g"), ("h", "ug")], vocab_ids=frozen, unk_id=0
+    ).collect()[0]
+    # 'zap' -> z,a,p: z and a are OOV -> 0, p -> 2; pun -> p,u,n
+    assert list(r.token_ids) == [1, 0, 0, 2, 2, 3, 4]
+    assert r.n_tokens == 7

@@ -213,6 +213,12 @@ def bpe_train_grouped(
     words = vocab.select("g", char_syms(F.col("w")).alias("s"), F.col("cnt"))
     cache = DFIterationCache(interval=4, keep=2)
     words = cache.update(words)
+    # Winners are the OUTPUT and tiny (one row per still-merging group):
+    # eagerly checkpoint each round (interval=1) and keep them ALL, so the
+    # final union reads materialized blocks instead of recomputing early
+    # rounds — without this the executed plan re-scanned the corpus once
+    # per round after the words rotation evicted their parents.
+    out_cache = DFIterationCache(interval=1, keep=int(num_merges) + 1)
     win = Window.partitionBy("g").orderBy(
         F.desc("pair_count"), F.asc("lhs"), F.asc("rhs")
     )
@@ -226,7 +232,7 @@ def bpe_train_grouped(
             .filter(F.col("__rn") == 1)
             .select("g", "lhs", "rhs", "pair_count")
         )
-        winners = cache.update(winners)
+        winners = out_cache.update(winners)
         rounds.append(winners.withColumn("merge_rank", F.lit(rank)))
         words = cache.update(
             words.join(

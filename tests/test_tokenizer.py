@@ -195,3 +195,17 @@ def test_bpe_encode_ids_frozen_vocab_oov(spark):
     # 'zap' -> z,a,p: z and a are OOV -> 0, p -> 2; pun -> p,u,n
     assert list(r.token_ids) == [1, 0, 0, 2, 2, 3, 4]
     assert r.n_tokens == 7
+
+
+def test_bpe_train_grouped_final_plan_no_corpus_rescan(spark, sf_dir):
+    """Each round's winners are eagerly materialized, so consuming the
+    merges table must NOT re-scan the corpus once per round (the executed
+    plan previously re-read documents.parquet ~rounds times after the
+    words-rotation evicted early winners' parents)."""
+    from spark_ensemble_spark.sources.datasets import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = tk.bpe_train_grouped(docs, "lang", num_merges=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "documents.parquet" not in plan
+    assert out.count() == 15  # 5 langs x 3 rounds on the fixture

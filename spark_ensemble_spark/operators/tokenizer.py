@@ -309,9 +309,10 @@ def token_count_expr(text: Column, merges: List[Tuple[str, str]]) -> Column:
 
 
 def bpe_vocab(
-    df: DataFrame,
+    df: Optional[DataFrame],
     merges: List[Tuple[str, str]],
     text_col: str = "text",
+    vocab: Optional[DataFrame] = None,
 ) -> DataFrame:
     """The final token vocabulary a trained BPE tokenizer ships:
     ``(token, freq, token_id)`` — every post-merge symbol with its corpus
@@ -320,10 +321,13 @@ def bpe_vocab(
 
     Same vocab-collapse shape as encoding: distinct words segment once,
     tokens explode from the vocab frame weighted by word counts — the
-    corpus is scanned exactly once (for the word counts)."""
+    corpus is scanned exactly once (for the word counts). Pipelines that
+    already hold the ``(w, cnt)`` frame (they trained on it via
+    ``bpe_train(vocab=...)``) pass it as ``vocab`` and pay ZERO extra
+    corpus scans here."""
     from pyspark.sql import Window
 
-    wc = word_counts(df, text_col)
+    wc = vocab if vocab is not None else word_counts(df, text_col)
     toks = wc.select(
         F.explode(F.split(segment_expr(F.col("w"), merges), SEP)).alias("token"),
         F.col("cnt"),
@@ -363,6 +367,7 @@ def bpe_encode_ids(
     id_col: str = "doc_id",
     vocab_ids: Optional[DataFrame] = None,
     unk_id: int = 0,
+    vocab: Optional[DataFrame] = None,
 ) -> DataFrame:
     """The model input: each document as its token-ID sequence
     ``(id_col, n_tokens, token_ids array<int>)`` under the learned merges.
@@ -385,7 +390,9 @@ def bpe_encode_ids(
         F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("__pos", "w")
     ).filter(F.col("w") != "")
     if vocab_ids is None:
-        vocab_ids = bpe_vocab(df, merges, text_col).select("token", "token_id")
+        vocab_ids = bpe_vocab(df, merges, text_col, vocab=vocab).select(
+            "token", "token_id"
+        )
     else:
         vocab_ids = vocab_ids.select("token", "token_id")
     word_seq = (

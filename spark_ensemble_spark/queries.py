@@ -2329,6 +2329,42 @@ def streaming_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run(spark, sf_dir, num_merges=_BPE_MERGES)
 
 
+@query(
+    "events_rollup_incremental",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(CAST(value AS DECIMAL(38,6))), 6)::DOUBLE AS sum_value,
+           round(min(value), 6) AS min_value,
+           round(max(value), 6) AS max_value,
+           round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-rollup maintenance: the fact history
+    arrives as three disjoint deliveries; each is aggregated to the hourly
+    grain ALONE and merged into the running rollup (grain-sized outer
+    joins — history is never re-read). The oracle recomputes the rollup
+    from scratch over everything: the algebraic merge must be
+    bit-identical to the full recompute."""
+    from spark_ensemble_spark.operators.materialized import (
+        build_rollup,
+        merge_rollup,
+        rollup_report,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rollup = None
+    for i in range(3):
+        delivery = ev.filter(F.col("event_id") % 3 == i)
+        agg = build_rollup(delivery)
+        rollup = agg if rollup is None else merge_rollup(rollup, agg)
+    return rollup_report(rollup)
+
+
 from spark_ensemble_spark.functions.stats import (  # noqa: E402
     key_skew_profile_oracle_sql as _skew_oracle,
 )

@@ -106,3 +106,73 @@ def rollup_report(rollup: DataFrame, round_to: int = 6) -> DataFrame:
             F.col("sum_value").cast("double") / F.col("n"), round_to
         ).alias("avg_value"),
     )
+
+
+def combine_partials(partials: DataFrame) -> DataFrame:
+    """Merge-on-read over any number of per-delivery partial rollups: one
+    grain-keyed groupBy re-combining the algebraic states. Equivalent to
+    folding :func:`merge_rollup` over the deliveries, but as a single
+    shuffle over (deliveries × live cells) rows."""
+    keys = [
+        c for c in partials.columns if c not in ROLLUP_STATS and c != "batch_id"
+    ]
+    return partials.groupBy(*keys).agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_value").cast("decimal(38,6)").alias("sum_value"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    )
+
+
+def write_rollup_delivery(delivery_rollup: DataFrame, path: str, batch_id: int) -> None:
+    """Persist one delivery's partial rollup as ``path/batch_id=N`` — an
+    idempotent scoped overwrite (the exactly-once sink convention: a
+    crash-replayed delivery rewrites its own partition instead of
+    double-counting). The store is LSM-shaped: immutable per-delivery
+    partials, combined at read time."""
+    delivery_rollup.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
+
+
+def read_rollup(spark, path: str) -> DataFrame:
+    """Serve the maintained rollup: partition-discover every delivery
+    partial and :func:`combine_partials`. Read cost is (deliveries × live
+    cells), independent of fact history; when that grows, compact."""
+    return combine_partials(spark.read.parquet(path))
+
+
+def compact_rollup(spark, path: str, compact_path: str) -> DataFrame:
+    """Rewrite all accumulated partials as ONE combined partial at
+    ``compact_path`` (a fresh directory — swap or retire the old one after
+    the write commits; in-place overwrite of a directory being read is not
+    atomic on object stores). Returns the combined frame."""
+    combined = read_rollup(spark, path)
+    combined.write.mode("overwrite").parquet(f"{compact_path}/batch_id=0")
+    return combined
+
+
+def rollup_stream(
+    events_stream: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    keys=("bucket", "event_type"),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    grain: str = "hour",
+):
+    """Streaming continuous aggregate with NO state store: each micro-batch
+    aggregates alone and lands as an immutable partial partition
+    (exactly-once scoped overwrite); :func:`read_rollup` serves the
+    combined view. Unlike a watermarked streaming aggregation, there is no
+    state to size or time out and late data simply lands in a later
+    partial — the trade is merge-on-read, bounded by compaction."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        write_rollup_delivery(
+            build_rollup(batch_df, keys, ts_col, value_col, grain), path, batch_id
+        )
+
+    return (
+        events_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

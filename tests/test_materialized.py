@@ -63,3 +63,81 @@ def test_merge_cell_level_combine(spark):
     }
     assert got[("2026-01-01 00:00:00", "a")] == (3, 4.0, -2.0, 5.0)
     assert got[("2026-01-01 03:00:00", "c")] == (1, 9.0, 9.0, 9.0)
+
+
+def test_persisted_partials_merge_on_read(spark, tmp_path):
+    """LSM-shaped store: per-delivery partials written as scoped partitions,
+    read_rollup's merge-on-read equals the from-scratch rollup; replaying a
+    delivery (rewriting its own batch_id partition) changes nothing —
+    exactly-once by idempotent overwrite."""
+    from spark_ensemble_spark.operators.materialized import (
+        read_rollup,
+        write_rollup_delivery,
+    )
+
+    rows = [(0, "a", 1.5), (0, "b", 2.0), (1, "a", -1.0), (0, "a", 3.5)]
+    ev = _ev(spark, rows)
+    path = str(tmp_path / "rollup")
+    for i in range(2):
+        write_rollup_delivery(
+            build_rollup(ev.filter(F.col("event_id") % 2 == i)), path, i
+        )
+    served = sorted(map(tuple, rollup_report(read_rollup(spark, path)).collect()))
+    full = sorted(map(tuple, rollup_report(build_rollup(ev)).collect()))
+    assert served == full
+    # crash-replay of delivery 1: same content rewrites its own partition
+    write_rollup_delivery(
+        build_rollup(ev.filter(F.col("event_id") % 2 == 1)), path, 1
+    )
+    assert sorted(map(tuple, rollup_report(read_rollup(spark, path)).collect())) == full
+
+
+def test_compact_rollup_preserves_view(spark, tmp_path):
+    from spark_ensemble_spark.operators.materialized import (
+        compact_rollup,
+        read_rollup,
+        write_rollup_delivery,
+    )
+
+    ev = _ev(spark, [(0, "a", 1.0), (2, "b", 4.0), (0, "a", 2.0)])
+    path, cpath = str(tmp_path / "r"), str(tmp_path / "r_compact")
+    for i in range(3):
+        write_rollup_delivery(
+            build_rollup(ev.filter(F.col("event_id") % 3 == i)), path, i
+        )
+    before = sorted(map(tuple, rollup_report(read_rollup(spark, path)).collect()))
+    compact_rollup(spark, path, cpath)
+    after = sorted(map(tuple, rollup_report(read_rollup(spark, cpath)).collect()))
+    assert after == before
+
+
+def test_rollup_stream_no_state_store(spark, tmp_path):
+    """Streaming continuous aggregate: micro-batches land as immutable
+    partials (no watermark, no state store) and the served view equals the
+    batch rollup over everything delivered."""
+    from spark_ensemble_spark.operators.materialized import read_rollup, rollup_stream
+
+    src = tmp_path / "ev_src"
+    src.mkdir()
+
+    def deliver(name, rows):
+        _ev(spark, rows).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    deliver("d1", [(0, "a", 1.0), (1, "b", 2.0)])
+    stream = spark.readStream.schema(SCHEMA).parquet(str(src) + "/*")
+    q = rollup_stream(
+        stream, str(tmp_path / "rollup"), str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+        deliver("d2", [(0, "a", 5.0), (3, "c", -1.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    served = sorted(
+        map(tuple, rollup_report(read_rollup(spark, str(tmp_path / "rollup"))).collect())
+    )
+    all_rows = [(0, "a", 1.0), (1, "b", 2.0), (0, "a", 5.0), (3, "c", -1.0)]
+    # rebuild with distinct event ids per row (ids never enter the rollup)
+    full = sorted(map(tuple, rollup_report(build_rollup(_ev(spark, all_rows))).collect()))
+    assert served == full

@@ -479,3 +479,27 @@ def test_bpe_train_grouped_2m(spark, big_docs):
     out = bpe_train_grouped(docs, "domain", num_merges=4).collect()
     assert len(out) == 20  # 5 domains x 4 rounds, none runs dry
     assert all(r.pair_count > 100_000 for r in out)
+
+
+def test_incremental_rollup_20m(spark, big_events, tmp_path):
+    """Rollup maintenance at scale: 20M events in 4 deliveries, each
+    aggregated alone and persisted as a partial; merge-on-read combines
+    ~(4 x cells) rows — history is never re-read. Served view equals the
+    from-scratch rollup over all 20M."""
+    from spark_ensemble_spark.operators.materialized import (
+        build_rollup,
+        read_rollup,
+        rollup_report,
+        write_rollup_delivery,
+    )
+
+    ev = big_events.withColumn("event_type", (F.col("event_id") % 7).cast("string"))
+    path = str(tmp_path / "rollup20m")
+    for i in range(4):
+        write_rollup_delivery(
+            build_rollup(ev.filter(F.col("event_id") % 4 == i)), path, i
+        )
+    served = rollup_report(read_rollup(spark, path))
+    full = rollup_report(build_rollup(ev))
+    assert served.count() == full.count()
+    assert served.exceptAll(full).count() == 0 and full.exceptAll(served).count() == 0

@@ -186,6 +186,8 @@ BENCH_QUERIES = [
     "docs_bpe_token_ids",
     # incremental materialized-rollup maintenance (3 deliveries merged)
     "events_rollup_incremental",
+    # mergeable HLL distinct-user sketch per rollup cell
+    "events_rollup_distinct_users",
 ]
 
 

@@ -176,3 +176,146 @@ def rollup_stream(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable distinct-count sketch (HyperLogLog) for the rollup store.
+# Register math is md5-HEX-STRING arithmetic — integer/CASE only, no float
+# hashing — so partials, merges, and estimates replay bit-for-bit in SQL.
+# ---------------------------------------------------------------------------
+
+HLL_M = 256  # 2^8 registers: ~6.5% standard error, 256 rows max per cell
+_HLL_RHO_CAP = 50
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)  # Flajolet et al. 2007, m >= 128
+
+
+def _hll_reg_rho(id_str):
+    """(register, rho) from the md5 hex of the id: first 2 hex chars pick
+    the register; rho = 1 + leading zero BITS of the next 15 hex chars
+    (60 bits), via hex-digit counting — exact on any SQL engine."""
+    h = F.md5(id_str)
+    reg = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    tail = F.substring(h, 3, 15)
+    stripped = F.regexp_replace(tail, "^0+", "")
+    zeros = (F.length(tail) - F.length(stripped)) * 4
+    first = F.upper(F.substring(stripped, 1, 1))
+    lz = (
+        F.when(F.col("__hll_first").isin("1"), 3)
+        .when(F.col("__hll_first").isin("2", "3"), 2)
+        .when(F.col("__hll_first").isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    # all-zero tail: stripped = '' -> rho = 60 + 1, capped below anyway
+    rho = F.when(F.length(stripped) == 0, F.lit(61)).otherwise(
+        zeros + lz + 1
+    )
+    return reg, first, rho
+
+
+def hll_partial(
+    events: DataFrame,
+    keys: Sequence[str] = ("bucket", "event_type"),
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    grain: str = "hour",
+) -> DataFrame:
+    """One delivery's HLL state per grain cell: ``keys + (reg, rho)`` —
+    long format, ≤``HLL_M`` rows per cell regardless of delivery size.
+    Partials MERGE by the same groupBy(max): :func:`hll_merge` over
+    deliveries equals the partial of the union, the sketch property that
+    makes distinct counting maintainable without re-reading history."""
+    df = events.withColumn("bucket", F.date_trunc(grain, F.col(ts_col)))
+    reg, first, rho = _hll_reg_rho(F.col(id_col).cast("string"))
+    return (
+        df.withColumn("__hll_first", first)
+        .select(*keys, reg.alias("reg"), rho.alias("rho"))
+        .groupBy(*keys, "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(partials: DataFrame) -> DataFrame:
+    """Combine any number of per-delivery HLL partials (register-wise max)."""
+    keys = [c for c in partials.columns if c not in ("reg", "rho", "batch_id")]
+    return partials.groupBy(*keys, "reg").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(state: DataFrame, round_to: int = 4) -> DataFrame:
+    """Distinct-count estimate per cell from merged HLL state: the raw
+    harmonic-mean estimator with the standard small-range linear-counting
+    correction. The register sum is INTEGER-exact (terms ``2^(cap-rho)``
+    with absent registers contributing ``2^cap``; max ``m·2^cap`` < 2^63),
+    so the only float ops are one division and one ln — both rounded."""
+    keys = [c for c in state.columns if c not in ("reg", "rho")]
+    per_cell = state.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__present"),
+        F.sum(
+            F.pow(F.lit(2.0), F.lit(_HLL_RHO_CAP) - F.least(F.col("rho"), F.lit(_HLL_RHO_CAP)))
+            .cast("long")
+        ).alias("__s_present"),
+    )
+    m = F.lit(HLL_M)
+    s = F.col("__s_present") + (m - F.col("__present")) * F.pow(
+        F.lit(2.0), F.lit(_HLL_RHO_CAP)
+    ).cast("long")
+    raw = (
+        F.lit(_HLL_ALPHA)
+        * m.cast("double")
+        * m.cast("double")
+        * F.pow(F.lit(2.0), F.lit(_HLL_RHO_CAP))
+        / s.cast("double")
+    )
+    v = m - F.col("__present")  # registers never hit
+    est = F.when(
+        (raw <= 2.5 * HLL_M) & (v > 0),
+        m.cast("double") * F.log(m.cast("double") / v.cast("double")),
+    ).otherwise(raw)
+    return per_cell.select(
+        *keys, F.round(est, round_to).alias("approx_distinct")
+    )
+
+
+def hll_oracle_sql(
+    source: str = "events",
+    keys_sql: str = "strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket, event_type",
+    key_names: str = "bucket, event_type",
+    id_sql: str = "CAST(user_id AS VARCHAR)",
+    round_to: int = 4,
+) -> str:
+    """DuckDB replay of partial → merge → estimate (register math is pure
+    hex-string/integer arithmetic, identical by construction)."""
+    return f"""
+    WITH reg AS (
+      SELECT {keys_sql},
+             CAST(('0x' || substring(md5({id_sql}), 1, 2))::BIGINT AS INT) AS reg,
+             CASE WHEN ltrim(substring(md5({id_sql}), 3, 15), '0') = '' THEN 61
+                  ELSE (15 - length(ltrim(substring(md5({id_sql}), 3, 15), '0'))) * 4
+                       + CASE upper(substring(ltrim(substring(md5({id_sql}), 3, 15), '0'), 1, 1))
+                           WHEN '1' THEN 3
+                           WHEN '2' THEN 2 WHEN '3' THEN 2
+                           WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+                           ELSE 0 END
+                       + 1 END AS rho
+      FROM {source}
+    ),
+    state AS (
+      SELECT {key_names}, reg, max(rho) AS rho FROM reg GROUP BY {key_names}, reg
+    ),
+    cell AS (
+      SELECT {key_names},
+             CAST(count(*) AS BIGINT) AS present,
+             CAST(sum(CAST(pow(2.0, {_HLL_RHO_CAP} - least(rho, {_HLL_RHO_CAP})) AS BIGINT)) AS BIGINT) AS s_present
+      FROM state GROUP BY {key_names}
+    )
+    SELECT {key_names},
+           round(CASE WHEN raw <= 2.5 * {HLL_M} AND v > 0
+                      THEN {HLL_M}.0 * ln({HLL_M}.0 / v)
+                      ELSE raw END, {round_to}) AS approx_distinct
+    FROM (
+      SELECT {key_names}, ({HLL_M} - present) AS v,
+             CAST({_HLL_ALPHA!r} AS DOUBLE) * {HLL_M}.0 * {HLL_M}.0 * pow(2.0, {_HLL_RHO_CAP})
+               / (s_present + ({HLL_M} - present) * CAST(pow(2.0, {_HLL_RHO_CAP}) AS BIGINT))
+             AS raw
+      FROM cell
+    )
+    """

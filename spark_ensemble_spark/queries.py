@@ -2365,6 +2365,38 @@ def events_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup_report(rollup)
 
 
+from spark_ensemble_spark.operators.materialized import (  # noqa: E402
+    hll_oracle_sql as _hll_oracle,
+)
+
+
+@query("events_rollup_distinct_users", _hll_oracle())
+def events_rollup_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count maintenance: per-delivery HyperLogLog
+    partials (md5-hex register math — integer/CASE only, engine-exact)
+    merge by register-wise max and estimate approx distinct users per
+    hourly cell. The 3-way delivery merge must equal the single-pass
+    sketch — the property exact distinct counting cannot offer without
+    re-reading history."""
+    from spark_ensemble_spark.operators.materialized import (
+        hll_estimate,
+        hll_merge,
+        hll_partial,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    parts = None
+    for i in range(3):
+        p = hll_partial(ev.filter(F.col("event_id") % 3 == i))
+        parts = p if parts is None else parts.unionByName(p)
+    est = hll_estimate(hll_merge(parts))
+    return est.select(
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "event_type",
+        "approx_distinct",
+    )
+
+
 from spark_ensemble_spark.functions.stats import (  # noqa: E402
     key_skew_profile_oracle_sql as _skew_oracle,
 )

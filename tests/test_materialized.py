@@ -141,3 +141,47 @@ def test_rollup_stream_no_state_store(spark, tmp_path):
     # rebuild with distinct event ids per row (ids never enter the rollup)
     full = sorted(map(tuple, rollup_report(build_rollup(_ev(spark, all_rows))).collect()))
     assert served == full
+
+
+def test_hll_merge_equals_single_pass(spark):
+    """The sketch property: register-wise max over per-delivery partials ==
+    the partial over the union, hence identical estimates."""
+    from spark_ensemble_spark.operators.materialized import (
+        hll_estimate,
+        hll_merge,
+        hll_partial,
+    )
+
+    ev = spark.range(5000).select(
+        F.col("id").alias("event_id"),
+        F.lit(datetime(2026, 1, 1, 0)).alias("ts"),
+        F.lit("a").alias("event_type"),
+        (F.col("id") % 700).alias("user_id"),
+    )
+    single = hll_estimate(hll_partial(ev)).collect()[0].approx_distinct
+    parts = None
+    for i in range(3):
+        p = hll_partial(ev.filter(F.col("event_id") % 3 == i))
+        parts = p if parts is None else parts.unionByName(p)
+    merged = hll_estimate(hll_merge(parts)).collect()[0].approx_distinct
+    assert merged == single
+
+
+def test_hll_accuracy_both_branches(spark):
+    """Estimates land within ~3 standard errors (m=256 → ~6.5%): the
+    linear-counting branch on a small cell and the raw harmonic branch on
+    a 20k-distinct cell."""
+    from spark_ensemble_spark.operators.materialized import hll_estimate, hll_partial
+
+    def est(n_distinct):
+        ev = spark.range(n_distinct).select(
+            F.col("id").alias("event_id"),
+            F.lit(datetime(2026, 1, 1, 0)).alias("ts"),
+            F.lit("a").alias("event_type"),
+            F.col("id").alias("user_id"),
+        )
+        return hll_estimate(hll_partial(ev)).collect()[0].approx_distinct
+
+    small, big = est(40), est(20000)
+    assert abs(small - 40) <= 12      # linear counting: tight at tiny V/m
+    assert abs(big - 20000) <= 0.2 * 20000

@@ -186,21 +186,33 @@ def mad_outlier_flags(
     — the right default on preemptible/spot executors; ``"checkpoint"``
     severs lineage via eager ``localCheckpoint`` (faster re-reads, no
     recompute path — non-replicated blocks); ``None`` skips materialization
-    for cheap inputs that don't mind three evaluations (r6 ADVICE)."""
+    for cheap inputs that don't mind three evaluations (r6 ADVICE).
+
+    A ``"persist"`` cache is UNPERSISTED before returning (r7 ADVICE:
+    repeated calls were accumulating MEMORY_AND_DISK blocks for the
+    session's lifetime): persist keeps lineage, so the returned frame's
+    downstream actions simply recompute — the cache's job was sharing the
+    two quantile passes, and that job is done. ``"checkpoint"`` blocks stay
+    live because the returned frame READS them (no lineage to fall back
+    on); callers own that lifetime."""
     if materialize == "persist":
         df = df.persist()
     elif materialize == "checkpoint":
         df = df.localCheckpoint(eager=True)
     elif materialize is not None:
         raise ValueError(f"materialize must be 'persist'/'checkpoint'/None, got {materialize!r}")
-    med = df.approxQuantile(value_col, [0.5], tol)
-    if not med:
-        return df.withColumn("is_outlier", F.lit(None).cast("boolean"))
-    med = med[0]
-    dev = df.select(
-        F.abs(F.col(value_col) - F.lit(med)).alias("__d")
-    )
-    mad = dev.approxQuantile("__d", [0.5], tol)[0]
+    try:
+        med = df.approxQuantile(value_col, [0.5], tol)
+        if not med:
+            return df.withColumn("is_outlier", F.lit(None).cast("boolean"))
+        med = med[0]
+        dev = df.select(
+            F.abs(F.col(value_col) - F.lit(med)).alias("__d")
+        )
+        mad = dev.approxQuantile("__d", [0.5], tol)[0]
+    finally:
+        if materialize == "persist":
+            df.unpersist()
     if mad > 0:
         flag = F.abs(F.col(value_col) - F.lit(med)) > F.lit(k * mad)
     else:

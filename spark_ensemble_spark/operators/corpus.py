@@ -1757,13 +1757,23 @@ def pack_token_windows(
     placed = base.withColumn(
         "start_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
     )
+    first_w = F.floor(F.col("start_offset") / capacity).cast("bigint")
+    # Clamp: a zero-token document's half-open span would otherwise compute
+    # last = floor((start-1)/capacity) = first-1 (or -1 at offset 0) — a
+    # degenerate manifest row a data loader could misread as "spans
+    # backwards". An empty doc occupies no tokens but is PLACED at its
+    # offset: first_window == last_window.
+    last_w = F.greatest(
+        first_w,
+        F.floor((F.col("start_offset") + F.col("n_tokens") - 1) / capacity).cast(
+            "bigint"
+        ),
+    )
     return placed.select(
         "doc_id",
         "bucket",
         "n_tokens",
         "start_offset",
-        F.floor(F.col("start_offset") / capacity).cast("bigint").alias("first_window"),
-        F.floor((F.col("start_offset") + F.col("n_tokens") - 1) / capacity)
-        .cast("bigint")
-        .alias("last_window"),
+        first_w.alias("first_window"),
+        last_w.alias("last_window"),
     )

@@ -31,8 +31,16 @@ Scale posture (the 100 TB contract):
 
 Determinism: per-term BM25 contributions are rounded then DECIMAL-summed
 (the ``unigram_logprob_score`` discipline) so partial-agg order cannot move
-a score; ranking breaks ties by doc id. ``ln`` is evaluated once per
-(query-term, doc) on identical double inputs in both engines.
+a score; ranking breaks ties by doc id. ALL rounding here is the repo's
+engine-stable ``floor(x·10^s + 0.5)/10^s`` idiom (queries.py q16 /
+``quantize_int8``), NEVER ``round(x, s)`` — round()'s tie handling near
+ticks is engine-specific (Spark half-ups the shortest decimal repr, DuckDB
+nearbyints x·10^s), and the driver's DuckDB build proved it in round 7
+(CORRECTNESS_r07 hash-only fails on docs_bm25_topk/docs_hybrid_rrf).
+Additionally the ln-idf — the only transcendental — is itself floor-rounded
+onto a 10⁻⁶ grid BEFORE the tf-norm multiply, so a sub-ulp ``ln``
+difference between engine math libraries cannot push the product across a
+rounding tick: after gridding, both engines multiply bit-identical doubles.
 """
 
 from __future__ import annotations
@@ -51,6 +59,28 @@ __all__ = [
     "rrf_fuse",
     "rrf_oracle_sql",
 ]
+
+# idf values are floor-rounded onto this grid before any multiply — coarse
+# enough that a sub-ulp ln() difference between engines lands on the same
+# tick, fine enough that BM25 rankings are unaffected (idf spans ~[0, 20],
+# score gaps at corpus scale are >> 1e-6 · tf_norm ≤ 2.2e-6).
+_IDF_GRID = 6
+
+
+def _floor_round(x: Column, s: int) -> Column:
+    """Engine-stable half-up rounding: ``floor(x·10^s + 0.5)/10^s`` — plain
+    IEEE ops identical on every engine, unlike ``round(x, s)`` whose tie
+    handling is engine-specific (queries.py:452-458, the quantize_int8
+    idiom)."""
+    scale = float(10**s)
+    return F.floor(x * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+
+
+def _floor_round_sql(expr: str, s: int) -> str:
+    """DuckDB mirror of :func:`_floor_round` — same literal spelling so both
+    engines execute the identical double arithmetic."""
+    scale = float(10**s)
+    return f"(floor(({expr}) * {scale!r} + 0.5) / {scale!r})"
 
 
 def build_bm25_index(
@@ -131,10 +161,13 @@ def bm25_topk(
     match nothing (or whose every term was ``max_df``-pruned) returns no
     rows — retrieval found nothing, which is an answer, not an error.
 
-    ``score = Σ_terms round(idf(t) · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)),
-    round_to)`` with ``idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))`` (the
-    Lucene-style non-negative form) and ``dl/avgdl`` computed as
-    ``(dl·N)/Σdl`` — exact integer product, ONE double division, so the
+    ``score = Σ_terms fround(gidf(t) · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)),
+    round_to)`` where ``fround(x,s) = floor(x·10^s+0.5)/10^s`` (the
+    engine-stable half-up idiom — never ``round()``),
+    ``gidf(t) = fround(ln(1 + (N − df + 0.5)/(df + 0.5)), 6)`` (the
+    Lucene-style non-negative idf, grid-rounded before the multiply so a
+    sub-ulp ``ln`` difference cannot cross a tick) and ``dl/avgdl`` computed
+    as ``(dl·N)/Σdl`` — exact integer product, ONE double division, so the
     normalization is bit-identical on any IEEE engine.
     """
     if (index is None) != (index_stats is None):
@@ -192,13 +225,22 @@ def bm25_topk(
 
     n, sdl = F.col("__n"), F.col("__sdl")
     dl_ratio = (F.col("__dl") * n).cast("double") / sdl
-    idf = F.log(
-        F.lit(1.0) + (n - F.col("__df") + F.lit(0.5)) / (F.col("__df") + F.lit(0.5))
+    # grid-round the ln BEFORE the multiply (engine math libraries may
+    # differ sub-ulp; after flooring onto the grid both engines multiply
+    # bit-identical doubles), then floor-round the product — never round().
+    idf = _floor_round(
+        F.log(
+            F.lit(1.0)
+            + (n - F.col("__df") + F.lit(0.5)) / (F.col("__df") + F.lit(0.5))
+        ),
+        _IDF_GRID,
     )
     tf_norm = (F.col("__tf") * F.lit(k1 + 1.0)) / (
         F.col("__tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl_ratio)
     )
-    contrib = F.round(idf * tf_norm, round_to).cast(f"decimal(38,{round_to})")
+    contrib = _floor_round(idf * tf_norm, round_to).cast(
+        f"decimal(38,{round_to})"
+    )
 
     matched = postings.join(F.broadcast(qdf), "__t").join(
         F.broadcast(qterms), "__t"
@@ -288,6 +330,13 @@ def bm25_oracle_sql(
         final = (
             f"SELECT query_id, id AS {id_col}, score FROM scores WHERE score > 0"
         )
+    gidf_sql = _floor_round_sql(
+        "ln(1.0 + (stats.n - qdf.df + 0.5) / (qdf.df + 0.5))", _IDF_GRID
+    )
+    tf_norm_sql = f"""((tf.tf * {k1 + 1.0!r}) /
+                  (tf.tf + {k1!r} * ({1.0 - b!r} + {b!r} *
+                    (CAST(dl.dl * stats.n AS DOUBLE) / stats.sdl))))"""
+    contrib_sql = _floor_round_sql(f"{gidf_sql} * {tf_norm_sql}", round_to)
     return f"""
     WITH {q_cte},
     toks AS (
@@ -318,12 +367,7 @@ def bm25_oracle_sql(
     ),
     contrib AS (
       SELECT qt.query_id, tf.id,
-             CAST(round(
-               ln(1.0 + (stats.n - qdf.df + 0.5) / (qdf.df + 0.5))
-               * ((tf.tf * {k1 + 1.0!r}) /
-                  (tf.tf + {k1!r} * ({1.0 - b!r} + {b!r} *
-                    (CAST(dl.dl * stats.n AS DOUBLE) / stats.sdl)))),
-               {round_to}) AS DECIMAL(38,{round_to})) AS s
+             CAST({contrib_sql} AS DECIMAL(38,{round_to})) AS s
       FROM tf
       JOIN qdf ON tf.t = qdf.t
       JOIN qt ON tf.t = qt.t
@@ -364,8 +408,12 @@ def rrf_fuse(
     Scale posture: inputs are ALREADY top-k rankings, so every frame here
     is ``O(k · |queries| · #lists)`` — union, one (query, doc) agg, one
     per-query window; nothing corpus-sized. Each ``1/(c+rank)`` is one
-    double division on exact integers (engine-stable), rounded then
-    DECIMAL-summed so addition order cannot move a fused score."""
+    double division on exact integers (engine-stable), floor-half-up
+    rounded (``floor(x·10^s+0.5)/10^s`` — ``round()`` tie handling is
+    engine-specific, and ``1/(c+rank)`` DOES land exactly on half-ticks:
+    ``1/1024 · 10⁹ = 976562.5`` splits Spark's half-up from DuckDB's
+    half-even) then DECIMAL-summed so addition order cannot move a fused
+    score."""
     if len(rankings) < 2:
         raise ValueError("rrf_fuse needs at least two rankings")
     parts = [
@@ -379,7 +427,7 @@ def rrf_fuse(
     u = parts[0]
     for p in parts[1:]:
         u = u.unionByName(p)
-    contrib = F.round(
+    contrib = _floor_round(
         F.lit(1.0) / (F.lit(c) + F.col("__rank")), round_to
     ).cast(f"decimal(38,{round_to})")
     scored = u.groupBy("__qid", "__id").agg(
@@ -421,7 +469,7 @@ def rrf_oracle_sql(
     WITH u AS ({lists}),
     fused AS (
       SELECT qid, id,
-             CAST(sum(CAST(round(1.0 / (CAST({c} AS INT) + rnk), {round_to})
+             CAST(sum(CAST({_floor_round_sql(f"1.0 / (CAST({c} AS INT) + rnk)", round_to)}
                            AS DECIMAL(38,{round_to}))) AS DECIMAL(38,{round_to})) AS rrf_score,
              CAST(count(*) AS INT) AS n_lists
       FROM u GROUP BY 1, 2
@@ -490,10 +538,16 @@ def bm25_query_model(
     )
     import math
 
+    grid = float(10**_IDF_GRID)
     model: dict = {}
     for r in rows:
         df_t = r["__df"]
-        idf = math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
+        # same floor-half-up idf grid as bm25_topk: CPython's math.log and
+        # an engine's ln() may differ sub-ulp; after gridding, the literal
+        # broadcast into the frozen projection matches the oracle's
+        # floor(ln(...)·10⁶+0.5)/10⁶ exactly.
+        raw = math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
+        idf = math.floor(raw * grid + 0.5) / grid
         model.setdefault(r["__qid"], []).append((r["__t"], idf))
     for terms in model.values():
         terms.sort()
@@ -541,7 +595,7 @@ def bm25_frozen_scores(
                 tf_norm = (tf * F.lit(k1 + 1.0)) / (
                     tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl_ratio)
                 )
-                contrib = F.round(F.lit(idf) * tf_norm, round_to).cast(
+                contrib = _floor_round(F.lit(idf) * tf_norm, round_to).cast(
                     f"decimal(38,{round_to})"
                 )
                 score = contrib if score is None else score + contrib

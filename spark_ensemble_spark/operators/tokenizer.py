@@ -24,8 +24,10 @@ vocab frame), then join token counts back to the exploded corpus — two
 corpus-sized shuffles (explode + re-agg) and vocab-sized compute, never
 per-occurrence re-tokenization.
 
-Symbols are joined with the ASCII unit separator (``\\x1e``, never present
-in whitespace-tokenized text), which gives the fold a constant-time "last
+Symbols are joined with the ASCII unit separator (``\\x1e`` — STRIPPED from
+every word at the ingestion boundary by :func:`bpe_words`, since whitespace
+tokenization alone keeps control characters), which gives the fold a
+constant-time "last
 symbol equals the merge LHS" test: ``SEP || acc`` ends with ``SEP || lhs``
 iff the final symbol is exactly ``lhs`` (the separator cannot occur inside
 a symbol, so the match cannot start mid-symbol). Merging then appends just
@@ -50,11 +52,23 @@ SEP = "\x1e"
 MERGES_SCHEMA = "merge_rank int, lhs string, rhs string, pair_count long"
 
 
+def bpe_words(text: Column) -> Column:
+    """The tokenizer family's word array: whitespace tokens with any
+    :data:`SEP` byte STRIPPED. Whitespace tokenization keeps control
+    characters, so a word containing ``\\x1e`` would corrupt symbol
+    boundaries and merge application (r7 ADVICE — both engines would
+    replay the same wrong fold, so oracles can't catch it). Stripping at
+    the ingestion boundary restores the "SEP never occurs inside a symbol"
+    invariant everything downstream relies on; the DuckDB oracles'
+    ``_TOKENIZE`` applies the identical ``replace(w, chr(30), '')``."""
+    return F.transform(tokens(text), lambda w: F.translate(w, SEP, ""))
+
+
 def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Collapse a corpus to its ``(w, cnt)`` vocabulary — the one
     corpus-sized shuffle in BPE training."""
     return (
-        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        df.select(F.explode(bpe_words(F.col(text_col))).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -202,7 +216,7 @@ def bpe_train_grouped(
         vocab = (
             df.select(
                 F.col(group_col).alias("g"),
-                F.explode(tokens(F.col(text_col))).alias("w"),
+                F.explode(bpe_words(F.col(text_col))).alias("w"),
             )
             .filter(F.col("w") != "")
             .groupBy("g", "w")
@@ -223,26 +237,34 @@ def bpe_train_grouped(
         F.desc("pair_count"), F.asc("lhs"), F.asc("rhs")
     )
     rounds: List[DataFrame] = []
-    for rank in range(int(num_merges)):
-        winners = (
-            words.select("g", F.explode(adjacent_pairs(F.col("s"))).alias("pr"), "cnt")
-            .groupBy("g", F.col("pr.l").alias("lhs"), F.col("pr.r").alias("rhs"))
-            .agg(F.sum("cnt").alias("pair_count"))
-            .withColumn("__rn", F.row_number().over(win))
-            .filter(F.col("__rn") == 1)
-            .select("g", "lhs", "rhs", "pair_count")
-        )
-        winners = out_cache.update(winners)
-        rounds.append(winners.withColumn("merge_rank", F.lit(rank)))
-        words = cache.update(
-            words.join(
-                F.broadcast(winners.select("g", "lhs", "rhs")), "g", "left"
+    try:
+        for rank in range(int(num_merges)):
+            winners = (
+                words.select(
+                    "g", F.explode(adjacent_pairs(F.col("s"))).alias("pr"), "cnt"
+                )
+                .groupBy("g", F.col("pr.l").alias("lhs"), F.col("pr.r").alias("rhs"))
+                .agg(F.sum("cnt").alias("pair_count"))
+                .withColumn("__rn", F.row_number().over(win))
+                .filter(F.col("__rn") == 1)
+                .select("g", "lhs", "rhs", "pair_count")
             )
-            .withColumn(
-                "s", apply_merge_cols(F.col("s"), F.col("lhs"), F.col("rhs"))
+            winners = out_cache.update(winners)
+            rounds.append(winners.withColumn("merge_rank", F.lit(rank)))
+            words = cache.update(
+                words.join(
+                    F.broadcast(winners.select("g", "lhs", "rhs")), "g", "left"
+                )
+                .withColumn(
+                    "s", apply_merge_cols(F.col("s"), F.col("lhs"), F.col("rhs"))
+                )
+                .select("g", "s", "cnt")
             )
-            .select("g", "s", "cnt")
-        )
+    finally:
+        # bpe_train's discipline (r7 ADVICE: this leaked up to two persisted
+        # vocab-sized frames per call): winners are eagerly checkpointed
+        # (interval=1), so the returned union no longer reads the rotation.
+        cache.close()
     out = rounds[0]
     for r in rounds[1:]:
         out = out.unionByName(r)
@@ -274,7 +296,7 @@ def bpe_token_counts(
     the corpus pays only the explode and the join-back on the word key —
     documents with no words (empty text) drop, same as the SQL replay."""
     doc_words = df.select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w")
+        F.col(id_col), F.explode(bpe_words(F.col(text_col))).alias("w")
     ).filter(F.col("w") != "")
     vocab_tok = (
         doc_words.select("w")
@@ -301,7 +323,7 @@ def token_count_expr(text: Column, merges: List[Tuple[str, str]]) -> Column:
 
     Whitespace-only text counts zero tokens (callers mirroring the batch
     path's drop-empty semantics filter ``> 0``)."""
-    words = F.filter(tokens(text), lambda w: w != F.lit(""))
+    words = F.filter(bpe_words(text), lambda w: w != F.lit(""))
     per_word = F.transform(
         words, lambda w: F.size(F.split(segment_expr(w, merges), SEP)).cast("long")
     )
@@ -368,9 +390,20 @@ def bpe_encode_ids(
     vocab_ids: Optional[DataFrame] = None,
     unk_id: int = 0,
     vocab: Optional[DataFrame] = None,
+    word_sep_id: Optional[int] = None,
 ) -> DataFrame:
     """The model input: each document as its token-ID sequence
     ``(id_col, n_tokens, token_ids array<int>)`` under the learned merges.
+
+    ``word_sep_id`` (default off — the id stream is unchanged) interleaves a
+    reserved separator id between consecutive WORDS' sub-sequences, which is
+    what makes the encoding invertible: BPE symbols carry no end-of-word
+    marker here (``char_syms`` is GPT-2-style pre-tokenization without the
+    Ġ space prefix), so a flat id sequence alone cannot recover word
+    boundaries. Pick an id outside both the vocabulary's ``row_number``
+    range (≥ 1) and ``unk_id`` — ``-1`` is the conventional choice.
+    ``n_tokens`` counts the separators too (they are real positions the
+    model consumes). :func:`bpe_decode_ids` is the inverse.
 
     With ``vocab_ids=None`` (self-encoding, the training-corpus path) ids
     come from :func:`bpe_vocab`'s deterministic (freq DESC, token ASC)
@@ -387,7 +420,7 @@ def bpe_encode_ids(
     ``sort_array`` on (position, ids) structs, never a window over the
     corpus."""
     doc_words = df.select(
-        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("__pos", "w")
+        F.col(id_col), F.posexplode(bpe_words(F.col(text_col))).alias("__pos", "w")
     ).filter(F.col("w") != "")
     if vocab_ids is None:
         vocab_ids = bpe_vocab(df, merges, text_col, vocab=vocab).select(
@@ -422,14 +455,24 @@ def bpe_encode_ids(
             ).alias("__ids")
         )
     )
+    if word_sep_id is None:
+        per_word = lambda s: s["__ids"]  # noqa: E731
+        reassemble = lambda arr: arr  # noqa: E731
+    else:
+        # append the separator to every word's ids, drop the trailing one
+        sep = F.array(F.lit(int(word_sep_id)).cast("int"))
+        per_word = lambda s: F.concat(s["__ids"], sep)  # noqa: E731
+        reassemble = lambda arr: F.slice(arr, 1, F.size(arr) - 1)  # noqa: E731
     return (
         doc_words.join(word_seq, "w")
         .groupBy(id_col)
         .agg(
-            F.flatten(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("__pos", "__ids"))),
-                    lambda s: s["__ids"],
+            reassemble(
+                F.flatten(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("__pos", "__ids"))),
+                        per_word,
+                    )
                 )
             ).alias("token_ids")
         )
@@ -490,6 +533,59 @@ def bpe_encode_ids_oracle_sql(
     """
 
 
+def bpe_decode_ids(
+    df: DataFrame,
+    vocab_ids: DataFrame,
+    ids_col: str = "token_ids",
+    id_col: str = "doc_id",
+    word_sep_id: int = -1,
+    word_sep_token: str = " ",
+    unk_token: str = "",
+) -> DataFrame:
+    """The detokenizer — inverse of :func:`bpe_encode_ids` with
+    ``word_sep_id`` set: ``(id_col, text)`` where ``text`` is the
+    concatenation of each id's token string, separator ids rendered as
+    ``word_sep_token``. Round-trip contract (property-tested):
+    ``decode(encode(docs, word_sep_id=-1))`` equals the NORMALIZED text —
+    lowercased, trimmed, runs of whitespace collapsed to one space, SEP
+    bytes stripped — because that normalization is exactly what the
+    whitespace pre-tokenizer discards. Unknown ids (an ``unk_id`` from
+    frozen-vocab OOV mapping, or any id outside the vocabulary) render as
+    ``unk_token`` — OOV is lossy by construction; '' keeps positions
+    without inventing text.
+
+    Plan shape: one posexplode of the id sequences, a broadcast-class LEFT
+    join against the (bounded, ``chars + merges``-sized) vocabulary on the
+    id key, and the same ``sort_array``-struct ordered reassembly encode
+    uses — never a window over the corpus. ``array_join`` with the empty
+    separator then stitches the document back."""
+    exploded = df.select(
+        F.col(id_col), F.posexplode(F.col(ids_col)).alias("__pos", "__tid")
+    )
+    vt = vocab_ids.select(
+        F.col("token_id").cast("int").alias("__tid"), F.col("token").alias("__tok")
+    )
+    rendered = exploded.join(F.broadcast(vt), "__tid", "left").select(
+        id_col,
+        "__pos",
+        F.when(F.col("__tid") == F.lit(int(word_sep_id)), F.lit(word_sep_token))
+        .otherwise(F.coalesce(F.col("__tok"), F.lit(unk_token)))
+        .alias("__piece"),
+    )
+    return (
+        rendered.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("__pos", "__piece"))),
+                    lambda s: s["__piece"],
+                ),
+                "",
+            ).alias("text")
+        )
+    )
+
+
 def save_bpe_merges(spark, merges: List[Tuple[str, str]], path: str) -> None:
     """Persist a learned merge list as one JSON line (the tokenizer IS its
     merge list — query-vocabulary-class metadata, same single-line sink
@@ -517,7 +613,10 @@ def load_bpe_merges(path: str) -> List[Tuple[str, str]]:
 # recursive CTEs (pair counts -> argmax -> fold), byte-identical semantics.
 # ---------------------------------------------------------------------------
 
-_TOKENIZE = r"string_split_regex(lower(trim({text_col})), '\s+')"
+_TOKENIZE = (
+    r"list_transform(string_split_regex(lower(trim({text_col})), '\s+'),"
+    r" w -> replace(w, chr(30), ''))"
+)
 
 
 def _iteration_ctes(i: int) -> str:
@@ -646,6 +745,70 @@ def bpe_train_grouped_oracle_sql(
     return f"""{ctes}
     SELECT g AS {group_col}, merge_rank, lhs, rhs, pair_count FROM ({rows})
     ORDER BY {group_col}, merge_rank
+    """
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _frozen_fold_ctes(
+    merges: List[Tuple[str, str]], source: str, text_col: str
+) -> str:
+    """CTE chain applying a LITERAL merge list (no training, no argmax) to
+    the corpus's distinct-word vocabulary — the frozen-tokenizer replay:
+    ``w0`` is the word table, each ``f{i}`` is the same recursive
+    string-accumulator fold as :func:`_iteration_ctes` with the pair
+    inlined as constants."""
+    head = f"""WITH RECURSIVE
+    w0 AS MATERIALIZED (
+      SELECT w,
+             list_aggregate(list_transform(range(1, length(w) + 1), i -> w[i]),
+                            'string_agg', chr(30)) AS s
+      FROM (SELECT DISTINCT unnest({_TOKENIZE.format(text_col=text_col)}) AS w
+            FROM {source})
+      WHERE w <> ''
+    )"""
+    parts = [head]
+    for i, (lhs, rhs) in enumerate(merges):
+        l, r = _sql_str(lhs), _sql_str(rhs)
+        parts.append(f"""
+    l{i} AS MATERIALIZED (SELECT w, string_split(s, chr(30)) AS lst FROM w{i}),
+    f{i} AS (
+      SELECT w, lst, 1 AS pos, lst[1] AS acc FROM l{i}
+      UNION ALL
+      SELECT f.w, f.lst, f.pos + 1,
+             CASE WHEN right(chr(30) || f.acc, 1 + length({l})) = chr(30) || {l}
+                       AND f.lst[f.pos + 1] = {r}
+                  THEN f.acc || {r}
+                  ELSE f.acc || chr(30) || f.lst[f.pos + 1] END
+      FROM f{i} f WHERE f.pos < len(f.lst)
+    ),
+    w{i + 1} AS MATERIALIZED (SELECT w, acc AS s FROM f{i} WHERE pos = len(lst))""")
+    return ",".join(parts)
+
+
+def bpe_frozen_token_counts_oracle_sql(
+    merges: List[Tuple[str, str]],
+    source: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB replay of :func:`bpe_token_counts` under a FROZEN literal
+    merge list — the production serving path (train once, ship the merge
+    table, tokenize every delivery at explode+join cost with zero training
+    rounds)."""
+    n = len(merges)
+    return f"""{_frozen_fold_ctes(merges, source, text_col)},
+    d AS (
+      SELECT {id_col}, unnest({_TOKENIZE.format(text_col=text_col)}) AS w
+      FROM {source}
+    ),
+    v AS (SELECT w, len(string_split(s, chr(30))) AS w_tokens FROM w{n})
+    SELECT d.{id_col}, CAST(sum(v.w_tokens) AS BIGINT) AS n_tokens
+    FROM d JOIN v USING (w)
+    WHERE d.w <> ''
+    GROUP BY d.{id_col}
     """
 
 

@@ -197,6 +197,104 @@ def test_bpe_encode_ids_frozen_vocab_oov(spark):
     assert r.n_tokens == 7
 
 
+def test_bpe_words_strip_sep(spark):
+    """A word containing the \\x1e symbol separator is cleaned at the
+    ingestion boundary (r7 ADVICE: whitespace tokenization keeps control
+    chars, and a SEP inside a word corrupts symbol boundaries in BOTH
+    engines identically — oracles can't catch it). 'a\\x1eb' trains and
+    encodes exactly like 'ab'; a SEP-only word vanishes."""
+    dirty = spark.createDataFrame(
+        [(1, "a\x1eb a\x1eb \x1e zz")], "doc_id long, text string"
+    )
+    clean = spark.createDataFrame([(1, "ab ab zz")], "doc_id long, text string")
+    got_d = {(r.w, r.cnt) for r in tk.word_counts(dirty).collect()}
+    got_c = {(r.w, r.cnt) for r in tk.word_counts(clean).collect()}
+    assert got_d == got_c == {("ab", 2), ("zz", 1)}
+    cnt_d = tk.bpe_token_counts(dirty, [("a", "b")]).collect()[0].n_tokens
+    cnt_c = tk.bpe_token_counts(clean, [("a", "b")]).collect()[0].n_tokens
+    assert cnt_d == cnt_c == 2 + 2  # ab ab -> 1+1 tokens, zz -> 2
+    # per-row streaming expression agrees
+    expr = tk.token_count_expr(F.col("text"), [("a", "b")])
+    assert dirty.select(expr.alias("n")).collect()[0].n == 4
+
+
+def test_bpe_encode_ids_word_sep_by_hand(spark):
+    """word_sep_id=-1 interleaves the separator between words only:
+    'hug hug pun' → [1, -1, 1, -1, 3, 4, 2]."""
+    docs = spark.createDataFrame([(1, "hug hug pun")], "doc_id long, text string")
+    r = tk.bpe_encode_ids(
+        docs, [("u", "g"), ("h", "ug")], word_sep_id=-1
+    ).collect()[0]
+    assert list(r.token_ids) == [1, -1, 1, -1, 3, 4, 2]
+    assert r.n_tokens == 7
+
+
+def test_bpe_decode_roundtrip_property(spark):
+    """decode(encode(doc, word_sep_id=-1)) == normalized(doc) — lowercase,
+    trim, whitespace runs collapsed, SEP stripped — for hand-picked
+    adversarial texts (tabs, repeated spaces, case, control SEP, unicode)."""
+    texts = [
+        "Hello  World",
+        "  padded\tboth\tends  ",
+        "a\x1eb mixed\x1e case",
+        "ONE",
+        "repeat repeat repeat",
+        "ünïcode wörds",
+        "x",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = [("l", "l"), ("h", "e"), ("r", "e"), ("o", "r")]
+    vids = tk.bpe_vocab(docs, merges).select("token", "token_id")
+    enc = tk.bpe_encode_ids(docs, merges, vocab_ids=vids, word_sep_id=-1)
+    dec = tk.bpe_decode_ids(enc, vids, word_sep_id=-1)
+    import re
+
+    got = {r.doc_id: r.text for r in dec.collect()}
+    for i, t in enumerate(texts):
+        norm = re.sub(r"\s+", " ", t.replace("\x1e", "").lower().strip())
+        norm = " ".join(w for w in norm.split(" ") if w)
+        assert got[i] == norm, (t, got[i], norm)
+
+
+def test_bpe_decode_roundtrip_fixture(spark, sf_dir):
+    """Round-trip over the real fixture corpus under merges learned from
+    it: every document's decode equals its normalized text."""
+    from spark_ensemble_spark.sources.datasets import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r.lhs, r.rhs)
+        for r in tk.bpe_train(docs, num_merges=4).orderBy("merge_rank").collect()
+    ]
+    vids = tk.bpe_vocab(docs, merges).select("token", "token_id")
+    enc = tk.bpe_encode_ids(docs, merges, vocab_ids=vids, word_sep_id=-1)
+    dec = tk.bpe_decode_ids(enc, vids, word_sep_id=-1)
+    norm = docs.select(
+        "doc_id",
+        F.array_join(
+            F.filter(tk.bpe_words(F.col("text")), lambda w: w != F.lit("")), " "
+        ).alias("expected"),
+    ).filter(F.col("expected") != "")
+    bad = dec.join(norm, "doc_id").filter(F.col("text") != F.col("expected"))
+    assert bad.count() == 0
+    assert dec.count() == norm.count()
+
+
+def test_bpe_decode_unknown_ids_render_unk(spark):
+    """Ids outside the vocabulary (frozen-vocab OOV) decode to unk_token
+    without dropping positions."""
+    vids = spark.createDataFrame(
+        [("hug", 1), ("p", 2)], "token string, token_id int"
+    )
+    enc = spark.createDataFrame(
+        [(1, [1, -1, 99, 2])], "doc_id long, token_ids array<int>"
+    )
+    out = tk.bpe_decode_ids(enc, vids, word_sep_id=-1, unk_token="?").collect()
+    assert out[0].text == "hug ?p"
+
+
 def test_bpe_train_grouped_final_plan_no_corpus_rescan(spark, sf_dir):
     """Each round's winners are eagerly materialized, so consuming the
     merges table must NOT re-scan the corpus once per round (the executed

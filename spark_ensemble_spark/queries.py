@@ -5304,9 +5304,36 @@ def classification_metrics_dummy_prior(spark: SparkSession, sf_dir: str) -> Data
 #                                docs_bpe_tokens (iterative BPE train+encode,
 #                                the only driver-loop family with a full
 #                                trajectory-replay oracle)
+#   multimodal_decode          = (folded r8) metadata-projection seam covered
+#                                by the four real-codec extra-oracles
+#                                (image_decode/image_resize/audio_decode/
+#                                frame_sample) + streaming_multimodal_decode;
+#                                slot freed for bpe_train_by_lang
+#   streaming_event_counts     = (folded r8) watermarked windowed counts
+#                                covered by streaming_scored_events +
+#                                streaming_click_attribution in-window and the
+#                                rollup family's streaming tests; slot freed
+#                                for events_rollup_incremental
+#   similarity_ivf_fixed       = (folded r8) IVF cell-probe shape is the
+#                                outer stage of in-window similarity_ivfpq_topk
+#                                (probe + residual-PQ ADC); slot freed for
+#                                events_rollup_distinct_users
+#   similarity_pq_topk         = (folded r8) flat-PQ ADC scan is the inner
+#                                stage of in-window similarity_ivfpq_topk;
+#                                slot freed for events_key_skew
 # ---------------------------------------------------------------------------
 
 REGISTRY_ORDER = [
+    # -- r8 frontier (VERDICT r7 #2): grouped BPE training (zero-driver-state
+    # lockstep loop), the LSM-shaped incremental rollup store + its mergeable
+    # HLL sketch, and shuffle-key skew diagnostics. Out (fold notes above;
+    # all four remain extra-oracle-verified ×2-3 SFs and benched):
+    # multimodal_decode, streaming_event_counts, similarity_ivf_fixed,
+    # similarity_pq_topk.
+    "bpe_train_by_lang",
+    "events_rollup_incremental",
+    "events_rollup_distinct_users",
+    "events_key_skew",
     # -- late-r7 frontier: BM25 lexical retrieval, winnowing (MOSS) dedup
     # pairs, and hybrid lexical⊕semantic RRF fusion. Out (fold notes at the
     # bottom; all three remain extra-oracle-verified ×2-3 SFs and benched):
@@ -5354,8 +5381,6 @@ REGISTRY_ORDER = [
     "contamination_bloom",
     "docs_quality_quantile_filter",
     "events_funnel",
-    # -- new r3 --
-    "similarity_ivf_fixed",
     # -- new r4: corpus-curation operators, driver-visible at last --
     "strip_boilerplate",
     "contamination_overlap",
@@ -5368,7 +5393,6 @@ REGISTRY_ORDER = [
     # q4_priority_exists + clickers_never_purchased in-window and both remain
     # extra-oracle-verified at sf0.001+sf0.01) --
     "dedup_incremental",
-    "similarity_pq_topk",
     "topk_orders_per_priority",
     "revenue_rollup",
     "weighted_median_price",
@@ -5396,8 +5420,6 @@ REGISTRY_ORDER = [
     "docs_bpe_tokens",
     "dedup_clusters",
     "embedding_dup_pairs_lsh",
-    "multimodal_decode",
-    "streaming_event_counts",
 ]
 
 assert len(REGISTRY_ORDER) == 50, len(REGISTRY_ORDER)

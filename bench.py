@@ -193,6 +193,9 @@ BENCH_QUERIES = [
     # encode→decode round-trip (detokenizer parity)
     "docs_bpe_tokens_frozen",
     "docs_bpe_roundtrip",
+    # first compressed codec through the Arrow seam (zlib inflate +
+    # scanline defilter — no PIL)
+    "multimodal_png_decode",
 ]
 
 

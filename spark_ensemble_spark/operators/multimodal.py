@@ -225,6 +225,215 @@ def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# real COMPRESSED image decode: PNG (zlib DEFLATE + scanline defiltering)
+# ---------------------------------------------------------------------------
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body))
+    )
+
+
+def synthetic_png_corpus(
+    df: DataFrame, id_col: str = "doc_id", limit_ids: int = 400
+) -> DataFrame:
+    """Deterministic 8-bit RGB PNG payloads keyed on the id — the first
+    COMPRESSED codec fixture (the BMP/WAV/raw-frame corpora are all
+    uncompressed): honest PNG bytes with signature, IHDR, a zlib-DEFLATEd
+    IDAT, and IEND, CRCs included.
+
+    width = 5 + id % 6, height = 4 + id % 5,
+    pixel(x, y, c) = (id*7 + x*3 + y*5 + c*11) % 256 (c: 0=R,1=G,2=B;
+    y = 0 is the top row — PNG stores top-down, unlike BMP).
+
+    Each scanline is filtered with type ``(id + y) % 5``, so all five PNG
+    filters (None/Sub/Up/Average/Paeth) appear throughout the corpus and
+    :func:`decode_png` must implement real defiltering — a decoder that
+    ignores filters or mishandles the Paeth predictor cannot match the
+    oracle's analytic pixel replay."""
+    import struct
+    import zlib
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        def paeth(a: int, b: int, c: int) -> int:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            if pa <= pb and pa <= pc:
+                return a
+            return b if pb <= pc else c
+
+        for pdf in batches:
+            out_ids, out_payloads = [], []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                w, h = 5 + i % 6, 4 + i % 5
+                x = np.arange(w)[None, :, None]
+                y = np.arange(h)[:, None, None]
+                c = np.arange(3)[None, None, :]
+                px = ((i * 7 + x * 3 + y * 5 + c * 11) % 256).astype(np.uint8)
+                raw = px.reshape(h, w * 3)
+                bpp = 3
+                filtered = bytearray()
+                prior = bytes(w * 3)
+                for yy in range(h):
+                    row = bytes(raw[yy])
+                    ftype = (i + yy) % 5
+                    filtered.append(ftype)
+                    for j in range(w * 3):
+                        left = row[j - bpp] if j >= bpp else 0
+                        up = prior[j]
+                        ul = prior[j - bpp] if j >= bpp else 0
+                        if ftype == 0:
+                            v = row[j]
+                        elif ftype == 1:
+                            v = row[j] - left
+                        elif ftype == 2:
+                            v = row[j] - up
+                        elif ftype == 3:
+                            v = row[j] - ((left + up) >> 1)
+                        else:
+                            v = row[j] - paeth(left, up, ul)
+                        filtered.append(v & 0xFF)
+                    prior = row
+                ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+                payload = (
+                    b"\x89PNG\r\n\x1a\n"
+                    + _png_chunk(b"IHDR", ihdr)
+                    + _png_chunk(b"IDAT", zlib.compress(bytes(filtered)))
+                    + _png_chunk(b"IEND", b"")
+                )
+                out_ids.append(i)
+                out_payloads.append(payload)
+            yield pd.DataFrame({"doc_id": out_ids, "payload": out_payloads})
+
+    base = df.filter(F.col(id_col) < limit_ids).select(F.col(id_col).alias(id_col))
+    return (
+        base.mapInPandas(gen, schema="doc_id long, payload binary")
+        .withColumn("media_type", F.lit("image/png"))
+        .withColumn("n_bytes", F.octet_length("payload"))
+    )
+
+
+def decode_png(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Decode 8-bit RGB (color type 2) PNG payloads with NO external codec:
+    stdlib ``zlib`` inflates the concatenated IDAT stream and the five PNG
+    scanline filters (None/Sub/Up/Average/Paeth, RFC 2083 §6) are reversed
+    per row — real compressed-format decoding through the same Arrow
+    ``mapInPandas`` seam as the BMP path, emitting the same per-image facts
+    (:data:`IMAGE_SCHEMA`). Chunk lengths/types are parsed from the bytes
+    (multiple IDATs concatenate per spec; ancillary chunks skip), never
+    assumed from the fixture. JPEG would swap inflate+defilter for a DCT
+    library call in the SAME iterator — the seam, schema, and partitioning
+    are already the production shape."""
+
+    def op(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+        import zlib
+
+        import numpy as np
+        import pandas as pd
+
+        def decode(b: bytes):
+            if len(b) < 8 or b[:8] != b"\x89PNG\r\n\x1a\n":
+                raise ValueError("not a PNG payload")
+            pos, w = 8, None
+            idat = bytearray()
+            while pos + 8 <= len(b):
+                (size,) = struct.unpack_from(">I", b, pos)
+                ctype = b[pos + 4 : pos + 8]
+                body = b[pos + 8 : pos + 8 + size]
+                if ctype == b"IHDR":
+                    w, h, depth, ctype_px, comp, filt, interlace = struct.unpack(
+                        ">IIBBBBB", body
+                    )
+                    if (depth, ctype_px, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                        raise ValueError(
+                            f"unsupported PNG variant: depth={depth} color={ctype_px}"
+                        )
+                elif ctype == b"IDAT":
+                    idat += body
+                elif ctype == b"IEND":
+                    break
+                pos += 12 + size  # len + type + body + crc
+            if w is None or not idat:
+                raise ValueError("missing IHDR/IDAT chunk")
+            raw = zlib.decompress(bytes(idat))
+            stride, bpp = w * 3, 3
+            img = np.zeros((h, stride), np.uint8)
+            prior = np.zeros(stride, np.int32)
+            for yy in range(h):
+                ftype = raw[yy * (stride + 1)]
+                line = np.frombuffer(
+                    raw, np.uint8, count=stride, offset=yy * (stride + 1) + 1
+                ).astype(np.int32)
+                if ftype == 0:
+                    recon = line
+                elif ftype == 2:
+                    recon = (line + prior) & 0xFF
+                else:
+                    recon = np.zeros(stride, np.int32)
+                    for j in range(stride):
+                        left = int(recon[j - bpp]) if j >= bpp else 0
+                        up = int(prior[j])
+                        ul = int(prior[j - bpp]) if j >= bpp else 0
+                        if ftype == 1:
+                            pred = left
+                        elif ftype == 3:
+                            pred = (left + up) >> 1
+                        elif ftype == 4:
+                            p = left + up - ul
+                            pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                            pred = (
+                                left
+                                if pa <= pb and pa <= pc
+                                else (up if pb <= pc else ul)
+                            )
+                        else:
+                            raise ValueError(f"bad filter type {ftype}")
+                        recon[j] = (int(line[j]) + pred) & 0xFF
+                img[yy] = recon.astype(np.uint8)
+                prior = recon
+            rgb = img.reshape(h, w, 3).astype(np.int64)
+            n = w * h
+            return (
+                w,
+                h,
+                rgb[:, :, 0].sum() / n,
+                rgb[:, :, 1].sum() / n,
+                rgb[:, :, 2].sum() / n,
+                int(rgb[0, 0, 0]),
+            )
+
+        for pdf in batches:
+            decoded = [decode(b) for b in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "mean_r": [d[2] for d in decoded],
+                    "mean_g": [d[3] for d in decoded],
+                    "mean_b": [d[4] for d in decoded],
+                    "top_left_r": [d[5] for d in decoded],
+                }
+            )
+
+    from spark_ensemble_spark.sources.datasets import spread_to_parallelism
+
+    return spread_to_parallelism(df).mapInPandas(op, schema=IMAGE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
 # real audio decode: 16-bit PCM WAV (RIFF)
 # ---------------------------------------------------------------------------
 

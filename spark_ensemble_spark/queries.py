@@ -3614,6 +3614,48 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_png_decode",
+    """
+    WITH d AS (
+      SELECT doc_id, 5 + doc_id % 6 AS w, 4 + doc_id % 5 AS h
+      FROM documents WHERE doc_id < 400
+    ),
+    px AS (
+      SELECT d.doc_id, d.w, d.h, gx.x, gy.y
+      FROM d,
+           LATERAL (SELECT unnest(range(0, d.w)) AS x) gx,
+           LATERAL (SELECT unnest(range(0, d.h)) AS y) gy
+    )
+    SELECT doc_id,
+           w::INT AS width,
+           h::INT AS height,
+           avg((doc_id*7 + x*3 + y*5) % 256) AS mean_r,
+           avg((doc_id*7 + x*3 + y*5 + 11) % 256) AS mean_g,
+           avg((doc_id*7 + x*3 + y*5 + 22) % 256) AS mean_b,
+           ((doc_id*7) % 256)::INT AS top_left_r
+    FROM px GROUP BY doc_id, w, h
+    """,
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first COMPRESSED codec through the multimodal seam: honest PNG
+    payloads (zlib-DEFLATEd IDAT, per-row filters cycling through all five
+    of None/Sub/Up/Average/Paeth) generated from doc ids, decoded back out
+    of the BYTES with stdlib zlib + real scanline defiltering — no PIL.
+    The oracle replays the decoded facts analytically from the pixel
+    formula, so an inflate, filter-reversal, or Paeth-predictor bug in
+    either the encoder or the decoder breaks the hash. Proves the seam on
+    non-trivial payloads: unlike BMP, the pixel bytes do NOT appear
+    verbatim anywhere in the payload."""
+    from spark_ensemble_spark.operators.multimodal import (
+        decode_png,
+        synthetic_png_corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_png(synthetic_png_corpus(docs))
+
+
+@query(
     "streaming_event_counts",
     """
     SELECT event_type,

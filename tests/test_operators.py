@@ -2348,3 +2348,120 @@ def test_bm25_conjunctive_and_merge_index(spark):
         ).collect()
     }
     assert merged == rebuilt and merged
+
+
+def test_hybrid_retrieval_serving_shape_end_to_end(spark):
+    """The PRODUCTION hybrid-retrieval composition the rrf_fuse docstring
+    promises (r7 VERDICT #5): persisted BM25 index as the lexical branch,
+    residual IVF-PQ as the semantic branch, fused with reciprocal-rank
+    fusion. Planted fixture: per query, 3 relevant docs are findable ONLY
+    lexically (share the query's rare terms, orthogonal embeddings) and 3
+    ONLY semantically (near-identical embeddings, unrelated text), so each
+    single branch caps at recall 1/2 and only the fusion reaches the full
+    relevant set. Asserts (a) the persisted-index lexical branch serves
+    bit-identical scores/ranks to inline bm25_topk, and (b) fused recall@6
+    via ann_recall strictly beats BOTH branches on every query. No stage
+    here touches a corpus-sized frame after the two branch top-ks — fusion
+    is O(k·|queries|·2) rows by construction."""
+    from spark_ensemble_spark.operators.retrieval import (
+        bm25_topk,
+        build_bm25_index,
+        rrf_fuse,
+    )
+    from spark_ensemble_spark.operators.similarity import (
+        ann_recall,
+        ivf_fixed_centroids,
+        ivfpq_topk,
+        pq_train_codebooks,
+    )
+
+    DIM, K = 8, 6
+
+    def one_hot(axis, scale=1.0):
+        v = [0.0] * DIM
+        v[axis] = scale
+        return v
+
+    def near(axis, j):
+        v = one_hot(axis)
+        v[(axis + 2 + j) % DIM] = 0.02 * (j + 1)
+        return v
+
+    rows = []
+    # noise: low ids win distance ties so the semantic branch cannot
+    # accidentally surface lexical-planted docs through the tie-break
+    for i in range(1, 21):
+        rows.append((i, f"filler common words body {i}", one_hot(2 + i % 6)))
+    lex_text = {0: "zebra quartz marker", 1: "umbra gneiss marker"}
+    for q in (0, 1):
+        for j in range(3):
+            rows.append((101 + 10 * q + j, lex_text[q] + f" extra{j}", one_hot(2 + j)))
+            rows.append((104 + 10 * q + j, "lorem ipsum dolor unrelated", near(q, j)))
+    docs = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "doc_id int, text string"
+    )
+    emb = spark.createDataFrame(
+        [(i, v) for i, _, v in rows], "vec_id int, embedding array<double>"
+    )
+    queries = spark.createDataFrame(
+        [(9001, "zebra quartz"), (9002, "umbra gneiss")],
+        "query_id int, query_text string",
+    )
+    qemb = spark.createDataFrame(
+        [(9001, one_hot(0)), (9002, one_hot(1))],
+        "vec_id int, embedding array<double>",
+    )
+    relevant = {
+        9001: {101, 102, 103, 104, 105, 106},
+        9002: {111, 112, 113, 114, 115, 116},
+    }
+
+    # lexical branch: persisted-index serving == inline analytics
+    idx, st = build_bm25_index(docs)
+    lex = bm25_topk(None, queries, k=K, index=idx, index_stats=st)
+    inline = bm25_topk(docs, queries, k=K)
+    assert {
+        (r.query_id, r.doc_id): (r.score, r.rank) for r in lex.collect()
+    } == {(r.query_id, r.doc_id): (r.score, r.rank) for r in inline.collect()}
+
+    # semantic branch: residual IVF-PQ with trained codebooks
+    cents = ivf_fixed_centroids(DIM, 4, seed=23)
+    books = pq_train_codebooks(emb, DIM, num_subspaces=4, num_codewords=8)
+    sem = ivfpq_topk(
+        emb, qemb, cents, books, k=K, nprobe=3, residual=True
+    )
+
+    fused = rrf_fuse(
+        [
+            lex.select("query_id", "doc_id", "rank"),
+            sem.select(
+                "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+            ),
+        ],
+        k=K,
+    )
+
+    truth = spark.createDataFrame(
+        [
+            (qid, d, r + 1)
+            for qid, ds in relevant.items()
+            for r, d in enumerate(sorted(ds))
+        ],
+        "query_id int, neighbor_id int, rank int",
+    )
+
+    def recall_by_q(approx):
+        return {
+            r.query_id: r.recall for r in ann_recall(approx, truth, K).collect()
+        }
+
+    r_lex = recall_by_q(lex.select("query_id", F.col("doc_id").alias("neighbor_id"), "rank"))
+    r_sem = recall_by_q(sem.select("query_id", "neighbor_id", "rank"))
+    r_fused = recall_by_q(
+        fused.select("query_id", F.col("doc_id").alias("neighbor_id"), "rank")
+    )
+    for qid in relevant:
+        assert r_lex[qid] <= 0.5, (qid, r_lex)      # lexical finds only its 3
+        assert r_sem[qid] <= 0.5, (qid, r_sem)      # semantic finds only its 3
+        assert r_fused[qid] > max(r_lex[qid], r_sem[qid]), (qid, r_lex, r_sem, r_fused)
+        assert r_fused[qid] == 1.0, (qid, r_fused)  # fusion recovers all 6

@@ -14,6 +14,95 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def hot_key_salt_plan(
+    df: DataFrame,
+    key_col: str,
+    rows_per_task: int = 100_000,
+    top_n: int = 20,
+) -> dict:
+    """Pre-flight salt plan from :func:`~spark_ensemble_spark.functions.\
+stats.key_skew_profile`: ``{stringified key: salt_factor}`` for the heavy
+    hitters whose row count exceeds ``rows_per_task`` (salt_factor > 1).
+    Driver state is bounded by ``top_n`` — the heavy-hitter histogram, never
+    the key domain. An empty dict means no key needs salting and callers
+    should take the plain-join path."""
+    from spark_ensemble_spark.functions.stats import key_skew_profile
+
+    prof = key_skew_profile(
+        df, key_col, top_n=top_n, rows_per_task=rows_per_task
+    )
+    return {
+        r.key_value: int(r.salt_factor)
+        for r in prof.select("key_value", "salt_factor").collect()
+        if r.salt_factor > 1
+    }
+
+
+def salted_join_hot_keys(
+    large: DataFrame,
+    small: DataFrame,
+    large_key: str,
+    small_key: str,
+    plan: dict,
+) -> DataFrame:
+    """Inner equi-join with TARGETED salting of the ``plan``'s hot keys only
+    (the split-hot-keys strategy): hot ``large`` rows get a deterministic
+    content-hash salt in ``[0, nsalt)``, hot ``small`` rows replicate
+    ``nsalt``× with every salt value, cold keys join unsalted — so one hot
+    key's rows spread across ``nsalt`` reducers while the rest of the join
+    (and the small side's size) is untouched, unlike a uniform
+    :func:`salted_join` which replicates the ENTIRE small side.
+
+    ``plan`` maps STRINGIFIED key values (the
+    :func:`hot_key_salt_plan` convention) to their salt factor. The salt is
+    ``pmod(xxhash64(<all large columns>), nsalt)`` — a pure function of row
+    content, so retries and repartitioning cannot move a row between salt
+    buckets. Column names must be disjoint between the two sides (the
+    result carries both sides' columns, like a plain ``join``)."""
+    if not plan:
+        return large.join(
+            small, F.col(large_key) == F.col(small_key), "inner"
+        )
+    if set(large.columns) & set(small.columns):
+        raise ValueError(
+            "salted_join_hot_keys needs disjoint column names, got overlap: "
+            f"{sorted(set(large.columns) & set(small.columns))}"
+        )
+    spark = large.sparkSession
+    pf = spark.createDataFrame(
+        [(str(k), int(n)) for k, n in plan.items()], "__hk string, __ns int"
+    )
+    lk, sk = F.col(large_key).cast("string"), F.col(small_key).cast("string")
+    hot_l = (
+        large.join(F.broadcast(pf), lk == F.col("__hk"))
+        .withColumn(
+            "__lsalt",
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in large.columns]), F.col("__ns")
+            ).cast("int"),
+        )
+        .drop("__hk", "__ns")
+    )
+    cold_l = large.join(F.broadcast(pf), lk == F.col("__hk"), "left_anti")
+    hot_s = (
+        small.join(F.broadcast(pf), sk == F.col("__hk"))
+        .withColumn(
+            "__ssalt", F.explode(F.sequence(F.lit(0), F.col("__ns") - 1))
+        )
+        .drop("__hk", "__ns")
+    )
+    joined_cold = cold_l.join(small, F.col(large_key) == F.col(small_key))
+    joined_hot = (
+        hot_l.join(
+            hot_s,
+            (F.col(large_key) == F.col(small_key))
+            & (F.col("__lsalt") == F.col("__ssalt")),
+        )
+        .drop("__lsalt", "__ssalt")
+    )
+    return joined_cold.unionByName(joined_hot)
+
+
 def salted_join(
     large: DataFrame,
     small: DataFrame,

@@ -503,3 +503,58 @@ def test_incremental_rollup_20m(spark, big_events, tmp_path):
     full = rollup_report(build_rollup(ev))
     assert served.count() == full.count()
     assert served.exceptAll(full).count() == 0 and full.exceptAll(served).count() == 0
+
+
+def test_dup_clusters_salted_hub_5m_edges(spark):
+    """The skew guard at scale (r7 VERDICT #7): a 5M-edge graph where ONE
+    hub node carries 2M edges (the boilerplate-page shape — a power-law
+    dedup graph's head) plus 1M cold 3-node chains. The pre-flight profile
+    trips (salt plan present), label propagation resolves the hub component
+    and every chain correctly, and the salted hop join's reducer input is
+    bounded BY CONSTRUCTION: the hub's (key, salt) groups each hold
+    ~cnt/nsalt edges (asserted on the salted key distribution, the rows a
+    reducer actually receives)."""
+    from spark_ensemble_spark.functions.skew import hot_key_salt_plan
+    from spark_ensemble_spark.operators.dedup import dup_clusters
+
+    HUB_EDGES, N_CHAINS, RPT = 2_000_000, 1_000_000, 500_000
+    # hub 0 -- leaves 1..2M; chains (10M+3i, 10M+3i+1), (10M+3i+1, 10M+3i+2)
+    hub = spark.range(1, HUB_EDGES + 1).select(
+        F.lit(0).cast("long").alias("id_a"), F.col("id").alias("id_b")
+    )
+    base = (F.lit(10_000_000) + F.col("id") * 3).cast("long")
+    chains = (
+        spark.range(N_CHAINS)
+        .select(base.alias("id_a"), (base + 1).alias("id_b"))
+        .union(
+            spark.range(N_CHAINS).select(
+                (base + 1).alias("id_a"), (base + 2).alias("id_b")
+            )
+        )
+    )
+    pairs = hub.union(chains)
+
+    edges = pairs.selectExpr("id_a AS src", "id_b AS dst").union(
+        pairs.selectExpr("id_b AS src", "id_a AS dst")
+    )
+    plan = hot_key_salt_plan(edges, "dst", rows_per_task=RPT)
+    assert plan.get("0") == 4  # ceil(2M / 500k): the guard trips
+    # bounded reducer input: after salting, the hub key's per-(key,salt)
+    # group is ~cnt/nsalt — no single reducer sees the full 2M-edge key
+    salted_counts = (
+        edges.filter(F.col("dst") == 0)
+        .select(F.pmod(F.xxhash64("src", "dst"), F.lit(4)).alias("s"))
+        .groupBy("s")
+        .count()
+        .collect()
+    )
+    assert len(salted_counts) == 4
+    assert all(c["count"] <= RPT * 1.1 for c in salted_counts)
+
+    labels = dup_clusters(pairs, skew_rows_per_task=RPT)
+    got = labels.groupBy("cluster_id").count()
+    hub_row = got.filter(F.col("cluster_id") == 0).collect()[0]
+    assert hub_row["count"] == HUB_EDGES + 1  # hub + every leaf
+    n_chain_clusters = got.filter(F.col("cluster_id") >= 10_000_000).count()
+    assert n_chain_clusters == N_CHAINS  # one component per 3-node chain
+    assert labels.count() == HUB_EDGES + 1 + 3 * N_CHAINS

@@ -196,6 +196,10 @@ BENCH_QUERIES = [
     # first compressed codec through the Arrow seam (zlib inflate +
     # scanline defilter — no PIL)
     "multimodal_png_decode",
+    # two-stage ANN serving: IVF-PQ shortlist -> exact-cosine rerank
+    "similarity_rerank_topk",
+    # binary-quantization ANN (sign bits, XOR+popcount)
+    "similarity_hamming_topk",
 ]
 
 

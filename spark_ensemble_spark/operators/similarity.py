@@ -983,6 +983,204 @@ def load_pq_index(spark, path: str):
     return spark.read.parquet(f"{path}/codes"), meta["codebooks"]
 
 
+def rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    shortlist: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact-cosine rerank of an ANN shortlist — the standard TWO-STAGE
+    serving pattern (every production vector store: compressed codes recall
+    a k′-candidate shortlist, full-precision vectors are fetched ONLY for
+    those candidates and re-scored exactly). Recovers most of the recall a
+    lossy index (PQ quantization error, IVF cell misses within the probed
+    set) gives up, at O(k′·|queries|) exact distance evaluations instead of
+    O(n·|queries|).
+
+    ``shortlist`` is any ``(query_id, neighbor_id, ...)`` top-k′ frame from
+    this module (SRP / IVF / PQ / IVF-PQ / hamming). Returns the
+    :func:`brute_force_topk` schema ``(query_id, neighbor_id, cosine,
+    rank)`` restricted to shortlist members.
+
+    Plan shape: the shortlist (k′·|queries| rows — small by construction)
+    BROADCASTS against the corpus, so the full-precision fetch is one
+    broadcast-hash probe of the corpus scan, no corpus shuffle; scoring and
+    the top-k window then run on shortlist-sized frames only."""
+    cand = shortlist.select("query_id", "neighbor_id").dropDuplicates(
+        ["query_id", "neighbor_id"]
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    fetched = c.join(F.broadcast(cand), "neighbor_id")
+    scored = fetched.join(F.broadcast(q), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("cv"), F.col("qv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def rerank_oracle_sql(
+    shortlist_sql: str,
+    k: int = 5,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB replay of :func:`rerank_topk` over any shortlist oracle SQL
+    (producing at least ``(query_id, neighbor_id)``): the same DISTINCT
+    candidate set, guarded rounded cosine, and (cosine desc, id asc)
+    tie-break."""
+    cos = guarded_cosine_sql("c.v", "q.v")
+    return f"""
+    WITH sl AS (SELECT DISTINCT query_id, neighbor_id FROM ({shortlist_sql})),
+    e AS (SELECT {id_col} AS id, {vec_col}::DOUBLE[] AS v FROM {table}),
+    scored AS (
+      SELECT sl.query_id, sl.neighbor_id, {cos} AS cosine
+      FROM sl
+      JOIN e c ON c.id = sl.neighbor_id
+      JOIN e q ON q.id = sl.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+                  PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+                ) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+def binary_quantize_words(
+    vec: Column, dim: int, word_bits: int = 32
+) -> Column:
+    """Sign-bit binary quantization packed into an ``array<long>`` of
+    ``ceil(dim/word_bits)`` words: bit ``word_bits-1-j`` of word ``w`` is
+    set iff ``v[w·word_bits + j] > 0`` — 1 bit per dimension, the
+    binary-quantization layout modern vector stores ship for cheap
+    first-stage filtering (64 floats → 8 bytes; Hamming distance on the
+    words approximates angular distance for roughly-centered embeddings).
+
+    ``word_bits`` defaults to 32 so each word's value stays < 2³² — exact
+    in every engine's integer AND double arithmetic, which is what lets
+    the DuckDB oracle replay the packing as a plain shift-sum."""
+    v = _as_double(vec)
+    words = []
+    for off in range(0, dim, word_bits):
+        n = min(word_bits, dim - off)
+        word = F.lit(0).cast("long")
+        for j in range(n):
+            word = word + F.when(
+                F.element_at(v, off + j + 1) > 0,
+                F.lit(1 << (n - 1 - j)).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        words.append(word)
+    return F.array(*words)
+
+
+def hamming_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: Optional[int] = None,
+    word_bits: int = 32,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k by Hamming distance over sign-bit binary codes
+    (:func:`binary_quantize_words`) — the cheap first stage of a
+    binary-quantized serving tier: XOR + popcount per word, ``dim/8`` bytes
+    per candidate instead of ``8·dim``. Returns ``(query_id, neighbor_id,
+    hamming, rank)``, ties by neighbor id, self excluded.
+
+    Scale posture: this scan is the compressed-domain analogue of
+    :func:`pq_topk` (exhaustive over codes, 64× less data than floats);
+    production composes it the same two ways — under an SRP/IVF blocking
+    stage for sub-linear candidates, or as the shortlist feeding
+    :func:`rerank_topk` for exact final order. The oracle replays packing,
+    XOR/popcount, and the tie-break bit-for-bit."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    words = binary_quantize_words(F.col(vec_col), dim, word_bits)
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), words.alias("cw"))
+    q = queries.select(F.col(id_col).alias("query_id"), words.alias("qw"))
+    joined = c.crossJoin(F.broadcast(q)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    ham = F.aggregate(
+        F.zip_with(
+            F.col("cw"),
+            F.col("qw"),
+            lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = joined.select(
+        "query_id", "neighbor_id", ham.cast("int").alias("hamming")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "hamming", "rank")
+    )
+
+
+def hamming_oracle_sql(
+    dim: int,
+    k: int = 5,
+    word_bits: int = 32,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred: str = "vec_id < 5",
+) -> str:
+    """DuckDB replay of :func:`hamming_topk`: the identical shift-sum
+    packing (exact integers — addition order cannot matter), xor +
+    bit_count per word, and the (hamming asc, id asc) tie-break."""
+    word_exprs = []
+    for off in range(0, dim, word_bits):
+        n = min(word_bits, dim - off)
+        terms = " + ".join(
+            f"(CASE WHEN v[{off + j + 1}] > 0 THEN CAST({1 << (n - 1 - j)} AS BIGINT) ELSE 0 END)"
+            for j in range(n)
+        )
+        word_exprs.append(f"({terms})")
+    bw = "[" + ", ".join(word_exprs) + "]"
+    n_words = len(word_exprs)
+    ham = " + ".join(
+        f"bit_count(xor(c.bw[{i + 1}], q.bw[{i + 1}]))" for i in range(n_words)
+    )
+    return f"""
+    WITH e AS (SELECT {id_col} AS id, {vec_col}::DOUBLE[] AS v FROM {table}),
+    w AS (SELECT id, {bw} AS bw FROM e),
+    q AS (SELECT * FROM w WHERE {query_pred.replace(id_col, 'id')})
+    SELECT query_id, neighbor_id, hamming, rank FROM (
+      SELECT q.id AS query_id, c.id AS neighbor_id,
+             CAST({ham} AS INT) AS hamming,
+             CAST(row_number() OVER (
+               PARTITION BY q.id ORDER BY ({ham}) ASC, c.id ASC
+             ) AS INT) AS rank
+      FROM w c JOIN q ON c.id <> q.id
+    ) WHERE rank <= {k}
+    """
+
+
 def ann_recall(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
     """Recall@k of an approximate ANN result against exact ground truth —
     evaluation as a first-class distributed operator ("measure, don't

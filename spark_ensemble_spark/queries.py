@@ -5062,6 +5062,62 @@ ORACLES["similarity_ivfpq_topk"] = _similarity.ivfpq_oracle_sql(
 )
 
 
+_RERANK_SHORTLIST_K = 15
+
+
+@query(
+    "similarity_rerank_topk",
+    None,  # oracle attached below (composes the IVF-PQ shortlist literals)
+)
+def similarity_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TWO-STAGE serving pattern end to end: residual IVF-PQ recalls a
+    15-candidate shortlist from 8-byte codes, then full-precision vectors
+    are fetched ONLY for shortlist rows (one broadcast-hash probe of the
+    corpus — no corpus shuffle) and re-scored with exact cosine for the
+    final top-5. Recovers the order PQ quantization error scrambles at
+    O(15·|queries|) exact evaluations; the oracle replays shortlist,
+    re-scoring, and tie-break bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    shortlist = _similarity.ivfpq_topk(
+        emb,
+        queries_df,
+        _IVF_CENTROIDS,
+        _pq_books(),
+        k=_RERANK_SHORTLIST_K,
+        nprobe=3,
+        residual=True,
+    )
+    return _similarity.rerank_topk(emb, queries_df, shortlist, k=5)
+
+
+ORACLES["similarity_rerank_topk"] = _similarity.rerank_oracle_sql(
+    _similarity.ivfpq_oracle_sql(
+        _IVF_CENTROIDS,
+        _similarity.pq_fixed_codebooks(dim=64, num_subspaces=8, num_codewords=16),
+        k=_RERANK_SHORTLIST_K,
+        nprobe=3,
+        residual=True,
+    ),
+    k=5,
+)
+
+
+@query(
+    "similarity_hamming_topk",
+    _similarity.hamming_oracle_sql(dim=64, k=5),
+)
+def similarity_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization ANN: sign bits packed into two 32-bit words per
+    vector (64 floats → 8 bytes), candidates scored by XOR + popcount — the
+    cheap first stage modern vector stores run before exact rerank. The
+    oracle replays the shift-sum packing (exact integers), per-word
+    xor/bit_count, and the (hamming asc, id asc) tie-break."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return _similarity.hamming_topk(emb, queries_df, k=5, dim=64)
+
+
 # ---------------------------------------------------------------------------
 # Incremental dedup: a new delivery batch against the accepted corpus index
 # (exact fingerprint anti-join + banded MinHash vs the index — the

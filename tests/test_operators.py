@@ -1527,6 +1527,92 @@ def test_pq_topk_planted_duplicate_ranks_first(spark):
     assert all(len(r.codes) == 4 for r in codes)
 
 
+def test_rerank_topk_restores_exact_order(spark):
+    """The two-stage pattern: a lossy shortlist (here deliberately
+    mis-ordered) reranked with exact cosine returns the brute-force order
+    restricted to shortlist members — and recall@k of the reranked list is
+    >= the shortlist's own top-k head."""
+    import random
+
+    from spark_ensemble_spark.operators.similarity import (
+        ann_recall,
+        brute_force_topk,
+        rerank_topk,
+    )
+
+    rng = random.Random(11)
+    dim, n = 12, 30
+
+    def vec():
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        s = sum(x * x for x in v) ** 0.5
+        return [x / s for x in v]
+
+    rows = [(i, vec()) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 2)
+    exact = brute_force_topk(df, q, k=8)
+    # a worst-case shortlist: the exact top-8 REVERSED (ranks flipped)
+    shortlist = exact.select(
+        "query_id", "neighbor_id", (F.lit(9) - F.col("rank")).alias("rank")
+    )
+    reranked = rerank_topk(df, q, shortlist, k=8)
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in reranked.collect()
+    }
+    want = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine) for r in exact.collect()
+    }
+    assert got == want  # exact order restored from a scrambled shortlist
+    # recall of rerank top-4 >= recall of the (scrambled) shortlist head
+    r_short = {
+        r.query_id: r.recall
+        for r in ann_recall(shortlist, exact, 4).collect()
+    }
+    r_rerank = {
+        r.query_id: r.recall
+        for r in ann_recall(reranked, exact, 4).collect()
+    }
+    assert all(r_rerank[qid] >= r_short[qid] for qid in r_rerank)
+    assert all(r_rerank[qid] == 1.0 for qid in r_rerank)
+
+
+def test_hamming_topk_planted_duplicate_and_packing(spark):
+    """Sign-bit packing and Hamming ranking: a planted exact duplicate has
+    distance 0 and ranks first; an exact sign-flip of the query ranks LAST
+    among scored candidates (distance = dim); packed words match a plain
+    Python popcount replay."""
+    import random
+
+    from spark_ensemble_spark.operators.embeddings import l2_normalize  # noqa: F401
+    from spark_ensemble_spark.operators.similarity import hamming_topk
+
+    rng = random.Random(7)
+    dim, n = 64, 25
+
+    def vec():
+        return [rng.gauss(0, 1) for _ in range(dim)]
+
+    q = vec()
+    rows = (
+        [(0, q), (500, list(q)), (600, [-x for x in q])]
+        + [(i, vec()) for i in range(1, n)]
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = hamming_topk(df, df.filter(F.col("vec_id") == 0), k=n + 2, dim=dim)
+    got = sorted(out.collect(), key=lambda r: r.rank)
+    assert got[0].neighbor_id == 500 and got[0].hamming == 0
+    assert got[-1].neighbor_id == 600 and got[-1].hamming == dim
+    # plain-python replay of one candidate's distance
+    def bits(v):
+        return [1 if x > 0 else 0 for x in v]
+
+    cand = dict(rows)[3]
+    want = sum(a != b for a, b in zip(bits(q), bits(cand)))
+    assert {r.neighbor_id: r.hamming for r in got}[3] == want
+
+
 def test_chunk_dedup_planted(spark):
     """A passage repeated across docs survives only in the earliest doc; a
     fully-duplicated doc returns empty; within-doc repeats keep first pos."""

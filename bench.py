@@ -200,6 +200,8 @@ BENCH_QUERIES = [
     "similarity_rerank_topk",
     # binary-quantization ANN (sign bits, XOR+popcount)
     "similarity_hamming_topk",
+    # hash-checked recall lift of the exact-rerank stage
+    "similarity_rerank_recall",
 ]
 
 

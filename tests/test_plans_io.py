@@ -884,3 +884,33 @@ def test_bm25_index_serving_equivalence_and_no_term_shuffle(spark, sf_dir, tmp_p
     assert not term_exchanges, term_exchanges
     assert "Bucketed: true" in final
     spark.sql("DROP TABLE IF EXISTS bm25_idx_test")
+
+
+def test_rerank_topk_broadcast_probe_no_corpus_shuffle(spark, sf_dir):
+    """The two-stage rerank's full-precision fetch must be a BROADCAST hash
+    probe of the corpus scan (the shortlist is k'·|queries| rows — small by
+    construction): the FINAL plan carries no sort-merge join and no
+    exchange keyed on the corpus id — the only exchange is the
+    shortlist-sized per-query window partitioning."""
+    import re
+
+    from spark_ensemble_spark.operators.similarity import (
+        brute_force_topk,
+        rerank_topk,
+    )
+    from spark_ensemble_spark.sources.datasets import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    shortlist = brute_force_topk(emb, q, k=10).select("query_id", "neighbor_id")
+    df = rerank_topk(emb, q, shortlist, k=5)
+    assert df.count() > 0  # materialize so AQE finalizes the plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in final, final
+    assert "BroadcastHashJoin" in final
+    corpus_exchanges = [
+        m.group(0)
+        for m in re.finditer(r"Exchange hashpartitioning\(neighbor_id#\d+[,L]", final)
+    ]
+    assert not corpus_exchanges, corpus_exchanges

@@ -202,6 +202,8 @@ BENCH_QUERIES = [
     "similarity_hamming_topk",
     # hash-checked recall lift of the exact-rerank stage
     "similarity_rerank_recall",
+    # mergeable histogram-percentile sketch per rollup cell
+    "events_rollup_value_quantiles",
 ]
 
 

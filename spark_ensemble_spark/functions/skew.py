@@ -25,16 +25,24 @@ stats.key_skew_profile`: ``{stringified key: salt_factor}`` for the heavy
     hitters whose row count exceeds ``rows_per_task`` (salt_factor > 1).
     Driver state is bounded by ``top_n`` — the heavy-hitter histogram, never
     the key domain. An empty dict means no key needs salting and callers
-    should take the plain-join path."""
-    from spark_ensemble_spark.functions.stats import key_skew_profile
+    should take the plain-join path.
 
-    prof = key_skew_profile(
-        df, key_col, top_n=top_n, rows_per_task=rows_per_task
+    This is the TRIMMED pre-flight (one groupBy(count) with map-side
+    partials + a heavy-hitter filter + TakeOrdered — a single job): the
+    salt plan needs only per-key counts, not `key_skew_profile`'s
+    share/rank/totals diagnostics, and iterative callers (``dup_clusters``
+    pays this once per resolution) shouldn't fund the broadcast-totals
+    pass they don't read."""
+    counts = (
+        df.groupBy(F.col(key_col).cast("string").alias("__k"))
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .filter(F.col("__cnt") > rows_per_task)
+        .orderBy(F.desc("__cnt"), F.asc_nulls_first("__k"))
+        .limit(top_n)
     )
+    rpt = int(rows_per_task)
     return {
-        r.key_value: int(r.salt_factor)
-        for r in prof.select("key_value", "salt_factor").collect()
-        if r.salt_factor > 1
+        r["__k"]: int((r["__cnt"] + rpt - 1) // rpt) for r in counts.collect()
     }
 
 

@@ -275,6 +275,154 @@ def hll_estimate(state: DataFrame, round_to: int = 4) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch (fixed-boundary histogram) for the rollup store.
+# Bin assignment is literal comparisons, counts are exact integers, and the
+# quantile pick is integer rank arithmetic — so unlike GK/KLL/t-digest (whose
+# states are order-sensitive), partials, merges, and estimates are
+# commutative AND replay bit-for-bit in SQL. This is the histogram-percentile
+# design monitoring rollups actually ship (Prometheus classic histograms):
+# accuracy is bounded by bucket resolution, mergeability is free.
+# ---------------------------------------------------------------------------
+
+HIST_BOUNDS = (1.0, 2.0, 5.0, 10.0, 20.0, 50.0, 100.0, 200.0, 500.0)
+
+
+def _hist_bin(value, bounds) -> "F.Column":
+    """bin = number of boundaries <= value (0 .. len(bounds)): chained
+    integer adds over literal compares — engine-stable on identical
+    doubles, commutative, no float math."""
+    b = F.lit(0)
+    for bound in bounds:
+        b = b + F.when(value >= F.lit(float(bound)), 1).otherwise(0)
+    return b
+
+
+def hist_partial(
+    events: DataFrame,
+    keys: Sequence[str] = ("bucket", "event_type"),
+    value_col: str = "value",
+    bounds: Sequence[float] = HIST_BOUNDS,
+    ts_col: str = "ts",
+    grain: str = "hour",
+) -> DataFrame:
+    """One delivery's histogram state per grain cell: ``keys + (bin, cnt)``
+    — long format, ≤ ``len(bounds)+1`` rows per cell regardless of delivery
+    size. NULL values are dropped (an unmeasurable value is not a sample).
+    Partials MERGE by plain addition (:func:`hist_merge` over deliveries ==
+    the partial of the union — exact integer sums), which is what makes
+    percentiles maintainable without re-reading history: GK/approx_quantile
+    state cannot be combined across time, histogram counts can."""
+    df = events.withColumn("bucket", F.date_trunc(grain, F.col(ts_col)))
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*keys, _hist_bin(F.col(value_col), bounds).alias("bin"))
+        .groupBy(*keys, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_merge(partials: DataFrame) -> DataFrame:
+    """Combine any number of per-delivery histogram partials (bin-wise sum)."""
+    keys = [c for c in partials.columns if c not in ("bin", "cnt", "batch_id")]
+    return partials.groupBy(*keys, "bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def hist_quantiles(
+    state: DataFrame,
+    qs: Sequence[float] = (0.5, 0.95, 0.99),
+    bounds: Sequence[float] = HIST_BOUNDS,
+) -> DataFrame:
+    """Quantile estimates per cell from merged histogram state: for each
+    ``q``, the UPPER boundary of the smallest bin whose cumulative count
+    reaches rank ``ceil(q·n)`` — the conservative (never-underestimates)
+    histogram-percentile convention; values in the overflow bin (above the
+    last boundary) report NULL, the honest "beyond sketch resolution"
+    answer. Per-cell state is ≤ ``len(bounds)+1`` rows, so the cumulative
+    window is cell-sized, never data-sized. All rank math is exact
+    integers; the only float op is the one ``q·n`` multiply on identical
+    doubles."""
+    from pyspark.sql import Window
+
+    keys = [c for c in state.columns if c not in ("bin", "cnt")]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy(*keys)
+    # the rank target needs the cell TOTAL next to each running count, so it
+    # rides in as a second window over the same cell-sized partition (an
+    # aggregate inside another aggregate's condition is illegal)
+    cum = state.withColumn("__cum", F.sum("cnt").over(w)).withColumn(
+        "__n", F.sum("cnt").over(wn)
+    )
+    barr = F.array(*[F.lit(float(b)) for b in bounds])
+    aggs = [F.max("__n").alias("n")]
+    for q in qs:
+        target = F.ceil(F.lit(float(q)) * F.col("__n"))
+        qbin = F.min(F.when(F.col("__cum") >= target, F.col("bin")))
+        aggs.append(qbin.alias(f"__bin_{_q_tag(q)}"))
+    grouped = cum.groupBy(*keys).agg(*aggs)
+    out_cols = [*keys, F.col("n").cast("long").alias("n")]
+    for q in qs:
+        tag = _q_tag(q)
+        qbin = F.col(f"__bin_{tag}")
+        out_cols.append(
+            F.when(qbin < len(bounds), F.element_at(barr, qbin.cast("int") + 1))
+            .alias(f"p{tag}")
+        )
+    return grouped.select(*out_cols)
+
+
+def _q_tag(q: float) -> str:
+    """0.5 -> '50', 0.95 -> '95', 0.999 -> '99_9' (percentile column tags)."""
+    return ("%g" % (float(q) * 100)).replace(".", "_")
+
+
+def hist_quantiles_oracle_sql(
+    source: str = "events",
+    keys_sql: str = "strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket, event_type",
+    key_names: str = "bucket, event_type",
+    value_sql: str = "value",
+    qs: Sequence[float] = (0.5, 0.95, 0.99),
+    bounds: Sequence[float] = HIST_BOUNDS,
+) -> str:
+    """DuckDB replay of partial → merge → quantile pick (bin assignment,
+    integer cumulative counts, and rank arithmetic are identical by
+    construction; merging partials is exact addition, so the from-scratch
+    replay equals any delivery split)."""
+    bin_expr = " + ".join(
+        f"(CASE WHEN {value_sql} >= {float(b)!r} THEN 1 ELSE 0 END)"
+        for b in bounds
+    )
+    blist = "[" + ", ".join(repr(float(b)) for b in bounds) + "]"
+    q_cols = []
+    for q in qs:
+        tag = _q_tag(q)
+        q_cols.append(
+            f"""CASE WHEN min(CASE WHEN cum >= ceil({float(q)!r} * n) THEN bin END) < {len(bounds)}
+                 THEN {blist}[min(CASE WHEN cum >= ceil({float(q)!r} * n) THEN bin END) + 1]
+                 END AS p{tag}"""
+        )
+    return f"""
+    WITH h AS (
+      SELECT {keys_sql}, ({bin_expr}) AS bin, CAST(count(*) AS BIGINT) AS cnt
+      FROM {source} WHERE {value_sql} IS NOT NULL
+      GROUP BY {key_names}, bin
+    ),
+    c AS (
+      SELECT {key_names}, bin, cnt,
+             sum(cnt) OVER (PARTITION BY {key_names} ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cnt) OVER (PARTITION BY {key_names}) AS n
+      FROM h
+    )
+    SELECT {key_names}, CAST(max(n) AS BIGINT) AS n, {", ".join(q_cols)}
+    FROM c GROUP BY {key_names}
+    """
+
+
 def hll_oracle_sql(
     source: str = "events",
     keys_sql: str = "strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket, event_type",

@@ -2461,6 +2461,45 @@ def events_rollup_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from spark_ensemble_spark.operators.materialized import (  # noqa: E402
+    hist_quantiles_oracle_sql as _hist_oracle,
+)
+
+
+@query("events_rollup_value_quantiles", _hist_oracle())
+def events_rollup_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE maintenance for the rollup store: per-delivery
+    fixed-boundary histogram partials (bin = literal compares, counts =
+    exact integers — the Prometheus-classic-histogram design) merge by
+    plain addition and answer p50/p95/p99 per hourly cell via integer rank
+    arithmetic. This is the percentile sketch a continuous aggregate CAN
+    maintain — GK/approx_quantile state is order-sensitive and cannot merge
+    across deliveries without re-reading history. The 3-way delivery merge
+    must equal the from-scratch histogram (exact addition), and the oracle
+    replays bins, cumulative ranks, and the conservative upper-boundary
+    pick bit-for-bit."""
+    from spark_ensemble_spark.operators.materialized import (
+        hist_merge,
+        hist_partial,
+        hist_quantiles,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    parts = None
+    for i in range(3):
+        p = hist_partial(ev.filter(F.col("event_id") % 3 == i))
+        parts = p if parts is None else parts.unionByName(p)
+    out = hist_quantiles(hist_merge(parts))
+    return out.select(
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "event_type",
+        "n",
+        "p50",
+        "p95",
+        "p99",
+    )
+
+
 from spark_ensemble_spark.functions.stats import (  # noqa: E402
     key_skew_profile_oracle_sql as _skew_oracle,
 )

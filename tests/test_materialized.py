@@ -185,3 +185,50 @@ def test_hll_accuracy_both_branches(spark):
     small, big = est(40), est(20000)
     assert abs(small - 40) <= 12      # linear counting: tight at tiny V/m
     assert abs(big - 20000) <= 0.2 * 20000
+
+
+def test_hist_merge_equals_single_pass_and_quantiles_by_hand(spark):
+    """Histogram partials over any delivery split merge (exact addition) to
+    the single-pass histogram, and the quantile pick matches a hand
+    computation: 10 values in one cell, bounds (1,2,5,10,20,50,100,200,500)
+    — p50 rank ceil(0.5*10)=5 lands in the bin bounded above by 5.0; an
+    overflow value (>500) reports NULL at p99 when the rank reaches it."""
+    from spark_ensemble_spark.operators.materialized import (
+        hist_merge,
+        hist_partial,
+        hist_quantiles,
+    )
+
+    vals = [0.5, 1.5, 2.5, 3.0, 4.9, 7.0, 15.0, 60.0, 150.0, 700.0]
+    ev = _ev(spark, [(0, "a", v) for v in vals])
+    single = hist_partial(ev)
+    merged = None
+    for i in range(3):
+        p = hist_partial(ev.filter(F.col("event_id") % 3 == i))
+        merged = p if merged is None else merged.unionByName(p)
+    merged = hist_merge(merged)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, single.collect())
+    )
+    q = hist_quantiles(merged, qs=(0.5, 0.99)).collect()[0]
+    assert q.n == 10
+    # rank 5 of sorted vals = 4.9 -> bin 3 (bounds <= 4.9: 1,2) wait: bins
+    # count boundaries <= value: 4.9 -> bin 2; cumulative through bin 2
+    # (values < 5.0) = {0.5,1.5,2.5,3.0,4.9} = 5 >= 5 -> upper bound 5.0
+    assert q.p50 == 5.0
+    # rank ceil(0.99*10)=10 -> the overflow value 700 (bin 9) -> NULL
+    assert q.p99 is None
+
+
+def test_hist_null_values_dropped(spark):
+    from spark_ensemble_spark.operators.materialized import (
+        hist_partial,
+        hist_quantiles,
+    )
+
+    ev = spark.createDataFrame(
+        [(0, datetime(2026, 1, 1, 0), "a", 3.0), (1, datetime(2026, 1, 1, 0), "a", None)],
+        SCHEMA,
+    )
+    q = hist_quantiles(hist_partial(ev), qs=(0.5,)).collect()[0]
+    assert q.n == 1 and q.p50 == 5.0

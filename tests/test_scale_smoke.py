@@ -558,3 +558,29 @@ def test_dup_clusters_salted_hub_5m_edges(spark):
     n_chain_clusters = got.filter(F.col("cluster_id") >= 10_000_000).count()
     assert n_chain_clusters == N_CHAINS  # one component per 3-node chain
     assert labels.count() == HUB_EDGES + 1 + 3 * N_CHAINS
+
+
+def test_hist_rollup_20m(spark, big_events):
+    """Mergeable histogram-percentile maintenance at scale: 20M events in 4
+    deliveries; merged bin counts equal the single-pass histogram (exact
+    integer addition), and per-cell state stays <= len(bounds)+1 rows."""
+    from spark_ensemble_spark.operators.materialized import (
+        HIST_BOUNDS,
+        hist_merge,
+        hist_partial,
+        hist_quantiles,
+    )
+
+    ev = big_events.withColumn("event_type", (F.col("event_id") % 7).cast("string"))
+    merged = None
+    for i in range(4):
+        p = hist_partial(ev.filter(F.col("event_id") % 4 == i))
+        merged = p if merged is None else merged.unionByName(p)
+    merged = hist_merge(merged)
+    single = hist_partial(ev)
+    assert merged.exceptAll(single).count() == 0
+    assert single.exceptAll(merged).count() == 0
+    per_cell = merged.groupBy("bucket", "event_type").count()
+    assert per_cell.agg(F.max("count")).first()[0] <= len(HIST_BOUNDS) + 1
+    q = hist_quantiles(merged)
+    assert q.count() == per_cell.count()

@@ -204,6 +204,8 @@ BENCH_QUERIES = [
     "similarity_rerank_recall",
     # mergeable histogram-percentile sketch per rollup cell
     "events_rollup_value_quantiles",
+    # deterministic global shuffle + sharding for training export
+    "docs_shuffle_shards",
 ]
 
 

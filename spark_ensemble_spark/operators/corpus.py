@@ -1713,6 +1713,79 @@ def filter_by_score_quantile(
     return df.filter(F.col(score_col) >= F.lit(threshold))
 
 
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    seed: int = 17,
+) -> DataFrame:
+    """Deterministic global shuffle + sharding for training-data export —
+    the step a pretraining pipeline runs between curation and
+    packing/tokenization: examples must reach the trainer in a
+    pseudo-random order that is REPRODUCIBLE (re-runs, engines, and task
+    retries must produce the identical order, or data-order-sensitive
+    training runs aren't comparable). ``rand()`` fails all three; a stable
+    hash of ``(id, seed)`` fails none.
+
+    Returns ``(id_col, shard, pos)``: ``shard = h mod n_shards`` and
+    ``pos`` = the row's 1-based position within its shard by ``(h, id)``
+    order, where ``h`` is the 60-bit integer of ``md5(id:seed)`` (the
+    ``_md5_uniform`` convention). Changing ``seed`` reshuffles everything;
+    changing ``n_shards`` only re-deals the deal.
+
+    Scale shape: one shuffle on the shard key; each shard's ordering window
+    is shard-sized (data/n_shards rows on one reducer — ``n_shards`` IS the
+    parallelism knob, thousands in production, matching the file count the
+    trainer wants to read). Compose with :func:`pack_token_windows` by
+    packing in (shard, pos) order instead of raw id order."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "", F.col(id_col).cast("string"), F.lit(":"), F.lit(str(seed))
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    from pyspark.sql import Window
+
+    out = df.select(F.col(id_col), h.alias("__h")).withColumn(
+        "shard", F.pmod(F.col("__h"), F.lit(int(n_shards))).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("__h", id_col)
+    return out.withColumn("pos", F.row_number().over(w).cast("long")).select(
+        id_col, "shard", "pos"
+    )
+
+
+def shuffle_shards_oracle_sql(
+    source: str = "documents",
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    seed: int = 17,
+) -> str:
+    """DuckDB replay of :func:`shuffle_shards` (same md5 60-bit integer,
+    modulus, and (h, id) window order — pure integer arithmetic)."""
+    h = (
+        f"CAST(('0x' || substring(md5(CAST({id_col} AS VARCHAR) || ':{seed}'),"
+        f" 1, 15))::BIGINT AS BIGINT)"
+    )
+    return f"""
+    WITH s AS (
+      SELECT {id_col}, {h} AS h, CAST({h} % {n_shards} AS INT) AS shard
+      FROM {source}
+    )
+    SELECT {id_col}, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY h, {id_col})
+                AS BIGINT) AS pos
+    FROM s
+    """
+
+
 def pack_token_windows(
     df: DataFrame,
     text_col: str = "text",

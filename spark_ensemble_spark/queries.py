@@ -4953,6 +4953,24 @@ def docs_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_shuffle_shards",
+    _corpus.shuffle_shards_oracle_sql("documents", "doc_id", n_shards=8, seed=17),
+)
+def docs_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + sharding for training export: every
+    document gets a reproducible pseudo-random (shard, position) from the
+    md5(id:seed) integer — re-runs, engines, and task retries produce the
+    identical training order, which rand() cannot promise. One shuffle on
+    the shard key; per-shard ordering windows are shard-sized (n_shards is
+    the parallelism knob, matching the trainer's file count). Every
+    position hash-checked."""
+    from spark_ensemble_spark.operators.corpus import shuffle_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shuffle_shards(docs, "doc_id", n_shards=8, seed=17)
+
+
+@query(
     "docs_split_leakage_safe",
     _corpus.leakage_safe_splits_oracle_sql(
         {"train": 0.8, "val": 0.1, "test": 0.1},

@@ -867,3 +867,27 @@ def test_pack_token_windows(spark):
         assert last + 1 == -(-total // 10)
     with pytest.raises(ValueError, match="capacity"):
         pack_token_windows(docs, capacity=0)
+
+
+def test_shuffle_shards_deterministic_and_seed_sensitive(spark):
+    """Same seed -> identical (shard, pos) across runs; different seed ->
+    a different permutation; shards partition the id set; positions are
+    1..shard_size within each shard."""
+    from spark_ensemble_spark.operators.corpus import shuffle_shards
+
+    docs = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    a = {r.doc_id: (r.shard, r.pos) for r in shuffle_shards(docs, seed=17).collect()}
+    b = {r.doc_id: (r.shard, r.pos) for r in shuffle_shards(docs, seed=17).collect()}
+    c = {r.doc_id: (r.shard, r.pos) for r in shuffle_shards(docs, seed=18).collect()}
+    assert a == b
+    assert a != c  # a different seed reshuffles
+    assert set(a) == set(range(200))
+    by_shard = {}
+    for doc, (sh, pos) in a.items():
+        assert 0 <= sh < 8
+        by_shard.setdefault(sh, []).append(pos)
+    for sh, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    # the order is not the identity (it's a shuffle)
+    order = [d for d, _ in sorted(a.items(), key=lambda kv: (kv[1][0], kv[1][1]))]
+    assert order != sorted(order)

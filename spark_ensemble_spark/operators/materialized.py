@@ -158,18 +158,30 @@ def rollup_stream(
     ts_col: str = "ts",
     value_col: str = "value",
     grain: str = "hour",
+    build_fn=None,
 ):
     """Streaming continuous aggregate with NO state store: each micro-batch
     aggregates alone and lands as an immutable partial partition
     (exactly-once scoped overwrite); :func:`read_rollup` serves the
     combined view. Unlike a watermarked streaming aggregation, there is no
     state to size or time out and late data simply lands in a later
-    partial — the trade is merge-on-read, bounded by compaction."""
+    partial — the trade is merge-on-read, bounded by compaction.
+
+    ``build_fn`` swaps the per-batch partial builder: the default is the
+    algebraic :func:`build_rollup`, but ANY mergeable-state builder with
+    the ``(events, keys, ...)`` shape slots in — :func:`hll_partial` for
+    maintained distinct counts (merge = register max) or
+    :func:`hist_partial` for maintained percentiles (merge = bin-count
+    addition). The store layout and exactly-once semantics are identical;
+    only the read-side combiner differs (:func:`combine_partials` /
+    :func:`hll_merge` / :func:`hist_merge`)."""
+    if build_fn is None:
+
+        def build_fn(batch_df):  # noqa: F811 — default algebraic builder
+            return build_rollup(batch_df, keys, ts_col, value_col, grain)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        write_rollup_delivery(
-            build_rollup(batch_df, keys, ts_col, value_col, grain), path, batch_id
-        )
+        write_rollup_delivery(build_fn(batch_df), path, batch_id)
 
     return (
         events_stream.writeStream.foreachBatch(write_batch)

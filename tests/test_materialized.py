@@ -232,3 +232,44 @@ def test_hist_null_values_dropped(spark):
     )
     q = hist_quantiles(hist_partial(ev), qs=(0.5,)).collect()[0]
     assert q.n == 1 and q.p50 == 5.0
+
+
+def test_hist_rollup_stream_served_equals_batch(spark, tmp_path):
+    """The generalized streaming continuous aggregate: micro-batches land
+    HISTOGRAM partials (build_fn=hist_partial), and the served
+    hist_merge -> hist_quantiles view equals the batch computation over
+    everything delivered — maintained percentiles with no state store."""
+    from spark_ensemble_spark.operators.materialized import (
+        hist_merge,
+        hist_partial,
+        hist_quantiles,
+        rollup_stream,
+    )
+
+    src = tmp_path / "ev_src_h"
+    src.mkdir()
+
+    def deliver(name, rows):
+        _ev(spark, rows).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    deliver("d1", [(0, "a", 1.5), (0, "a", 30.0), (1, "b", 0.2)])
+    stream = spark.readStream.schema(SCHEMA).parquet(str(src) + "/*")
+    q = rollup_stream(
+        stream,
+        str(tmp_path / "hist"),
+        str(tmp_path / "hckpt"),
+        build_fn=hist_partial,
+    )
+    try:
+        q.processAllAvailable()
+        deliver("d2", [(0, "a", 7.0), (0, "a", 600.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    served = hist_quantiles(
+        hist_merge(spark.read.parquet(str(tmp_path / "hist")))
+    )
+    all_rows = [(0, "a", 1.5), (0, "a", 30.0), (1, "b", 0.2), (0, "a", 7.0), (0, "a", 600.0)]
+    batch = hist_quantiles(hist_merge(hist_partial(_ev(spark, all_rows))))
+    key = lambda r: tuple(str(v) for v in r)
+    assert sorted(map(key, served.collect())) == sorted(map(key, batch.collect()))

@@ -206,6 +206,8 @@ BENCH_QUERIES = [
     "events_rollup_value_quantiles",
     # deterministic global shuffle + sharding for training export
     "docs_shuffle_shards",
+    # gate -> shuffle -> pack: the end-to-end training-export manifest
+    "docs_training_manifest",
 ]
 
 

@@ -1792,6 +1792,8 @@ def pack_token_windows(
     id_col: str = "doc_id",
     capacity: int = 512,
     num_buckets: int = 8,
+    bucket_col: Optional[str] = None,
+    order_col: Optional[str] = None,
 ) -> DataFrame:
     """Sequence-packing PLAN for pretraining batches: documents are
     concatenated in deterministic id order within a bucket and the token
@@ -1817,14 +1819,24 @@ def pack_token_windows(
 
     if capacity < 1:
         raise ValueError(f"capacity must be >= 1, got {capacity}")
+    if (bucket_col is None) != (order_col is None):
+        raise ValueError("pass bucket_col and order_col together")
+    if bucket_col is None:
+        bucket, order = (F.col(id_col) % num_buckets).cast("int"), id_col
+    else:
+        # explicit placement — e.g. shuffle_shards' (shard, pos), so the
+        # packed stream follows the reproducible TRAINING order instead of
+        # raw id order (the production composition: shuffle, then pack)
+        bucket, order = F.col(bucket_col).cast("int"), order_col
     base = df.select(
         F.col(id_col).alias("doc_id"),
-        (F.col(id_col) % num_buckets).cast("int").alias("bucket"),
+        bucket.alias("bucket"),
+        F.col(order).alias("__ord"),
         token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
     )
     w = (
         Window.partitionBy("bucket")
-        .orderBy("doc_id")
+        .orderBy("__ord")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     placed = base.withColumn(

@@ -4971,6 +4971,62 @@ def docs_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_training_manifest",
+    f"""
+    WITH f AS MATERIALIZED (
+      SELECT doc_id, len({_TEXT_TOKENS_SQL})::BIGINT AS n_tokens,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':17'),
+                   1, 15))::BIGINT AS BIGINT) AS h
+      FROM documents
+      WHERE len({_TEXT_TOKENS_SQL}) >= 10
+    ),
+    s AS MATERIALIZED (
+      SELECT doc_id, n_tokens, CAST(h % 8 AS INT) AS bucket,
+             row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
+      FROM f
+    ),
+    p AS (
+      SELECT doc_id, bucket, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY bucket ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS start_offset
+      FROM s
+    )
+    SELECT doc_id, bucket, n_tokens, start_offset,
+           (start_offset // 512)::BIGINT AS first_window,
+           greatest((start_offset // 512)::BIGINT,
+                    ((start_offset + n_tokens - 1) // 512)::BIGINT) AS last_window
+    FROM p
+    """,
+)
+def docs_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-export pipeline end to end — gate → deterministic
+    global shuffle → pack: documents passing a token-length gate are dealt
+    a reproducible pseudo-random (shard, position) by shuffle_shards, then
+    pack_token_windows cuts each shard's token stream into 512-token
+    training windows IN THAT ORDER (bucket_col/order_col composition) —
+    the manifest a data loader consumes for order-reproducible pretraining
+    batches. Every stage is integer/hash arithmetic, so gate, deal,
+    offsets, and window ids all hash-check against the composed SQL
+    replay. Two shuffles total (the shard deal + the per-shard cumsum
+    window), both on the shard key family; no UDF anywhere."""
+    from spark_ensemble_spark.operators.corpus import (
+        pack_token_windows,
+        shuffle_shards,
+    )
+    from spark_ensemble_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = docs.filter(token_count(F.col("text")) >= 10).select("doc_id", "text")
+    sh = shuffle_shards(kept, "doc_id", n_shards=8, seed=17)
+    joined = kept.join(sh, "doc_id")
+    return pack_token_windows(
+        joined, capacity=512, bucket_col="shard", order_col="pos"
+    )
+
+
+@query(
     "docs_split_leakage_safe",
     _corpus.leakage_safe_splits_oracle_sql(
         {"train": 0.8, "val": 0.1, "test": 0.1},

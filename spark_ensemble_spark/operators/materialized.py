@@ -392,6 +392,32 @@ def _q_tag(q: float) -> str:
     return ("%g" % (float(q) * 100)).replace(".", "_")
 
 
+def hist_auto_bounds(
+    df: DataFrame,
+    value_col: str = "value",
+    n_bins: int = 16,
+    tol: float = 1e-3,
+) -> List[float]:
+    """TRAIN histogram boundaries from the data and export them as plain
+    float literals — the train → export → codegen posture (IVF centroids,
+    PCA components, PQ codebooks): ``n_bins − 1`` interior quantile cuts
+    from one GK-sketch pass, deduplicated and sorted. Equal-mass bounds
+    give ~``1/n_bins`` rank resolution EVERYWHERE the data actually lives,
+    where a fixed value grid wastes bins on empty ranges; the exported
+    list feeds :func:`hist_partial`/:func:`hist_quantiles` verbatim, so
+    maintenance and serving stay on the engine-exact literal-compare path
+    and the trained bounds are versionable JSON next to the store. Re-train
+    only when the value distribution drifts (the partials become
+    incomparable across a bounds change — cut a new store generation, the
+    compaction boundary)."""
+    qs = [i / n_bins for i in range(1, n_bins)]
+    cuts = df.filter(F.col(value_col).isNotNull()).approxQuantile(
+        value_col, qs, tol
+    )
+    out = sorted({float(c) for c in cuts})
+    return out
+
+
 def hist_quantiles_oracle_sql(
     source: str = "events",
     keys_sql: str = "strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket, event_type",

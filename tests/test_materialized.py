@@ -273,3 +273,37 @@ def test_hist_rollup_stream_served_equals_batch(spark, tmp_path):
     batch = hist_quantiles(hist_merge(hist_partial(_ev(spark, all_rows))))
     key = lambda r: tuple(str(v) for v in r)
     assert sorted(map(key, served.collect())) == sorted(map(key, batch.collect()))
+
+
+def test_hist_auto_bounds_train_export_serve(spark):
+    """Trained equal-mass bounds feed the same literal-compare path: bins
+    are roughly balanced on the training data (no bin holds more than ~3x
+    its fair share), and the merged-partials invariant holds under the
+    trained bounds exactly as under the fixed grid."""
+    import random
+
+    from spark_ensemble_spark.operators.materialized import (
+        hist_auto_bounds,
+        hist_merge,
+        hist_partial,
+        hist_quantiles,
+    )
+
+    rng = random.Random(3)
+    rows = [(i % 24, "a", rng.lognormvariate(0, 2)) for i in range(2000)]
+    ev = _ev(spark, [(0, t, v) for _, t, v in rows])
+    bounds = hist_auto_bounds(ev, "value", n_bins=8, tol=0.0)
+    assert 3 <= len(bounds) <= 7 and bounds == sorted(bounds)
+    single = hist_partial(ev, bounds=bounds)
+    counts = [r.cnt for r in single.collect()]
+    assert max(counts) <= 3 * (2000 / 8)
+    merged = None
+    for i in range(4):
+        p = hist_partial(ev.filter(F.col("event_id") % 4 == i), bounds=bounds)
+        merged = p if merged is None else merged.unionByName(p)
+    merged = hist_merge(merged)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, single.collect())
+    )
+    q = hist_quantiles(merged, qs=(0.5,), bounds=bounds).collect()[0]
+    assert q.n == 2000 and (q.p50 is None or q.p50 in bounds)

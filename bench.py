@@ -208,6 +208,8 @@ BENCH_QUERIES = [
     "docs_shuffle_shards",
     # gate -> shuffle -> pack: the end-to-end training-export manifest
     "docs_training_manifest",
+    # mergeable Count-Min frequency sketch per rollup cell
+    "events_rollup_user_freq",
 ]
 
 

@@ -288,6 +288,137 @@ def hll_estimate(state: DataFrame, round_to: int = 4) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Mergeable frequency sketch (Count-Min, Cormode & Muthukrishnan 2005) for
+# the rollup store: per-key occurrence estimates over HIGH-cardinality key
+# domains (user ids, URLs) without storing the key domain — ≤ depth·width
+# counters per cell, merging by plain addition, estimates = min over rows.
+# Hashing is the md5-hex-integer convention (HLL/_md5_uniform), so partials,
+# merges, and probes replay bit-for-bit in SQL. Estimates NEVER undercount;
+# overcount is bounded by collisions (~2n/width at depth 4 w.h.p.).
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH, CMS_WIDTH = 4, 256
+
+
+def _cms_slot(id_str, j: int):
+    h = F.conv(
+        F.substring(F.md5(F.concat(id_str, F.lit(f":cms{j}"))), 1, 15), 16, 10
+    ).cast("long")
+    return F.pmod(h, F.lit(CMS_WIDTH)).cast("int")
+
+
+def cms_partial(
+    events: DataFrame,
+    keys: Sequence[str] = ("event_type",),
+    id_col: str = "user_id",
+) -> DataFrame:
+    """One delivery's Count-Min state per cell: ``keys + (d, slot, cnt)`` —
+    long format, ≤ ``CMS_DEPTH·CMS_WIDTH`` rows per cell regardless of
+    delivery size or key cardinality. Partials MERGE by addition
+    (:func:`cms_merge` over deliveries == the partial of the union), the
+    property that makes per-key frequency tracking maintainable without
+    re-reading history OR carrying the key domain."""
+    id_str = F.col(id_col).cast("string")
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("d"), _cms_slot(id_str, j).alias("slot")
+                )
+                for j in range(CMS_DEPTH)
+            ]
+        )
+    ).alias("__e")
+    return (
+        events.select(*keys, rows)
+        .select(*keys, F.col("__e.d").alias("d"), F.col("__e.slot").alias("slot"))
+        .groupBy(*keys, "d", "slot")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(partials: DataFrame) -> DataFrame:
+    """Combine any number of per-delivery CMS partials (slot-wise sum)."""
+    keys = [
+        c for c in partials.columns if c not in ("d", "slot", "cnt", "batch_id")
+    ]
+    return partials.groupBy(*keys, "d", "slot").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(state: DataFrame, probes: Sequence[str]) -> DataFrame:
+    """Frequency estimates for literal ``probes`` per cell from merged CMS
+    state: ``min over depth rows of counter[d][slot_d(probe)]`` (a missing
+    slot counts 0). Probe slots are computed DRIVER-side with the identical
+    md5 arithmetic (probe lists are small literals — the bloom-mask class
+    of driver state), broadcast against the distinct cell set, and
+    LEFT-joined to the counters — no scan of any fact table. Returns
+    ``keys + (probe, approx_count)``; never undercounts."""
+    import hashlib
+
+    spark = state.sparkSession
+    rows = [
+        (
+            str(p),
+            j,
+            int(
+                hashlib.md5(f"{p}:cms{j}".encode()).hexdigest()[:15], 16
+            )
+            % CMS_WIDTH,
+        )
+        for p in probes
+        for j in range(CMS_DEPTH)
+    ]
+    pf = spark.createDataFrame(rows, "probe string, d int, slot int")
+    keys = [c for c in state.columns if c not in ("d", "slot", "cnt")]
+    cells = state.select(*keys).distinct()
+    grid = cells.crossJoin(F.broadcast(pf))
+    joined = grid.join(state, [*keys, "d", "slot"], "left")
+    return (
+        joined.withColumn("__c", F.coalesce(F.col("cnt"), F.lit(0)))
+        .groupBy(*keys, "probe")
+        .agg(F.min("__c").cast("long").alias("approx_count"))
+    )
+
+
+def cms_oracle_sql(
+    probes: Sequence[str],
+    source: str = "events",
+    keys_sql: str = "event_type",
+    key_names: str = "event_type",
+    id_sql: str = "CAST(user_id AS VARCHAR)",
+) -> str:
+    """DuckDB replay of partial → merge → probe (md5-hex integer slots,
+    exact counter addition, min over depth — identical by construction;
+    the from-scratch replay equals any delivery split)."""
+    probe_vals = ", ".join(f"('{str(p)}')" for p in probes)
+    slot = (
+        f"CAST(('0x' || substring(md5({{k}} || ':cms' || CAST(j.d AS VARCHAR)),"
+        f" 1, 15))::BIGINT % {CMS_WIDTH} AS INT)"
+    )
+    return f"""
+    WITH depths(d) AS (VALUES (0), (1), (2), (3)),
+    s AS MATERIALIZED (
+      SELECT {keys_sql}, j.d AS d, {slot.format(k=id_sql)} AS slot,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM {source}, depths j
+      GROUP BY {key_names}, j.d, slot
+    ),
+    probes(probe) AS (VALUES {probe_vals}),
+    pslots AS (
+      SELECT probe, j.d AS d, {slot.format(k='probe')} AS slot
+      FROM probes, depths j
+    ),
+    cells AS (SELECT DISTINCT {key_names} FROM s)
+    SELECT {key_names}, probe,
+           CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS approx_count
+    FROM cells
+    CROSS JOIN pslots
+    LEFT JOIN s USING ({key_names}, d, slot)
+    GROUP BY {key_names}, probe
+    """
+
+
+# ---------------------------------------------------------------------------
 # Mergeable quantile sketch (fixed-boundary histogram) for the rollup store.
 # Bin assignment is literal comparisons, counts are exact integers, and the
 # quantile pick is integer rank arithmetic — so unlike GK/KLL/t-digest (whose

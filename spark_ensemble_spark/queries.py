@@ -2500,6 +2500,38 @@ def events_rollup_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+from spark_ensemble_spark.operators.materialized import (  # noqa: E402
+    cms_oracle_sql as _cms_oracle,
+)
+
+_CMS_PROBES = tuple(str(i) for i in range(10))
+
+
+@query("events_rollup_user_freq", _cms_oracle(_CMS_PROBES))
+def events_rollup_user_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable FREQUENCY maintenance (Count-Min, Cormode & Muthukrishnan
+    2005): per-delivery CMS partials (md5-slot counters, <= depth·width
+    rows per cell regardless of key cardinality) merge by addition and
+    answer per-user occurrence estimates per event_type — heavy-hitter
+    tracking over a key domain the store never carries. The 3-way delivery
+    merge must equal the single-pass sketch (exact counter addition), and
+    the oracle replays slots, merged counters, and the min-over-depth probe
+    bit-for-bit. Estimates never undercount; depth-4/width-256 bounds the
+    overcount by collisions."""
+    from spark_ensemble_spark.operators.materialized import (
+        cms_estimate,
+        cms_merge,
+        cms_partial,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    parts = None
+    for i in range(3):
+        p = cms_partial(ev.filter(F.col("event_id") % 3 == i))
+        parts = p if parts is None else parts.unionByName(p)
+    return cms_estimate(cms_merge(parts), _CMS_PROBES)
+
+
 from spark_ensemble_spark.functions.stats import (  # noqa: E402
     key_skew_profile_oracle_sql as _skew_oracle,
 )

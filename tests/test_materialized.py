@@ -307,3 +307,46 @@ def test_hist_auto_bounds_train_export_serve(spark):
     )
     q = hist_quantiles(merged, qs=(0.5,), bounds=bounds).collect()[0]
     assert q.n == 2000 and (q.p50 is None or q.p50 in bounds)
+
+
+def test_cms_merge_equals_single_pass_and_never_undercounts(spark):
+    """CMS invariants: the 3-way delivery merge equals the single-pass
+    sketch (exact counter addition); probe estimates are >= exact counts
+    for every probed key (never undercount), and == exact when the cell's
+    key domain is small enough that collisions can't land in all 4 rows."""
+    from spark_ensemble_spark.operators.materialized import (
+        cms_estimate,
+        cms_merge,
+        cms_partial,
+    )
+
+    # events with controlled user ids: user u appears u+1 times
+    data = []
+    eid = 0
+    for u in range(6):
+        for _ in range(u + 1):
+            data.append((eid, datetime(2026, 1, 1, 0), "a", float(u), u))
+            eid += 1
+    ev = spark.createDataFrame(
+        data, "event_id long, ts timestamp, event_type string, value double, user_id long"
+    )
+    single = cms_partial(ev)
+    merged = None
+    for i in range(3):
+        p = cms_partial(ev.filter(F.col("event_id") % 3 == i))
+        merged = p if merged is None else merged.unionByName(p)
+    merged = cms_merge(merged)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, single.collect())
+    )
+    probes = [str(u) for u in range(6)] + ["999"]
+    est = {
+        r.probe: r.approx_count
+        for r in cms_estimate(merged, probes).collect()
+    }
+    for u in range(6):
+        assert est[str(u)] >= u + 1  # never undercounts
+    # 6 keys into 256 slots x 4 independent rows: a same-slot collision in
+    # EVERY row is (6/256)^4-unlikely; exactness expected here
+    assert all(est[str(u)] == u + 1 for u in range(6))
+    assert est["999"] == 0

@@ -395,40 +395,48 @@ def rrf_fuse(
     k: int = 10,
     c: int = 60,
     round_to: int = 9,
+    weights: Optional[Sequence[float]] = None,
 ) -> DataFrame:
     """Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) of
-    two or more per-query rankings: ``score(d) = Σ_r 1/(c + rank_r(d))``
+    two or more per-query rankings: ``score(d) = Σ_r w_r/(c + rank_r(d))``
     over the lists that contain ``d`` — the standard score-free combiner
     for hybrid retrieval (BM25 ⊕ embedding ANN), robust exactly because it
-    ignores incomparable raw scores and uses only ranks.
+    ignores incomparable raw scores and uses only ranks. ``weights``
+    (default: 1.0 per list) is the production trust knob — weighted RRF
+    tilts fusion toward the branch known to be stronger for the workload
+    without ever comparing raw scores.
 
     Returns ``(query_id, doc_id, rrf_score DECIMAL, n_lists, rank)`` with
     ``rank`` 1-based by ``(rrf_score desc, doc_id asc)`` per query.
 
     Scale posture: inputs are ALREADY top-k rankings, so every frame here
     is ``O(k · |queries| · #lists)`` — union, one (query, doc) agg, one
-    per-query window; nothing corpus-sized. Each ``1/(c+rank)`` is one
-    double division on exact integers (engine-stable), floor-half-up
-    rounded (``floor(x·10^s+0.5)/10^s`` — ``round()`` tie handling is
-    engine-specific, and ``1/(c+rank)`` DOES land exactly on half-ticks:
-    ``1/1024 · 10⁹ = 976562.5`` splits Spark's half-up from DuckDB's
-    half-even) then DECIMAL-summed so addition order cannot move a fused
-    score."""
+    per-query window; nothing corpus-sized. Each ``w/(c+rank)`` is one
+    double division of a literal by exact integers (engine-stable),
+    floor-half-up rounded (``floor(x·10^s+0.5)/10^s`` — ``round()`` tie
+    handling is engine-specific, and ``1/(c+rank)`` DOES land exactly on
+    half-ticks: ``1/1024 · 10⁹ = 976562.5`` splits Spark's half-up from
+    DuckDB's half-even) then DECIMAL-summed so addition order cannot move
+    a fused score."""
     if len(rankings) < 2:
         raise ValueError("rrf_fuse needs at least two rankings")
+    if weights is not None and len(weights) != len(rankings):
+        raise ValueError("weights must match rankings 1:1")
+    ws = [1.0] * len(rankings) if weights is None else [float(w) for w in weights]
     parts = [
         r.select(
             F.col(query_id_col).alias("__qid"),
             F.col(id_col).alias("__id"),
             F.col(rank_col).cast("int").alias("__rank"),
+            F.lit(w).alias("__w"),
         )
-        for r in rankings
+        for r, w in zip(rankings, ws)
     ]
     u = parts[0]
     for p in parts[1:]:
         u = u.unionByName(p)
     contrib = _floor_round(
-        F.lit(1.0) / (F.lit(c) + F.col("__rank")), round_to
+        F.col("__w") / (F.lit(c) + F.col("__rank")), round_to
     ).cast(f"decimal(38,{round_to})")
     scored = u.groupBy("__qid", "__id").agg(
         F.sum(contrib).alias("rrf_score"),
@@ -456,20 +464,26 @@ def rrf_oracle_sql(
     k: int = 10,
     c: int = 60,
     round_to: int = 9,
+    weights: Optional[Sequence[float]] = None,
 ) -> str:
     """DuckDB SQL replaying :func:`rrf_fuse` over ranking subqueries (each
     producing at least ``(query_id, id, rank)`` columns): the same
-    ``1/(c+rank)`` contributions, rounding, DECIMAL sum, and tie-break."""
+    ``w/(c+rank)`` contributions, rounding, DECIMAL sum, and tie-break."""
+    ws = (
+        [1.0] * len(ranking_sqls)
+        if weights is None
+        else [float(w) for w in weights]
+    )
     lists = " UNION ALL ".join(
-        f"SELECT {query_id_col} AS qid, {id_col} AS id, {rank_col} AS rnk"
-        f" FROM ({s})"
-        for s in ranking_sqls
+        f"SELECT {query_id_col} AS qid, {id_col} AS id, {rank_col} AS rnk,"
+        f" CAST({w!r} AS DOUBLE) AS w FROM ({s})"
+        for s, w in zip(ranking_sqls, ws)
     )
     return f"""
     WITH u AS ({lists}),
     fused AS (
       SELECT qid, id,
-             CAST(sum(CAST({_floor_round_sql(f"1.0 / (CAST({c} AS INT) + rnk)", round_to)}
+             CAST(sum(CAST({_floor_round_sql(f"w / (CAST({c} AS INT) + rnk)", round_to)}
                            AS DECIMAL(38,{round_to}))) AS DECIMAL(38,{round_to})) AS rrf_score,
              CAST(count(*) AS INT) AS n_lists
       FROM u GROUP BY 1, 2

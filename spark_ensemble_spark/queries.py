@@ -2798,6 +2798,46 @@ def docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_hybrid_rrf_weighted",
+    _retrieval.rrf_oracle_sql(
+        [
+            _retrieval.bm25_oracle_sql(
+                queries_sql=_HYBRID_QUERIES_SQL, k=_HYBRID_K, exclude_self=True
+            ),
+            _HYBRID_ANN_SQL,
+        ],
+        k=_HYBRID_K,
+        c=_HYBRID_C,
+        weights=(1.0, 0.5),
+    ),
+)
+def docs_hybrid_rrf_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED reciprocal-rank fusion — the production trust knob: the
+    lexical branch keeps weight 1.0, the semantic branch is discounted to
+    0.5 (``Σ w_r/(c+rank_r)``), tilting fusion without ever comparing raw
+    scores. Same two branch rankings as docs_hybrid_rrf; weights flow into
+    the floor-half-up rounded contributions on both engines, so the fused
+    scores and the re-ordered ranks hash-check end to end."""
+    from spark_ensemble_spark.operators.retrieval import bm25_topk, rrf_fuse
+    from spark_ensemble_spark.operators.similarity import brute_force_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    lex = bm25_topk(docs, queries, k=_HYBRID_K, exclude_self=True).select(
+        "query_id", "doc_id", "rank"
+    )
+    vec = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 3), k=_HYBRID_K
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    return rrf_fuse(
+        [lex, vec], k=_HYBRID_K, c=_HYBRID_C, weights=(1.0, 0.5)
+    )
+
+
+@query(
     "docs_bm25_conjunctive",
     _retrieval.bm25_oracle_sql(
         _BM25_QUERIES, k=_BM25_K, max_df=_BM25_MAX_DF, require_all_terms=True

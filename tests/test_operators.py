@@ -2610,3 +2610,33 @@ def test_hybrid_retrieval_serving_shape_end_to_end(spark):
         assert r_sem[qid] <= 0.5, (qid, r_sem)      # semantic finds only its 3
         assert r_fused[qid] > max(r_lex[qid], r_sem[qid]), (qid, r_lex, r_sem, r_fused)
         assert r_fused[qid] == 1.0, (qid, r_fused)  # fusion recovers all 6
+
+
+def test_rrf_fuse_weights_tilt_and_default_identity(spark):
+    """Weighted RRF: default weights equal explicit all-ones; a discounted
+    list's exclusive candidates drop below an equally-ranked candidate of
+    the full-weight list."""
+    from spark_ensemble_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [("q", 1, 1), ("q", 2, 2)], "query_id string, doc_id int, rank int"
+    )
+    b = spark.createDataFrame(
+        [("q", 3, 1), ("q", 4, 2)], "query_id string, doc_id int, rank int"
+    )
+    plain = {
+        (r.doc_id): (str(r.rrf_score), r.rank)
+        for r in rrf_fuse([a, b], k=4).collect()
+    }
+    ones = {
+        (r.doc_id): (str(r.rrf_score), r.rank)
+        for r in rrf_fuse([a, b], k=4, weights=(1.0, 1.0)).collect()
+    }
+    assert plain == ones
+    # equal ranks tie in unweighted fusion (1 and 3 both rank-1; id breaks
+    # the tie); with b discounted, a's candidates strictly outrank b's
+    tilted = sorted(
+        (r.rank, r.doc_id)
+        for r in rrf_fuse([a, b], k=4, weights=(1.0, 0.5)).collect()
+    )
+    assert [d for _, d in tilted] == [1, 2, 3, 4]

@@ -210,6 +210,8 @@ BENCH_QUERIES = [
     "docs_training_manifest",
     # mergeable Count-Min frequency sketch per rollup cell
     "events_rollup_user_freq",
+    # weighted reciprocal-rank fusion (per-branch trust tilt)
+    "docs_hybrid_rrf_weighted",
 ]
 
 

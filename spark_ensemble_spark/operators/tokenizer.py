@@ -391,6 +391,8 @@ def bpe_encode_ids(
     unk_id: int = 0,
     vocab: Optional[DataFrame] = None,
     word_sep_id: Optional[int] = None,
+    bos_id: Optional[int] = None,
+    eos_id: Optional[int] = None,
 ) -> DataFrame:
     """The model input: each document as its token-ID sequence
     ``(id_col, n_tokens, token_ids array<int>)`` under the learned merges.
@@ -404,6 +406,14 @@ def bpe_encode_ids(
     range (≥ 1) and ``unk_id`` — ``-1`` is the conventional choice.
     ``n_tokens`` counts the separators too (they are real positions the
     model consumes). :func:`bpe_decode_ids` is the inverse.
+
+    ``bos_id``/``eos_id`` wrap each document's sequence with reserved
+    begin/end sentinel ids (the standard special-token convention — the
+    trainer's attention-reset and generation-stop markers). Like the word
+    separator, pick ids outside the vocab range (e.g. ``-2``/``-3``);
+    :func:`bpe_decode_ids` renders unknown ids as ``unk_token`` (default
+    ``''``), so a bos/eos-wrapped sequence still round-trips to the
+    normalized text.
 
     With ``vocab_ids=None`` (self-encoding, the training-corpus path) ids
     come from :func:`bpe_vocab`'s deterministic (freq DESC, token ASC)
@@ -463,6 +473,15 @@ def bpe_encode_ids(
         sep = F.array(F.lit(int(word_sep_id)).cast("int"))
         per_word = lambda s: F.concat(s["__ids"], sep)  # noqa: E731
         reassemble = lambda arr: F.slice(arr, 1, F.size(arr) - 1)  # noqa: E731
+    if bos_id is not None or eos_id is not None:
+        inner = reassemble
+        head = (
+            [F.array(F.lit(int(bos_id)).cast("int"))] if bos_id is not None else []
+        )
+        tail = (
+            [F.array(F.lit(int(eos_id)).cast("int"))] if eos_id is not None else []
+        )
+        reassemble = lambda arr: F.concat(*head, inner(arr), *tail)  # noqa: E731
     return (
         doc_words.join(word_seq, "w")
         .groupBy(id_col)

@@ -337,3 +337,31 @@ def test_bpe_single_corpus_collapse_pipeline(spark, sf_dir):
         assert fresh == reused
     finally:
         wc.unpersist()
+
+
+def test_bpe_encode_ids_bos_eos_wrap_and_roundtrip(spark):
+    """Special tokens: bos/eos sentinel ids wrap every document's sequence
+    (n_tokens counts them); decode renders the out-of-vocab sentinels as
+    '' so the wrapped sequence still round-trips to normalized text."""
+    docs = spark.createDataFrame(
+        [(1, "hug hug pun"), (2, "pun")], "doc_id long, text string"
+    )
+    merges = [("u", "g"), ("h", "ug")]
+    vids = tk.bpe_vocab(docs, merges).select("token", "token_id")
+    enc = tk.bpe_encode_ids(
+        docs, merges, vocab_ids=vids, word_sep_id=-1, bos_id=-2, eos_id=-3
+    )
+    rows = {r.doc_id: r for r in enc.collect()}
+    for r in rows.values():
+        assert r.token_ids[0] == -2 and r.token_ids[-1] == -3
+        assert r.n_tokens == len(r.token_ids)
+    dec = {
+        r.doc_id: r.text
+        for r in tk.bpe_decode_ids(enc, vids, word_sep_id=-1).collect()
+    }
+    assert dec == {1: "hug hug pun", 2: "pun"}
+    # bos-only / eos-only variants compose too
+    only_bos = tk.bpe_encode_ids(
+        docs, merges, vocab_ids=vids, word_sep_id=-1, bos_id=-2
+    ).collect()
+    assert all(r.token_ids[0] == -2 and r.token_ids[-1] != -3 for r in only_bos)

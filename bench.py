@@ -212,6 +212,8 @@ BENCH_QUERIES = [
     "events_rollup_user_freq",
     # weighted reciprocal-rank fusion (per-branch trust tilt)
     "docs_hybrid_rrf_weighted",
+    # Kneser-Ney bigram LM fluency (continuation-probability backoff)
+    "docs_kn_bigram_logprob",
 ]
 
 

@@ -1481,6 +1481,101 @@ def bigram_logprob_score(
     )
 
 
+def kn_bigram_logprob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document mean log-probability under an interpolated KNESER-NEY
+    bigram model (Kneser & Ney 1995; Chen & Goodman 1998 §3 — the smoothing
+    that consistently wins LM perplexity evaluations):
+
+    ``p(w₂|w₁) = max(c(w₁w₂) − D, 0)/h(w₁)
+                 + D·N₁₊(w₁·)/h(w₁) · N₁₊(·w₂)/N₁₊(··)``
+
+    — absolute discounting plus the CONTINUATION-probability backoff:
+    unlike :func:`bigram_logprob_score`'s Jelinek-Mercer mix with raw
+    unigram frequency, the backoff weight of a word is how many DISTINCT
+    contexts it follows, which is exactly what separates genuinely
+    versatile words from words that are frequent only inside one collocate
+    ("francisco" is frequent but follows almost nothing but "san" — KN
+    scores it low out of context, JM does not). Same
+    ``(id_col, n_bigrams, avg_logprob)`` contract and plan shape: one
+    explode to per-doc bigram counts, every model table (bigram, history,
+    left-branch N₁₊, right-continuation N₁₊, type total) re-aggregates
+    THAT grouped frame, scoring joins shuffle on token keys with no
+    broadcast assumption. Every model quantity is an exact integer count;
+    rounding is the floor-half-up idiom on both engines (never
+    ``round()``), and every scored position is an OBSERVED bigram (the doc
+    contributed it to the corpus counts), so the discounted term's
+    ``max(·,0)`` never needs the unseen-bigram branch."""
+    norm = F.regexp_replace(
+        F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+", " "
+    )
+    toks = F.split(norm, " ")
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + F.lit(1)).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    per_doc = (
+        df.select(F.col(id_col).alias("__id"), F.explode(bigrams).alias("__bg"))
+        .select("__id", F.col("__bg.w1").alias("__w1"), F.col("__bg.w2").alias("__w2"))
+        .groupBy("__id", "__w1", "__w2")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    bi = per_doc.groupBy("__w1", "__w2").agg(F.sum("__c").alias("__cb"))
+    hist = bi.groupBy("__w1").agg(
+        F.sum("__cb").alias("__h"), F.count(F.lit(1)).alias("__n1p")
+    )
+    cont = bi.groupBy("__w2").agg(F.count(F.lit(1)).alias("__cont"))
+    types = bi.agg(F.count(F.lit(1)).alias("__types"))
+    d = float(discount)
+    scale = float(10**round_to)
+    p = (
+        F.greatest(F.col("__cb") - F.lit(d), F.lit(0.0)) / F.col("__h")
+        + F.lit(d) * F.col("__n1p") / F.col("__h")
+        * (F.col("__cont") / F.col("__types"))
+    )
+    scored = (
+        per_doc.join(bi, ["__w1", "__w2"])
+        .join(hist, "__w1")
+        .join(cont, "__w2")
+        .crossJoin(F.broadcast(types))
+        .withColumn(
+            "__lp",
+            (F.floor(F.log(p) * F.lit(scale) + F.lit(0.5)) / F.lit(scale)).cast(
+                "decimal(38,6)"
+            ),
+        )
+    )
+    out = scored.groupBy("__id").agg(
+        F.sum("__c").cast("bigint").alias("n_bigrams"),
+        (
+            F.floor(
+                (F.sum(F.col("__lp") * F.col("__c")).cast("double") / F.sum("__c"))
+                * F.lit(scale)
+                + F.lit(0.5)
+            )
+            / F.lit(scale)
+        ).alias("avg_logprob"),
+    )
+    ids = df.select(F.col(id_col).alias("__id")).distinct()
+    return ids.join(out, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        "avg_logprob",
+    )
+
+
 # ---------------------------------------------------------------------------
 # deterministic dataset splits (train/val/test by stable hash)
 # ---------------------------------------------------------------------------

@@ -4739,6 +4739,64 @@ def docs_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob_score(docs, "text", "doc_id", lam=0.7)
 
 
+@query(
+    "docs_kn_bigram_logprob",
+    r"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             string_split(regexp_replace(lower(trim(coalesce(text, ''))), '\s+', ' ', 'g'), ' ') AS t
+      FROM documents
+    ),
+    per_pos AS (
+      SELECT id, t[i] AS w1, t[i+1] AS w2
+      FROM toks, UNNEST(range(1, len(t))) AS u(i)
+    ),
+    per_doc AS (
+      SELECT id, w1, w2, CAST(count(*) AS BIGINT) AS c FROM per_pos GROUP BY 1, 2, 3
+    ),
+    bi AS (SELECT w1, w2, CAST(sum(c) AS BIGINT) AS cb FROM per_doc GROUP BY 1, 2),
+    hist AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS h,
+                    CAST(count(*) AS BIGINT) AS n1p FROM bi GROUP BY 1),
+    cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS cnt FROM bi GROUP BY 1),
+    types AS (SELECT CAST(count(*) AS BIGINT) AS ty FROM bi),
+    scored AS (
+      SELECT p.id, p.c,
+             CAST(floor(ln(greatest(b.cb - 0.75, 0.0) / hist.h
+                           + 0.75 * hist.n1p / hist.h * (cont.cnt / types.ty))
+                        * 1000000.0 + 0.5) / 1000000.0
+                  AS DECIMAL(38,6)) AS lp
+      FROM per_doc p
+      JOIN bi b USING (w1, w2)
+      JOIN hist USING (w1)
+      JOIN cont USING (w2), types
+    ),
+    agg AS (
+      SELECT id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+             floor((CAST(sum(lp * c) AS DOUBLE) / sum(c)) * 1000000.0 + 0.5)
+               / 1000000.0 AS avg_logprob
+      FROM scored GROUP BY id
+    )
+    SELECT d.doc_id,
+           coalesce(a.n_bigrams, 0) AS n_bigrams,
+           a.avg_logprob
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN agg a ON a.id = d.doc_id
+    """,
+)
+def docs_kn_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated KNESER-NEY bigram fluency score (Kneser & Ney 1995) —
+    absolute discounting + continuation-probability backoff: a word's
+    backoff weight is how many DISTINCT contexts it follows, separating
+    versatile words from one-collocate words the way JM's raw-frequency
+    mix cannot. Same single-explode / re-aggregate plan as the JM scorer;
+    all model quantities are exact integer counts; rounding is the
+    floor-half-up idiom on both engines."""
+    from spark_ensemble_spark.operators.corpus import kn_bigram_logprob_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return kn_bigram_logprob_score(docs, "text", "doc_id", discount=0.75)
+
+
 _PSI_EDGES = [50_000.0, 100_000.0, 150_000.0, 200_000.0, 300_000.0]
 
 

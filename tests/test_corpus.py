@@ -891,3 +891,35 @@ def test_shuffle_shards_deterministic_and_seed_sensitive(spark):
     # the order is not the identity (it's a shuffle)
     order = [d for d, _ in sorted(a.items(), key=lambda kv: (kv[1][0], kv[1][1]))]
     assert order != sorted(order)
+
+
+def test_kn_bigram_logprob_by_hand(spark):
+    """Worked example 'a b a b a c': cb(a,b)=2, cb(b,a)=2, cb(a,c)=1;
+    h(a)=3, h(b)=2; N1+(a.)=2, N1+(b.)=1; cont(a)=cont(b)=cont(c)=1;
+    types=3, D=0.75 — per-position probabilities and the floor-rounded
+    mean match the formula computed in plain Python."""
+    import math
+
+    from spark_ensemble_spark.operators.corpus import kn_bigram_logprob_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a c"), (2, "x")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in kn_bigram_logprob_score(docs).collect()}
+
+    def fr(x):  # the repo's floor-half-up at 1e-6
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    p_ab = max(2 - 0.75, 0.0) / 3 + 0.75 * 2 / 3 * (1 / 3)
+    p_ba = max(2 - 0.75, 0.0) / 2 + 0.75 * 1 / 2 * (1 / 3)
+    p_ac = max(1 - 0.75, 0.0) / 3 + 0.75 * 2 / 3 * (1 / 3)
+    lps = {("a", "b"): fr(math.log(p_ab)), ("b", "a"): fr(math.log(p_ba)),
+           ("a", "c"): fr(math.log(p_ac))}
+    want = fr((lps[("a", "b")] * 2 + lps[("b", "a")] * 2 + lps[("a", "c")]) / 5)
+    assert out[1].n_bigrams == 5
+    assert out[1].avg_logprob == want
+    # KN property: the continuation backoff is context-diversity, so the
+    # versatile follower 'b' (follows a) beats the one-off 'c' per position
+    assert p_ab > p_ac
+    # single-token doc: no bigram positions, NULL score, never dropped
+    assert out[2].n_bigrams == 0 and out[2].avg_logprob is None

@@ -214,6 +214,8 @@ BENCH_QUERIES = [
     "docs_hybrid_rrf_weighted",
     # Kneser-Ney bigram LM fluency (continuation-probability backoff)
     "docs_kn_bigram_logprob",
+    # binary-quantization serving tier: hamming shortlist -> exact rerank
+    "similarity_hamming_rerank",
 ]
 
 

@@ -5423,6 +5423,31 @@ ORACLES["similarity_rerank_recall"] = _rerank_recall_oracle()
 
 
 @query(
+    "similarity_hamming_rerank",
+    _similarity.rerank_oracle_sql(
+        _similarity.hamming_oracle_sql(dim=64, k=_RERANK_SHORTLIST_K), k=5
+    ),
+)
+def similarity_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The binary-quantization serving tier end to end: sign-bit Hamming
+    scan recalls a 40-candidate shortlist from 8-byte codes (64× less data
+    than the float vectors), exact cosine reranks it to the final top-5 —
+    the cheapest compressed-first-stage + exact-second-stage composition a
+    vector store runs. Both stages are deterministic, so shortlist,
+    re-scoring, and tie-break all hash-check against the composed SQL
+    replay."""
+    from spark_ensemble_spark.operators.similarity import (
+        hamming_topk,
+        rerank_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    shortlist = hamming_topk(emb, queries_df, k=_RERANK_SHORTLIST_K, dim=64)
+    return rerank_topk(emb, queries_df, shortlist, k=5)
+
+
+@query(
     "similarity_hamming_topk",
     _similarity.hamming_oracle_sql(dim=64, k=5),
 )

@@ -216,6 +216,8 @@ BENCH_QUERIES = [
     "docs_kn_bigram_logprob",
     # binary-quantization serving tier: hamming shortlist -> exact rerank
     "similarity_hamming_rerank",
+    # packing manifest materialized into per-window loader spans
+    "docs_pack_window_spans",
 ]
 
 

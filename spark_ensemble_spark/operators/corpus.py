@@ -1808,6 +1808,80 @@ def filter_by_score_quantile(
     return df.filter(F.col(score_col) >= F.lit(threshold))
 
 
+def pack_window_spans(
+    manifest: DataFrame,
+    capacity: int = 512,
+) -> DataFrame:
+    """Materialize a :func:`pack_token_windows` manifest into per-WINDOW
+    document spans — the rows a data loader actually consumes: for every
+    (bucket, window) each contributing document appears once with the slice
+    of ITS tokens that falls in the window. Columns:
+
+    ``(bucket, window_id, doc_id, doc_slice_start, slice_len,
+    window_offset)`` — take tokens ``[doc_slice_start, doc_slice_start +
+    slice_len)`` of the document and place them at ``window_offset`` inside
+    the window; a window's spans tile it exactly (Σ slice_len = capacity
+    for every full window, the tail remainder for each bucket's last).
+
+    Zero-token documents occupy no window content and emit no span (their
+    manifest row still records placement). Pure integer arithmetic over the
+    manifest — one explode of each doc's [first_window, last_window] range
+    (a document touches ceil(n/capacity)+1 windows at most, so the fan-out
+    is ~n_tokens/capacity rows per doc, the output's natural size), no
+    joins, no shuffle beyond what the caller does with the result."""
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    c = F.lit(int(capacity))
+    w = F.col("window_id")
+    s, n = F.col("start_offset"), F.col("n_tokens")
+    start_in_doc = F.greatest(F.lit(0).cast("bigint"), w * c - s)
+    end_in_doc = F.least(n, (w + 1) * c - s)
+    return (
+        manifest.filter(F.col("n_tokens") > 0)
+        .select(
+            "bucket",
+            "doc_id",
+            "start_offset",
+            "n_tokens",
+            F.explode(
+                F.sequence(F.col("first_window"), F.col("last_window"))
+            ).alias("window_id"),
+        )
+        .select(
+            "bucket",
+            "window_id",
+            "doc_id",
+            start_in_doc.alias("doc_slice_start"),
+            (end_in_doc - start_in_doc).alias("slice_len"),
+            F.greatest(F.lit(0).cast("bigint"), s - w * c).alias("window_offset"),
+        )
+    )
+
+
+def pack_window_spans_oracle_sql(
+    manifest_sql: str,
+    capacity: int = 512,
+) -> str:
+    """DuckDB replay of :func:`pack_window_spans` over any manifest
+    subquery (producing the pack_token_windows columns): same window-range
+    explode and integer slice arithmetic."""
+    c = int(capacity)
+    return f"""
+    WITH m AS ({manifest_sql}),
+    e AS (
+      SELECT bucket, doc_id, start_offset, n_tokens, u.w AS window_id
+      FROM m, unnest(range(first_window, last_window + 1)) AS u(w)
+      WHERE n_tokens > 0
+    )
+    SELECT bucket, window_id, doc_id,
+           greatest(0, window_id * {c} - start_offset)::BIGINT AS doc_slice_start,
+           (least(n_tokens, (window_id + 1) * {c} - start_offset)
+            - greatest(0, window_id * {c} - start_offset))::BIGINT AS slice_len,
+           greatest(0, start_offset - window_id * {c})::BIGINT AS window_offset
+    FROM e
+    """
+
+
 def shuffle_shards(
     df: DataFrame,
     id_col: str = "doc_id",

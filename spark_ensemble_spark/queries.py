@@ -5082,6 +5082,29 @@ def docs_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_token_windows(docs, capacity=512, num_buckets=8)
 
 
+@query("docs_pack_window_spans", None)  # oracle attached below (composes the manifest oracle)
+def docs_pack_window_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packing manifest MATERIALIZED into loader rows: each (bucket,
+    window) lists every contributing document with the exact token slice it
+    contributes and its offset inside the window — spans tile each window
+    exactly. One explode of each document's window range over the manifest
+    (fan-out ≈ n_tokens/capacity, the output's natural size), pure integer
+    arithmetic, every span hash-checked against the composed replay."""
+    from spark_ensemble_spark.operators.corpus import (
+        pack_token_windows,
+        pack_window_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    manifest = pack_token_windows(docs, capacity=512, num_buckets=8)
+    return pack_window_spans(manifest, capacity=512)
+
+
+ORACLES["docs_pack_window_spans"] = _corpus.pack_window_spans_oracle_sql(
+    ORACLES["docs_pack_windows"], capacity=512
+)
+
+
 @query(
     "docs_shuffle_shards",
     _corpus.shuffle_shards_oracle_sql("documents", "doc_id", n_shards=8, seed=17),

@@ -923,3 +923,67 @@ def test_kn_bigram_logprob_by_hand(spark):
     assert p_ab > p_ac
     # single-token doc: no bigram positions, NULL score, never dropped
     assert out[2].n_bigrams == 0 and out[2].avg_logprob is None
+
+
+def test_pack_window_spans_tile_exactly(spark):
+    """Spans tile every window exactly: per (bucket, window), slice lengths
+    sum to capacity for full windows and to the bucket-stream remainder for
+    the last; offsets are consistent (a window's spans start at 0 and are
+    contiguous); a document's spans cover [0, n_tokens) without overlap."""
+    from spark_ensemble_spark.operators.corpus import (
+        pack_token_windows,
+        pack_window_spans,
+    )
+
+    texts = {
+        0: "w " * 700,        # straddles two 512-windows in its bucket
+        1: "x " * 100,
+        8: "y " * 600,        # same bucket as doc 0 (id % 8)
+        2: "",                # whitespace token_count counts this as 1
+        3: "z " * 512,        # exactly one full window
+    }
+    docs = spark.createDataFrame(
+        [(i, t.strip()) for i, t in texts.items()], "doc_id long, text string"
+    )
+    manifest = pack_token_windows(docs, capacity=512, num_buckets=8)
+    spans = pack_window_spans(manifest, capacity=512).collect()
+    # a TRUE zero-token manifest row (custom counters produce them) emits
+    # no spans; the whitespace token_count convention never does (empty
+    # text splits to one '' token, matching the manifest oracle)
+    from spark_ensemble_spark.operators.corpus import pack_window_spans as pws
+    zero = spark.createDataFrame(
+        [(9, 0, 0, 40, 0, 0)],
+        "doc_id long, bucket int, n_tokens long, start_offset long,"
+        " first_window long, last_window long",
+    )
+    assert pws(zero, capacity=512).count() == 0
+    # per-document coverage: slices partition [0, n_tokens)
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r.doc_id, []).append((r.doc_slice_start, r.slice_len))
+    n_tok = {i: max(len(t.split()), 1) for i, t in texts.items()}
+    for d, sl in by_doc.items():
+        sl.sort()
+        pos = 0
+        for start, ln in sl:
+            assert start == pos and ln > 0
+            pos += ln
+        assert pos == n_tok[d]
+    # per-window tiling: contiguous from offset 0, full windows sum to 512
+    by_win = {}
+    for r in spans:
+        by_win.setdefault((r.bucket, r.window_id), []).append(
+            (r.window_offset, r.slice_len)
+        )
+    totals = {}
+    for key, sl in by_win.items():
+        sl.sort()
+        pos = 0
+        for off, ln in sl:
+            assert off == pos, (key, sl)
+            pos += ln
+        totals[key] = pos
+    # bucket of docs 0+8: stream is 700+600=1300 tokens -> windows of
+    # 512, 512, 276
+    b08 = sorted(v for (b, _), v in totals.items() if b == 0)
+    assert b08 == [276, 512, 512]

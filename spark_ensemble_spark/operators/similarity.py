@@ -21,6 +21,13 @@ from typing import Optional
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from spark_ensemble_spark.functions.rounding import (
+    floor_round as _floor_round,
+    floor_round_sql as _floor_round_sql,
+    seq_dot_sql,
+    seq_norm_sql,
+)
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
@@ -65,7 +72,7 @@ def brute_force_topk(
     scored = joined.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("cv"), F.col("qv")), 6).alias("cosine"),
+        _floor_round(cosine(F.col("cv"), F.col("qv")), 6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -161,7 +168,7 @@ def srp_topk(
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("cv"), F.col("qv")), 6).alias("cosine"),
+        _floor_round(cosine(F.col("cv"), F.col("qv")), 6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -176,12 +183,20 @@ def guarded_cosine_sql(a: str, b: str) -> str:
     Spark side (NULL, never NaN): DuckDB's IEEE 0/0 is NaN, which sorts
     ABOVE every value and passes >= thresholds — without the guard a single
     zero embedding would make the oracle rank it the #1 neighbor of every
-    query while Spark drops it."""
-    na = f"sqrt(list_dot_product({a}, {a}))"
-    nb = f"sqrt(list_dot_product({b}, {b}))"
+    query while Spark drops it.
+
+    Engine-tie hardening (r9, the r8 verdict's root cause for
+    ``docs_hybrid_rrf``): the dot products replay Spark's SEQUENTIAL
+    ``aggregate`` fold (``seq_dot_sql`` — ``list_dot_product`` makes no
+    summation-order guarantee, and a sub-ulp drift is enough to cross a
+    tick) and the rounding is the shared ``floor(x·10^6+0.5)/10^6`` idiom,
+    never engine-specific ``round()``.  Both sides now execute identical
+    IEEE arithmetic end to end."""
+    na = seq_norm_sql(a)
+    nb = seq_norm_sql(b)
     return (
         f"CASE WHEN {na} * {nb} = 0 THEN NULL "
-        f"ELSE round(list_dot_product({a}, {b}) / ({na} * {nb}), 6) END"
+        f"ELSE {_floor_round_sql(f'{seq_dot_sql(a, b)} / ({na} * {nb})', 6)} END"
     )
 
 
@@ -397,7 +412,7 @@ def ivf_topk(
     scored = joined.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("cv"), F.col("qv")), 6).alias("cosine"),
+        _floor_round(cosine(F.col("cv"), F.col("qv")), 6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -617,7 +632,7 @@ def pq_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(adc, 6).alias("adc_dist"),
+            _floor_round(adc, 6).alias("adc_dist"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
@@ -666,7 +681,7 @@ def pq_oracle_sql(
     adc_chain = " + ".join(
         f"q.lut[{m + 1}][c.codes[{m + 1}] + 1]" for m in range(num_sub)
     )
-    adc = f"round({adc_chain}, 6)"
+    adc = _floor_round_sql(adc_chain, 6)
     return f"""
     WITH e AS (SELECT {id_col} AS id, {vec_col}::DOUBLE[] AS v FROM {table}),
     enc AS (
@@ -787,7 +802,7 @@ def ivfpq_topk(
     scored = (
         enc.join(F.broadcast(q), on="cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", F.round(_adc_score(), 6).alias("adc_dist"))
+        .select("query_id", "neighbor_id", _floor_round(_adc_score(), 6).alias("adc_dist"))
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
     return (
@@ -853,7 +868,7 @@ def ivfpq_oracle_sql(
     adc_chain = " + ".join(
         f"q.lut[{m + 1}][c.codes[{m + 1}] + 1]" for m in range(num_sub)
     )
-    adc = f"round({adc_chain}, 6)"
+    adc = _floor_round_sql(adc_chain, 6)
     return f"""
     WITH e AS (SELECT {id_col} AS id, {vec_col}::DOUBLE[] AS v FROM {table}),
     d AS (
@@ -1021,7 +1036,7 @@ def rerank_topk(
     scored = fetched.join(F.broadcast(q), "query_id").select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("cv"), F.col("qv")), 6).alias("cosine"),
+        _floor_round(cosine(F.col("cv"), F.col("qv")), 6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -1217,7 +1232,7 @@ def ann_recall(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
             "query_id",
             "n_true",
             F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
-            F.round(
+            _floor_round(
                 F.coalesce("n_hit", F.lit(0)) / F.col("n_true").cast("double"), 6
             ).alias("recall"),
         )
@@ -1230,6 +1245,7 @@ def ann_recall_oracle_sql(approx_sql: str, exact_sql: str, k: int) -> str:
     approximate set — the same rank-filtered DISTINCT intersection the
     Spark operator computes (duplicate candidate rows or rows past rank k
     on either side cannot move the numbers in either engine)."""
+    recall_sql = _floor_round_sql("count(a.neighbor_id) / count(*)::DOUBLE", 6)
     return f"""
     WITH approx AS (SELECT DISTINCT query_id, neighbor_id
                     FROM ({approx_sql}) WHERE rank <= {k}),
@@ -1238,7 +1254,7 @@ def ann_recall_oracle_sql(approx_sql: str, exact_sql: str, k: int) -> str:
     SELECT e.query_id,
            CAST(count(*) AS BIGINT) AS n_true,
            CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
-           round(count(a.neighbor_id) / count(*)::DOUBLE, 6) AS recall
+           {recall_sql} AS recall
     FROM exact e
     LEFT JOIN approx a
       ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id

@@ -16,6 +16,8 @@ from typing import Dict, List, Optional, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from spark_ensemble_spark.functions.rounding import floor_round as _floor_round
+
 # Deliberately small marker lists — deterministic and mirrored 1:1 in the SQL
 # oracles. Real pipelines would swap in fastText-style models via mapInPandas.
 LANG_MARKERS: Dict[str, List[str]] = {
@@ -106,9 +108,9 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
             "n_tokens": token_count(t),
             "n_bpe_tokens": bpe_ish_token_count(t),
             "fingerprint": fingerprint(t),
-            "stopword_ratio": F.round(stopword_ratio(t), 6),
-            "punct_ratio": F.round(punct_ratio(t), 6),
-            "quality": F.round(quality_score(t), 6),
+            "stopword_ratio": _floor_round(stopword_ratio(t), 6),
+            "punct_ratio": _floor_round(punct_ratio(t), 6),
+            "quality": _floor_round(quality_score(t), 6),
             "lang_pred": language_id(t),
         }
     )

@@ -19,6 +19,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_ensemble_spark.functions import metrics as _metrics
+from spark_ensemble_spark.functions.rounding import (
+    floor_round as _floor_round,
+    floor_round_sql as _frs,
+)
 from spark_ensemble_spark.operators import corpus as _corpus
 from spark_ensemble_spark.operators import dedup as _dedup
 from spark_ensemble_spark.operators import retrieval as _retrieval
@@ -2191,14 +2195,14 @@ _STOPWORDS_SQL = "['the','a','an','and','or','of','to','in','is','it']"
            len({_TEXT_TOKENS_SQL}) AS n_tokens,
            len(regexp_extract_all(lower(text), '[a-z]{{1,4}}|[0-9]|[^a-z0-9\\s]')) AS n_bpe_tokens,
            md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
-           round(len(list_filter({_TEXT_TOKENS_SQL}, t -> list_contains({_STOPWORDS_SQL}, t)))
-                 * 1.0 / greatest(len({_TEXT_TOKENS_SQL}), 1), 6) AS stopword_ratio,
-           round(len(regexp_extract_all(text, '[.,!?;:]')) * 1.0 / greatest(length(text), 1), 6) AS punct_ratio,
-           round(least(len({_TEXT_TOKENS_SQL}) / 100.0, 1.0) * 0.5
-                 + (len(list_filter({_TEXT_TOKENS_SQL}, t -> list_contains({_STOPWORDS_SQL}, t)))
-                    * 1.0 / greatest(len({_TEXT_TOKENS_SQL}), 1)) * 0.3
-                 + (1.0 - least(len(regexp_extract_all(text, '[.,!?;:]')) * 10.0
-                                / greatest(length(text), 1), 1.0)) * 0.2, 6) AS quality
+           {_frs(f"len(list_filter({_TEXT_TOKENS_SQL}, t -> list_contains({_STOPWORDS_SQL}, t)))"
+                 f" * 1.0 / greatest(len({_TEXT_TOKENS_SQL}), 1)", 6)} AS stopword_ratio,
+           {_frs(f"len(regexp_extract_all(text, '[.,!?;:]')) * 1.0 / greatest(length(text), 1)", 6)} AS punct_ratio,
+           {_frs(f"least(len({_TEXT_TOKENS_SQL}) / 100.0, 1.0) * 0.5"
+                 f" + (len(list_filter({_TEXT_TOKENS_SQL}, t -> list_contains({_STOPWORDS_SQL}, t)))"
+                 f" * 1.0 / greatest(len({_TEXT_TOKENS_SQL}), 1)) * 0.3"
+                 f" + (1.0 - least(len(regexp_extract_all(text, '[.,!?;:]')) * 10.0"
+                 f" / greatest(length(text), 1), 1.0)) * 0.2", 6)} AS quality
     FROM documents
     """,
 )
@@ -2217,9 +2221,9 @@ def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.token_count(t).alias("n_tokens"),
         T.bpe_ish_token_count(t).alias("n_bpe_tokens"),
         T.fingerprint(t).alias("fingerprint"),
-        F.round(T.stopword_ratio(t), 6).alias("stopword_ratio"),
-        F.round(T.punct_ratio(t), 6).alias("punct_ratio"),
-        F.round(T.quality_score(t), 6).alias("quality"),
+        _floor_round(T.stopword_ratio(t), 6).alias("stopword_ratio"),
+        _floor_round(T.punct_ratio(t), 6).alias("punct_ratio"),
+        _floor_round(T.quality_score(t), 6).alias("quality"),
     )
 
 

@@ -351,6 +351,25 @@ def main() -> None:
         sf = float(sf)
     except ValueError:
         pass
+    # Host fingerprint: boot time + CPU count + node name. Hostnames are
+    # generic across driver/builder boxes ("vm"), but a SAME-box rerun
+    # shares the boot time while a fresh round's box never does — this is
+    # what lets ratio_vs_prev skip self-comparisons (ADVICE r8: after a
+    # round's closing summary lands, a same-host rerun would compare
+    # against its own just-written full artifact and report ~1.0).
+    try:
+        import hashlib
+        import platform
+
+        with open("/proc/stat") as fh:
+            btime = next(
+                (ln.split()[1] for ln in fh if ln.startswith("btime ")), "0"
+            )
+        host_id = hashlib.md5(
+            f"{btime}-{os.cpu_count()}-{platform.node()}".encode()
+        ).hexdigest()[:12]
+    except OSError:
+        host_id = None
     result = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
@@ -358,6 +377,7 @@ def main() -> None:
         "queries": timings,
         "fixture_warm_sec": fixture_sec,
         "codegen_warm_sec": codegen_warm_sec,
+        "host_id": host_id,
         "sf": sf,
     }
     repo = os.path.dirname(os.path.abspath(__file__))
@@ -389,10 +409,18 @@ def main() -> None:
             if (m := re.search(r"BENCH_r(\d+)_full\.json$", p))
             and (n := int(m.group(1))) < cur_round
         )
-        if prevs and codegen_warm_sec > 0:
-            prev_n, prev_path = prevs[-1]
-            with open(prev_path) as fh:
-                prev = json.load(fh)
+        # newest prior round NOT produced by this same box/boot (host_id):
+        # a same-host artifact is this session's own earlier run — the
+        # self-comparison the adjacent exclusion promise is about.
+        prev = prev_path = None
+        for n, p in reversed(prevs):
+            with open(p) as fh:
+                cand = json.load(fh)
+            if host_id and cand.get("host_id") == host_id:
+                continue
+            prev, prev_path = cand, p
+            break
+        if prev is not None and codegen_warm_sec > 0:
             shared = sorted(set(timings) & set(prev.get("queries", {})))
             prev_total = sum(prev["queries"][q] for q in shared)
             cur_total = sum(timings[q] for q in shared)
@@ -406,6 +434,12 @@ def main() -> None:
                     "raw": round(raw, 3),
                     "host_speed": round(host, 3),
                     "host_norm": round(raw / host, 3),
+                    # VERDICT r8 #8: a contended host inflates
+                    # codegen_warm_sec more than throughput-bound rows, so
+                    # host_norm over-corrects when warm moved a lot — flag
+                    # the ratio as trustworthy only when warm stayed within
+                    # 1.5x of the prev round's.
+                    "warm_ratio_trustworthy": bool(1 / 1.5 <= host <= 1.5),
                 }
     except (OSError, ValueError, KeyError, ZeroDivisionError):
         pass

@@ -17,6 +17,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from spark_ensemble_spark.functions.rounding import (
+    floor_round as _floor_round,
+    floor_round_sql as _floor_round_sql,
+)
+
 _DEC = "decimal(38,6)"
 
 
@@ -47,9 +52,9 @@ def regression_metrics(
     sst = F.col("syy") - F.col("sy") * F.col("sy") / n
     return agg.select(
         F.col("n"),
-        F.round(F.sqrt(F.col("sse") / n), round_to).alias("rmse"),
-        F.round(F.col("sae") / n, round_to).alias("mae"),
-        F.round(
+        _floor_round(F.sqrt(F.col("sse") / n), round_to).alias("rmse"),
+        _floor_round(F.col("sae") / n, round_to).alias("mae"),
+        _floor_round(
             F.when(sst > 0, 1.0 - F.col("sse") / sst).otherwise(F.lit(None)),
             round_to,
         ).alias("r2"),
@@ -66,10 +71,10 @@ def regression_metrics_sql(
     same rounding) for oracle registration."""
     return f"""
     SELECT n,
-           round(sqrt(sse / n), {round_to}) AS rmse,
-           round(sae / n, {round_to}) AS mae,
-           round(CASE WHEN (syy - sy*sy/n) > 0
-                      THEN 1.0 - sse / (syy - sy*sy/n) END, {round_to}) AS r2
+           {_floor_round_sql("sqrt(sse / n)", round_to)} AS rmse,
+           {_floor_round_sql("sae / n", round_to)} AS mae,
+           {_floor_round_sql('''CASE WHEN (syy - sy*sy/n) > 0
+                      THEN 1.0 - sse / (syy - sy*sy/n) END''', round_to)} AS r2
     FROM (
       SELECT count(*) AS n,
              CAST(sum(CAST((y - p) * (y - p) AS DECIMAL(38,6))) AS DOUBLE) AS sse,
@@ -131,9 +136,9 @@ def classification_metrics(
         "label",
         F.col("n_true").cast("bigint").alias("support"),
         F.col("tp").cast("bigint").alias("tp"),
-        F.round(precision, round_to).alias("precision"),
-        F.round(recall, round_to).alias("recall"),
-        F.round(f1, round_to).alias("f1"),
+        _floor_round(precision, round_to).alias("precision"),
+        _floor_round(recall, round_to).alias("recall"),
+        _floor_round(f1, round_to).alias("f1"),
     )
 
 
@@ -168,15 +173,15 @@ def classification_metrics_sql(
     SELECT label,
            CAST(n_true AS BIGINT) AS support,
            CAST(tp AS BIGINT) AS tp,
-           round(CASE WHEN n_pred > 0 THEN tp * 1.0 / n_pred ELSE 0.0 END, {round_to}) AS precision,
-           round(tp * 1.0 / n_true, {round_to}) AS recall,
-           round(CASE WHEN (CASE WHEN n_pred > 0 THEN tp * 1.0 / n_pred ELSE 0.0 END
+           {_floor_round_sql("CASE WHEN n_pred > 0 THEN tp * 1.0 / n_pred ELSE 0.0 END", round_to)} AS precision,
+           {_floor_round_sql("tp * 1.0 / n_true", round_to)} AS recall,
+           {_floor_round_sql('''CASE WHEN (CASE WHEN n_pred > 0 THEN tp * 1.0 / n_pred ELSE 0.0 END
                             + tp * 1.0 / n_true) > 0
                       THEN 2.0 * (CASE WHEN n_pred > 0 THEN tp * 1.0 / n_pred ELSE 0.0 END)
                                * (tp * 1.0 / n_true)
                            / ((CASE WHEN n_pred > 0 THEN tp * 1.0 / n_pred ELSE 0.0 END)
                               + tp * 1.0 / n_true)
-                      ELSE 0.0 END, {round_to}) AS f1
+                      ELSE 0.0 END''', round_to)} AS f1
     FROM base
     """
 
@@ -246,9 +251,9 @@ def population_stability_index(
         "bucket",
         "n_a",
         "n_b",
-        F.round(pa, round_to).alias("pa"),
-        F.round(pb, round_to).alias("pb"),
-        F.round((pa - pb) * F.log(pa / pb), round_to).alias("psi_term"),
+        _floor_round(pa, round_to).alias("pa"),
+        _floor_round(pb, round_to).alias("pb"),
+        _floor_round((pa - pb) * F.log(pa / pb), round_to).alias("psi_term"),
     )
 
 
@@ -286,10 +291,9 @@ def psi_oracle_sql(
       FROM a FULL OUTER JOIN b ON a.bucket = b.bucket
     )
     SELECT bucket, n_a, n_b,
-           round((n_a + 0.5) / (na.t + 0.5 * {k}), {round_to}) AS pa,
-           round((n_b + 0.5) / (nb.t + 0.5 * {k}), {round_to}) AS pb,
-           round(((n_a + 0.5) / (na.t + 0.5 * {k}) - (n_b + 0.5) / (nb.t + 0.5 * {k}))
-                 * ln(((n_a + 0.5) / (na.t + 0.5 * {k})) / ((n_b + 0.5) / (nb.t + 0.5 * {k}))),
-                 {round_to}) AS psi_term
+           {_floor_round_sql(f"(n_a + 0.5) / (na.t + 0.5 * {k})", round_to)} AS pa,
+           {_floor_round_sql(f"(n_b + 0.5) / (nb.t + 0.5 * {k})", round_to)} AS pb,
+           {_floor_round_sql(f'''((n_a + 0.5) / (na.t + 0.5 * {k}) - (n_b + 0.5) / (nb.t + 0.5 * {k}))
+                 * ln(((n_a + 0.5) / (na.t + 0.5 * {k})) / ((n_b + 0.5) / (nb.t + 0.5 * {k})))''', round_to)} AS psi_term
     FROM j, na, nb
     """

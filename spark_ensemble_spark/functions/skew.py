@@ -36,8 +36,12 @@ stats.key_skew_profile`: ``{stringified key: salt_factor}`` for the heavy
     counts = (
         df.groupBy(F.col(key_col).cast("string").alias("__k"))
         .agg(F.count(F.lit(1)).alias("__cnt"))
-        .filter(F.col("__cnt") > rows_per_task)
-        .orderBy(F.desc("__cnt"), F.asc_nulls_first("__k"))
+        # NULL keys never survive an inner equi-join, and a None dict key
+        # would be stringified to 'None' by salted_join_hot_keys — salting
+        # unrelated literal-'None' keys while misreporting NULL-key skew
+        # (ADVICE r8). AQE's skew split still covers NULL-heavy frames.
+        .filter(F.col("__k").isNotNull() & (F.col("__cnt") > rows_per_task))
+        .orderBy(F.desc("__cnt"), F.asc("__k"))
         .limit(top_n)
     )
     rpt = int(rows_per_task)
@@ -67,14 +71,17 @@ def salted_join_hot_keys(
     content, so retries and repartitioning cannot move a row between salt
     buckets. Column names must be disjoint between the two sides (the
     result carries both sides' columns, like a plain ``join``)."""
-    if not plan:
-        return large.join(
-            small, F.col(large_key) == F.col(small_key), "inner"
-        )
+    # contract check BEFORE the empty-plan fast path: the disjoint-column
+    # requirement must not depend on whether the data happened to contain
+    # hot keys (ADVICE r8 — a data-dependent raise is a landmine)
     if set(large.columns) & set(small.columns):
         raise ValueError(
             "salted_join_hot_keys needs disjoint column names, got overlap: "
             f"{sorted(set(large.columns) & set(small.columns))}"
+        )
+    if not plan:
+        return large.join(
+            small, F.col(large_key) == F.col(small_key), "inner"
         )
     spark = large.sparkSession
     pf = spark.createDataFrame(

@@ -8,6 +8,11 @@ from typing import Optional
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from spark_ensemble_spark.functions.rounding import (
+    floor_round as _floor_round,
+    floor_round_sql as _floor_round_sql,
+)
+
 
 def weighted_median_of(
     df: DataFrame,
@@ -267,8 +272,8 @@ def key_skew_profile(
             "key_value",
             "cnt",
             "key_rank",
-            F.round(F.col("cnt") / F.col("total_rows"), round_to).alias("share"),
-            F.round(
+            _floor_round(F.col("cnt") / F.col("total_rows"), round_to).alias("share"),
+            _floor_round(
                 F.col("__max_cnt") * F.col("distinct_keys") / F.col("total_rows"),
                 round_to,
             ).alias("skew_factor"),
@@ -309,8 +314,8 @@ def key_skew_profile_oracle_sql(
       FROM c ORDER BY cnt DESC, key_value NULLS FIRST LIMIT {top_n}
     )
     SELECT key_value, cnt, key_rank,
-           round(cnt * 1.0 / total_rows, {round_to}) AS share,
-           round(max_cnt * 1.0 * distinct_keys / total_rows, {round_to}) AS skew_factor,
+           {_floor_round_sql("cnt * 1.0 / total_rows", round_to)} AS share,
+           {_floor_round_sql("max_cnt * 1.0 * distinct_keys / total_rows", round_to)} AS skew_factor,
            (cnt + {rows_per_task} - 1) // {rows_per_task} AS salt_factor,
            total_rows, distinct_keys
     FROM top, t

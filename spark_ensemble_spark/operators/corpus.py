@@ -36,6 +36,11 @@ from typing import Dict, Optional
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from spark_ensemble_spark.functions.rounding import (
+    floor_round as _floor_round,
+    floor_round_sql as _floor_round_sql,
+)
+
 from .dedup import _hash64, _shingle_strings
 
 # ---------------------------------------------------------------------------
@@ -385,7 +390,7 @@ def bloom_contamination_oracle_sql(
     )
     SELECT doc_id, count(*) AS n_shingles,
            CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
-           round(sum(CASE WHEN hit THEN 1 ELSE 0 END) / count(*)::DOUBLE, 6)
+           {_floor_round_sql("sum(CASE WHEN hit THEN 1 ELSE 0 END) / count(*)::DOUBLE", 6)}
              AS flagged_ratio
     FROM hits
     GROUP BY doc_id
@@ -466,14 +471,14 @@ def temperature_mixing_rates(
     out = powed.select(
         "stratum",
         F.col("size").cast("bigint").alias("size"),
-        F.round("share", round_to).alias("share"),
-        F.round(F.col("pw") / F.sum("pw").over(w_all), round_to).alias("weight"),
+        _floor_round(F.col("share"), round_to).alias("share"),
+        _floor_round(F.col("pw") / F.sum("pw").over(w_all), round_to).alias("weight"),
         (F.col("pw") / F.sum("pw").over(w_all)).alias("__w_full"),
     )
     if token_budget is not None:
         out = out.withColumn(
             "rate",
-            F.round(
+            _floor_round(
                 F.least(
                     F.lit(1.0), F.lit(float(token_budget)) * F.col("__w_full") / F.col("size")
                 ),
@@ -494,8 +499,12 @@ def temperature_mixing_rates_sql(
     """DuckDB mirror of :func:`temperature_mixing_rates` for oracle checks."""
     size = f"sum({size_sql})" if size_sql else "count(*)"
     rate = (
-        f", round(least(1.0, {float(token_budget)} * pw / sum(pw) OVER () / size),"
-        f" {round_to}) AS rate"
+        ", "
+        + _floor_round_sql(
+            f"least(1.0, {float(token_budget)} * pw / sum(pw) OVER () / size)",
+            round_to,
+        )
+        + " AS rate"
         if token_budget is not None
         else ""
     )
@@ -510,8 +519,8 @@ def temperature_mixing_rates_sql(
     powed AS (SELECT *, pow(share, {float(tau)}) AS pw FROM shared)
     SELECT stratum,
            CAST(size AS BIGINT) AS size,
-           round(share, {round_to}) AS share,
-           round(pw / sum(pw) OVER (), {round_to}) AS weight{rate}
+           {_floor_round_sql("share", round_to)} AS share,
+           {_floor_round_sql("pw / sum(pw) OVER ()", round_to)} AS weight{rate}
     FROM powed
     """
 
@@ -605,7 +614,7 @@ def dup_token_fraction(text: Column) -> Column:
     m = F.size(toks)
     return F.when(
         m >= 1,
-        F.round(1.0 - F.size(F.array_distinct(toks)) / m.cast("double"), 6),
+        _floor_round(1.0 - F.size(F.array_distinct(toks)) / m.cast("double"), 6),
     ).otherwise(F.lit(0.0))
 
 
@@ -650,7 +659,7 @@ def dup_ngram_char_fraction(text: Column, n: int = 3) -> Column:
         # the fold three times — HOF results are not CSE'd)
         lambda acc: F.when(
             acc["total"] > 0,
-            F.round(
+            _floor_round(
                 (
                     acc["dup"]
                     + F.when(
@@ -681,7 +690,7 @@ def repetition_signals(
             dup_ngram_char_fraction(text, ngram_n),
         )
         .withColumn(
-            "top_bigram_fraction", F.round(top_ngram_fraction(text, 2), 6)
+            "top_bigram_fraction", _floor_round(top_ngram_fraction(text, 2), 6)
         )
     )
 
@@ -797,7 +806,7 @@ def tfidf_top_terms(
     return (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
-        .select("id", "term", "tf", "df", F.round("score", 6).alias("score"))
+        .select("id", "term", "tf", "df", _floor_round(F.col("score"), 6).alias("score"))
     )
 
 
@@ -861,7 +870,7 @@ def curation_with_metrics(
     enriched = df.observe(obs_in, F.count(F.lit(1)).alias("rows_in")).select(
         F.col(id_col),
         token_count(t).alias("n_tokens"),
-        F.round(quality_score(t), 6).alias("quality"),
+        _floor_round(quality_score(t), 6).alias("quality"),
         fingerprint(t).alias("fp"),
     )
     filtered = enriched.filter(
@@ -996,7 +1005,7 @@ def corpus_profile(
     enriched = df.select(
         F.col(stratum_col).alias("stratum"),
         token_count(t).alias("__ntok"),
-        F.round(quality_score(t), 6).alias("__q"),
+        _floor_round(quality_score(t), 6).alias("__q"),
         fingerprint(t).alias("__fp"),
     )
     return enriched.groupBy("stratum").agg(
@@ -1084,7 +1093,7 @@ def unigram_logprob_score(
         .crossJoin(F.broadcast(total))
         .withColumn(
             "__lp",
-            F.round(F.log(F.col("__ct") / F.col("__n")), round_to).cast(
+            _floor_round(F.log(F.col("__ct") / F.col("__n")), round_to).cast(
                 "decimal(38,6)"
             ),
         )
@@ -1093,7 +1102,7 @@ def unigram_logprob_score(
         F.sum("__c").cast("bigint").alias("n_tokens"),
         # exact decimal sum cast to double BEFORE the division: one double op
         # on identical inputs is engine-stable; decimal division scales differ
-        F.round(
+        _floor_round(
             F.sum(F.col("__lp") * F.col("__c")).cast("double") / F.sum("__c"),
             round_to,
         ).alias("avg_logprob"),
@@ -1277,7 +1286,7 @@ def dsir_log_weights(
             # instead of silently NULLing every document's log_weight
             # (ADVICE r5). Downstream selection then weights ∝ inverse raw
             # frequency — defined, deterministic, and visible in the scores.
-            F.round(
+            _floor_round(
                 F.log(
                     (F.coalesce(F.col("__ct"), F.lit(0)) + 1)
                     / (F.coalesce(F.col("__nt"), F.lit(0)) + F.lit(buckets))
@@ -1294,7 +1303,7 @@ def dsir_log_weights(
         .groupBy("__id")
         .agg(
             F.sum("__c").cast("bigint").alias("n_feats"),
-            F.round(
+            _floor_round(
                 F.sum(F.col("__lr") * F.col("__c")).cast("double"), round_to
             ).alias("log_weight"),
         )
@@ -1322,7 +1331,7 @@ def dsir_select(
     under task replay; a hash never does). Appends ``sample_key``."""
     u = _md5_uniform(id_col, seed)
     g = -F.log(-F.log(u))
-    key = F.round(F.col(weight_col) + g, round_to)
+    key = _floor_round(F.col(weight_col) + g, round_to)
     return (
         scores.withColumn("sample_key", key)
         .orderBy(F.col("sample_key").desc(), F.col(id_col))
@@ -1375,19 +1384,19 @@ def dsir_oracle_sql(
              (SELECT CAST(sum(ct) AS BIGINT) FROM tgt_counts) AS nt
     ), lr AS (
       SELECT r.b,
-             round(ln((coalesce(t.ct, 0) + 1) / (tot.nt + {buckets}))
-                   - ln((r.cr + 1) / (tot.nr + {buckets})), {round_to})::DECIMAL(38,6) AS lrv
+             {_floor_round_sql(f"ln((coalesce(t.ct, 0) + 1) / (tot.nt + {buckets})) "
+                                       f"- ln((r.cr + 1) / (tot.nr + {buckets}))", round_to)}::DECIMAL(38,6) AS lrv
       FROM raw_counts r LEFT JOIN tgt_counts t USING (b), totals tot
     ), weights AS (
       SELECT id, CAST(sum(c) AS BIGINT) AS n_feats,
-             round((sum(lrv * c))::DOUBLE, {round_to}) AS log_weight
+             {_floor_round_sql("(sum(lrv * c))::DOUBLE", round_to)} AS log_weight
       FROM per_doc JOIN lr USING (b)
       GROUP BY id
     )
     SELECT id AS {id_col}, n_feats, log_weight,
-           round(log_weight
-                 - ln(-ln((('0x' || substring(md5(id::VARCHAR || ':{seed}'), 1, 15))::BIGINT + 1)
-                          / {denom!r})), {round_to}) AS sample_key
+           {_floor_round_sql(f"log_weight "
+                 f"- ln(-ln((('0x' || substring(md5(id::VARCHAR || ':{seed}'), 1, 15))::BIGINT + 1) "
+                 f"/ {denom!r}))", round_to)} AS sample_key
     FROM weights
     ORDER BY sample_key DESC, id
     LIMIT {k}
@@ -1457,7 +1466,7 @@ def bigram_logprob_score(
         .crossJoin(F.broadcast(total))
         .withColumn(
             "__lp",
-            F.round(
+            _floor_round(
                 F.log(
                     F.lit(lam) * (F.col("__cb") / F.col("__h"))
                     + F.lit(1.0 - lam) * (F.col("__cu") / F.col("__n"))
@@ -1468,7 +1477,7 @@ def bigram_logprob_score(
     )
     out = scored.groupBy("__id").agg(
         F.sum("__c").cast("bigint").alias("n_bigrams"),
-        F.round(
+        _floor_round(
             F.sum(F.col("__lp") * F.col("__c")).cast("double") / F.sum("__c"),
             round_to,
         ).alias("avg_logprob"),

@@ -28,6 +28,11 @@ from typing import List, Optional, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from spark_ensemble_spark.functions.rounding import (
+    floor_round as _floor_round,
+    floor_round_sql as _floor_round_sql,
+)
+
 # ---------------------------------------------------------------------------
 # exact
 # ---------------------------------------------------------------------------
@@ -377,7 +382,7 @@ def minhash_dup_pairs(
     # long-lived pipeline doesn't accumulate pinned pair sets that only an
     # explicit caller-side unpersist() would free.
     out = (
-        _eval_once_column(cand, "est_jaccard", F.round(est, 6))
+        _eval_once_column(cand, "est_jaccard", _floor_round(est, 6))
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
         .localCheckpoint(eager=True)
@@ -558,9 +563,9 @@ def minhash_oracle_sql(
       WHERE {band_cond}
     )
     SELECT id_a, id_b,
-           printf('%.6f', round(n_match * 1.0 / {num_hashes}, 6)) AS est_jaccard
+           printf('%.6f', {_floor_round_sql(f"n_match * 1.0 / {num_hashes}", 6)}) AS est_jaccard
     FROM cand
-    WHERE round(n_match * 1.0 / {num_hashes}, 6) >= {threshold}
+    WHERE {_floor_round_sql(f"n_match * 1.0 / {num_hashes}", 6)} >= {threshold}
     """
 
 
@@ -718,7 +723,7 @@ def ngram_jaccard_pairs(
     union = F.size(F.array_union(F.col("l.grams"), F.col("r.grams")))
     out = (
         _eval_once_column(
-            left.join(right, join_cond), "jaccard", F.round(inter / union, 6)
+            left.join(right, join_cond), "jaccard", _floor_round(inter / union, 6)
         )
         .select(
             F.col("l.id").alias("id_a"),
@@ -957,7 +962,7 @@ def embedding_dup_pairs(
         )
     cos = _cosine(F.col("va"), F.col("vb"))
     return (
-        _eval_once_column(cand, "cosine", F.round(cos, 6))
+        _eval_once_column(cand, "cosine", _floor_round(cos, 6))
         .select("id_a", "id_b", "cosine")
         .filter(F.col("cosine") >= threshold)
     )
@@ -1227,7 +1232,7 @@ def dedup_against_corpus(
                 ["n_id", "c_id"]
             ),
             "__est",
-            F.round(est, 6),
+            _floor_round(est, 6),
         )
         .filter(F.col("__est") >= threshold)
         .select(F.col("n_id").alias("__mid"))
@@ -1302,8 +1307,7 @@ def incremental_dedup_oracle_sql(
     ), matched AS (
       SELECT DISTINCT a.id
       FROM sig_n a JOIN sig_c c ON ({band_cond})
-      WHERE round(len(list_filter(range(1, {num_hashes + 1}), i -> a.s[i] = c.s[i]))
-                  * 1.0 / {num_hashes}, 6) >= {threshold}
+      WHERE {_floor_round_sql(f"len(list_filter(range(1, {num_hashes + 1}), i -> a.s[i] = c.s[i])) * 1.0 / {num_hashes}", 6)} >= {threshold}
     )
     SELECT id AS {id_col} FROM surv1
     WHERE id NOT IN (SELECT id FROM matched)
@@ -1544,7 +1548,7 @@ operators.similarity.ivf_fixed_centroids` for the oracle-checkable path or a
     # pair fails the threshold filter, so zero vectors are never dropped as
     # "duplicates" of each other
     denom = F.col("l.n") * F.col("r.n")
-    cos = F.round(F.when(denom != 0, dot / denom), 6)
+    cos = _floor_round(F.when(denom != 0, dot / denom), 6)
     drop = (
         F.when(F.col("l.d") < F.col("r.d"), F.col("l.id"))
         .when(F.col("r.d") < F.col("l.d"), F.col("r.id"))

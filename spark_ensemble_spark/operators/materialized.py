@@ -29,6 +29,11 @@ from typing import List, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from spark_ensemble_spark.functions.rounding import (
+    floor_round as _floor_round,
+    floor_round_sql as _floor_round_sql,
+)
+
 ROLLUP_STATS = ("n", "sum_value", "min_value", "max_value")
 
 
@@ -100,9 +105,9 @@ def rollup_report(rollup: DataFrame, round_to: int = 6) -> DataFrame:
         *cols,
         F.col("n").cast("long").alias("n"),
         F.round(F.col("sum_value"), round_to).cast("double").alias("sum_value"),
-        F.round(F.col("min_value"), round_to).alias("min_value"),
-        F.round(F.col("max_value"), round_to).alias("max_value"),
-        F.round(
+        _floor_round(F.col("min_value"), round_to).alias("min_value"),
+        _floor_round(F.col("max_value"), round_to).alias("max_value"),
+        _floor_round(
             F.col("sum_value").cast("double") / F.col("n"), round_to
         ).alias("avg_value"),
     )
@@ -283,7 +288,7 @@ def hll_estimate(state: DataFrame, round_to: int = 4) -> DataFrame:
         m.cast("double") * F.log(m.cast("double") / v.cast("double")),
     ).otherwise(raw)
     return per_cell.select(
-        *keys, F.round(est, round_to).alias("approx_distinct")
+        *keys, _floor_round(est, round_to).alias("approx_distinct")
     )
 
 
@@ -625,9 +630,9 @@ def hll_oracle_sql(
       FROM state GROUP BY {key_names}
     )
     SELECT {key_names},
-           round(CASE WHEN raw <= 2.5 * {HLL_M} AND v > 0
+           {_floor_round_sql(f'''CASE WHEN raw <= 2.5 * {HLL_M} AND v > 0
                       THEN {HLL_M}.0 * ln({HLL_M}.0 / v)
-                      ELSE raw END, {round_to}) AS approx_distinct
+                      ELSE raw END''', round_to)} AS approx_distinct
     FROM (
       SELECT {key_names}, ({HLL_M} - present) AS v,
              CAST({_HLL_ALPHA!r} AS DOUBLE) * {HLL_M}.0 * {HLL_M}.0 * pow(2.0, {_HLL_RHO_CAP})

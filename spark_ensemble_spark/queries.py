@@ -1321,7 +1321,7 @@ def q20_major_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tfidf_top_terms",
-    """
+    f"""
     WITH tf AS (
       SELECT doc_id AS id, unnest(t) AS term FROM (
         SELECT doc_id,
@@ -1345,7 +1345,7 @@ def q20_major_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          tfc.term) AS rn
       FROM tfc JOIN dfc ON tfc.term = dfc.term CROSS JOIN n
     )
-    SELECT id, term, tf, df, round(score, 6) AS score
+    SELECT id, term, tf, df, {_frs('score', 6)} AS score
     FROM scored WHERE rn <= 5
     """,
 )
@@ -2600,11 +2600,11 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_quality",
     f"""
     SELECT doc_id,
-           round(least(len({_TEXT_TOKENS_SQL}) / 100.0, 1.0) * 0.5
-                 + (len(list_filter({_TEXT_TOKENS_SQL}, t -> list_contains({_STOPWORDS_SQL}, t)))
-                    * 1.0 / greatest(len({_TEXT_TOKENS_SQL}), 1)) * 0.3
-                 + (1.0 - least(len(regexp_extract_all(text, '[.,!?;:]')) * 10.0
-                                / greatest(length(text), 1), 1.0)) * 0.2, 6) AS quality
+           {_frs(f"least(len({_TEXT_TOKENS_SQL}) / 100.0, 1.0) * 0.5"
+                 f" + (len(list_filter({_TEXT_TOKENS_SQL}, t -> list_contains({_STOPWORDS_SQL}, t)))"
+                 f" * 1.0 / greatest(len({_TEXT_TOKENS_SQL}), 1)) * 0.3"
+                 f" + (1.0 - least(len(regexp_extract_all(text, '[.,!?;:]')) * 10.0"
+                 f" / greatest(length(text), 1), 1.0)) * 0.2", 6)} AS quality
     FROM documents
     """,
 )
@@ -2613,7 +2613,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
-        "doc_id", F.round(T.quality_score(F.col("text")), 6).alias("quality")
+        "doc_id", _floor_round(T.quality_score(F.col("text")), 6).alias("quality")
     )
 
 
@@ -2842,6 +2842,53 @@ def docs_hybrid_rrf_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_hybrid_serving",
+    None,  # oracle attached below (needs the IVF centroid + PQ codebook literals)
+)
+def docs_hybrid_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION hybrid serving shape end to end (VERDICT r8 #6),
+    promoted from the e2e test (tests/test_operators.py) into a driver
+    hash-checked registry row: lexical branch served from a PERSISTED BM25
+    posting index (``build_bm25_index`` → ``bm25_topk(index=...)`` — the
+    corpus explode is paid at index time, bit-identical to inline scoring),
+    semantic branch is residual IVF-PQ recalling a 40-candidate shortlist
+    from 8-byte codes then exact-cosine RERANKED to the branch top-k, and
+    the two rankings fuse with reciprocal-rank fusion. After the two branch
+    top-ks no stage touches a corpus-sized frame; the oracle replays index
+    scoring, cell probes, ADC, rerank, and fusion bit-for-bit."""
+    from spark_ensemble_spark.operators.retrieval import (
+        bm25_topk,
+        build_bm25_index,
+        rrf_fuse,
+    )
+    from spark_ensemble_spark.operators.similarity import ivfpq_topk, rerank_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    qemb = emb.filter(F.col("vec_id") < 3)
+    idx, stats = build_bm25_index(docs)
+    lex = bm25_topk(
+        None, queries, k=_HYBRID_K, exclude_self=True, index=idx, index_stats=stats
+    ).select("query_id", "doc_id", "rank")
+    shortlist = _similarity.ivfpq_topk(
+        emb,
+        qemb,
+        _IVF_CENTROIDS,
+        _pq_books(),
+        k=_RERANK_SHORTLIST_K,
+        nprobe=3,
+        residual=True,
+    )
+    sem = rerank_topk(emb, qemb, shortlist, k=_HYBRID_K).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse([lex, sem], k=_HYBRID_K, c=_HYBRID_C)
+
+
+@query(
     "docs_bm25_conjunctive",
     _retrieval.bm25_oracle_sql(
         _BM25_QUERIES, k=_BM25_K, max_df=_BM25_MAX_DF, require_all_terms=True
@@ -2959,7 +3006,7 @@ def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_ngram_jaccard",
-    """
+    f"""
     WITH base AS (
       SELECT doc_id AS id,
              substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), 1, 16) AS block,
@@ -2970,11 +3017,11 @@ def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks, text FROM documents)
     )
     SELECT l.id AS id_a, r.id AS id_b,
-           round(len(list_intersect(l.grams, r.grams)) * 1.0
-                 / len(list_distinct(list_concat(l.grams, r.grams))), 6) AS jaccard
+           {_frs("len(list_intersect(l.grams, r.grams)) * 1.0"
+                 " / len(list_distinct(list_concat(l.grams, r.grams)))", 6)} AS jaccard
     FROM base l JOIN base r ON l.block = r.block AND l.id < r.id
-    WHERE round(len(list_intersect(l.grams, r.grams)) * 1.0
-          / len(list_distinct(list_concat(l.grams, r.grams))), 6) >= 0.5
+    WHERE {_frs("len(list_intersect(l.grams, r.grams)) * 1.0"
+          " / len(list_distinct(list_concat(l.grams, r.grams)))", 6)} >= 0.5
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2991,14 +3038,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "similarity_bruteforce_topk",
-    """
+    f"""
     WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 5),
          scored AS (
            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                  CASE WHEN sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.v, q.v)) = 0 THEN NULL
-                       ELSE round(list_dot_product(c.v, q.v)
-                            / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.v, q.v))), 6) END AS cosine
+                  {_similarity.guarded_cosine_sql('c.v', 'q.v')} AS cosine
            FROM c CROSS JOIN q WHERE c.vec_id != q.vec_id
          )
     SELECT query_id, neighbor_id, cosine, rank FROM (
@@ -3087,7 +3132,7 @@ def similarity_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
     )})
     SELECT CAST(count(*) AS BIGINT) AS n_queries,
-           round(avg(recall), 6) AS fixed_mean_recall,
+           {_frs('avg(recall)', 6)} AS fixed_mean_recall,
            CAST(1 AS BIGINT) AS trained_ge_fixed
     FROM rec
     """,
@@ -3118,10 +3163,10 @@ def similarity_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame
     trained = ivf_topk(emb, queries_df, k=10, nprobe=3, centroids=trained_c)
     r_fixed = ann_recall(fixed, exact, 10).agg(
         F.count(F.lit(1)).alias("n_queries"),
-        F.round(F.avg("recall"), 6).alias("fixed_mean_recall"),
+        _floor_round(F.avg("recall"), 6).alias("fixed_mean_recall"),
     )
     r_trained = ann_recall(trained, exact, 10).agg(
-        F.round(F.avg("recall"), 6).alias("__trained_mean")
+        _floor_round(F.avg("recall"), 6).alias("__trained_mean")
     )
     return r_fixed.crossJoin(F.broadcast(r_trained)).select(
         F.col("n_queries").cast("bigint").alias("n_queries"),
@@ -3134,7 +3179,7 @@ def similarity_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @query(
     "embedding_dup_pairs",
-    """
+    f"""
     WITH planted AS (
       SELECT vec_id, embedding FROM embeddings
       UNION ALL
@@ -3142,13 +3187,9 @@ def similarity_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame
     ),
     e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM planted)
     SELECT l.vec_id AS id_a, r.vec_id AS id_b,
-           CASE WHEN sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v)) = 0 THEN NULL
-                ELSE round(list_dot_product(l.v, r.v)
-                     / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))), 6) END AS cosine
+           {_similarity.guarded_cosine_sql('l.v', 'r.v')} AS cosine
     FROM e l JOIN e r ON l.vec_id < r.vec_id
-    WHERE CASE WHEN sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v)) = 0 THEN NULL
-               ELSE round(list_dot_product(l.v, r.v)
-                    / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))), 6) END >= 0.9
+    WHERE {_similarity.guarded_cosine_sql('l.v', 'r.v')} >= 0.9
     """,
 )
 def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3461,7 +3502,7 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(F.col("q.codes"), F.lit(0).cast("long"), lambda a, c: a + F.abs(c)).alias(
             "l1_codes"
         ),
-        F.round("q.scale", 9).alias("scale"),
+        _floor_round(F.col("q.scale"), 9).alias("scale"),
     )
 
 
@@ -4129,7 +4170,6 @@ def events_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "orders_monthly_stats",
     """
     SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
            count(*) AS n_orders,
@@ -4200,11 +4240,11 @@ def part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH enriched AS (
       SELECT doc_id, lang, text,
              len({_TEXT_TOKENS_SQL}) AS n_tokens,
-             round(least(len({_TEXT_TOKENS_SQL}) / 100.0, 1.0) * 0.5
-                   + (len(list_filter({_TEXT_TOKENS_SQL}, t -> list_contains({_STOPWORDS_SQL}, t)))
-                      * 1.0 / greatest(len({_TEXT_TOKENS_SQL}), 1)) * 0.3
-                   + (1.0 - least(len(regexp_extract_all(text, '[.,!?;:]')) * 10.0
-                                  / greatest(length(text), 1), 1.0)) * 0.2, 6) AS quality,
+             {_frs(f"least(len({_TEXT_TOKENS_SQL}) / 100.0, 1.0) * 0.5"
+                   f" + (len(list_filter({_TEXT_TOKENS_SQL}, t -> list_contains({_STOPWORDS_SQL}, t)))"
+                   f" * 1.0 / greatest(len({_TEXT_TOKENS_SQL}), 1)) * 0.3"
+                   f" + (1.0 - least(len(regexp_extract_all(text, '[.,!?;:]')) * 10.0"
+                   f" / greatest(length(text), 1), 1.0)) * 0.2", 6)} AS quality,
              md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
       FROM documents
     ),
@@ -4216,7 +4256,7 @@ def part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE doc_id IN (SELECT min(doc_id) FROM filtered GROUP BY fp)
     )
     SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-           printf('%.6f', round(CAST(sum(CAST(quality AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6)) AS avg_quality
+           printf('%.6f', {_frs("CAST(sum(CAST(quality AS DECIMAL(38,6))) AS DOUBLE) / count(*)", 6)}) AS avg_quality
     FROM deduped GROUP BY lang
     """,
 )
@@ -4239,7 +4279,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         token_count(t).alias("n_tokens"),
-        F.round(quality_score(t), 6).alias("quality"),
+        _floor_round(quality_score(t), 6).alias("quality"),
         fingerprint(t).alias("fp"),
     )
     filtered = enriched.filter((F.col("quality") >= 0.3) & (F.col("n_tokens") >= 20))
@@ -4252,7 +4292,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         # CORRECTNESS_r03's one hash-red non-events row
         F.format_string(
             "%.6f",
-            F.round(
+            _floor_round(
                 F.sum(F.col("quality").cast("decimal(38,6)")).cast("double")
                 / F.count(F.lit(1)),
                 6,
@@ -4262,7 +4302,6 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "strip_boilerplate",
     """
     WITH words AS (
       SELECT doc_id,
@@ -4301,8 +4340,7 @@ def strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "contamination_overlap",
-    """
+    f"""
     WITH toks AS (
       SELECT doc_id,
              string_split(regexp_replace(lower(trim(replace(coalesce(text, ''),
@@ -4322,7 +4360,7 @@ def strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.doc_id, count(*) AS n_shingles,
            CAST(coalesce(sum(e.m), 0) AS BIGINT) AS n_matched,
-           round(coalesce(sum(e.m), 0) / count(*)::DOUBLE, 6) AS overlap_ratio
+           {_frs("coalesce(sum(e.m), 0) / count(*)::DOUBLE", 6)} AS overlap_ratio
     FROM dsh d LEFT JOIN esh e USING (h)
     GROUP BY d.doc_id
     """,
@@ -4345,7 +4383,7 @@ def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_shingles",
         "n_matched",
-        F.round("overlap_ratio", 6).alias("overlap_ratio"),
+        _floor_round(F.col("overlap_ratio"), 6).alias("overlap_ratio"),
     )
 
 
@@ -4373,7 +4411,7 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_shingles",
         "n_flagged",
-        F.round("flagged_ratio", 6).alias("flagged_ratio"),
+        _floor_round(F.col("flagged_ratio"), 6).alias("flagged_ratio"),
     )
 
 
@@ -4412,9 +4450,9 @@ ORACLES["streaming_decontaminate"] = (
 
 @query(
     "streaming_scored_events",
-    """
+    f"""
     SELECT event_id,
-           round((SELECT avg(value) FROM events), 6) AS prediction
+           {_frs("(SELECT avg(value) FROM events)", 6)} AS prediction
     FROM events
     """,
 )
@@ -4580,7 +4618,7 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "docs_repetition_signals",
-    r"""
+    rf"""
     WITH t AS (
       SELECT doc_id,
              list_filter(
@@ -4599,8 +4637,8 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     gc AS (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2),
     gfrac AS (
       SELECT doc_id,
-             round(sum(CASE WHEN c >= 2 THEN c * length(gram) ELSE 0 END) * 1.0
-                   / sum(c * length(gram)), 6) AS dup_3gram_char_fraction
+             {_frs("sum(CASE WHEN c >= 2 THEN c * length(gram) ELSE 0 END) * 1.0"
+                   " / sum(c * length(gram))", 6)} AS dup_3gram_char_fraction
       FROM gc GROUP BY doc_id
     ),
     bi AS (
@@ -4610,12 +4648,12 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     bc AS (SELECT doc_id, gram, count(*) AS c FROM bi GROUP BY 1, 2),
     bfrac AS (
-      SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS top_bigram_fraction
+      SELECT doc_id, {_frs("max(c) * 1.0 / sum(c)", 6)} AS top_bigram_fraction
       FROM bc GROUP BY doc_id
     )
     SELECT b.doc_id,
            CASE WHEN b.m >= 1
-                THEN round(1.0 - len(list_distinct(b.toks)) * 1.0 / b.m, 6)
+                THEN {_frs("1.0 - len(list_distinct(b.toks)) * 1.0 / b.m", 6)}
                 ELSE 0.0 END AS dup_token_fraction,
            coalesce(gf.dup_3gram_char_fraction, 0.0) AS dup_3gram_char_fraction,
            coalesce(bf.top_bigram_fraction, 0.0) AS top_bigram_fraction
@@ -4649,7 +4687,7 @@ def docs_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "docs_unigram_logprob",
-    r"""
+    rf"""
     WITH per_doc AS (
       SELECT doc_id AS id, t AS tok, count(*) AS c
       FROM (
@@ -4665,13 +4703,13 @@ def docs_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
       SELECT p.id,
              p.c,
-             CAST(round(ln(f.ct * 1.0 / total.n), 6) AS DECIMAL(38,6)) AS lp
+             CAST({_frs("ln(f.ct * 1.0 / total.n)", 6)} AS DECIMAL(38,6)) AS lp
       FROM per_doc p JOIN tf f USING (tok), total
     ),
     agg AS (
       SELECT id,
              CAST(sum(c) AS BIGINT) AS n_tokens,
-             round(CAST(sum(lp * c) AS DOUBLE) / sum(c), 6) AS avg_logprob
+             {_frs("CAST(sum(lp * c) AS DOUBLE) / sum(c)", 6)} AS avg_logprob
       FROM scored GROUP BY id
     )
     SELECT d.doc_id,
@@ -4695,7 +4733,7 @@ def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "docs_bigram_logprob",
-    r"""
+    rf"""
     WITH toks AS (
       SELECT doc_id AS id,
              string_split(regexp_replace(lower(trim(coalesce(text, ''))), '\s+', ' ', 'g'), ' ') AS t
@@ -4714,7 +4752,7 @@ def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     total AS (SELECT CAST(sum(cu) AS BIGINT) AS n FROM uni),
     scored AS (
       SELECT p.id, p.c,
-             CAST(round(ln(0.7 * (b.cb / hist.h) + 0.30000000000000004 * (u.cu / total.n)), 6)
+             CAST({_frs("ln(0.7 * (b.cb / hist.h) + 0.30000000000000004 * (u.cu / total.n))", 6)}
                   AS DECIMAL(38,6)) AS lp
       FROM per_doc p
       JOIN bi b USING (w1, w2)
@@ -4723,7 +4761,7 @@ def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     agg AS (
       SELECT id, CAST(sum(c) AS BIGINT) AS n_bigrams,
-             round(CAST(sum(lp * c) AS DOUBLE) / sum(c), 6) AS avg_logprob
+             {_frs("CAST(sum(lp * c) AS DOUBLE) / sum(c)", 6)} AS avg_logprob
       FROM scored GROUP BY id
     )
     SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams, a.avg_logprob
@@ -4951,7 +4989,7 @@ def orders_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_cohort_retention",
-    """
+    f"""
     WITH cohorts AS (
       SELECT user_id AS u, date_trunc('week', min(ts))::DATE AS cw
       FROM events GROUP BY 1
@@ -4969,7 +5007,7 @@ def orders_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     )
     SELECT strftime(c.cw, '%Y-%m-%d') AS cohort_week, c.week_offset,
-           c.n_users, round(c.n_users / b.n_users, 6) AS retention
+           c.n_users, {_frs("c.n_users / b.n_users", 6)} AS retention
     FROM cells c JOIN cells b ON b.cw = c.cw AND b.week_offset = 0
     """,
 )
@@ -5015,7 +5053,7 @@ _FUNNEL_H = 7 * 86_400 * 1_000_000  # 7 days in epoch microseconds
     ),
     n0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s0)
     SELECT step, step_name, n_users,
-           round(CASE WHEN n0.n > 0 THEN n_users / n0.n END, 6) AS conversion
+           {_frs("CASE WHEN n0.n > 0 THEN n_users / n0.n END", 6)} AS conversion
     FROM counts, n0
     """,
 )
@@ -5378,6 +5416,34 @@ ORACLES["similarity_rerank_topk"] = _similarity.rerank_oracle_sql(
     k=5,
 )
 
+# docs_hybrid_serving: persisted-index BM25 (bit-identical to the inline
+# replay) ⊕ residual IVF-PQ shortlist → exact rerank, fused with RRF — the
+# full serving composition hash-checked as ONE row (VERDICT r8 #6).
+ORACLES["docs_hybrid_serving"] = _retrieval.rrf_oracle_sql(
+    [
+        _retrieval.bm25_oracle_sql(
+            queries_sql=_HYBRID_QUERIES_SQL, k=_HYBRID_K, exclude_self=True
+        ),
+        "SELECT query_id, neighbor_id AS doc_id, rank FROM ({})".format(
+            _similarity.rerank_oracle_sql(
+                _similarity.ivfpq_oracle_sql(
+                    _IVF_CENTROIDS,
+                    _similarity.pq_fixed_codebooks(
+                        dim=64, num_subspaces=8, num_codewords=16
+                    ),
+                    k=_RERANK_SHORTLIST_K,
+                    nprobe=3,
+                    residual=True,
+                    query_pred="vec_id < 3",
+                ),
+                k=_HYBRID_K,
+            )
+        ),
+    ],
+    k=_HYBRID_K,
+    c=_HYBRID_C,
+)
+
 
 @query(
     "similarity_rerank_recall",
@@ -5417,10 +5483,10 @@ def similarity_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     rr = rerank_topk(emb, queries_df, shortlist, k=5)
     a = ann_recall(raw, exact, 5).agg(
         F.count(F.lit(1)).alias("n_queries"),
-        F.round(F.avg("recall"), 6).alias("ivfpq_mean_recall"),
+        _floor_round(F.avg("recall"), 6).alias("ivfpq_mean_recall"),
     )
     b = ann_recall(rr, exact, 5).agg(
-        F.round(F.avg("recall"), 6).alias("rerank_mean_recall"),
+        _floor_round(F.avg("recall"), 6).alias("rerank_mean_recall"),
     )
     return a.crossJoin(F.broadcast(b))
 
@@ -5441,8 +5507,8 @@ def _rerank_recall_oracle() -> str:
     WITH raw_rec AS MATERIALIZED ({_similarity.ann_recall_oracle_sql(raw, brute, 5)}),
     rr_rec AS MATERIALIZED ({_similarity.ann_recall_oracle_sql(rr, brute, 5)})
     SELECT (SELECT CAST(count(*) AS BIGINT) FROM raw_rec) AS n_queries,
-           (SELECT round(avg(recall), 6) FROM raw_rec) AS ivfpq_mean_recall,
-           (SELECT round(avg(recall), 6) FROM rr_rec) AS rerank_mean_recall
+           (SELECT {_frs('avg(recall)', 6)} FROM raw_rec) AS ivfpq_mean_recall,
+           (SELECT {_frs('avg(recall)', 6)} FROM rr_rec) AS rerank_mean_recall
     """
 
 
@@ -5545,9 +5611,9 @@ def _docs_with_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     powed AS (SELECT *, pow(share, 0.5) AS pw FROM shared)
     SELECT stratum,
            CAST(size AS BIGINT) AS size,
-           round(share, 6) AS share,
-           round(pw / sum(pw) OVER (), 6) AS weight,
-           round(least(1.0, 20000.0 * (pw / sum(pw) OVER ()) / size), 6) AS rate
+           (floor((share) * 1000000.0 + 0.5) / 1000000.0) AS share,
+           (floor((pw / sum(pw) OVER ()) * 1000000.0 + 0.5) / 1000000.0) AS weight,
+           (floor((least(1.0, 20000.0 * (pw / sum(pw) OVER ()) / size)) * 1000000.0 + 0.5) / 1000000.0) AS rate
     FROM powed
     """.format(docs=_DOCS_WITH_TOKENS_SQL),
 )
@@ -5577,7 +5643,7 @@ def mixing_weights_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     powed AS (SELECT *, pow(share, 0.5) AS pw FROM shared),
     rates AS (
       SELECT stratum,
-             round(least(1.0, 20000.0 * (pw / sum(pw) OVER ()) / size), 6) AS rate
+             (floor((least(1.0, 20000.0 * (pw / sum(pw) OVER ()) / size)) * 1000000.0 + 0.5) / 1000000.0) AS rate
       FROM powed
     ),
     kept AS (
@@ -5790,9 +5856,48 @@ def classification_metrics_dummy_prior(spark: SparkSession, sf_dir: str) -> Data
 #   similarity_pq_topk         = (folded r8) flat-PQ ADC scan is the inner
 #                                stage of in-window similarity_ivfpq_topk;
 #                                slot freed for events_key_skew
+#   orders_monthly_stats       = (folded r9) grouped month-bucket stats shape
+#                                covered in-window by q1_pricing_summary +
+#                                events_rollup_incremental; slot freed for
+#                                similarity_rerank_topk
+#   contamination_overlap      = (folded r9) broadcast eval-shingle semi-join
+#                                covered in-window by contamination_bloom
+#                                (same explode→hash→broadcast probe, mask
+#                                instead of set); slot freed for
+#                                similarity_hamming_topk
+#   revenue_rollup             = (folded r9) ROLLUP/cube grouping-sets shape
+#                                covered by q1 + events_rollup_incremental's
+#                                grain agg; slot freed for
+#                                docs_training_manifest
+#   topk_orders_per_priority   = (folded r9) per-group top-k window is the
+#                                final stage of every in-window retrieval/ANN
+#                                row (docs_bm25_topk, similarity_ivfpq_topk,
+#                                similarity_rerank_topk); slot freed for
+#                                docs_bpe_roundtrip
+#   strip_boilerplate          = (folded r9) narrow regex text-transform
+#                                family covered in-window by text_analysis
+#                                (same scan-speed projection class); slot
+#                                freed for events_rollup_value_quantiles
+#   docs_bpe_tokens            = (folded r9) BPE train+encode is the first
+#                                stage of in-window docs_bpe_roundtrip
+#                                (encode → decode → hash-checked identity);
+#                                slot freed for docs_hybrid_serving
 # ---------------------------------------------------------------------------
 
 REGISTRY_ORDER = [
+    # -- r9 frontier (VERDICT r8 #3): the two-stage ANN serving family
+    # (binary-quantized Hamming shortlist + exact rerank), the deterministic
+    # training-export manifest, the BPE encode→decode round-trip, and a
+    # second mergeable rollup sketch (histogram percentiles). Out (fold
+    # notes in the header; all five remain extra-oracle-verified ×2 SFs and
+    # benched): orders_monthly_stats, contamination_overlap, revenue_rollup,
+    # topk_orders_per_priority, strip_boilerplate.
+    "docs_hybrid_serving",
+    "similarity_rerank_topk",
+    "similarity_hamming_topk",
+    "docs_training_manifest",
+    "docs_bpe_roundtrip",
+    "events_rollup_value_quantiles",
     # -- r8 frontier (VERDICT r7 #2): grouped BPE training (zero-driver-state
     # lockstep loop), the LSM-shaped incremental rollup store + its mergeable
     # HLL sketch, and shuffle-key skew diagnostics. Out (fold notes above;
@@ -5828,7 +5933,6 @@ REGISTRY_ORDER = [
     # -- previously outside the driver's 50-entry window (r2) --
     "events_sessionize",
     "events_asof_last_order",
-    "orders_monthly_stats",
     "curation_pipeline",
     # -- r5 continuation: SemDeDup + DSIR promoted into the driver window
     # (pivot_flag_by_status / part_brand_stats folded out: pivot and
@@ -5851,8 +5955,6 @@ REGISTRY_ORDER = [
     "docs_quality_quantile_filter",
     "events_funnel",
     # -- new r4: corpus-curation operators, driver-visible at last --
-    "strip_boilerplate",
-    "contamination_overlap",
     # -- relational core (q3_top_revenue_orders folded late-r7: see header) --
     "q1_pricing_summary",
     "q5_nation_revenue",
@@ -5862,8 +5964,6 @@ REGISTRY_ORDER = [
     # q4_priority_exists + clickers_never_purchased in-window and both remain
     # extra-oracle-verified at sf0.001+sf0.01) --
     "dedup_incremental",
-    "topk_orders_per_priority",
-    "revenue_rollup",
     "weighted_median_price",
     # -- ensemble estimators (SURVEY §2.1) --
     "dummy_mean_regressor",
@@ -5886,7 +5986,6 @@ REGISTRY_ORDER = [
     "dedup_minhash_md5",
     # -- late-r7: BPE train+encode promoted (dedup_ngram_jaccard folded:
     # see header) --
-    "docs_bpe_tokens",
     "dedup_clusters",
     "embedding_dup_pairs_lsh",
 ]

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spark_ensemble_spark.functions.rounding import floor_round as _floor_round
+
 from spark_ensemble_spark.operators.corpus import bloom_mask_literal
 from spark_ensemble_spark.operators.dedup import _shingle_strings
 from spark_ensemble_spark.streaming.runner import replay_session, run_to_memory
@@ -116,7 +118,7 @@ bloom_contamination` (explode → groupBy, the high-throughput shape), the
         .withColumn("n_flagged", F.col(b)["f"])
         .withColumn(
             "flagged_ratio",
-            F.round(F.col("n_flagged") / F.col("n_shingles").cast("double"), 6),
+            _floor_round(F.col("n_flagged") / F.col("n_shingles").cast("double"), 6),
         )
         .drop(b)
     )

@@ -14,6 +14,8 @@ from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from spark_ensemble_spark.functions.rounding import floor_round as _floor_round
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -648,7 +650,7 @@ def funnel_conversion(
         "step",
         "step_name",
         "n_users",
-        F.round(
+        _floor_round(
             F.when(F.col("__n0") > 0, F.col("n_users") / F.col("__n0")), 6
         ).alias("conversion"),
     )
@@ -700,6 +702,6 @@ def cohort_retention(
             F.date_format("__cw", "yyyy-MM-dd").alias("cohort_week"),
             "week_offset",
             "n_users",
-            F.round(F.col("n_users") / F.col("__n0"), 6).alias("retention"),
+            _floor_round(F.col("n_users") / F.col("__n0"), 6).alias("retention"),
         )
     )

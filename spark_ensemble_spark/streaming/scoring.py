@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spark_ensemble_spark.functions.rounding import floor_round as _floor_round
+
 from .events import read_events_stream
 from .runner import replay_session, run_to_memory
 
@@ -66,6 +68,6 @@ def streaming_scored_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).fit(batch)
     stream = _event_features(read_events_stream(spark, sf_dir))
     scored = score_stream(model, stream).select(
-        "event_id", F.round("prediction", 6).alias("prediction")
+        "event_id", _floor_round(F.col("prediction"), 6).alias("prediction")
     )
     return run_to_memory(scored, "append", "stream_scored")

@@ -218,6 +218,13 @@ BENCH_QUERIES = [
     "similarity_hamming_rerank",
     # packing manifest materialized into per-window loader spans
     "docs_pack_window_spans",
+    # round-9 additions: the full hybrid serving composition (persisted BM25
+    # index ⊕ IVF-PQ shortlist → exact rerank → RRF), multi-member gzip
+    # container ingestion through the Arrow seam, and Spark's native
+    # compressed-JSON write+scan
+    "docs_hybrid_serving",
+    "docs_gzip_ingest",
+    "docs_jsonl_gz_native",
 ]
 
 

@@ -2640,3 +2640,57 @@ def test_rrf_fuse_weights_tilt_and_default_identity(spark):
         for r in rrf_fuse([a, b], k=4, weights=(1.0, 0.5)).collect()
     )
     assert [d for _, d in tilted] == [1, 2, 3, 4]
+
+
+def test_gzip_container_roundtrip_and_member_walk(spark):
+    """Multi-member gzip JSONL containers: pack → extract is identity on
+    every record (unicode, embedded newlines, empty text), member/line
+    provenance follows the 5-line member layout, and trailing non-gzip
+    bytes stop the walker at the garbage instead of corrupting records."""
+    from spark_ensemble_spark.sources.compressed import (
+        _LINES_PER_MEMBER,
+        gzip_extract_jsonl,
+        synthetic_jsonl_gz_corpus,
+    )
+
+    rows = [(i, f"doc {i} body") for i in range(12)]
+    rows[3] = (3, "")  # empty text
+    rows[5] = (5, "line one\nline two\ttabbed")  # raw newline inside a record
+    rows[7] = (7, "unicode: ünïcødé ✓ 中文")
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    packed = synthetic_jsonl_gz_corpus(docs, num_containers=2)
+    pk = {r.container_id: r for r in packed.collect()}
+    assert set(pk) == {0, 1} and all(p.n_records == 6 for p in pk.values())
+    # 6 records per container at 5 lines/member → exactly 2 members each
+    assert all(p.payload.startswith(b"\x1f\x8b") for p in pk.values())
+
+    rec = gzip_extract_jsonl(packed)
+    got = {r.doc_id: r for r in rec.collect()}
+    assert {i for i in got} == {i for i, _ in rows}
+    for i, t in rows:
+        r = got[i]
+        assert r.text == t, (i, r.text)
+        assert r.container_id == i % 2
+        idx = sorted(j for j, _ in rows if j % 2 == i % 2).index(i)
+        assert (r.member_index, r.line_index) == (
+            idx // _LINES_PER_MEMBER,
+            idx % _LINES_PER_MEMBER,
+        )
+
+    # trailing garbage after the last member: records before it survive
+    import pandas as pd
+
+    garbage = packed.sparkSession.createDataFrame(
+        pd.DataFrame(
+            {
+                "container_id": [9],
+                "payload": [pk[0].payload + b"NOT-GZIP-TRAILER"],
+            }
+        ),
+        "container_id long, payload binary",
+    )
+    out = gzip_extract_jsonl(garbage).collect()
+    assert sorted(r.doc_id for r in out) == sorted(
+        i for i, _ in rows if i % 2 == 0
+    )

@@ -584,3 +584,94 @@ def test_hist_rollup_20m(spark, big_events):
     assert per_cell.agg(F.max("count")).first()[0] <= len(HIST_BOUNDS) + 1
     q = hist_quantiles(merged)
     assert q.count() == per_cell.count()
+
+
+def test_bm25_rrf_serving_10m(spark):
+    """Retrieval family at 10M docs end to end (VERDICT r8 #4): build the
+    persisted BM25 posting index, serve a query batch from it, fuse with a
+    second ranking through rrf_fuse, and PIN the serving-plan shape — the
+    posting prune against the query vocabulary must be a BROADCAST
+    left-semi (query vocab ≪ corpus), with no exchange keyed on the term
+    column: every corpus-sized frame partitions only for the (query, doc)
+    scoring agg. Vocabulary is ~50k synthetic words (posting lists ~200
+    docs → per-task input bounded by matched postings, not the corpus) plus
+    a rare planted term so relevance has signal."""
+    import re
+
+    from spark_ensemble_spark.operators.retrieval import (
+        bm25_topk,
+        build_bm25_index,
+        rrf_fuse,
+    )
+
+    n = 10_000_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.when(F.col("id") % 1_000_000 == 7, F.lit("xylophonequark")).otherwise(
+                F.lit("filler")
+            ),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(12)),
+                lambda i: F.concat(
+                    F.lit("w"),
+                    ((F.xxhash64("id", i) % 50_000 + 50_000) % 50_000).cast("string"),
+                ),
+            ).cast("string"),
+        ).alias("text"),
+    ).select(
+        "doc_id",
+        F.regexp_replace(F.regexp_replace("text", r"[\[\],]", " "), r"\s+", " ").alias(
+            "text"
+        ),
+    )
+
+    postings, stats = build_bm25_index(docs)
+    postings = postings.persist()
+    try:
+        qs = spark.createDataFrame(
+            [("q1", "xylophonequark w17 w99"), ("q2", "w123 w456 w789")],
+            "query_id string, query_text string",
+        )
+        lex_df = bm25_topk(None, qs, k=10, index=postings, index_stats=stats)
+
+        # plan pin on the SERVING query before running it: the query-vocab
+        # prune must be a BROADCAST left-semi, so the ONE term-keyed
+        # exchange (the per-term df agg) partitions only PRUNED posting
+        # lists — bounded by |query vocab| · posting length, never the
+        # corpus. (A term-BUCKETED persisted index removes even that
+        # exchange — pinned separately in test_plans_io.)
+        plan = lex_df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert "LeftSemi" in final and "BroadcastHashJoin" in final
+        term_ex = re.findall(r"Exchange hashpartitioning\(__t#\d+,", final)
+        assert len(term_ex) <= 1, term_ex
+        assert "CartesianProduct" not in final
+
+        lex = lex_df.collect()
+        assert len(lex) == 20
+        # the planted rare term dominates q1's top ranks
+        q1 = [r.doc_id for r in lex if r.query_id == "q1"][:5]
+        assert any(d % 1_000_000 == 7 for d in q1)
+
+        # second branch: a deterministic id-derived ranking (stands in for
+        # the ANN branch — fusion is ranking-agnostic), fused at k=10
+        alt = spark.createDataFrame(
+            [(q, d, r + 1) for q in ("q1", "q2") for r, d in enumerate(range(10))],
+            "query_id string, doc_id long, rank int",
+        )
+        fused = rrf_fuse(
+            [
+                spark.createDataFrame(
+                    [(r.query_id, r.doc_id, r.rank) for r in lex],
+                    "query_id string, doc_id long, rank int",
+                ),
+                alt,
+            ],
+            k=10,
+        ).collect()
+        assert len(fused) == 20
+        assert all(r.rank <= 10 for r in fused)
+    finally:
+        postings.unpersist()

@@ -225,6 +225,10 @@ BENCH_QUERIES = [
     "docs_hybrid_serving",
     "docs_gzip_ingest",
     "docs_jsonl_gz_native",
+    # unigram-LM tokenizer: fixed-vocab Viterbi scoring (the serving cost)
+    # and the trained path (hard-EM over the distinct-word frame)
+    "docs_unigram_tokens",
+    "docs_unigram_train_tokens",
 ]
 
 

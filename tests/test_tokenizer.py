@@ -428,3 +428,110 @@ def test_segment_expr_matches_priority_encode_on_trained_merges(spark):
     }
     for w in adversarial:
         assert got[w] == _prio_encode(w, merges), (w, merges, got[w])
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (operators/unigram.py)
+# ---------------------------------------------------------------------------
+
+
+def _ref_viterbi(word, model, L, unk=-10000.0):
+    """Brute-force reference: enumerate EVERY segmentation into pieces of
+    length <= L (unknown single chars allowed at UNK_LOGP), return
+    (best score, fewest pieces among score ties)."""
+    from functools import lru_cache
+
+    @lru_cache(maxsize=None)
+    def go(i):
+        if i == len(word):
+            return [(0.0, 0, ())]
+        outs = []
+        for n in range(1, min(L, len(word) - i) + 1):
+            piece = word[i : i + n]
+            lp = model.get(piece, unk if n == 1 else None)
+            if lp is None:
+                continue
+            for s, k, ps in go(i + n):
+                outs.append((lp + s, k + 1, (piece,) + ps))
+        return outs
+
+    alls = go(0)
+    assert alls, word
+    best = max(alls, key=lambda t: (t[0], -t[1]))
+    return best
+
+
+def test_unigram_viterbi_matches_bruteforce(spark):
+    """The Catalyst DP fold finds the max-log-prob segmentation (score AND
+    the fewest-pieces tie rule) for every word — checked against an
+    exhaustive enumeration of all segmentations."""
+    import random
+
+    from spark_ensemble_spark.operators import unigram as U
+
+    model = U.unigram_fixed_model()
+    rng = random.Random(11)
+    words = [
+        "the", "theater", "ingestion", "foring", "zzz", "a", "q",
+        "international", "x9z", "0101",
+    ] + ["".join(rng.choices("theinganorzq", k=rng.randint(1, 9))) for _ in range(40)]
+    wdf = spark.createDataFrame([(w,) for w in words], "w string")
+    seg = U.unigram_segment_pieces(wdf, model, max_piece_len=4)
+    got = {r.w: r for r in seg.collect()}
+    for w in words:
+        score, k, pieces = _ref_viterbi(w, model, 4)
+        r = got[w]
+        assert abs(r.logp - score) < 1e-9, (w, r.logp, score)
+        assert r.n_pieces == k, (w, r.n_pieces, k, pieces, r.pieces)
+        # the reconstruction is consistent with its own stats and re-joins
+        assert "".join(r.pieces) == w and len(r.pieces) == r.n_pieces
+
+
+def test_unigram_train_improves_and_is_deterministic(spark):
+    """Hard-EM training: corpus log-likelihood under the trained model is
+    no worse than under the seed model, single characters always survive
+    pruning (coverage), the vocab respects the size cap, and two identical
+    runs export the identical model (gridded literals, tie-broken
+    argmaxes)."""
+    from spark_ensemble_spark.operators import tokenizer as tk
+    from spark_ensemble_spark.operators import unigram as U
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(["hugging", "puns", "bun", "hug", "gunner"][j % 5]
+                         for j in range(i, i + 6)))
+            for i in range(30)
+        ],
+        "doc_id long, text string",
+    )
+    vocab = tk.word_counts(docs)
+    seed = dict(U.unigram_seed_counts(vocab, 3, 64))
+    tot = float(sum(seed.values()))
+    seed_model = {p: U._grid_logp(c / tot) for p, c in seed.items()}
+
+    m1 = U.unigram_train(docs, vocab_size=24, max_piece_len=3, seed_size=64, num_iters=2)
+    m2 = U.unigram_train(docs, vocab_size=24, max_piece_len=3, seed_size=64, num_iters=2)
+    assert m1 == m2
+    singles_in_corpus = {c for w in "hugging puns bun hug gunner".split() for c in w}
+    assert singles_in_corpus <= set(m1)
+    assert len([p for p in m1 if len(p) >= 2]) <= 24
+
+    def total_lp(model):
+        out = U.unigram_doc_stats(docs, model, max_piece_len=3)
+        return float(
+            out.agg(F.sum(F.col("total_logp").cast("double"))).collect()[0][0]
+        )
+
+    assert total_lp(m1) >= total_lp(seed_model) - 1e-6
+
+
+def test_unigram_unseen_chars_fall_back_to_unk(spark):
+    """A word with characters outside the vocabulary still segments — every
+    unknown char is one UNK piece — so encode never throws on dirty data."""
+    from spark_ensemble_spark.operators import unigram as U
+
+    model = U.unigram_fixed_model()
+    wdf = spark.createDataFrame([("théâtre!",), ("~~",)], "w string")
+    got = {r.w: r for r in U.unigram_segment_pieces(wdf, model, 4).collect()}
+    assert got["~~"].n_pieces == 2 and got["~~"].logp == 2 * U.UNK_LOGP
+    assert "".join(got["théâtre!"].pieces) == "théâtre!"

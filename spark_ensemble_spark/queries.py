@@ -13,6 +13,8 @@ similarity search, streaming.
 
 from __future__ import annotations
 
+import math
+
 from typing import Callable, Dict
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1608,7 +1610,7 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _EXACT_QUANTILE_ORACLE = """
-    SELECT round(label, 6) AS prediction
+    SELECT (floor((label) * 1000000.0 + 0.5) / 1000000.0) AS prediction
     FROM (
       SELECT label,
              row_number() OVER (ORDER BY label) AS rn,
@@ -1621,7 +1623,7 @@ _EXACT_QUANTILE_ORACLE = """
 
 @query(
     "dummy_mean_regressor",
-    f"SELECT round(avg({REVENUE_SQL}), 6) AS prediction FROM lineitem",
+    f"SELECT {_frs(f'avg({REVENUE_SQL})', 6)} AS prediction FROM lineitem",
 )
 def dummy_mean_regressor(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_ensemble_spark import DummyRegressor
@@ -1630,7 +1632,7 @@ def dummy_mean_regressor(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = DummyRegressor(strategy="mean").fit(ds)
     return (
         model.transform(ds)
-        .select(F.round("prediction", 6).alias("prediction"))
+        .select(_floor_round(F.col("prediction"), 6).alias("prediction"))
         .distinct()
     )
 
@@ -1646,7 +1648,7 @@ def dummy_median_regressor(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = DummyRegressor(strategy="median", tol=0.0).fit(ds)
     return (
         model.transform(ds)
-        .select(F.round("prediction", 6).alias("prediction"))
+        .select(_floor_round(F.col("prediction"), 6).alias("prediction"))
         .distinct()
     )
 
@@ -1662,16 +1664,16 @@ def dummy_quantile_regressor(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = DummyRegressor(strategy="quantile", quantile=0.9, tol=0.0).fit(ds)
     return (
         model.transform(ds)
-        .select(F.round("prediction", 6).alias("prediction"))
+        .select(_floor_round(F.col("prediction"), 6).alias("prediction"))
         .distinct()
     )
 
 
 @query(
     "dummy_prior_classifier",
-    """
+    f"""
     SELECT CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS DOUBLE) AS class,
-           round(count(*) * 1.0 / (SELECT count(*) FROM lineitem), 6) AS prior
+           {_frs("count(*) * 1.0 / (SELECT count(*) FROM lineitem)", 6)} AS prior
     FROM lineitem
     GROUP BY 1
     """,
@@ -1681,13 +1683,17 @@ def dummy_prior_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ds = binary_dataset(spark, sf_dir)
     model = DummyClassifier(strategy="prior").fit(ds)
-    rows = [(float(c), round(p, 6)) for c, p in enumerate(model.probability)]
+    # floor-half-up, NOT python round() (half-even) — must mirror the SQL
+    rows = [
+        (float(c), math.floor(p * 1e6 + 0.5) / 1e6)
+        for c, p in enumerate(model.probability)
+    ]
     return spark.createDataFrame(rows, "class double, prior double")
 
 
 @query(
     "bagging_dummy_mean_regressor",
-    f"SELECT round(avg({REVENUE_SQL}), 6) AS prediction FROM lineitem",
+    f"SELECT {_frs(f'avg({REVENUE_SQL})', 6)} AS prediction FROM lineitem",
 )
 def bagging_dummy_mean_regressor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic bagging config (no row/feature sampling, Dummy(mean) base):
@@ -1706,7 +1712,7 @@ def bagging_dummy_mean_regressor(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).fit(ds)
     return (
         model.transform(ds)
-        .select(F.round("prediction", 6).alias("prediction"))
+        .select(_floor_round(F.col("prediction"), 6).alias("prediction"))
         .distinct()
     )
 
@@ -1839,7 +1845,7 @@ def bagging_tree_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "boosting_dummy_median_regressor",
-    f"SELECT round(avg({REVENUE_SQL}), 6) AS prediction FROM lineitem",
+    f"SELECT {_frs(f'avg({REVENUE_SQL})', 6)} AS prediction FROM lineitem",
 )
 def boosting_dummy_median_regressor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic AdaBoost.R2 config: every round's Dummy(mean) base model
@@ -1855,7 +1861,7 @@ def boosting_dummy_median_regressor(spark: SparkSession, sf_dir: str) -> DataFra
     ).fit(ds)
     return (
         model.transform(ds)
-        .select(F.round("prediction", 6).alias("prediction"))
+        .select(_floor_round(F.col("prediction"), 6).alias("prediction"))
         .distinct()
     )
 
@@ -1954,7 +1960,7 @@ def boosting_tree_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "gbm_dummy_mean_regressor",
-    f"SELECT round(avg({REVENUE_SQL}), 6) AS prediction FROM lineitem",
+    f"SELECT {_frs(f'avg({REVENUE_SQL})', 6)} AS prediction FROM lineitem",
 )
 def gbm_dummy_mean_regressor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic GBM config: init=constant(mean) under squared loss, and a
@@ -1972,7 +1978,7 @@ def gbm_dummy_mean_regressor(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).fit(ds)
     return (
         model.transform(ds)
-        .select(F.round("prediction", 6).alias("prediction"))
+        .select(_floor_round(F.col("prediction"), 6).alias("prediction"))
         .distinct()
     )
 
@@ -2076,7 +2082,7 @@ def gbm_tree_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stacking_dummy_regressor",
-    f"SELECT round(avg({REVENUE_SQL}), 4) AS prediction FROM lineitem",
+    f"SELECT {_frs(f'avg({REVENUE_SQL})', 4)} AS prediction FROM lineitem",
 )
 def stacking_dummy_regressor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stacking config: both Dummy bases emit constant columns;
@@ -2095,7 +2101,7 @@ def stacking_dummy_regressor(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).fit(ds)
     return (
         model.transform(ds)
-        .select(F.round("prediction", 4).alias("prediction"))
+        .select(_floor_round(F.col("prediction"), 4).alias("prediction"))
         .distinct()
     )
 
@@ -4539,11 +4545,11 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_json_props",
-    """
+    f"""
     SELECT event_type,
            count(*) AS n,
            CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-           printf('%.4f', round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)) AS avg_k
+           printf('%.4f', {_frs("avg(CAST(json_extract_string(props, '$.k') AS BIGINT))", 4)}) AS avg_k
     FROM events GROUP BY event_type
     """,
 )
@@ -4555,7 +4561,7 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(k).alias("sum_k"),
-        F.format_string("%.4f", F.round(F.avg(k), 4)).alias("avg_k"),
+        F.format_string("%.4f", _floor_round(F.avg(k), 4)).alias("avg_k"),
     )
 
 

@@ -229,6 +229,8 @@ BENCH_QUERIES = [
     # and the trained path (hard-EM over the distinct-word frame)
     "docs_unigram_tokens",
     "docs_unigram_train_tokens",
+    # first DCT codec through the Arrow seam (baseline JFIF, no PIL)
+    "multimodal_jpeg_decode",
 ]
 
 

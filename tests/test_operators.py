@@ -2694,3 +2694,103 @@ def test_gzip_container_roundtrip_and_member_walk(spark):
     assert sorted(r.doc_id for r in out) == sorted(
         i for i, _ in rows if i % 2 == 0
     )
+
+
+def test_jpeg_roundtrip_nonconstant_blocks_and_guards(spark):
+    """Baseline JPEG codec honesty on NON-constant blocks (real AC
+    coefficients — run-length, EOB, magnitude bits, full IDCT): the Spark
+    decoder's output must equal an independent numpy reference that
+    re-derives the quantized coefficients and reconstructs them. Also pins
+    byte stuffing actually occurring in the corpus and the decoder's
+    unsupported-variant guards."""
+    import numpy as np
+
+    from spark_ensemble_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(5)
+    bw, bh = 2, 1
+    comps = [
+        [[rng.randint(0, 256, (8, 8)).astype(np.uint8) for _ in range(bw)]
+         for _ in range(bh)]
+        for _ in range(3)
+    ]
+    payload = mm._jpeg_encode(comps, bw, bh)
+    assert payload[:2] == b"\xff\xd8" and payload[-2:] == b"\xff\xd9"
+
+    # independent reference: re-quantize with the encoder's math, then
+    # reconstruct with the decoder's documented rounding
+    zz = mm._jpeg_zigzag()
+    u = np.arange(8)
+    M = np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16)
+    M[0, :] = 1.0
+    M *= np.where(u[:, None] == 0, np.sqrt(1 / 8), np.sqrt(2 / 8))
+    qts = [
+        np.array(mm._JPEG_QT_LUMA, float)[mm._zz_inv_index()].reshape(8, 8),
+        np.array(mm._JPEG_QT_CHROMA, float)[mm._zz_inv_index()].reshape(8, 8),
+    ]
+    planes = []
+    for ci in range(3):
+        plane = np.zeros((bh * 8, bw * 8))
+        for by in range(bh):
+            for bx in range(bw):
+                blk = comps[ci][by][bx].astype(float) - 128.0
+                coef = M @ blk @ M.T
+                q = np.floor(
+                    np.floor((coef / qts[min(ci, 1)]) * 1e9 + 0.5) / 1e9 + 0.5
+                )
+                rec = M.T @ (q * qts[min(ci, 1)]) @ M + 128.0
+                rec = np.floor(np.floor(rec * 1e9 + 0.5) / 1e9 + 0.5)
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = rec
+        planes.append(np.clip(plane, 0, 255))
+    yv, cb, cr = planes
+    r = np.clip(np.floor(yv + 1.402 * (cr - 128.0) + 0.5), 0, 255)
+    g = np.clip(
+        np.floor(yv - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0) + 0.5),
+        0,
+        255,
+    )
+    b = np.clip(np.floor(yv + 1.772 * (cb - 128.0) + 0.5), 0, 255)
+    n = float(bw * 8 * bh * 8)
+    expect = (
+        bw * 8, bh * 8, float(r.sum()) / n, float(g.sum()) / n,
+        float(b.sum()) / n, int(r[0, 0]),
+    )
+
+    pdf = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    got = mm.decode_jpeg(pdf).collect()[0]
+    assert (
+        got.width, got.height, got.mean_r, got.mean_g, got.mean_b, got.top_left_r
+    ) == expect
+
+    # byte stuffing: find a seed whose scan emits a 0xFF byte, decode THAT
+    # payload too (unstuffing must not corrupt the stream)
+    stuffed = None
+    for seed in range(200):
+        r2 = np.random.RandomState(seed)
+        c2 = [
+            [[r2.randint(0, 256, (8, 8)).astype(np.uint8)]] for _ in range(3)
+        ]
+        p2 = mm._jpeg_encode(c2, 1, 1)
+        if b"\xff\x00" in p2.split(b"\xff\xda")[1][:-2]:
+            stuffed = p2
+            break
+    assert stuffed is not None, "no stuffed payload in 200 seeds"
+    sdf = spark.createDataFrame(
+        [(1, bytearray(stuffed))], "doc_id long, payload binary"
+    )
+    srow = mm.decode_jpeg(sdf).collect()[0]
+    assert (srow.width, srow.height) == (8, 8) and 0 <= srow.top_left_r <= 255
+
+    # guards: progressive SOF and subsampled components raise, not mis-decode
+    import pytest as _pytest
+
+    prog = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    bad1 = spark.createDataFrame([(1, bytearray(prog))], "doc_id long, payload binary")
+    with _pytest.raises(Exception, match="(?i)non-baseline|unsupported"):
+        mm.decode_jpeg(bad1).collect()
+    i = payload.index(b"\xff\xc0")
+    sub = bytearray(payload)
+    sub[i + 11] = 0x22  # Y component Hi/Vi = 2,2
+    bad2 = spark.createDataFrame([(1, bytes(sub))], "doc_id long, payload binary")
+    with _pytest.raises(Exception, match="(?i)subsampling|unsupported"):
+        mm.decode_jpeg(bad2).collect()

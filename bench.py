@@ -231,6 +231,8 @@ BENCH_QUERIES = [
     "docs_unigram_train_tokens",
     # first DCT codec through the Arrow seam (baseline JFIF, no PIL)
     "multimodal_jpeg_decode",
+    # gzip container extraction composed with readStream (stateless seam)
+    "streaming_gzip_ingest",
 ]
 
 

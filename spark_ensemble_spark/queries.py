@@ -5344,6 +5344,70 @@ def docs_gzip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_gzip_ingest",
+    # identical oracle to docs_gzip_ingest: the streamed extraction must
+    # hash-match the batch analytic replay, so stream/batch parity is
+    # value-checked, not just row-counted (the streaming_multimodal_decode
+    # precedent)
+    f"""
+    WITH ranked AS (
+      SELECT doc_id % {_GZIP_CONTAINERS} AS container_id, doc_id, text,
+             row_number() OVER (PARTITION BY doc_id % {_GZIP_CONTAINERS}
+                                ORDER BY doc_id) - 1 AS idx
+      FROM documents
+    )
+    SELECT container_id, doc_id,
+           CAST(idx // 5 AS INT) AS member_index,
+           CAST(idx % 5 AS INT) AS line_index,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           md5(text) AS text_md5
+    FROM ranked
+    """,
+)
+def streaming_gzip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzip container extraction IN the ingest stream: the container
+    packer and the multi-member walker are both stateless Arrow seams
+    (``applyInPandas`` grouping happens batch-side before the stream; the
+    walker is a pure ``mapInPandas`` projection), so extraction composes
+    with ``readStream`` in append mode — no watermark, no state store,
+    per-micro-batch cost is the batch walker's. This is the actual crawl
+    ingest shape: containers arrive on a stream, records fan out in
+    place."""
+    from spark_ensemble_spark.sources.compressed import (
+        gzip_extract_jsonl,
+        synthetic_jsonl_gz_corpus,
+    )
+    from spark_ensemble_spark.streaming.runner import replay_session, run_to_memory
+
+    spark = replay_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    packed = synthetic_jsonl_gz_corpus(docs, num_containers=_GZIP_CONTAINERS)
+    # containers as the STREAM source: write once, readStream with the
+    # container schema (binary payloads flow through the stream unchanged)
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "spark-warehouse",
+        f"gz_containers_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    packed.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(
+        "container_id long, payload binary, n_bytes long, n_records long"
+    ).parquet(path)
+    rec = gzip_extract_jsonl(stream)
+    out = rec.select(
+        "container_id",
+        "doc_id",
+        "member_index",
+        "line_index",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("text_md5"),
+    )
+    return run_to_memory(out, "append", "stream_gz_ingest")
+
+
+@query(
     "docs_jsonl_gz_native",
     """
     SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, md5(text) AS text_md5

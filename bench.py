@@ -233,6 +233,8 @@ BENCH_QUERIES = [
     "multimodal_jpeg_decode",
     # gzip container extraction composed with readStream (stateless seam)
     "streaming_gzip_ingest",
+    # metadata-filtered vector search (pre-filter semi-join, no recall bug)
+    "similarity_filtered_topk",
 ]
 
 

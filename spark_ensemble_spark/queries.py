@@ -5826,6 +5826,40 @@ def similarity_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _similarity.hamming_topk(emb, queries_df, k=5, dim=64)
 
 
+_FILTERED_CORPUS_SQL = (
+    "(SELECT e.vec_id, e.embedding FROM embeddings e "
+    "JOIN documents d ON d.doc_id = e.vec_id WHERE d.lang = 'en')"
+)
+
+
+@query(
+    "similarity_filtered_topk",
+    _similarity.brute_topk_oracle_sql(
+        k=5, query_pred="vec_id < 5", table=_FILTERED_CORPUS_SQL
+    ),
+)
+def similarity_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — the production 'where lang = en' knob every
+    vector store grows eventually: the metadata predicate applies as a
+    PRE-FILTER (a left-semi join of the embedding corpus against the
+    filtered documents table) and the search runs over the surviving
+    vectors only, so top-k is never starved by post-filtering a fixed
+    shortlist (the classic post-filter recall bug). Exact cosine is the
+    oracle path; the same composition drops into ``ivfpq_topk``/``
+    hamming_topk`` unchanged — at 100 TB the semi-join is one hash probe
+    of the metadata table and the ANN index prunes the rest."""
+    from spark_ensemble_spark.operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    keep = docs.filter(F.col("lang") == "en").select(
+        F.col("doc_id").alias("vec_id")
+    )
+    corpus = emb.join(keep, "vec_id", "leftsemi")
+    queries_df = corpus.filter(F.col("vec_id") < 5)
+    return brute_force_topk(corpus, queries_df, k=5)
+
+
 # ---------------------------------------------------------------------------
 # Incremental dedup: a new delivery batch against the accepted corpus index
 # (exact fingerprint anti-join + banded MinHash vs the index — the

@@ -914,3 +914,29 @@ def test_rerank_topk_broadcast_probe_no_corpus_shuffle(spark, sf_dir):
         for m in re.finditer(r"Exchange hashpartitioning\(neighbor_id#\d+[,L]", final)
     ]
     assert not corpus_exchanges, corpus_exchanges
+
+
+def test_filtered_ann_and_hybrid_serving_plan_shapes(spark, sf_dir):
+    """r9 composition queries keep the repo's join discipline: the
+    metadata pre-filter of filtered vector search is a BROADCAST left-semi
+    (one hash probe of the metadata table, never a corpus shuffle), and
+    the full hybrid serving composition (persisted BM25 index ⊕ IVF-PQ
+    shortlist → rerank → RRF) contains no cartesian product, no sort-merge
+    join, and at most the one 1-row stats BroadcastNestedLoopJoin."""
+    import spark_ensemble_spark.queries as q
+
+    f = q.similarity_filtered_topk(spark, sf_dir)
+    plan = f._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+
+    s = q.docs_hybrid_serving(spark, sf_dir)
+    p2 = s._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "CartesianProduct" not in p2
+    assert p2.count("BroadcastNestedLoopJoin") <= 1
+    assert "SortMergeJoin" not in p2

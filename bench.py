@@ -235,6 +235,8 @@ BENCH_QUERIES = [
     "streaming_gzip_ingest",
     # metadata-filtered vector search (pre-filter semi-join, no recall bug)
     "similarity_filtered_topk",
+    # MMR-diversified retrieval (greedy re-selection over the shortlist)
+    "similarity_mmr_topk",
 ]
 
 

@@ -1260,3 +1260,198 @@ def ann_recall_oracle_sql(approx_sql: str, exact_sql: str, k: int) -> str:
       ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
     GROUP BY e.query_id
     """
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    shortlist: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversification (Carbonell & Goldstein,
+    SIGIR 1998) of an ANN shortlist: greedily pick ``k`` candidates per
+    query maximizing ``λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)`` — the
+    standard redundancy knob when retrieved context feeds a consumer that
+    pays for duplicates (RAG context windows, training-data sampling).
+
+    ``rel`` is the exact query cosine and ``sim`` the candidate-candidate
+    cosine, both floor-half-up rounded (engine-stable); ties break on
+    (mmr desc, neighbor id asc). Returns ``(query_id, neighbor_id, mmr,
+    mmr_rank)`` with ``mmr_rank`` the 1-based selection order.
+
+    Scale posture: the greedy loop is ``k`` driver-sequenced steps over
+    frames bounded by ``|shortlist| = k'·|queries|`` rows (the rrf_fuse
+    class — NOTHING corpus-sized after the one broadcast vector fetch):
+    per step one query-keyed join of remaining×selected (≤ k'·k rows), a
+    grouped max, and a per-query argmax window. The full-precision fetch
+    broadcasts the shortlist against the corpus scan exactly like
+    :func:`rerank_topk`."""
+    cand_ids = shortlist.select("query_id", "neighbor_id").dropDuplicates(
+        ["query_id", "neighbor_id"]
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    cand = (
+        c.join(F.broadcast(cand_ids), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cv",
+            _floor_round(cosine(F.col("cv"), F.col("qv")), round_to).alias("rel"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    selected = None
+    remaining = cand
+    for step in range(1, int(k) + 1):
+        if selected is None:
+            scored = remaining.select(
+                "query_id",
+                "neighbor_id",
+                _floor_round(F.lit(lam) * F.col("rel"), round_to).alias("__mmr"),
+            )
+        else:
+            sel_v = selected.select(
+                F.col("query_id").alias("__sq"), F.col("cv").alias("sv")
+            )
+            pen = (
+                remaining.join(
+                    sel_v, remaining["query_id"] == sel_v["__sq"]
+                )
+                .select(
+                    "query_id",
+                    "neighbor_id",
+                    _floor_round(
+                        cosine(F.col("cv"), F.col("sv")), round_to
+                    ).alias("__s"),
+                )
+                .groupBy("query_id", "neighbor_id")
+                .agg(F.max("__s").alias("__pen"))
+            )
+            scored = remaining.join(pen, ["query_id", "neighbor_id"]).select(
+                "query_id",
+                "neighbor_id",
+                _floor_round(
+                    F.lit(lam) * F.col("rel")
+                    - F.lit(1.0 - lam) * F.col("__pen"),
+                    round_to,
+                ).alias("__mmr"),
+            )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("__mmr"), F.asc("neighbor_id")
+        )
+        pick = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.col("__mmr").alias("mmr"),
+                F.lit(step).cast("int").alias("mmr_rank"),
+            )
+        )
+        # re-attach vectors for the NEXT step's penalty joins; checkpoint so
+        # the per-step plans don't nest k deep
+        pick_v = pick.join(
+            cand.select("query_id", "neighbor_id", "cv"),
+            ["query_id", "neighbor_id"],
+        ).localCheckpoint(eager=True)
+        selected = (
+            pick_v if selected is None else selected.unionByName(pick_v)
+        )
+        remaining = remaining.join(
+            pick.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        ).localCheckpoint(eager=True)
+    return selected.select("query_id", "neighbor_id", "mmr", "mmr_rank")
+
+
+def mmr_oracle_sql(
+    shortlist_sql: str,
+    k: int = 5,
+    lam: float = 0.7,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of :func:`mmr_rerank`: the greedy selection unrolled
+    as ``k`` step-CTEs — per step the same floor-rounded relevance /
+    penalty / mmr arithmetic (sequential-fold cosines) and the
+    (mmr desc, id asc) argmax."""
+    rel = guarded_cosine_sql("c.v", "q.v")
+    frs = _floor_round_sql
+    steps = []
+    prev_sel, prev_rem = None, "cand"
+    for step in range(1, int(k) + 1):
+        if prev_sel is None:
+            scored = f"""
+    scored{step} AS (
+      SELECT query_id, neighbor_id, {frs(f"{lam!r} * rel", round_to)} AS mmr
+      FROM {prev_rem}
+    )"""
+        else:
+            scored = f"""
+    pen{step} AS (
+      SELECT r.query_id, r.neighbor_id,
+             max({frs(guarded_cosine_sql('r.cv', 's.cv'), round_to)}) AS pen
+      FROM {prev_rem} r JOIN {prev_sel} s ON s.query_id = r.query_id
+      GROUP BY r.query_id, r.neighbor_id
+    ),
+    scored{step} AS (
+      SELECT r.query_id, r.neighbor_id,
+             {frs(f"{lam!r} * r.rel - {1.0 - lam!r} * p.pen", round_to)} AS mmr
+      FROM {prev_rem} r JOIN pen{step} p
+        ON p.query_id = r.query_id AND p.neighbor_id = r.neighbor_id
+    )"""
+        steps.append(scored)
+        steps.append(f"""
+    pick{step} AS (
+      SELECT query_id, neighbor_id, mmr, {step} AS mmr_rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY mmr DESC, neighbor_id) AS rn
+        FROM scored{step}
+      ) WHERE rn = 1
+    ),
+    sel{step} AS (
+      SELECT c.query_id, c.neighbor_id, c.cv FROM cand c
+      JOIN (SELECT query_id, neighbor_id FROM pick{step}
+            {f"UNION ALL SELECT query_id, neighbor_id FROM sel{step - 1}_ids" if step > 1 else ""}) s
+        ON s.query_id = c.query_id AND s.neighbor_id = c.neighbor_id
+    ),
+    sel{step}_ids AS (
+      SELECT query_id, neighbor_id FROM pick{step}
+      {f"UNION ALL SELECT query_id, neighbor_id FROM sel{step - 1}_ids" if step > 1 else ""}
+    ),
+    rem{step} AS (
+      SELECT r.* FROM {prev_rem} r
+      LEFT JOIN pick{step} p
+        ON p.query_id = r.query_id AND p.neighbor_id = r.neighbor_id
+      WHERE p.neighbor_id IS NULL
+    )""")
+        prev_sel, prev_rem = f"sel{step}", f"rem{step}"
+    picks = " UNION ALL ".join(
+        f"SELECT query_id, neighbor_id, mmr, CAST(mmr_rank AS INT) AS mmr_rank FROM pick{s}"
+        for s in range(1, int(k) + 1)
+    )
+    return f"""
+    WITH sl AS MATERIALIZED (SELECT DISTINCT query_id, neighbor_id FROM ({shortlist_sql})),
+    e AS (SELECT {id_col} AS id, {vec_col}::DOUBLE[] AS v FROM {table}),
+    cand AS MATERIALIZED (
+      SELECT sl.query_id, sl.neighbor_id, c.v AS cv, {rel} AS rel
+      FROM sl JOIN e c ON c.id = sl.neighbor_id
+              JOIN e q ON q.id = sl.query_id
+    ),
+    {",".join(steps)}
+    {picks}
+    """

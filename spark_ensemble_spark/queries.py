@@ -5826,6 +5826,34 @@ def similarity_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _similarity.hamming_topk(emb, queries_df, k=5, dim=64)
 
 
+@query(
+    "similarity_mmr_topk",
+    _similarity.mmr_oracle_sql(
+        _similarity.brute_topk_oracle_sql(k=15, query_pred="vec_id < 5"),
+        k=5,
+        lam=0.7,
+    ),
+)
+def similarity_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified retrieval via Maximal Marginal Relevance (Carbonell &
+    Goldstein 1998): a 15-candidate exact shortlist greedily re-selected to
+    5 per query maximizing ``0.7·rel − 0.3·max sim-to-selected`` — the
+    redundancy knob for RAG context windows and training-data sampling,
+    where near-duplicate hits waste the consumer's budget. The greedy loop
+    is k driver-sequenced steps over shortlist-sized frames (the rrf_fuse
+    class); the oracle unrolls all five steps with the same floor-rounded
+    relevance/penalty arithmetic and argmax tie-break."""
+    from spark_ensemble_spark.operators.similarity import (
+        brute_force_topk,
+        mmr_rerank,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    shortlist = brute_force_topk(emb, queries_df, k=15)
+    return mmr_rerank(emb, queries_df, shortlist, k=5, lam=0.7)
+
+
 _FILTERED_CORPUS_SQL = (
     "(SELECT e.vec_id, e.embedding FROM embeddings e "
     "JOIN documents d ON d.doc_id = e.vec_id WHERE d.lang = 'en')"

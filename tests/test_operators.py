@@ -2794,3 +2794,64 @@ def test_jpeg_roundtrip_nonconstant_blocks_and_guards(spark):
     bad2 = spark.createDataFrame([(1, bytes(sub))], "doc_id long, payload binary")
     with _pytest.raises(Exception, match="(?i)subsampling|unsupported"):
         mm.decode_jpeg(bad2).collect()
+
+
+def test_mmr_rerank_diversifies_planted_near_dups(spark):
+    """MMR behavior on a planted fixture: the shortlist's top hits are
+    near-duplicates of each other; plain relevance order picks the clones
+    back-to-back, while MMR (λ=0.7) interleaves the distinct candidate.
+    Also pins the greedy reference: the Spark loop must equal a plain
+    python greedy MMR on the same rounded scores."""
+    import math
+
+    from spark_ensemble_spark.operators.similarity import (
+        brute_force_topk,
+        mmr_rerank,
+    )
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    # query 0; candidates: 1,2 = near-identical clones close to q;
+    # 3 = distinct direction, slightly less relevant; 4 = filler
+    rows = [
+        (0, unit([1.0, 0.0, 0.0, 0.05])),
+        (1, unit([0.98, 0.1, 0.0, 0.05])),
+        (2, unit([0.985, 0.098, 0.0, 0.05])),
+        (3, unit([0.8, -0.55, 0.2, 0.0])),
+        (4, unit([0.1, 0.9, 0.4, 0.0])),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qdf = emb.filter(F.col("vec_id") == 0)
+    sl = brute_force_topk(emb, qdf, k=4)
+    out = sorted(
+        (r.mmr_rank, r.neighbor_id)
+        for r in mmr_rerank(emb, qdf, sl, k=3, lam=0.5).collect()
+    )
+    order = [n for _, n in out]
+    # relevance order is 2,1,3(,4); MMR must break up the 1/2 clone pair
+    assert order[0] in (1, 2)
+    assert order[1] == 3, order
+
+    # python greedy reference on the same rounded arithmetic
+    def fr(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    def cos(a, b):
+        d = math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
+        return sum(x * y for x, y in zip(a, b)) / d
+
+    vecs = dict(rows)
+    cands = {i: fr(cos(vecs[i], vecs[0])) for i in (1, 2, 3, 4)}
+    sel, rem = [], dict(cands)
+    for _ in range(3):
+        best = None
+        for i, rel in sorted(rem.items()):
+            pen = max((fr(cos(vecs[i], vecs[s])) for s in sel), default=None)
+            mmr = fr(0.5 * rel) if pen is None else fr(0.5 * rel - 0.5 * pen)
+            if best is None or mmr > best[1]:
+                best = (i, mmr)
+        sel.append(best[0])
+        del rem[best[0]]
+    assert order == sel, (order, sel)

@@ -237,6 +237,8 @@ BENCH_QUERIES = [
     "similarity_filtered_topk",
     # MMR-diversified retrieval (greedy re-selection over the shortlist)
     "similarity_mmr_topk",
+    # RAG-style overlapping token-window chunking with provenance
+    "docs_chunk_windows",
 ]
 
 

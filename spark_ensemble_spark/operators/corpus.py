@@ -2040,3 +2040,88 @@ def pack_token_windows(
         first_w.alias("first_window"),
         last_w.alias("last_window"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    stride: int = 96,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RAG-style sliding-window chunking: each document splits into
+    overlapping token windows of ``chunk_tokens`` advancing by ``stride``
+    (overlap = ``chunk_tokens − stride``), with provenance —
+    ``(id, chunk_index, start_token, n_tokens, chunk_text)``.
+
+    This is the RETRIEVAL-side counterpart of :func:`pack_token_windows`
+    (which packs for TRAINING): chunks keep their document identity and
+    token offsets so a hit can be mapped back to its source span.
+
+    Window starts are ``1, 1+stride, …`` up to
+    ``greatest(n − (chunk − stride), 1)``, so the final chunk is the
+    remainder window and no trailing sliver fully contained in its
+    predecessor is emitted; documents shorter than one chunk produce
+    exactly one chunk; empty documents produce none (nothing to index —
+    the bm25/explode convention). One narrow projection + one explode:
+    no shuffle, scan-speed at any corpus size."""
+    if stride < 1 or chunk_tokens < 1 or stride > chunk_tokens:
+        raise ValueError("need 1 <= stride <= chunk_tokens")
+    toks = _words(F.col(text_col))
+    overlap = chunk_tokens - stride
+    base = df.select(
+        F.col(id_col), toks.alias("__t"), F.size(toks).alias("__n")
+    ).filter(F.col("__n") >= 1)
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.col("__n") - F.lit(overlap), F.lit(1)),
+        F.lit(stride),
+    )
+    chunks = base.select(
+        id_col,
+        "__t",
+        "__n",
+        F.posexplode(starts).alias("chunk_index", "start_token"),
+    )
+    piece = F.slice(F.col("__t"), F.col("start_token"), chunk_tokens)
+    return chunks.select(
+        id_col,
+        F.col("chunk_index").cast("int").alias("chunk_index"),
+        F.col("start_token").cast("int").alias("start_token"),
+        F.size(piece).cast("int").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+def chunk_documents_oracle_sql(
+    chunk_tokens: int = 128,
+    stride: int = 96,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB replay of :func:`chunk_documents` — same tokenization, start
+    sequence, remainder-window rule, and space re-join."""
+    overlap = chunk_tokens - stride
+    return f"""
+    WITH toks AS (
+      SELECT {id_col},
+             list_filter(string_split_regex(lower(trim(coalesce({text_col}, ''))),
+                         '\\s+'), x -> x != '') AS t
+      FROM {table}
+    ),
+    base AS (SELECT {id_col}, t, len(t) AS n FROM toks WHERE len(t) >= 1),
+    st AS (
+      SELECT {id_col}, t, n, u.s AS start_token,
+             CAST(row_number() OVER (PARTITION BY {id_col} ORDER BY u.s) - 1 AS INT)
+               AS chunk_index
+      FROM base,
+           unnest(range(1, greatest(n - {overlap}, 1) + 1, {stride})) AS u(s)
+    )
+    SELECT {id_col},
+           chunk_index,
+           CAST(start_token AS INT) AS start_token,
+           CAST(len(t[start_token : start_token + {chunk_tokens} - 1]) AS INT) AS n_tokens,
+           array_to_string(t[start_token : start_token + {chunk_tokens} - 1], ' ') AS chunk_text
+    FROM st
+    """

@@ -5827,6 +5827,23 @@ def similarity_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_chunk_windows",
+    _corpus.chunk_documents_oracle_sql(chunk_tokens=32, stride=24),
+)
+def docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style document chunking: overlapping 32-token windows advancing
+    by 24, with provenance (document id, chunk index, start token) so a
+    retrieval hit maps back to its source span — the retrieval-side
+    counterpart of the training packer. One narrow projection + one
+    explode, zero shuffle; every chunk's text, offsets, and the
+    remainder-window rule replay in the oracle."""
+    from spark_ensemble_spark.operators.corpus import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=32, stride=24)
+
+
+@query(
     "similarity_mmr_topk",
     _similarity.mmr_oracle_sql(
         _similarity.brute_topk_oracle_sql(k=15, query_pred="vec_id < 5"),

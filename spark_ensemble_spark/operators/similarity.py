@@ -754,13 +754,39 @@ def ivfpq_topk(
 
     Reference parity: the reference engine has no ANN surface — this is
     beyond-reference LLM-pipeline scope (SURVEY.md §6)."""
+    enc = ivfpq_encode(
+        corpus, centroids, codebooks, vec_col=vec_col, id_col=id_col, residual=residual
+    )
+    return ivfpq_probe(
+        enc,
+        queries,
+        centroids,
+        codebooks,
+        k=k,
+        nprobe=nprobe,
+        vec_col=vec_col,
+        id_col=id_col,
+        residual=residual,
+    )
+
+
+def ivfpq_encode(
+    corpus: DataFrame,
+    centroids: list,
+    codebooks: list,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    residual: bool = False,
+) -> DataFrame:
+    """The IVF-PQ INDEX frame ``(neighbor_id, cell, codes)`` — one pass over
+    the corpus producing both the cell assignment and the PQ codes. This is
+    the persisted serving artifact (``num_subspaces`` bytes + a cell id per
+    vector — the `save_pq_index` class): build once, persist cell-bucketed,
+    then every query batch — batch or STREAMING — probes it through
+    :func:`ivfpq_probe` without ever touching the raw floats again."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__cv")
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
-    )
-    probes = F.slice(_centroid_ranking("__qv", centroids), 1, nprobe)
     if residual:
         cent_sql = _centroid_array_sql(centroids)
         enc = c.select(
@@ -774,9 +800,40 @@ def ivfpq_topk(
                 f"zip_with(__cv, element_at({cent_sql}, cell + 1), (a, b) -> a - b)"
             ).alias("__rv"),
         )
-        enc = enc.select(
+        return enc.select(
             "neighbor_id", "cell", _pq_codes("__rv", codebooks).alias("codes")
         )
+    return c.select(
+        "neighbor_id",
+        F.element_at(_centroid_ranking("__cv", centroids), 1).alias("cell"),
+        _pq_codes("__cv", codebooks).alias("codes"),
+    )
+
+
+def ivfpq_probe(
+    enc: DataFrame,
+    queries: DataFrame,
+    centroids: list,
+    codebooks: list,
+    k: int = 5,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    residual: bool = False,
+) -> DataFrame:
+    """Serve a query batch against a PRE-ENCODED IVF-PQ index frame
+    (:func:`ivfpq_encode` — in memory, persisted, or loaded from a table):
+    per-query probe cells + LUTs broadcast against the codes, candidates
+    score in O(num_subspaces) lookups, one per-query top-k window. The
+    query side is tiny by construction, so this composes with
+    ``foreachBatch`` as the per-micro-batch body of a streaming ANN
+    service."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
+    )
+    probes = F.slice(_centroid_ranking("__qv", centroids), 1, nprobe)
+    if residual:
+        cent_sql = _centroid_array_sql(centroids)
         q = q.select("query_id", "__qv", F.explode(probes).alias("cell")).select(
             "query_id",
             "cell",
@@ -786,11 +843,6 @@ def ivfpq_topk(
         )
         q = q.select("query_id", "cell", _pq_lut("__qrv", codebooks).alias("__lut"))
     else:
-        enc = c.select(
-            "neighbor_id",
-            F.element_at(_centroid_ranking("__cv", centroids), 1).alias("cell"),
-            _pq_codes("__cv", codebooks).alias("codes"),
-        )
         q = q.select(
             "query_id",
             F.explode(probes).alias("cell"),

@@ -5641,6 +5641,70 @@ ORACLES["similarity_ivfpq_topk"] = _similarity.ivfpq_oracle_sql(
 )
 
 
+@query("streaming_ann_topk")
+def streaming_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING vector search — the online leg of the ANN family: query
+    vectors arrive on a stream and are served against a FROZEN residual
+    IVF-PQ index (``ivfpq_encode`` built and persisted batch-side; only
+    quantizer literals ride in the plan, no driver state). Each
+    micro-batch runs the exact batch probe via ``foreachBatch`` (a
+    micro-batch IS a batch, so the per-query top-k window is legal) with
+    the rollup store's batch_id-scoped idempotent parquet writes. The
+    streamed result must hash-match similarity_ivfpq_topk's ORACLE — the
+    full stream==batch ANN parity, value-checked."""
+    import os
+
+    from spark_ensemble_spark.operators.similarity import ivfpq_encode
+    from spark_ensemble_spark.streaming.runner import replay_session, unique_name
+    from spark_ensemble_spark.streaming.scoring import ann_serve_stream
+
+    spark = replay_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = _pq_books()
+    enc = ivfpq_encode(emb, _IVF_CENTROIDS, books, residual=True).persist()
+    enc.count()
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "spark-warehouse",
+        f"ann_serve_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    import shutil
+    import tempfile
+
+    shutil.rmtree(base, ignore_errors=True)
+    ckpt = tempfile.mkdtemp(prefix="ses-annserve-")
+    probe = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    stream = (
+        spark.readStream.schema(probe.schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+        .filter(F.col("vec_id") < 5)
+    )
+    q = ann_serve_stream(
+        enc,
+        stream,
+        _IVF_CENTROIDS,
+        books,
+        out_path=base,
+        checkpoint_dir=ckpt,
+        k=5,
+        nprobe=3,
+        residual=True,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+        enc.unpersist()
+    return spark.read.parquet(base).select(
+        "query_id", "neighbor_id", "adc_dist", "rank"
+    )
+
+
+ORACLES["streaming_ann_topk"] = ORACLES["similarity_ivfpq_topk"]
+
+
 # 40-candidate shortlist: with the ORACLE-CHECKABLE fixed pseudo-random
 # codebooks (deliberately untrained — that is what makes every stage
 # replayable; production swaps in pq_train_codebooks, covered by

@@ -71,3 +71,52 @@ def streaming_scored_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", _floor_round(F.col("prediction"), 6).alias("prediction")
     )
     return run_to_memory(scored, "append", "stream_scored")
+
+
+def ann_serve_stream(
+    enc: DataFrame,
+    query_stream: DataFrame,
+    centroids: list,
+    codebooks: list,
+    out_path: str,
+    checkpoint_dir: str,
+    k: int = 5,
+    nprobe: int = 3,
+    residual: bool = True,
+):
+    """STREAMING vector search: serve a stream of query vectors against a
+    frozen IVF-PQ index — the online leg of the ANN family, next to model
+    scoring (`score_stream`) and BM25 alerting.
+
+    The index frame ``enc`` (:func:`~spark_ensemble_spark.operators.\
+similarity.ivfpq_encode`, persisted) is the STATIC side; each micro-batch
+    of queries runs the full probe (cells + LUT broadcast + ADC + per-query
+    top-k window) through ``foreachBatch`` — window functions are not
+    allowed on unbounded streams, but a micro-batch IS a batch, so the
+    exact batch probe serves unchanged. Results land as
+    ``batch_id=N``-scoped parquet overwrites (the rollup store's
+    exactly-once idempotent-rewrite convention: a replayed batch rewrites
+    its own partition, never double-appends). Driver state: none — the
+    quantizer literals ride in the plan.
+
+    Returns the started ``StreamingQuery``; callers drain it and read
+    ``out_path``."""
+    from spark_ensemble_spark.operators.similarity import ivfpq_probe
+
+    def score_batch(batch_df, batch_id: int) -> None:
+        out = ivfpq_probe(
+            enc,
+            batch_df,
+            centroids,
+            codebooks,
+            k=k,
+            nprobe=nprobe,
+            residual=residual,
+        )
+        out.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
+
+    return (
+        query_stream.writeStream.foreachBatch(score_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

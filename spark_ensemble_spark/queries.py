@@ -30,6 +30,7 @@ from spark_ensemble_spark.operators import dedup as _dedup
 from spark_ensemble_spark.operators import retrieval as _retrieval
 from spark_ensemble_spark.operators import tokenizer as _tokenizer
 from spark_ensemble_spark.operators import similarity as _similarity
+from spark_ensemble_spark.operators import pii as _pii
 from spark_ensemble_spark.operators import text as _text
 from spark_ensemble_spark.sources.datasets import (
     binary_dataset,
@@ -5967,6 +5968,26 @@ def similarity_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.join(keep, "vec_id", "leftsemi")
     queries_df = corpus.filter(F.col("vec_id") < 5)
     return brute_force_topk(corpus, queries_df, k=5)
+
+
+@query("docs_pii_scrub", _pii.pii_scrub_oracle_sql())
+def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction — the privacy stage of a training-data
+    pipeline: deterministic PII spans (emails / cards / SSNs / phones /
+    IPv4, planted from doc_id with exact integer arithmetic — the corpus
+    fixtures carry none) are counted and replaced by typed sentinels in a
+    FIXED sequential fold of JVM regexp expressions. One narrow
+    projection, no UDF, no shuffle — scales as the scan does; the oracle
+    replays injection, every rule's turn in the fold, and the redacted
+    text token-for-token."""
+    docs = load_table(spark, sf_dir, "documents")
+    injected = _pii.inject_pii(docs.select("doc_id", "text"))
+    return _pii.scrub_pii(injected).select(
+        "doc_id",
+        *[f"n_{name}" for name, _, _ in _pii.PII_RULES],
+        "n_pii",
+        "redacted",
+    )
 
 
 # ---------------------------------------------------------------------------

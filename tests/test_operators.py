@@ -2855,3 +2855,80 @@ def test_mmr_rerank_diversifies_planted_near_dups(spark):
         sel.append(best[0])
         del rem[best[0]]
     assert order == sel, (order, sel)
+
+
+# ---------------------------------------------------------------------------
+# PII detection + redaction (operators/pii.py)
+# ---------------------------------------------------------------------------
+
+
+def test_pii_patterns_cross_engine(spark):
+    """Each rule's Java-regex (Spark) and RE2 (DuckDB) behavior must agree
+    on adversarial fixtures — overlapping digit runs, boundary cases, and
+    the ambiguity-prone optional phone prefix (leftmost-first semantics)."""
+    import duckdb
+
+    from spark_ensemble_spark.operators.pii import PII_RULES
+
+    fixtures = [
+        "mail bob.smith+x@ex-ample.co.uk end",
+        "a@b.co a@b.c a@@b.com user@host",  # minimal / invalid emails
+        "call 555-123-4567 or +1 (212) 555-0199 or (900) 111 2222",
+        "phone inside 1234567890123 digits",
+        "ip 192.168.1.254 and 999.999.999.999 and 1.2.3.4567",
+        "ssn 123-45-6789 not 1234-45-6789 nor 123-456-6789",
+        "card 4111 1111 1111 1111 and 4111-1111-1111-1111 and 41111111111111112",
+        "mixed u7@host0.example.com (100) 107-1091 from 7.21.35.77",
+        "adversarial 12-34 123-45 123-45-678 123-45-67890 tail",
+        "+12 345-678-9012 +1.415.555.2671 .415.555.2671",
+    ]
+    con = duckdb.connect()
+    df = spark.createDataFrame([(s,) for s in fixtures], "s string")
+    for name, pat, token in PII_RULES:
+        got_spark = [
+            (r[0], r[1])
+            for r in df.select(
+                F.regexp_count("s", F.lit(pat)),
+                F.regexp_replace("s", pat, token),
+            ).collect()
+        ]
+        p = pat.replace("'", "''")
+        got_duck = [
+            con.execute(
+                f"SELECT len(regexp_extract_all(?, '{p}')), "
+                f"regexp_replace(?, '{p}', '{token}', 'g')",
+                [s, s],
+            ).fetchone()
+            for s in fixtures
+        ]
+        assert got_spark == [tuple(r) for r in got_duck], name
+
+
+def test_pii_scrub_redacts_everything(spark):
+    """After the sequential fold no rule matches the redacted text, every
+    doc_id divisible by a rule's modulus reports that rule's count >= 1,
+    and totals add up."""
+    import re
+
+    from spark_ensemble_spark.operators.pii import (
+        PII_RULES,
+        inject_pii,
+        scrub_pii,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "plain words only here") for i in range(120)], "doc_id long, text string"
+    )
+    out = scrub_pii(inject_pii(docs)).collect()
+    mods = {"email": 3, "credit_card": 13, "ssn": 11, "phone": 5, "ipv4": 7}
+    for r in out:
+        for name, pat, _ in PII_RULES:
+            assert not re.search(pat, r.redacted), (r.doc_id, name, r.redacted)
+            if r.doc_id % mods[name] == 0:
+                assert r[f"n_{name}"] >= 1, (r.doc_id, name, r.redacted)
+        assert r.n_pii == sum(r[f"n_{n}"] for n, _, _ in PII_RULES)
+    # doc 0 carries all five spans; a plain doc carries none
+    r0 = next(r for r in out if r.doc_id == 0)
+    assert all(r0[f"n_{n}"] >= 1 for n, _, _ in PII_RULES)
+    r1 = next(r for r in out if r.doc_id == 1)
+    assert r1.n_pii == 0 and r1.redacted == "plain words only here"

@@ -5706,6 +5706,60 @@ def streaming_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["streaming_ann_topk"] = ORACLES["similarity_ivfpq_topk"]
 
 
+@query("streaming_ann_index_serve")
+def streaming_ann_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING index maintenance — the other half of the ANN lifecycle
+    (``streaming_ann_topk`` streams the QUERIES; this streams the CORPUS):
+    vectors arrive on a stream and are append-encoded into the persisted
+    residual IVF-PQ index via ``ann_index_stream`` (frozen quantizer
+    literals, batch_id-scoped idempotent writes, no driver state). A batch
+    query set then probes the STREAM-BUILT index through ``ivfpq_probe``
+    and must hash-match the batch IVF-PQ ORACLE — proving continuous
+    ingestion converges to exactly the index a from-scratch batch build
+    produces."""
+    import os
+    import shutil
+    import tempfile
+
+    from spark_ensemble_spark.operators.similarity import ivfpq_probe
+    from spark_ensemble_spark.streaming.runner import replay_session
+    from spark_ensemble_spark.streaming.scoring import ann_index_stream
+
+    spark = replay_session(spark)
+    books = _pq_books()
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "spark-warehouse",
+        f"ann_index_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    ckpt = tempfile.mkdtemp(prefix="ses-annindex-")
+    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+    q = ann_index_stream(
+        stream, _IVF_CENTROIDS, books, index_path=base, checkpoint_dir=ckpt,
+        residual=True,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    enc = spark.read.parquet(base).select("neighbor_id", "cell", "codes")
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return ivfpq_probe(
+        enc, queries_df, _IVF_CENTROIDS, books, k=5, nprobe=3, residual=True
+    )
+
+
+ORACLES["streaming_ann_index_serve"] = ORACLES["similarity_ivfpq_topk"]
+
+
 # 40-candidate shortlist: with the ORACLE-CHECKABLE fixed pseudo-random
 # codebooks (deliberately untrained — that is what makes every stage
 # replayable; production swaps in pq_train_codebooks, covered by

@@ -120,3 +120,41 @@ similarity.ivfpq_encode`, persisted) is the STATIC side; each micro-batch
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def ann_index_stream(
+    corpus_stream: DataFrame,
+    centroids: list,
+    codebooks: list,
+    index_path: str,
+    checkpoint_dir: str,
+    residual: bool = True,
+):
+    """STREAMING index maintenance — the ingest leg of the ANN family,
+    closing the lifecycle next to :func:`ann_serve_stream`'s query leg:
+    corpus vectors arrive on a stream and each micro-batch is
+    append-ENCODED into the persisted IVF-PQ index (cell id + PQ codes per
+    vector, :func:`~spark_ensemble_spark.operators.similarity.\
+ivfpq_encode`) as a ``batch_id=N``-scoped idempotent parquet overwrite —
+    a crash-replayed batch rewrites its own partition, never
+    double-indexes (the `incremental_dedup_stream` index convention).
+
+    The quantizer (centroid + codebook literals) is FROZEN plan state —
+    the same-books append-encode contract as ``save_pq_index``: new
+    vectors join the index without touching, re-reading, or re-encoding
+    what's already indexed, and any :func:`~spark_ensemble_spark.\
+operators.similarity.ivfpq_probe` consumer (batch or the streaming
+    server) reads the union directory as-of its own scan. Driver state:
+    none. Returns the started StreamingQuery."""
+    from spark_ensemble_spark.operators.similarity import ivfpq_encode
+
+    def encode_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ivfpq_encode(
+            batch_df, centroids, codebooks, residual=residual
+        ).write.mode("overwrite").parquet(f"{index_path}/batch_id={batch_id}")
+
+    return (
+        corpus_stream.writeStream.foreachBatch(encode_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

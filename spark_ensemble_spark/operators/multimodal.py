@@ -29,6 +29,7 @@ ever collects to the driver.
 
 from __future__ import annotations
 
+import math
 from typing import Iterator
 
 from pyspark.sql import DataFrame
@@ -550,6 +551,101 @@ def decode_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     from spark_ensemble_spark.sources.datasets import spread_to_parallelism
 
     return spread_to_parallelism(df).mapInPandas(op, schema=AUDIO_SCHEMA)
+
+
+AUDIO_FRAMES_SCHEMA = (
+    "doc_id long, frame_idx int, start_sample int, "
+    "energy long, zero_crossings int, peak int, rms double"
+)
+
+
+def audio_frame_features(
+    df: DataFrame,
+    frame_len: int = 32,
+    hop: int = 16,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Frame-level audio features over PCM-WAV payloads — the windowed
+    analysis stage every audio-curation pipeline runs before filtering or
+    embedding (silence gating, clipping detection, speech/music
+    heuristics): overlapping ``frame_len``-sample windows advancing by
+    ``hop`` (full frames only), each reporting
+
+    - ``energy``       Σ s² — exact int64 (samples are int16: ≤ 2³⁰ per
+      term, ≤ 2³⁵ per frame — no overflow, no float drift),
+    - ``zero_crossings`` #{k ≥ 1 : sign(s[k−1]) ≠ sign(s[k])} with
+      "negative vs non-negative" as the sign rule — exact integer,
+    - ``peak``         max |s| — exact integer,
+    - ``rms``          sqrt(energy / frame_len) — one exact-integer ÷
+      power-of-two division then one correctly-rounded IEEE sqrt, so even
+      the double column is bit-replayable by the SQL oracle.
+
+    Runs inside the same Arrow ``mapInPandas`` seam as :func:`decode_audio`
+    (the features live where the samples live — the decoded waveform never
+    crosses back into the JVM); per-clip fan-out is the frame count, so the
+    output stays partition-local and shuffle-free. At 100 TB this is the
+    map-side featurizer whose frames feed the quality gate / dedup stages
+    downstream."""
+
+    def op(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        def samples_of(b: bytes) -> "np.ndarray":
+            if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                raise ValueError("not a RIFF/WAVE payload")
+            pos, fmt, data = 12, None, None
+            while pos + 8 <= len(b):
+                cid = b[pos : pos + 4]
+                (size,) = struct.unpack_from("<I", b, pos + 4)
+                body = b[pos + 8 : pos + 8 + size]
+                if cid == b"fmt ":
+                    fmt = struct.unpack_from("<HHIIHH", body, 0)
+                elif cid == b"data":
+                    data = body
+                pos += 8 + size + (size & 1)
+            if fmt is None or data is None:
+                raise ValueError("missing fmt/data chunk")
+            codec, channels, _, _, _, bits = fmt
+            if codec != 1 or bits != 16 or channels != 1:
+                raise ValueError(f"unsupported WAV variant: {fmt}")
+            return np.frombuffer(data, "<i2").astype(np.int64)
+
+        for pdf in batches:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf[payload_col]):
+                s = samples_of(b)
+                n = len(s)
+                for fi, start in enumerate(range(0, n - frame_len + 1, hop)):
+                    w = s[start : start + frame_len]
+                    energy = int((w * w).sum())
+                    neg = w < 0
+                    zc = int((neg[1:] != neg[:-1]).sum())
+                    peak = int(np.abs(w).max())
+                    rms = math.floor(
+                        math.sqrt(energy / frame_len) * 1e6 + 0.5
+                    ) / 1e6
+                    rows.append(
+                        (int(doc_id), fi, start, energy, zc, peak, rms)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "frame_idx",
+                    "start_sample",
+                    "energy",
+                    "zero_crossings",
+                    "peak",
+                    "rms",
+                ],
+            )
+
+    from spark_ensemble_spark.sources.datasets import spread_to_parallelism
+
+    return spread_to_parallelism(df).mapInPandas(op, schema=AUDIO_FRAMES_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

@@ -3739,6 +3739,56 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_audio_frames",
+    f"""
+    WITH d AS (
+      SELECT doc_id, 64 + doc_id % 33 AS n
+      FROM documents WHERE doc_id < 300
+    ),
+    f AS (
+      SELECT d.doc_id, gf.frame_idx
+      FROM d, LATERAL (
+        SELECT unnest(range(0, (d.n - 32) // 16 + 1)) AS frame_idx
+      ) gf
+    ),
+    s AS (
+      SELECT f.doc_id, f.frame_idx, f.frame_idx * 16 AS start_sample, gk.k,
+             ((f.doc_id*31 + (f.frame_idx*16 + gk.k)*17) % 65536) - 32768 AS s,
+             CASE WHEN gk.k >= 1 THEN
+               ((f.doc_id*31 + (f.frame_idx*16 + gk.k - 1)*17) % 65536) - 32768
+             END AS sp
+      FROM f, LATERAL (SELECT unnest(range(0, 32)) AS k) gk
+    )
+    SELECT doc_id,
+           frame_idx::INT AS frame_idx,
+           start_sample::INT AS start_sample,
+           sum(s*s)::BIGINT AS energy,
+           sum(CASE WHEN k >= 1 AND ((sp < 0) <> (s < 0)) THEN 1 ELSE 0 END)::INT
+             AS zero_crossings,
+           max(abs(s))::INT AS peak,
+           {_frs('sqrt(CAST(sum(s*s) AS DOUBLE) / 32.0)', 6)} AS rms
+    FROM s GROUP BY doc_id, frame_idx, start_sample
+    """,
+)
+def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio analysis: decode the PCM-WAV fixtures and emit
+    overlapping 32-sample frames (hop 16) of energy / zero-crossing /
+    peak / RMS — the per-frame featurizer an audio-curation pipeline runs
+    for silence gating and clipping detection, computed inside the same
+    Arrow seam that decoded the samples. Energy, crossings, and peak are
+    exact integers; RMS is one exact ÷2⁵ division + one correctly-rounded
+    IEEE sqrt — so the oracle's analytic replay from the closed-form
+    sample formula is bit-for-bit, double column included."""
+    from spark_ensemble_spark.operators.multimodal import (
+        audio_frame_features,
+        synthetic_wav_corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_frame_features(synthetic_wav_corpus(docs))
+
+
+@query(
     "multimodal_image_resize",
     """
     WITH d AS (

@@ -30,6 +30,7 @@ from spark_ensemble_spark.operators import dedup as _dedup
 from spark_ensemble_spark.operators import retrieval as _retrieval
 from spark_ensemble_spark.operators import tokenizer as _tokenizer
 from spark_ensemble_spark.operators import similarity as _similarity
+from spark_ensemble_spark.operators import ltr as _ltr
 from spark_ensemble_spark.operators import pii as _pii
 from spark_ensemble_spark.operators import text as _text
 from spark_ensemble_spark.sources.datasets import (
@@ -2846,6 +2847,65 @@ def docs_hybrid_rrf_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse(
         [lex, vec], k=_HYBRID_K, c=_HYBRID_C, weights=(1.0, 0.5)
     )
+
+
+_LTR_W_BM25, _LTR_W_COS = 0.25, 3.0
+_LTR_ANN_SCORED_SQL = f"""
+  WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       qv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 3),
+       scored AS (
+         SELECT qv.vec_id AS query_id, c.vec_id AS doc_id,
+                {_similarity.guarded_cosine_sql('c.v', 'qv.v')} AS cosine
+         FROM c CROSS JOIN qv WHERE c.vec_id != qv.vec_id)
+  SELECT query_id, doc_id, cosine FROM (
+    SELECT query_id, doc_id, cosine,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rank
+    FROM scored) WHERE rank <= {_HYBRID_K}
+"""
+
+
+@query(
+    "docs_ltr_rerank",
+    _ltr.ltr_oracle_sql(
+        _retrieval.bm25_oracle_sql(
+            queries_sql=_HYBRID_QUERIES_SQL, k=_HYBRID_K, exclude_self=True
+        ),
+        _LTR_ANN_SCORED_SQL,
+        w_bm25=_LTR_W_BM25,
+        w_cos=_LTR_W_COS,
+        k=_HYBRID_K,
+    ),
+)
+def docs_ltr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learning-to-rank over the hybrid candidate pool — the SUPERVISED
+    fusion next to ``rrf_fuse``'s fixed formula: each candidate from the
+    BM25 and cosine branch top-ks becomes a feature row (branch scores as
+    exact 1e-6-scaled BIGINTs, 0 where a branch missed it — the standard
+    missing-signal convention), scored by a gridded linear model as a
+    plain integer dot product and re-ranked on exact int64 — no float
+    ever enters a sort key, so a cross-engine tie hazard cannot exist by
+    construction. This row serves FIXED exported weights (the static
+    oracle replays join, scaling, dot product, and tie-break end to end);
+    the trainer — exact-integer normal equations, arbitrary-precision
+    driver solve, partition-invariant — is property-verified in
+    tests/test_operators.py."""
+    from spark_ensemble_spark.operators.ltr import ltr_features, ltr_score
+    from spark_ensemble_spark.operators.retrieval import bm25_topk
+    from spark_ensemble_spark.operators.similarity import brute_force_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    lex = bm25_topk(docs, queries, k=_HYBRID_K, exclude_self=True).select(
+        "query_id", "doc_id", "score"
+    )
+    vec = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 3), k=_HYBRID_K
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "cosine")
+    feats = ltr_features(lex, vec)
+    return ltr_score(feats, _LTR_W_BM25, _LTR_W_COS, k=_HYBRID_K)
 
 
 @query(

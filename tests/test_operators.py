@@ -2932,3 +2932,73 @@ def test_pii_scrub_redacts_everything(spark):
     assert all(r0[f"n_{n}"] >= 1 for n, _, _ in PII_RULES)
     r1 = next(r for r in out if r.doc_id == 1)
     assert r1.n_pii == 0 and r1.redacted == "plain words only here"
+
+
+# ---------------------------------------------------------------------------
+# Learning-to-rank (operators/ltr.py)
+# ---------------------------------------------------------------------------
+
+
+def test_ltr_train_recovers_planted_weights(spark):
+    """Labels generated by an exact on-grid linear model are recovered to
+    grid precision, and the exact-sum fit is invariant under
+    repartitioning (order-insensitive integer aggregation)."""
+    import pytest
+
+    from spark_ensemble_spark.operators.ltr import ltr_train_weights
+
+    w1, w2, c = 0.3, 1.5, -0.25
+    rows = []
+    for i in range(200):
+        x1 = (i * 37) % 1000 / 1000.0          # on the 1e-6 grid
+        x2 = ((i * i) % 400 - 200) / 200.0
+        y = w1 * x1 + w2 * x2 + c              # exact in binary? not quite —
+        rows.append((int(x1 * 10**6), int(round(x2 * 10**6)), y))
+    df = spark.createDataFrame(rows, "x_bm25 long, x_cos long, label double")
+    got = ltr_train_weights(df)
+    assert got == pytest.approx((w1, w2, c), abs=2e-6), got
+
+    got2 = ltr_train_weights(df.repartition(13))
+    assert got == got2, (got, got2)
+
+    # constant feature -> singular normal equations must raise, not lie
+    bad = spark.createDataFrame(
+        [(5, 5, 1.0), (5, 5, 0.0)], "x_bm25 long, x_cos long, label double"
+    )
+    with pytest.raises(ValueError):
+        ltr_train_weights(bad)
+
+
+def test_ltr_score_matches_python_reference(spark):
+    """The integer dot-product ranking equals an exact Python replay,
+    including zero-fill for single-branch candidates."""
+    from decimal import Decimal
+
+    from spark_ensemble_spark.operators.ltr import ltr_features, ltr_score
+
+    lex = spark.createDataFrame(
+        [(1, 10, Decimal("2.5")), (1, 11, Decimal("1.25")), (2, 10, Decimal("0.5"))],
+        "query_id long, doc_id long, score decimal(38,6)",
+    )
+    vec = spark.createDataFrame(
+        [(1, 11, 0.9), (1, 12, 0.8), (2, 13, -0.5)],
+        "query_id long, doc_id long, cosine double",
+    )
+    out = ltr_score(ltr_features(lex, vec), 0.25, 3.0, k=10).collect()
+    got = {(r.query_id, r.doc_id): (r.ltr_score, r.rank) for r in out}
+    wb, wc = 250000, 3000000
+    expect = {}
+    feats = {
+        (1, 10): (2500000, 0),
+        (1, 11): (1250000, 900000),
+        (1, 12): (0, 800000),
+        (2, 10): (500000, 0),
+        (2, 13): (0, -500000),
+    }
+    for q in (1, 2):
+        cands = {d: wb * f[0] + wc * f[1] for (qq, d), f in feats.items() if qq == q}
+        for rank, (d, si) in enumerate(
+            sorted(cands.items(), key=lambda kv: (-kv[1], kv[0])), start=1
+        ):
+            expect[(q, d)] = (si / 1e12, rank)
+    assert got == expect, (got, expect)

@@ -884,52 +884,6 @@ def curation_with_metrics(
     return deduped, {"in": obs_in, "kept": obs_kept}
 
 
-def chunk_documents(
-    df: DataFrame,
-    chunk_tokens: int = 256,
-    overlap: int = 32,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """Split documents into overlapping token-window chunks — the RAG /
-    embedding-ingest preparation pass. Output: ``(id_col, chunk_idx,
-    chunk_text, n_chunk_tokens)``; chunks start every ``chunk_tokens −
-    overlap`` tokens, the final partial chunk is kept, empty docs yield one
-    empty chunk (row preserved).
-
-    Pure narrow projection: tokenize → ``sequence`` of chunk starts →
-    ``transform``+``slice``+``array_join`` → ``posexplode``. No shuffle at
-    all — chunking 100 TB is embarrassingly parallel and this plan keeps it
-    that way (the expensive mistake is a per-chunk UDF or a groupBy to
-    number chunks; the positional explode numbers them for free)."""
-    if overlap >= chunk_tokens:
-        raise ValueError(f"overlap {overlap} must be < chunk_tokens {chunk_tokens}")
-    step = chunk_tokens - overlap
-    norm = F.regexp_replace(
-        F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+", " "
-    )
-    toks = F.filter(F.split(norm, " "), lambda t: t != "")
-    n = F.size(toks)
-    n_chunks = F.when(
-        n > chunk_tokens,
-        F.ceil((n - F.lit(overlap)) / F.lit(step)),
-    ).otherwise(F.lit(1))
-    starts = F.sequence(F.lit(0), (n_chunks - 1) * step, F.lit(step))
-    chunks = F.transform(
-        starts, lambda s: F.array_join(F.slice(toks, s + 1, chunk_tokens), " ")
-    )
-    out = df.select(
-        F.col(id_col),
-        F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
-    )
-    return out.withColumn(
-        "n_chunk_tokens",
-        F.when(
-            F.col("chunk_text") == "", F.lit(0)
-        ).otherwise(F.size(F.split(F.col("chunk_text"), " "))),
-    )
-
-
 def pack_sequences(
     df: DataFrame,
     max_tokens: int,

@@ -788,44 +788,19 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "chunk_documents_256",
-    """
-    WITH toks AS (
-      SELECT doc_id,
-             list_filter(list_transform(string_split(regexp_replace(lower(trim(
-               coalesce(text, ''))), '\\s+', ' ', 'g'), ' '), l -> trim(l)),
-               l -> l <> '') AS t
-      FROM documents
-    ),
-    sized AS (
-      SELECT doc_id, t, len(t) AS n,
-             CASE WHEN len(t) > 256
-                  THEN CAST(ceil((len(t) - 32) / 224.0) AS BIGINT)
-                  ELSE 1 END AS n_chunks
-      FROM toks
-    ),
-    chunks AS (
-      SELECT doc_id, t,
-             unnest(range(0, n_chunks * 224, 224)) AS s,
-             generate_subscripts(range(0, n_chunks * 224, 224), 1) - 1 AS chunk_idx
-      FROM sized
-    )
-    SELECT doc_id, chunk_idx,
-           array_to_string(t[s + 1 : s + 256], ' ') AS chunk_text,
-           CASE WHEN array_to_string(t[s + 1 : s + 256], ' ') = '' THEN 0
-                ELSE len(string_split(array_to_string(t[s + 1 : s + 256], ' '), ' '))
-           END AS n_chunk_tokens
-    FROM chunks
-    """,
+    _corpus.chunk_documents_oracle_sql(chunk_tokens=256, stride=224),
 )
 def chunk_documents_256(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RAG-prep chunking: 256-token windows with 32-token overlap (stride
-    224), final partial chunk kept, empty docs preserved as one empty chunk.
-    Pure narrow projection — zero shuffles; the positional explode numbers
-    chunks for free."""
+    """RAG-prep chunking at ingest scale: 256-token windows advancing by
+    224 (32-token overlap) with provenance — the same operator as
+    docs_chunk_windows at embedding-ingest window sizes (a second point on
+    the parameter grid keeps the remainder-window rule honest where most
+    fixture docs fit in ONE window). Pure narrow projection — zero
+    shuffles; the positional explode numbers chunks for free."""
     from spark_ensemble_spark.operators.corpus import chunk_documents
 
     docs = load_table(spark, sf_dir, "documents")
-    return chunk_documents(docs, chunk_tokens=256, overlap=32)
+    return chunk_documents(docs, chunk_tokens=256, stride=224)
 
 
 @query(

@@ -3002,3 +3002,57 @@ def test_ltr_score_matches_python_reference(spark):
         ):
             expect[(q, d)] = (si / 1e12, rank)
     assert got == expect, (got, expect)
+
+
+def test_ltr_train_on_hybrid_features_end_to_end(spark, sf_dir):
+    """The full LTR lifecycle on real retrieval features: build the hybrid
+    candidate pool, derive a deterministic relevance label (candidate doc
+    shares the query doc's lang), train, and rerank with the trained
+    weights. The exact-sum trainer must be run-to-run AND
+    partitioning-deterministic, and the trained model must rank
+    same-lang candidates above different-lang ones better than chance
+    (label signal actually flows into the weights)."""
+    from spark_ensemble_spark.operators.ltr import (
+        ltr_features,
+        ltr_score,
+        ltr_train_weights,
+    )
+    from spark_ensemble_spark.operators.retrieval import bm25_topk
+    from spark_ensemble_spark.operators.similarity import brute_force_topk
+    from spark_ensemble_spark.sources.datasets import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = docs.filter(F.col("doc_id") < 6).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    lex = bm25_topk(docs, queries, k=8, exclude_self=True).select(
+        "query_id", "doc_id", "score"
+    )
+    vec = brute_force_topk(emb, emb.filter(F.col("vec_id") < 6), k=8).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "cosine"
+    )
+    feats = ltr_features(lex, vec)
+    lang = docs.select("doc_id", "lang")
+    qlang = lang.select(
+        F.col("doc_id").alias("query_id"), F.col("lang").alias("qlang")
+    )
+    labeled = (
+        feats.join(lang, "doc_id")
+        .join(qlang, "query_id")
+        .withColumn("label", (F.col("lang") == F.col("qlang")).cast("double"))
+    )
+    w = ltr_train_weights(labeled)
+    assert w == ltr_train_weights(labeled.repartition(7)), "not deterministic"
+
+    ranked = ltr_score(feats, w[0], w[1], k=8)
+    j = (
+        ranked.join(lang, "doc_id")
+        .join(qlang, "query_id")
+        .withColumn("match", (F.col("lang") == F.col("qlang")).cast("double"))
+    )
+    top = j.filter(F.col("rank") <= 3).agg(F.avg("match")).collect()[0][0]
+    base = labeled.agg(F.avg("label")).collect()[0][0]
+    # trained top-3 must beat the candidate-pool base rate unless the pool
+    # is already saturated (tiny-SF guard)
+    assert top >= base or base > 0.95, (top, base)

@@ -166,6 +166,60 @@ def bm25_topk(
     as ``(dl·N)/Σdl`` — exact integer product, ONE double division, so the
     normalization is bit-identical on any IEEE engine.
     """
+    scored = _bm25_scored(
+        docs,
+        queries,
+        text_col=text_col,
+        id_col=id_col,
+        query_id_col=query_id_col,
+        query_text_col=query_text_col,
+        k1=k1,
+        b=b,
+        round_to=round_to,
+        max_df=max_df,
+        exclude_self=exclude_self,
+        index=index,
+        index_stats=index_stats,
+        require_all_terms=require_all_terms,
+    )
+    # rank on the exact integer sum (same order as the decimal unscale,
+    # native 64-bit comparisons in the window sort)
+    w = Window.partitionBy("__qid").orderBy(F.desc("__score_i"), F.asc("__id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col("__id").alias(id_col),
+            F.col("score").cast(f"decimal(38,{round_to})").alias("score"),
+            "rank",
+        )
+    )
+
+
+def _bm25_scored(
+    docs: Optional[DataFrame],
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 6,
+    max_df: Optional[int] = None,
+    exclude_self: bool = False,
+    index: Optional[DataFrame] = None,
+    index_stats: Optional[DataFrame] = None,
+    require_all_terms: bool = False,
+) -> DataFrame:
+    """The full matched-candidate scoring stage of :func:`bm25_topk` —
+    everything up to (not including) the per-query top-k window:
+    ``(__qid, __id, __score_i BIGINT, __nmatch, score DECIMAL)``, one row
+    per (query, candidate) matching at least one effective term. Shared
+    verbatim by :func:`bm25_topk` (which windows it) and
+    :func:`bm25_facets` (which aggregates it) so the two can never
+    drift."""
     if (index is None) != (index_stats is None):
         raise ValueError("pass index and index_stats together")
     if index is not None:
@@ -264,19 +318,93 @@ def bm25_topk(
         scored = scored.join(F.broadcast(qn), "__qid").filter(
             F.col("__nmatch") == F.col("__qn")
         )
-    # rank on the exact integer sum (same order as the decimal unscale,
-    # native 64-bit comparisons in the window sort)
-    w = Window.partitionBy("__qid").orderBy(F.desc("__score_i"), F.asc("__id"))
+    return scored
+
+
+def bm25_facets(
+    docs: DataFrame,
+    queries: DataFrame,
+    facet_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 6,
+    max_df: Optional[int] = None,
+    exclude_self: bool = False,
+    require_all_terms: bool = False,
+) -> DataFrame:
+    """Faceted search: per-query aggregations over the FULL BM25 match set
+    — the search-engine shape where one query returns ranked hits AND
+    facet counts ("312 matches in lang=en, 48 in lang=de"). Returns
+    ``(query_id, facet, n_matched, best_score)`` per (query, facet value)
+    with ≥1 positive-scoring match.
+
+    Plan shape: the scoring stage is :func:`bm25_topk`'s own
+    (:func:`_bm25_scored` — broadcast query-vocab prune, integer-scaled
+    contributions), so hits and facets can never disagree; the match set
+    (bounded by matched posting lists, k·|queries|·expansion rows — tiny
+    against the corpus) then BROADCASTS against the facet projection of
+    the docs table, and the final agg shuffles only (query, facet) pairs.
+    The corpus is never shuffled."""
+    scored = _bm25_scored(
+        docs,
+        queries,
+        text_col=text_col,
+        id_col=id_col,
+        k1=k1,
+        b=b,
+        round_to=round_to,
+        max_df=max_df,
+        exclude_self=exclude_self,
+        require_all_terms=require_all_terms,
+    ).filter(F.col("__score_i") > 0)
+    facets = docs.select(
+        F.col(id_col).alias("__id"), F.col(facet_col).alias("facet")
+    )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("__qid").alias(query_id_col),
-            F.col("__id").alias(id_col),
-            F.col("score").cast(f"decimal(38,{round_to})").alias("score"),
-            "rank",
+        facets.join(F.broadcast(scored), "__id")
+        .groupBy(F.col("__qid").alias("query_id"), "facet")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.max(F.col("score").cast(f"decimal(38,{round_to})")).alias(
+                "best_score"
+            ),
         )
     )
+
+
+def bm25_facets_oracle_sql(
+    query_rows: Sequence[Tuple[str, str]],
+    facet_col: str,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 6,
+    max_df: Optional[int] = None,
+) -> str:
+    """DuckDB replay of :func:`bm25_facets`: the unranked all-positive
+    score set (``bm25_oracle_sql(ranked=False)`` — the same ``score > 0``
+    cut as the engine's ``__score_i > 0``) joined to the facet column and
+    grouped."""
+    inner = bm25_oracle_sql(
+        query_rows,
+        table=table,
+        id_col=id_col,
+        k1=k1,
+        b=b,
+        round_to=round_to,
+        max_df=max_df,
+        ranked=False,
+    )
+    return f"""
+    SELECT s.query_id, d.{facet_col} AS facet,
+           count(*) AS n_matched,
+           max(s.score) AS best_score
+    FROM ({inner}) s JOIN {table} d ON d.{id_col} = s.{id_col}
+    GROUP BY 1, 2
+    """
 
 
 def bm25_oracle_sql(

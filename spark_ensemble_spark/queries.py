@@ -2721,6 +2721,32 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "docs_bm25_facets",
+    _retrieval.bm25_facets_oracle_sql(
+        _BM25_QUERIES, facet_col="lang", max_df=_BM25_MAX_DF
+    ),
+)
+def docs_bm25_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceted search — ranked hits' sibling aggregation: per query, the
+    FULL BM25 match set grouped by the lang facet into (n_matched,
+    best_score) — the "312 matches in en, 48 in de" sidebar every search
+    engine serves next to its top-k. The scoring stage is bm25_topk's own
+    (shared code — hits and facets cannot disagree); the match set
+    broadcasts against the facet projection and only (query, facet) pairs
+    shuffle. The oracle replays the unranked all-positive score set, the
+    facet join, and both aggregates."""
+    from spark_ensemble_spark.operators.retrieval import bm25_facets
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        list(_BM25_QUERIES), "query_id string, query_text string"
+    )
+    return bm25_facets(
+        docs, queries, facet_col="lang", max_df=_BM25_MAX_DF
+    )
+
+
 # Hybrid retrieval: query-by-document over doc_ids < 3 (the fixture keys
 # documents and embeddings by the same id), fusing the BM25 ranking of the
 # doc's own text with the brute-force cosine ranking of its embedding via

@@ -6155,6 +6155,89 @@ def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("streaming_pii_scrub")
+def streaming_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction applied IN the ingest stream: the rules are plan
+    literals, so the sequential regexp fold is a STATELESS append-mode
+    projection — no watermark, no state store, the same online posture as
+    streaming_decontaminate. Streamed output must hash-match the batch
+    scrub's ORACLE exactly (stream==batch privacy parity — a crawler
+    front-door can redact on arrival and produce byte-identical corpora
+    to a batch re-scrub)."""
+    from spark_ensemble_spark.streaming.corpus import read_documents_stream
+    from spark_ensemble_spark.streaming.runner import replay_session, run_to_memory
+
+    spark = replay_session(spark)
+    stream = read_documents_stream(spark, sf_dir).select("doc_id", "text")
+    scrubbed = _pii.scrub_pii(_pii.inject_pii(stream)).select(
+        "doc_id",
+        *[f"n_{name}" for name, _, _ in _pii.PII_RULES],
+        "n_pii",
+        "redacted",
+    )
+    return run_to_memory(scrubbed, "append", "stream_pii")
+
+
+ORACLES["streaming_pii_scrub"] = _pii.pii_scrub_oracle_sql()
+
+
+@query("streaming_bm25_index_serve")
+def streaming_bm25_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING lexical-index maintenance: documents arrive on a stream
+    and each micro-batch's posting lists land as batch_id-scoped
+    idempotent writes next to mergeable (n_docs, sum_dl) stats partials
+    (``bm25_index_stream``). A batch query set then serves from the
+    STREAM-BUILT index via ``bm25_topk(index=...)`` — df counts and the
+    length normalization re-aggregate over the union index — and must
+    hash-match the inline from-scratch BM25 ORACLE: continuous lexical
+    ingestion converges to exactly the batch build (the ANN family's
+    ``streaming_ann_index_serve``, lexical edition)."""
+    import os
+    import shutil
+    import tempfile
+
+    from spark_ensemble_spark.operators.retrieval import bm25_topk
+    from spark_ensemble_spark.streaming.corpus import (
+        bm25_index_stream,
+        read_bm25_index_dir,
+        read_documents_stream,
+    )
+    from spark_ensemble_spark.streaming.runner import replay_session
+
+    spark = replay_session(spark)
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "spark-warehouse",
+        f"bm25_index_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    ckpt = tempfile.mkdtemp(prefix="ses-bm25index-")
+    stream = read_documents_stream(spark, sf_dir).select("doc_id", "text")
+    q = bm25_index_stream(stream, index_path=base, checkpoint_dir=ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    postings, stats = read_bm25_index_dir(spark, base)
+    queries = spark.createDataFrame(
+        list(_BM25_QUERIES), "query_id string, query_text string"
+    )
+    return bm25_topk(
+        None,
+        queries,
+        k=_BM25_K,
+        max_df=_BM25_MAX_DF,
+        index=postings,
+        index_stats=stats,
+    )
+
+
+ORACLES["streaming_bm25_index_serve"] = _retrieval.bm25_oracle_sql(
+    _BM25_QUERIES, k=_BM25_K, max_df=_BM25_MAX_DF
+)
+
+
 # ---------------------------------------------------------------------------
 # Incremental dedup: a new delivery batch against the accepted corpus index
 # (exact fingerprint anti-join + banded MinHash vs the index — the

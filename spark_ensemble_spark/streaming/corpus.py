@@ -419,3 +419,59 @@ def streaming_bpe_tokens(
     )
     counted = bpe_token_stream(stream, merges)
     return run_to_memory(counted, "append", "stream_bpe_tokens")
+
+
+def bm25_index_stream(
+    docs_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """STREAMING lexical-index maintenance — the BM25 counterpart of the
+    ANN family's ``ann_index_stream``, completing the retrieval index
+    lifecycle (build ← THIS, serve ← ``bm25_topk(index=...)``, alert ←
+    ``bm25_alert_stream``): documents arrive on a stream and each
+    micro-batch's posting lists (``build_bm25_index`` — term, id, tf, dl)
+    land as ``batch_id=N``-scoped idempotent parquet overwrites, next to
+    the batch's 1-row (n_docs, sum_dl) stats PARTIAL.
+
+    Per-doc rows (tf, dl) are complete within the doc's own batch, so
+    appending never rewrites history, and the corpus-level stats are
+    MERGEABLE partials (plain sums — the rollup-store posture):
+    :func:`read_bm25_index_dir` re-aggregates them at read time, so the
+    serve-side df counts and length normalization are computed over the
+    union index exactly as a from-scratch build would. Driver state:
+    none. Returns the started StreamingQuery."""
+    from spark_ensemble_spark.operators.retrieval import build_bm25_index
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        postings, stats = build_bm25_index(batch_df, text_col, id_col)
+        postings.write.mode("overwrite").parquet(
+            f"{index_path}/postings/batch_id={batch_id}"
+        )
+        stats.write.mode("overwrite").parquet(
+            f"{index_path}/stats/batch_id={batch_id}"
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def read_bm25_index_dir(spark: SparkSession, index_path: str):
+    """Load a :func:`bm25_index_stream` directory → the ``(postings,
+    stats)`` pair ``bm25_topk(index=..., index_stats=...)`` serves from:
+    postings are the union of every batch's lists; stats merge the per-batch
+    partials by plain summation (exact integers — merge order free)."""
+    postings = spark.read.parquet(f"{index_path}/postings")
+    stats = (
+        spark.read.parquet(f"{index_path}/stats")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("sum_dl").alias("sum_dl"),
+        )
+    )
+    return postings, stats

@@ -30,6 +30,7 @@ from spark_ensemble_spark.operators import dedup as _dedup
 from spark_ensemble_spark.operators import retrieval as _retrieval
 from spark_ensemble_spark.operators import tokenizer as _tokenizer
 from spark_ensemble_spark.operators import similarity as _similarity
+from spark_ensemble_spark.operators import late_interaction as _late
 from spark_ensemble_spark.operators import ltr as _ltr
 from spark_ensemble_spark.operators import pii as _pii
 from spark_ensemble_spark.operators import text as _text
@@ -2719,6 +2720,47 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(
         docs, queries, k=_BM25_K, max_df=_BM25_MAX_DF
     )
+
+
+_BM25_QUERIES_VALUES_SQL = "SELECT * FROM (VALUES " + ", ".join(
+    f"('{qid}', '{qtext}')" for qid, qtext in _BM25_QUERIES
+) + ") AS vq(query_id, query_text)"
+
+
+@query(
+    "docs_maxsim_rerank",
+    _late.maxsim_oracle_sql(
+        _retrieval.bm25_oracle_sql(_BM25_QUERIES, k=_BM25_K, max_df=_BM25_MAX_DF),
+        _BM25_QUERIES_VALUES_SQL,
+        k=5,
+        dim=8,
+    ),
+)
+def docs_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction retrieval (ColBERT's MaxSim, Khattab & Zaharia
+    2020) — the third paradigm next to BM25 and dense ANN, staged the way
+    production runs it: BM25 recalls the shortlist, then every query token
+    takes its max cosine over each candidate's distinct tokens and the
+    per-token maxima sum into the rerank score. Token vectors are an input
+    frame (a learned ColBERT index drops in unchanged); this row uses the
+    md5-grid fixture vectors so the oracle replays vectors, sequential-fold
+    cosines, floor-rounded maxima, integer-scaled sums, and ranks
+    bit-for-bit. The corpus-token table is probed by a broadcast of
+    (shortlist × query tokens) — never shuffled."""
+    from spark_ensemble_spark.operators.late_interaction import (
+        distinct_token_vectors,
+        maxsim_rerank,
+    )
+    from spark_ensemble_spark.operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries_df = spark.createDataFrame(
+        list(_BM25_QUERIES), "query_id string, query_text string"
+    )
+    shortlist = bm25_topk(docs, queries_df, k=_BM25_K, max_df=_BM25_MAX_DF)
+    dtok = distinct_token_vectors(docs, "text", "doc_id", "doc_id")
+    qtok = distinct_token_vectors(queries_df, "query_text", "query_id", "query_id")
+    return maxsim_rerank(dtok, qtok, shortlist, k=5)
 
 
 @query(

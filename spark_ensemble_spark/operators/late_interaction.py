@@ -120,8 +120,10 @@ def maxsim_rerank(
         "doc_id", F.col("token").alias("__dt"), F.col("vec").alias("__dv")
     )
     # (query, cand, q-token) is shortlist-sized × query length — broadcast it
-    # into the doc-token probe so the corpus-token table never shuffles
-    probes = cand.join(q, "query_id")
+    # into the doc-token probe so the corpus-token table never shuffles; the
+    # query-token frame itself is |queries|·|q-tokens| rows, broadcast too
+    # (without the hint Spark sort-merges two frames it has no stats for)
+    probes = cand.join(F.broadcast(q), "query_id")
     pairs = d.join(F.broadcast(probes), "doc_id")
     sim = _floor_round(cosine(F.col("__qv"), F.col("__dv")), round_to)
     per_qt = pairs.groupBy("query_id", "doc_id", "__qt").agg(

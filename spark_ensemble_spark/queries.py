@@ -6610,6 +6610,32 @@ def classification_metrics_dummy_prior(spark: SparkSession, sf_dir: str) -> Data
 # ---------------------------------------------------------------------------
 
 REGISTRY_ORDER = [
+    # -- late-r9 frontier: the session's new operator families — PII
+    # redaction (the privacy stage), learning-to-rank and late-interaction
+    # MaxSim (the supervised and token-level rerankers next to RRF),
+    # frame-level audio features, streaming ANN query serving, and faceted
+    # search. Out (fold notes below; every folded row remains
+    # extra-oracle-verified ×2 SFs and benched):
+    #   dummy_mean_regressor / dummy_prior_classifier — the Dummy fit +
+    #     transform chain is exercised in-window by every bagging/boosting/
+    #     gbm/stacking dummy row;
+    #   curation_pipeline — its stages are each in-window on their own
+    #     (docs_quality_quantile_filter, contamination_bloom,
+    #     dedup_incremental);
+    #   events_funnel — the event-sequence window family stays covered by
+    #     events_sessionize + streaming_click_attribution;
+    #   events_rollup_distinct_users — rollup sketches stay covered by
+    #     events_rollup_value_quantiles (histogram) + the incremental base
+    #     row; the HLL path keeps its extra-oracle rows;
+    #   dedup_winnow_pairs — n-gram/fingerprint dedup stays covered by
+    #     dedup_minhash_md5 + dedup_incremental; winnowing keeps its
+    #     extra-oracle row.
+    "docs_pii_scrub",
+    "docs_ltr_rerank",
+    "docs_maxsim_rerank",
+    "multimodal_audio_frames",
+    "streaming_ann_topk",
+    "docs_bm25_facets",
     # -- r9 frontier (VERDICT r8 #3): the two-stage ANN serving family
     # (binary-quantized Hamming shortlist + exact rerank), the deterministic
     # training-export manifest, the BPE encode→decode round-trip, and a
@@ -6631,7 +6657,6 @@ REGISTRY_ORDER = [
     # similarity_pq_topk.
     "bpe_train_by_lang",
     "events_rollup_incremental",
-    "events_rollup_distinct_users",
     "events_key_skew",
     # -- late-r7 frontier: BM25 lexical retrieval, winnowing (MOSS) dedup
     # pairs, and hybrid lexical⊕semantic RRF fusion. Out (fold notes at the
@@ -6642,7 +6667,6 @@ REGISTRY_ORDER = [
     # dedup_exact (the md5-normalize-groupBy stage is the first stage of
     # in-window dedup_incremental).
     "docs_bm25_topk",
-    "dedup_winnow_pairs",
     "docs_hybrid_rrf",
     # -- r7 rotation: the window tracks the engine frontier (VERDICT r6
     # #2). In: leakage-safe splits (near-dup components land in ONE split),
@@ -6658,7 +6682,6 @@ REGISTRY_ORDER = [
     # -- previously outside the driver's 50-entry window (r2) --
     "events_sessionize",
     "events_asof_last_order",
-    "curation_pipeline",
     # -- r5 continuation: SemDeDup + DSIR promoted into the driver window
     # (pivot_flag_by_status / part_brand_stats folded out: pivot and
     # grouped-stats shapes stay covered in-window by orders_monthly_stats +
@@ -6678,7 +6701,6 @@ REGISTRY_ORDER = [
     # gate, and windowed funnel conversion.
     "contamination_bloom",
     "docs_quality_quantile_filter",
-    "events_funnel",
     # -- new r4: corpus-curation operators, driver-visible at last --
     # -- relational core (q3_top_revenue_orders folded late-r7: see header) --
     "q1_pricing_summary",
@@ -6691,8 +6713,6 @@ REGISTRY_ORDER = [
     "dedup_incremental",
     "weighted_median_price",
     # -- ensemble estimators (SURVEY §2.1) --
-    "dummy_mean_regressor",
-    "dummy_prior_classifier",
     "bagging_dummy_mean_regressor",
     "bagging_dummy_prior_classifier",
     "bagging_tree_regressor",

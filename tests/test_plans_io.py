@@ -940,3 +940,60 @@ def test_filtered_ann_and_hybrid_serving_plan_shapes(spark, sf_dir):
     assert "CartesianProduct" not in p2
     assert p2.count("BroadcastNestedLoopJoin") <= 1
     assert "SortMergeJoin" not in p2
+
+
+def test_maxsim_and_facets_plan_shapes(spark, sf_dir):
+    """Late-r9 plan discipline: (1) MaxSim's token-pair stage probes the
+    corpus-token frame with a BROADCAST of (shortlist × query tokens) —
+    no sort-merge join, no exchange keyed on the corpus doc id below the
+    probe; (2) bm25_facets broadcasts the match set against the facet
+    projection — no corpus shuffle, no cartesian."""
+    import spark_ensemble_spark.queries as q
+
+    m = q.docs_maxsim_rerank(spark, sf_dir)
+    assert m.count() > 0
+    p1 = m._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "CartesianProduct" not in p1
+    assert "SortMergeJoin" not in p1
+    assert "BroadcastHashJoin" in p1
+
+    f = q.docs_bm25_facets(spark, sf_dir)
+    assert f.count() > 0
+    p2 = f._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "CartesianProduct" not in p2
+    assert "SortMergeJoin" not in p2
+    assert "BroadcastHashJoin" in p2
+
+
+def test_pii_scrub_plan_is_narrow(spark, sf_dir):
+    """The PII fold must stay a single narrow projection over the scan:
+    no exchange, no join, no aggregate anywhere in the scrub plan — the
+    property that makes it free at 100 TB (and a legal stateless
+    streaming projection)."""
+    from spark_ensemble_spark.operators.pii import inject_pii, scrub_pii
+    from spark_ensemble_spark.sources.datasets import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    df = scrub_pii(inject_pii(docs))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for op in ("Exchange", "Join", "Aggregate", "Sort"):
+        assert op not in plan, (op, plan)
+
+
+def test_ltr_features_join_is_shortlist_sized(spark, sf_dir):
+    """LTR's feature join runs on two top-k frames only — the final plan
+    may shuffle k·|queries| rows but must contain no cartesian product
+    and no exchange below either branch's window output that is keyed on
+    a corpus column."""
+    import spark_ensemble_spark.queries as q
+
+    df = q.docs_ltr_rerank(spark, sf_dir)
+    assert df.count() > 0
+    plan = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "CartesianProduct" not in plan

@@ -4108,6 +4108,48 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_gap_fill_hourly",
+    """
+    WITH b AS (
+      SELECT user_id, (epoch_us(ts) // 3600000000) * 3600 AS hour_start,
+             CAST(value AS DECIMAL(38,6)) AS v
+      FROM events WHERE user_id < 200
+    ),
+    actual AS (
+      SELECT user_id, hour_start, sum(v) AS bucket_value, count(*) AS n_events
+      FROM b GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT user_id, min(hour_start) AS lo, max(hour_start) AS hi
+      FROM actual GROUP BY 1
+    ),
+    grid AS (
+      SELECT user_id, unnest(range(lo, hi + 1, 3600)) AS hour_start FROM span
+    )
+    SELECT g.user_id, g.hour_start,
+           COALESCE(a.n_events, 0) AS n_events,
+           last_value(a.bucket_value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.hour_start
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+           CAST(CASE WHEN a.bucket_value IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap
+    FROM grid g LEFT JOIN actual a USING (user_id, hour_start)
+    """,
+)
+def events_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + carry-forward gap fill: per user, the FULL
+    hour grid between first and last activity, empty buckets filled with
+    the last observed hourly value and flagged is_gap — the step every
+    per-entity metrics pipeline runs before charting or feature joins.
+    Hour keys are exact integer DIV arithmetic, bucket sums DECIMAL(38,6)
+    (order-independent), the fill a rows-frame last(ignorenulls) — the
+    grid generation, fill, and flags all replay in the oracle."""
+    from spark_ensemble_spark.streaming.events import gap_fill_hourly
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    return gap_fill_hourly(ev)
+
+
+@query(
     "weighted_median_price",
     """
     WITH cum AS (

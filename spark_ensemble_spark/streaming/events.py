@@ -705,3 +705,66 @@ def cohort_retention(
             _floor_round(F.col("n_users") / F.col("__n0"), 6).alias("retention"),
         )
     )
+
+
+def gap_fill_hourly(
+    df: DataFrame,
+    value_col: str = "value",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Time-series gap filling with carry-forward — the resample step every
+    per-entity metrics pipeline runs before charting/joining: bucket events
+    to hours, generate each entity's FULL hour grid between its first and
+    last bucket, and fill empty buckets with the last observed value
+    (``is_gap`` marks them; ``n_events`` is 0 there).
+
+    Exactness: the hour key is pure integer arithmetic
+    (``epoch_µs DIV 3600e6``, never a double division near a boundary),
+    bucket sums are DECIMAL(38,6) (order-independent — the sessionize
+    convention), and the carry-forward is ``last(ignorenulls)`` over a
+    rows-unbounded-preceding frame — all bit-replayable by the oracle.
+
+    Scale shape: one shuffle to the (user, hour) buckets, one per-user
+    min/max agg, the grid explode is narrow (≤ span-hours rows per user),
+    and the fill window partitions by user — no global sort, no driver
+    state. A year-long entity costs ~8.8k grid rows."""
+    from pyspark.sql import Window
+
+    hour_s = F.expr(
+        f"CAST((unix_micros({ts_col}) DIV 3600000000) * 3600 AS BIGINT)"
+    )
+    b = df.select(
+        F.col(user_col).alias("user_id"),
+        hour_s.alias("hour_start"),
+        F.col(value_col).cast("decimal(38,6)").alias("__v"),
+    )
+    actual = b.groupBy("user_id", "hour_start").agg(
+        F.sum("__v").alias("bucket_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    span = actual.groupBy("user_id").agg(
+        F.min("hour_start").alias("__lo"), F.max("hour_start").alias("__hi")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.lit(3600))
+        ).alias("hour_start"),
+    )
+    j = grid.join(actual, ["user_id", "hour_start"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "hour_start",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.last("bucket_value", ignorenulls=True).over(w).alias("filled_value"),
+        F.when(F.col("bucket_value").isNull(), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_gap"),
+    )

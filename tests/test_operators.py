@@ -3056,3 +3056,34 @@ def test_ltr_train_on_hybrid_features_end_to_end(spark, sf_dir):
     # trained top-3 must beat the candidate-pool base rate unless the pool
     # is already saturated (tiny-SF guard)
     assert top >= base or base > 0.95, (top, base)
+
+
+def test_gap_fill_hourly_carry_forward(spark):
+    """Hand-built grid: gaps carry the last observed hourly value, n_events
+    zeroes on gap rows, single-bucket users emit exactly one row, and
+    multi-event buckets sum exactly."""
+    import datetime as dt
+
+    from spark_ensemble_spark.streaming.events import gap_fill_hourly
+
+    def ts(h, m=0):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    rows = [
+        (1, ts(0, 10), 1.5),
+        (1, ts(0, 40), 2.25),   # same bucket: sums to 3.75
+        (1, ts(3, 5), 7.0),     # hours 1-2 are gaps carrying 3.75
+        (2, ts(5, 0), 4.0),     # single bucket
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {
+        (r.user_id, r.hour_start): (r.n_events, float(r.filled_value), r.is_gap)
+        for r in gap_fill_hourly(df).collect()
+    }
+    base = int(dt.datetime(2024, 1, 1).replace(tzinfo=dt.timezone.utc).timestamp())
+    assert out[(1, base + 0 * 3600)] == (2, 3.75, 0)
+    assert out[(1, base + 1 * 3600)] == (0, 3.75, 1)
+    assert out[(1, base + 2 * 3600)] == (0, 3.75, 1)
+    assert out[(1, base + 3 * 3600)] == (1, 7.0, 0)
+    assert out[(2, base + 5 * 3600)] == (1, 4.0, 0)
+    assert len(out) == 5

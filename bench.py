@@ -239,6 +239,22 @@ BENCH_QUERIES = [
     "similarity_mmr_topk",
     # RAG-style overlapping token-window chunking with provenance
     "docs_chunk_windows",
+    # late-r9: streaming ANN lifecycle (query leg + index-build leg)
+    "streaming_ann_topk",
+    "streaming_ann_index_serve",
+    # late-r9: streaming lexical-index maintenance
+    "streaming_bm25_index_serve",
+    # late-r9: PII redaction (batch fold + stateless streaming projection)
+    "docs_pii_scrub",
+    "streaming_pii_scrub",
+    # late-r9: frame-level audio features in the decode seam
+    "multimodal_audio_frames",
+    # late-r9: rerankers beyond RRF + faceted search
+    "docs_ltr_rerank",
+    "docs_maxsim_rerank",
+    "docs_bm25_facets",
+    # late-r9: per-entity hour-grid gap fill
+    "events_gap_fill_hourly",
 ]
 
 

@@ -3087,3 +3087,110 @@ def test_gap_fill_hourly_carry_forward(spark):
     assert out[(1, base + 3 * 3600)] == (1, 7.0, 0)
     assert out[(2, base + 5 * 3600)] == (1, 4.0, 0)
     assert len(out) == 5
+
+
+def test_ann_index_stream_accumulates_across_batches(spark, tmp_path):
+    """The streaming IVF-PQ index must ACCUMULATE: two deliveries of corpus
+    vectors land under distinct batch_id partitions, and a probe of the
+    union index returns exactly what a from-scratch batch encode over the
+    combined corpus returns."""
+    import random
+
+    from spark_ensemble_spark.operators.similarity import (
+        ivf_fixed_centroids,
+        ivfpq_encode,
+        ivfpq_probe,
+        pq_fixed_codebooks,
+    )
+    from spark_ensemble_spark.streaming.scoring import ann_index_stream
+
+    rng = random.Random(5)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(40)]
+    cents = ivf_fixed_centroids(16, 4)
+    books = pq_fixed_codebooks(16, num_subspaces=4, num_codewords=8, seed=9)
+    src = tmp_path / "vec_src"
+    src.mkdir()
+
+    def deliver(name, rr):
+        spark.createDataFrame(rr, "vec_id long, embedding array<double>").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(src / name))
+
+    deliver("d1", rows[:25])
+    stream = spark.readStream.schema("vec_id long, embedding array<double>").parquet(
+        str(src) + "/*"
+    )
+    q = ann_index_stream(
+        stream, cents, books,
+        index_path=str(tmp_path / "idx"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        residual=True,
+    )
+    try:
+        q.processAllAvailable()
+        deliver("d2", rows[25:])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    enc = spark.read.parquet(str(tmp_path / "idx"))
+    assert {r.batch_id for r in enc.select("batch_id").distinct().collect()} == {0, 1}
+    full = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = full.filter(F.col("vec_id") < 3)
+    served = ivfpq_probe(
+        enc.select("neighbor_id", "cell", "codes"), queries, cents, books,
+        k=5, nprobe=2, residual=True,
+    )
+    batch = ivfpq_probe(
+        ivfpq_encode(full, cents, books, residual=True), queries, cents, books,
+        k=5, nprobe=2, residual=True,
+    )
+    assert sorted(map(tuple, served.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_bm25_index_stream_accumulates_across_batches(spark, tmp_path):
+    """Streaming lexical-index maintenance across two deliveries: the
+    merged stats partials and union posting lists must serve EXACTLY what
+    inline from-scratch BM25 over the combined corpus serves — df counts
+    and length normalization included (both depend on the WHOLE corpus,
+    so a stats-merge bug shows up in every score)."""
+    from spark_ensemble_spark.operators.retrieval import bm25_topk
+    from spark_ensemble_spark.streaming.corpus import (
+        bm25_index_stream,
+        read_bm25_index_dir,
+    )
+
+    d1 = [(1, "spark window join table"), (2, "hash scan merge spark")]
+    d2 = [(3, "window window join stream"), (4, "batch scan scan spark join")]
+    src = tmp_path / "docs_src"
+    src.mkdir()
+
+    def deliver(name, rr):
+        spark.createDataFrame(rr, "doc_id long, text string").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    deliver("d1", d1)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src) + "/*"
+    )
+    q = bm25_index_stream(
+        stream, index_path=str(tmp_path / "idx"), checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+        deliver("d2", d2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    postings, stats = read_bm25_index_dir(spark, str(tmp_path / "idx"))
+    st = stats.collect()[0]
+    assert (st.n_docs, st.sum_dl) == (4, 17)
+    queries = spark.createDataFrame(
+        [("qa", "spark join"), ("qb", "scan")], "query_id string, query_text string"
+    )
+    served = bm25_topk(None, queries, k=4, index=postings, index_stats=stats)
+    full = spark.createDataFrame(d1 + d2, "doc_id long, text string")
+    inline = bm25_topk(full, queries, k=4)
+    assert sorted(map(tuple, served.collect())) == sorted(map(tuple, inline.collect()))

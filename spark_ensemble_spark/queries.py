@@ -4107,6 +4107,63 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_batch(ev, gap_minutes=30)
 
 
+@query("events_ewma_alerts")
+def events_ewma_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA drift/anomaly detection: events in exact (ts, id)
+    order feed ewma ← α·x + (1−α)·ewma, alerting when an event deviates
+    from the pre-update ewma by > threshold. The recursion is
+    order-dependent IEEE float — correctness is a PINNED order, not
+    avoided floats: Spark's aggregate fold over the sorted struct array
+    and the oracle's list_reduce over the same ORDER BY-built list execute
+    the identical float sequence, so the final double hashes match
+    bit-for-bit (every oracle literal CAST AS DOUBLE — bare decimals are
+    DECIMAL in DuckDB and silently change the arithmetic)."""
+    from spark_ensemble_spark.streaming.events import ewma_batch
+
+    ev = load_table(spark, sf_dir, "events")
+    return ewma_batch(ev, alpha=0.25, threshold=100.0)
+
+
+from spark_ensemble_spark.streaming.events import (  # noqa: E402
+    ewma_batch_oracle_sql as _ewma_oracle,
+)
+
+ORACLES["events_ewma_alerts"] = _ewma_oracle(alpha=0.25, threshold=100.0)
+
+
+@query("streaming_ewma_alerts")
+def streaming_ewma_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same detector as a STATEFUL STREAM (applyInPandasWithState):
+    per-user state is three numbers (ewma, n, alerts) — the smallest
+    possible stateful footprint — updated by the identical float recursion
+    per micro-batch; each batch emits provisional totals and the final
+    per-user rows must hash-match the batch fold's ORACLE exactly
+    (stream == batch == SQL, triple parity on an order-dependent float
+    recursion)."""
+    from pyspark.sql import Window
+
+    from spark_ensemble_spark.sources.datasets import load_events
+    from spark_ensemble_spark.streaming.events import (
+        ewma_alert_stream,
+        read_events_stream,
+    )
+    from spark_ensemble_spark.streaming.runner import replay_session, run_to_memory
+
+    spark = replay_session(spark)
+    stream = read_events_stream(spark, sf_dir)
+    out = ewma_alert_stream(stream, alpha=0.25, threshold=100.0)
+    rows = run_to_memory(out, "append", "stream_ewma")
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        rows.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "n_events", "n_alerts", "ewma")
+    )
+
+
+ORACLES["streaming_ewma_alerts"] = ORACLES["events_ewma_alerts"]
+
+
 @query(
     "events_gap_fill_hourly",
     """

@@ -768,3 +768,165 @@ def gap_fill_hourly(
         .cast("int")
         .alias("is_gap"),
     )
+
+
+EWMA_OUTPUT_SCHEMA = "user_id long, n_events long, n_alerts long, ewma double"
+EWMA_STATE_SCHEMA = "ewma double, n_events long, n_alerts long"
+
+
+def ewma_batch(
+    df: DataFrame,
+    alpha: float = 0.25,
+    threshold: float = 100.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-user EWMA drift/anomaly detection, batch formulation: events in
+    exact (ts, id) order feed the recursion ``ewma ← α·x + (1−α)·ewma``
+    (seeded by the first value); an event ALERTS when it deviates from the
+    pre-update ewma by more than ``threshold``. Returns one row per user:
+    ``(user_id, n_events, n_alerts, ewma)``.
+
+    The recursion is order-dependent IEEE arithmetic, so correctness means
+    pinning the order, not avoiding floats: events sort by the unique
+    (epoch-µs, event id) key and fold LEFT-to-right — Spark's ``aggregate``
+    over the sorted struct array, the DuckDB oracle's ``list_reduce`` over
+    the same ``ORDER BY``-built list, and the streaming state recursion all
+    execute the identical float sequence, so even the final double hashes
+    identically. Per-user arrays bound memory by user activity — the same
+    per-entity bound every stateful op here carries. α defaults to 0.25
+    (exactly representable: the 1−α literal is exact too)."""
+    evs = df.groupBy(F.col(user_col).alias("user_id")).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.unix_micros(F.col(ts_col)).alias("t"),
+                    F.col(id_col).alias("i"),
+                    F.col(value_col).cast("double").alias("v"),
+                )
+            )
+        ).alias("__evs")
+    )
+    first = F.element_at("__evs", 1)
+    rest = F.slice("__evs", 2, F.greatest(F.size("__evs") - 1, F.lit(0)))
+    init = F.struct(
+        first["v"].alias("e"),
+        F.lit(1).cast("long").alias("n"),
+        F.lit(0).cast("long").alias("a"),
+    )
+    a1, a0 = float(alpha), float(1.0 - alpha)
+    st = F.aggregate(
+        rest,
+        init,
+        lambda acc, x: F.struct(
+            (F.lit(a1) * x["v"] + F.lit(a0) * acc["e"]).alias("e"),
+            (acc["n"] + 1).alias("n"),
+            (
+                acc["a"]
+                + F.when(
+                    F.abs(x["v"] - acc["e"]) > F.lit(float(threshold)), 1
+                ).otherwise(0)
+            ).alias("a"),
+        ),
+    )
+    return evs.select(
+        "user_id",
+        st["n"].alias("n_events"),
+        st["a"].alias("n_alerts"),
+        st["e"].alias("ewma"),
+    )
+
+
+def ewma_batch_oracle_sql(
+    alpha: float = 0.25,
+    threshold: float = 100.0,
+    table: str = "events",
+    pred: str = "TRUE",
+) -> str:
+    """DuckDB replay of :func:`ewma_batch`: the list is built with the same
+    (t, i) total order and a RECURSIVE CTE advances the same (ewma, alerts)
+    scalar state one element per step — the BPE-trajectory replay style.
+    Two hazards this spelling dodges, both found the hard way: bare decimal
+    literals are DECIMAL in DuckDB (every constant is CAST AS DOUBLE so the
+    arithmetic stays IEEE), and DuckDB 1.0.0's ``list_reduce`` silently
+    miscomputes STRUCT-typed accumulators on lists longer than a few
+    elements (the ewma chain survived, the alert counter didn't) — scalar
+    recursion has no such failure mode."""
+    a1, a0, thr = float(alpha), float(1.0 - alpha), float(threshold)
+    return f"""
+    WITH RECURSIVE e AS (
+      SELECT user_id,
+             list(struct_pack(t := epoch_us(ts), i := event_id,
+                              v := CAST(value AS DOUBLE)) ORDER BY epoch_us(ts), event_id)
+               AS evs
+      FROM {table} WHERE {pred}
+      GROUP BY user_id
+    ),
+    r AS (
+      SELECT user_id, evs, 1 AS k, evs[1].v AS e, CAST(0 AS BIGINT) AS a FROM e
+      UNION ALL
+      SELECT user_id, evs, k + 1,
+             CAST({a1!r} AS DOUBLE) * evs[k + 1].v + CAST({a0!r} AS DOUBLE) * e,
+             a + CASE WHEN abs(evs[k + 1].v - e) > CAST({thr!r} AS DOUBLE)
+                      THEN 1 ELSE 0 END
+      FROM r WHERE k < len(evs)
+    )
+    SELECT user_id,
+           CAST(k AS BIGINT) AS n_events,
+           a AS n_alerts,
+           e AS ewma
+    FROM r WHERE k = len(evs)
+    """
+
+
+def ewma_alert_stream(
+    events: DataFrame,
+    alpha: float = 0.25,
+    threshold: float = 100.0,
+) -> DataFrame:
+    """Streaming formulation of :func:`ewma_batch` via
+    ``applyInPandasWithState``: per-user state is three numbers
+    (ewma, n, alerts) — constant per entity, the smallest possible stateful
+    footprint — updated by the identical float recursion over each batch's
+    (ts, event_id)-sorted rows. Each batch emits the user's current totals
+    as a PROVISIONAL row (the sessionize convention); downstream keeps the
+    row with the highest n_events per user, and the final rows equal the
+    batch fold bit-for-bit."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    a1, a0, thr = float(alpha), float(1.0 - alpha), float(threshold)
+
+    def step(key, pdfs, state):
+        import pandas as pd
+
+        chunks = [c for c in pdfs if len(c)]
+        if not chunks:
+            return
+        rows = pd.concat(chunks).sort_values(["ts", "event_id"])
+        if state.exists:
+            e, n, a = state.get
+        else:
+            e, n, a = None, 0, 0
+        for v in rows["value"]:
+            x = float(v)
+            if n == 0:
+                e, n = x, 1
+                continue
+            if abs(x - e) > thr:
+                a += 1
+            e = a1 * x + a0 * e
+            n += 1
+        state.update((e, n, a))
+        yield pd.DataFrame(
+            [{"user_id": key[0], "n_events": n, "n_alerts": a, "ewma": e}]
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        step,
+        EWMA_OUTPUT_SCHEMA,
+        EWMA_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -255,6 +255,9 @@ BENCH_QUERIES = [
     "docs_bm25_facets",
     # late-r9: per-entity hour-grid gap fill
     "events_gap_fill_hourly",
+    # late-r9: pinned-order EWMA drift detection (batch fold + stateful stream)
+    "events_ewma_alerts",
+    "streaming_ewma_alerts",
 ]
 
 

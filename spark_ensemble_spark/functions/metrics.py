@@ -18,9 +18,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from spark_ensemble_spark.functions.rounding import (
-    floor_round as _floor_round,
-    floor_round_sql as _floor_round_sql,
+    floor_round,
+    floor_round_int,
+    floor_round_int_sql,
+    floor_round_sql,
 )
+
+_floor_round = floor_round
+_floor_round_sql = floor_round_sql
 
 _DEC = "decimal(38,6)"
 
@@ -296,4 +301,75 @@ def psi_oracle_sql(
            {_floor_round_sql(f'''((n_a + 0.5) / (na.t + 0.5 * {k}) - (n_b + 0.5) / (nb.t + 0.5 * {k}))
                  * ln(((n_a + 0.5) / (na.t + 0.5 * {k})) / ((n_b + 0.5) / (nb.t + 0.5 * {k})))''', round_to)} AS psi_term
     FROM j, na, nb
+    """
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram / ECE inputs — the calibration audit every
+    scored gate should publish before its threshold is trusted: scores in
+    [0, 1] bucket into ``n_bins`` equal-width bins, each reporting its
+    count, mean score (predicted rate), and empirical positive rate. A
+    calibrated scorer has mean_score ≈ pos_rate per bin; ECE is the
+    n-weighted |difference| over the returned frame.
+
+    Exactness: the bin key is ``floor(score·n)`` on doubles both engines
+    compute identically (scorers here are all-arithmetic); the mean is an
+    integer-scaled BIGINT sum unscaled once (order-free exact); the
+    positive rate is one division of exact integer counts. One map-side
+    aggregate — at 100 TB this is a single pass with ``n_bins`` output
+    rows."""
+    s = F.col(score_col).cast("double")
+    bin_ = F.least(
+        F.floor(s * F.lit(float(n_bins))).cast("int"), F.lit(n_bins - 1)
+    )
+    y = F.col(label_col).cast("long")
+    agg = (
+        df.select(bin_.alias("bin"), floor_round_int(s, 6).alias("__si"), y.alias("__y"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__si").alias("__ssum"),
+            F.sum("__y").alias("__pos"),
+        )
+    )
+    return agg.select(
+        "bin",
+        "n",
+        floor_round(F.col("__ssum").cast("double") / F.lit(1e6) / F.col("n"), 6).alias(
+            "mean_score"
+        ),
+        floor_round(F.col("__pos").cast("double") / F.col("n"), 6).alias("pos_rate"),
+    )
+
+
+def calibration_bins_sql(
+    score_sql: str,
+    label_sql: str,
+    table_sql: str,
+    n_bins: int = 10,
+) -> str:
+    """DuckDB replay of :func:`calibration_bins` over any (score, label)
+    SQL expressions and source relation."""
+    s = f"CAST({score_sql} AS DOUBLE)"
+    return f"""
+    WITH b AS (
+      SELECT LEAST(CAST(floor({s} * CAST({float(n_bins)!r} AS DOUBLE)) AS INT),
+                   {n_bins - 1}) AS bin,
+             {floor_round_int_sql(s, 6)} AS si,
+             CAST({label_sql} AS BIGINT) AS y
+      FROM {table_sql}
+    ),
+    agg AS (
+      SELECT bin, count(*) AS n, sum(si) AS ssum, sum(y) AS pos
+      FROM b GROUP BY bin
+    )
+    SELECT bin, n,
+           {floor_round_sql("CAST(ssum AS DOUBLE) / 1000000.0 / n", 6)} AS mean_score,
+           {floor_round_sql("CAST(pos AS DOUBLE) / n", 6)} AS pos_rate
+    FROM agg
     """

@@ -4107,6 +4107,44 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_batch(ev, gap_minutes=30)
 
 
+@query("docs_quality_calibration")
+def docs_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the quality scorer against the lang=='en'
+    relevance proxy: ten equal-width score bins, each with count, mean
+    predicted score, and empirical positive rate — the ECE inputs any
+    scored gate should publish before its threshold is trusted. Bin keys
+    floor identical doubles; means are integer-scaled exact sums; rates
+    are single divisions of exact counts — all replayed by the oracle."""
+    from spark_ensemble_spark.functions.metrics import calibration_bins
+    from spark_ensemble_spark.operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        quality_score(F.col("text")).alias("score"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    return calibration_bins(scored, "score", "label", n_bins=10)
+
+
+# the quality-score SQL spelling proven bit-identical to the Spark side by
+# text_analysis' floor-round-6 green record across 3 SFs (same literals,
+# same operation order — DuckDB coerces these int/decimal mixes to DOUBLE)
+_QUALITY_RAW_SQL = (
+    f"least(len({_TEXT_TOKENS_SQL}) / 100.0, 1.0) * 0.5"
+    f" + (len(list_filter({_TEXT_TOKENS_SQL}, t -> list_contains({_STOPWORDS_SQL}, t)))"
+    f" * 1.0 / greatest(len({_TEXT_TOKENS_SQL}), 1)) * 0.3"
+    f" + (1.0 - least(len(regexp_extract_all(text, '[.,!?;:]')) * 10.0"
+    f" / greatest(length(text), 1), 1.0)) * 0.2"
+)
+
+ORACLES["docs_quality_calibration"] = _metrics.calibration_bins_sql(
+    _QUALITY_RAW_SQL,
+    "CASE WHEN lang = 'en' THEN 1 ELSE 0 END",
+    "documents",
+    n_bins=10,
+)
+
+
 @query(
     "embedding_hard_negatives",
     f"""

@@ -263,6 +263,10 @@ BENCH_QUERIES = [
     "multimodal_scene_changes",
     # late-r9: hard-negative mining (pre-window exclusion)
     "embedding_hard_negatives",
+    # late-r9: reliability-diagram calibration audit
+    "docs_quality_calibration",
+    # late-r9: exact-integer PageRank over the deterministic link graph
+    "docs_pagerank",
 ]
 
 

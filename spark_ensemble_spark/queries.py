@@ -4107,6 +4107,51 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_batch(ev, gap_minutes=30)
 
 
+_PAGERANK_EDGES_SQL = """
+SELECT src, dst FROM (
+  SELECT doc_id AS src,
+         (doc_id * 7 + 1) % (SELECT count(*) FROM documents) AS dst
+  FROM documents
+  UNION ALL
+  SELECT doc_id,
+         (doc_id * 13 + 2) % (SELECT count(*) FROM documents)
+  FROM documents
+) WHERE src != dst
+"""
+
+
+@query("docs_pagerank")
+def docs_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over a deterministic document link graph (each doc links to
+    two modular neighbors — the honest-fixture posture: the operator under
+    test is the iterative dataflow, the graph is replayable). Five
+    iterations of EXACT integer arithmetic: ranks on a 10^12 grid,
+    contributions r DIV outdeg, damping as the rational 17/20 on exact
+    sums — bit-deterministic under any partitioning, and the oracle's
+    recursive CTE advances the identical rank vector, so every node's
+    final rank hash-checks."""
+    from spark_ensemble_spark.operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    i = F.col("doc_id")
+    e1 = docs.select(
+        i.alias("src"), F.pmod(i * 7 + 1, F.lit(n)).alias("dst")
+    )
+    e2 = docs.select(
+        i.alias("src"), F.pmod(i * 13 + 2, F.lit(n)).alias("dst")
+    )
+    edges = e1.unionByName(e2).filter(F.col("src") != F.col("dst"))
+    return pagerank(edges, n_iters=5)
+
+
+from spark_ensemble_spark.operators.graph import (  # noqa: E402
+    pagerank_oracle_sql as _pagerank_oracle_sql,
+)
+
+ORACLES["docs_pagerank"] = _pagerank_oracle_sql(_PAGERANK_EDGES_SQL, n_iters=5)
+
+
 @query("docs_quality_calibration")
 def docs_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reliability diagram for the quality scorer against the lang=='en'

@@ -3194,3 +3194,36 @@ def test_bm25_index_stream_accumulates_across_batches(spark, tmp_path):
     full = spark.createDataFrame(d1 + d2, "doc_id long, text string")
     inline = bm25_topk(full, queries, k=4)
     assert sorted(map(tuple, served.collect())) == sorted(map(tuple, inline.collect()))
+
+
+def test_pagerank_matches_python_reference(spark):
+    """Exact-integer PageRank equals an arbitrary-precision Python replay
+    on a non-regular graph (hub, chain, dangling node), and is invariant
+    under repartitioning."""
+    from collections import Counter
+
+    from spark_ensemble_spark.operators.graph import SCALE, pagerank
+
+    ed = [(0, 1), (0, 2), (0, 3), (1, 0), (2, 0), (3, 4), (4, 0), (5, 0)]
+    edges = spark.createDataFrame(ed, "src long, dst long")
+    got = {r.node: r.rank_scaled for r in pagerank(edges, n_iters=4).collect()}
+
+    nodes = sorted({x for e in ed for x in e})
+    n = len(nodes)
+    init, base = SCALE // n, (3 * SCALE) // (20 * n)
+    od = Counter(s for s, _ in ed)
+    ranks = {v: init for v in nodes}
+    for _ in range(4):
+        S = Counter()
+        for a, b in ed:
+            S[b] += ranks[a] // od[a]
+        ranks = {v: base + (S[v] * 17) // 20 for v in nodes}
+    assert got == ranks, (got, ranks)
+
+    got2 = {
+        r.node: r.rank_scaled
+        for r in pagerank(edges.repartition(7), n_iters=4).collect()
+    }
+    assert got2 == ranks
+    # the hub (node 0) must outrank the dangling sink-free node 5
+    assert got[0] > got[5]

@@ -267,6 +267,8 @@ BENCH_QUERIES = [
     "docs_quality_calibration",
     # late-r9: exact-integer PageRank over the deterministic link graph
     "docs_pagerank",
+    # late-r9: Broder containment (subset-duplicate) dedup
+    "dedup_containment",
 ]
 
 

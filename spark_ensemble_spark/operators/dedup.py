@@ -1658,3 +1658,77 @@ similarity.ivf_oracle_sql`), assignment ties break on centroid id, the drop
     FROM assigned a
     WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.drop_id = a.id)
     """
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 2,
+    threshold: float = 0.9,
+    max_gram_docs: Optional[int] = 100,
+) -> DataFrame:
+    """Subset-duplicate detection via Broder CONTAINMENT — the asymmetric
+    complement of resemblance Jaccard: ``c(A→B) = |A∩B| / |A|`` finds a
+    document QUOTED INSIDE another (a press release inside an article, a
+    chapter inside a compilation) that Jaccard misses whenever the
+    container is much larger (J = |A∩B|/|A∪B| shrinks with |B|; the
+    containment of the quoted side stays 1.0).
+
+    Returns ``(id_a, id_b, shared, containment_ab, containment_ba)`` for
+    id_a < id_b where either direction ≥ ``threshold``; containments are
+    exact-integer divisions floor-rounded onto the 1e-6 grid.
+
+    Plan shape (the ngram_jaccard discipline): candidates come from ONE
+    equi-join on shared distinct n-grams with a per-gram document-frequency
+    quarantine (``max_gram_docs`` bounds every reducer at cap² pairs —
+    boilerplate grams never explode), then the exact containment recomputes
+    on the FULL gram arrays of candidate pairs only — the cap costs recall
+    among pairs sharing ONLY ubiquitous grams (near-copies by construction
+    share rare grams too), never precision. Contained docs share every
+    surviving gram with their container, so blocking recall for true
+    containment is 1 unless ALL of a doc's grams are quarantined."""
+    from spark_ensemble_spark.sources.datasets import spread_to_parallelism
+
+    df = spread_to_parallelism(df)
+    norm = F.regexp_replace(
+        F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+", " "
+    )
+    toks = F.split(norm, " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        )
+    )
+    base = df.select(F.col(id_col).alias("id"), grams.alias("grams"))
+    g = base.select("id", F.explode("grams").alias("g"))
+    if max_gram_docs is not None:
+        w = Window.partitionBy("g")
+        g = g.withColumn("__df", F.count(F.lit(1)).over(w)).filter(
+            F.col("__df") <= max_gram_docs
+        )
+    cand = (
+        g.alias("l")
+        .join(g.alias("r"), "g")
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    la = base.select(F.col("id").alias("id_a"), F.col("grams").alias("__ga"))
+    lb = base.select(F.col("id").alias("id_b"), F.col("grams").alias("__gb"))
+    joined = cand.join(la, "id_a").join(lb, "id_b")
+    shared = F.size(F.array_intersect(F.col("__ga"), F.col("__gb")))
+    out = joined.select(
+        "id_a",
+        "id_b",
+        shared.cast("long").alias("shared"),
+        _floor_round(shared / F.size("__ga"), 6).alias("containment_ab"),
+        _floor_round(shared / F.size("__gb"), 6).alias("containment_ba"),
+    )
+    return out.filter(
+        F.greatest(F.col("containment_ab"), F.col("containment_ba"))
+        >= F.lit(float(threshold))
+    )

@@ -4107,6 +4107,81 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_batch(ev, gap_minutes=30)
 
 
+@query(
+    "dedup_containment",
+    f"""
+    WITH planted AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000,
+             text || ' zzcontain' || CAST(doc_id AS VARCHAR) ||
+             ' qqpad' || CAST(doc_id AS VARCHAR) || ' wwtail' || CAST(doc_id AS VARCHAR)
+      FROM documents WHERE doc_id < 15
+    ),
+    base AS (
+      SELECT doc_id AS id,
+             list_distinct([
+               array_to_string(toks[i : i + 1], ' ')
+               FOR i IN range(1, greatest(len(toks) - 1, 1) + 1)
+             ]) AS grams
+      FROM (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),
+                   '\\s+', ' ', 'g'), ' ') AS toks FROM planted)
+    ),
+    g AS (
+      SELECT id, u.g AS g FROM base, unnest(grams) AS u(g)
+    ),
+    gc AS (
+      SELECT id, g FROM (
+        SELECT id, g, count(*) OVER (PARTITION BY g) AS df FROM g
+      ) WHERE df <= 100
+    ),
+    cand AS (
+      SELECT DISTINCT l.id AS id_a, r.id AS id_b
+      FROM gc l JOIN gc r ON l.g = r.g AND l.id < r.id
+    )
+    SELECT id_a, id_b,
+           CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS shared,
+           {_frs("len(list_intersect(a.grams, b.grams)) * 1.0 / len(a.grams)", 6)}
+             AS containment_ab,
+           {_frs("len(list_intersect(a.grams, b.grams)) * 1.0 / len(b.grams)", 6)}
+             AS containment_ba
+    FROM cand JOIN base a ON a.id = cand.id_a JOIN base b ON b.id = cand.id_b
+    WHERE greatest(
+            {_frs("len(list_intersect(a.grams, b.grams)) * 1.0 / len(a.grams)", 6)},
+            {_frs("len(list_intersect(a.grams, b.grams)) * 1.0 / len(b.grams)", 6)}
+          ) >= 0.9
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subset-duplicate detection (Broder containment — |A∩B|/|A|, the
+    asymmetric complement of Jaccard): finds a document QUOTED INSIDE a
+    larger one, which resemblance misses as the container grows. Planted
+    fixture: 15 container docs each embed an original verbatim plus
+    unique padding — the original's containment is ~1.0 while Jaccard is
+    diluted. Candidates via one shared-gram equi-join with a per-gram
+    document-frequency quarantine; exact containment recomputes on full
+    gram arrays, so the cap costs recall only among pairs sharing
+    nothing rare. Everything — gram sets, cap, both directions, the
+    threshold on the max — replays in the oracle."""
+    from spark_ensemble_spark.operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id")
+    containers = docs.filter(i < 15).select(
+        (i + 1000000).alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.lit(" zzcontain"), i.cast("string"),
+            F.lit(" qqpad"), i.cast("string"),
+            F.lit(" wwtail"), i.cast("string"),
+        ).alias("text"),
+    )
+    planted = docs.unionByName(containers)
+    return containment_pairs(
+        planted, "text", "doc_id", n=2, threshold=0.9, max_gram_docs=100
+    )
+
+
 _PAGERANK_EDGES_SQL = """
 SELECT src, dst FROM (
   SELECT doc_id AS src,

@@ -5895,6 +5895,50 @@ def docs_gzip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_warc_ingest",
+    f"""
+    WITH ranked AS (
+      SELECT doc_id % {_GZIP_CONTAINERS} AS container_id, doc_id, text,
+             CAST(row_number() OVER (PARTITION BY doc_id % {_GZIP_CONTAINERS}
+                                     ORDER BY doc_id) - 1 AS INT) AS record_index
+      FROM documents
+    )
+    SELECT container_id, record_index,
+           'response' AS warc_type,
+           'https://example.com/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+           CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+           md5(text) AS text_md5
+    FROM ranked
+    """,
+)
+def docs_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip the documents table through real ``.warc.gz`` containers —
+    the Common-Crawl delivery format proper: one gzip member per WARC/1.0
+    response record (version line, typed headers, Content-Length framing,
+    CRLF structure) packed executor-side, then strictly parsed back by the
+    member walker + WARC parser. The oracle replays record ordering, the
+    derived target URIs, exact byte lengths, and each payload's md5 from
+    the plaintext table: decode(encode(x)) == x over the spec's actual
+    wire framing."""
+    from spark_ensemble_spark.sources.compressed import (
+        synthetic_warc_gz_corpus,
+        warc_extract,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = synthetic_warc_gz_corpus(docs, num_containers=_GZIP_CONTAINERS)
+    rec = warc_extract(packed)
+    return rec.select(
+        "container_id",
+        "record_index",
+        "warc_type",
+        "target_uri",
+        "content_length",
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("text_md5"),
+    )
+
+
+@query(
     "streaming_gzip_ingest",
     # identical oracle to docs_gzip_ingest: the streamed extraction must
     # hash-match the batch analytic replay, so stream/batch parity is

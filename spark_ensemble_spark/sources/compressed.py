@@ -148,3 +148,128 @@ def gzip_extract_jsonl(df: DataFrame, payload_col: str = "payload") -> DataFrame
             )
 
     return df.mapInPandas(op, schema=RECORD_SCHEMA)
+
+
+WARC_RECORD_SCHEMA = (
+    "container_id long, record_index int, warc_type string, "
+    "target_uri string, content_length long, text string"
+)
+
+
+def synthetic_warc_gz_corpus(
+    df: DataFrame,
+    num_containers: int = 40,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pack documents into deterministic ``.warc.gz``-shaped containers —
+    the Common-Crawl delivery format proper: one WARC/1.0 "response" record
+    per document (version line, ``WARC-Type`` / ``WARC-Record-ID`` /
+    ``WARC-Target-URI`` / ``Content-Length`` headers, CRLF framing, payload,
+    trailing CRLF CRLF), each record gzip-compressed as its OWN member
+    (``mtime=0`` — byte-deterministic) per the WARC spec §annex, members
+    concatenated into the container. ``applyInPandas``: containers build in
+    their executors, the driver sees nothing."""
+    import pandas as pd  # noqa: F401
+
+    def pack(pdf):
+        import gzip
+
+        import pandas as pd
+
+        pdf = pdf.sort_values(id_col)
+        members = []
+        for i, t in zip(pdf[id_col], pdf[text_col]):
+            body = ("" if t is None else str(t)).encode("utf-8")
+            rec = (
+                b"WARC/1.0\r\n"
+                + b"WARC-Type: response\r\n"
+                + f"WARC-Record-ID: <urn:doc:{int(i)}>\r\n".encode()
+                + f"WARC-Target-URI: https://example.com/doc/{int(i)}\r\n".encode()
+                + f"Content-Length: {len(body)}\r\n".encode()
+                + b"\r\n"
+                + body
+                + b"\r\n\r\n"
+            )
+            members.append(gzip.compress(rec, mtime=0))
+        payload = b"".join(members)
+        return pd.DataFrame(
+            {
+                "container_id": [int(pdf["__cid"].iloc[0])],
+                "payload": [payload],
+                "n_bytes": [len(payload)],
+                "n_records": [len(members)],
+            }
+        )
+
+    keyed = df.select(
+        F.col(id_col), F.col(text_col), (F.col(id_col) % num_containers).alias("__cid")
+    )
+    return keyed.groupBy("__cid").applyInPandas(pack, schema=CONTAINER_SCHEMA)
+
+
+def warc_extract(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Expand ``.warc.gz`` containers into typed records through the Arrow
+    seam: the multi-member gzip walk of :func:`gzip_extract_jsonl` (one
+    member per record — the spec's random-access property), then a strict
+    WARC parse per member: version line must be ``WARC/1.0``, headers read
+    until the blank line, the payload is EXACTLY ``Content-Length`` bytes
+    (never "until the next record" — binary payloads may contain anything).
+    Emits ``(container_id, record_index, warc_type, target_uri,
+    content_length, text)``; malformed version lines or short payloads
+    raise — corrupt input is a data error, not a skip."""
+
+    def op(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import zlib
+
+        import pandas as pd
+
+        def members(b: bytes):
+            rest = bytes(b)
+            while rest.startswith(b"\x1f\x8b"):
+                d = zlib.decompressobj(wbits=31)
+                data = d.decompress(rest) + d.flush()
+                yield data
+                rest = d.unused_data
+
+        def parse(rec: bytes):
+            head, sep, rest = rec.partition(b"\r\n\r\n")
+            if not sep:
+                raise ValueError("WARC record without header terminator")
+            lines = head.split(b"\r\n")
+            if lines[0] != b"WARC/1.0":
+                raise ValueError(f"bad WARC version line: {lines[0]!r}")
+            hdrs = {}
+            for ln in lines[1:]:
+                k, _, v = ln.partition(b": ")
+                hdrs[k.decode("ascii").lower()] = v.decode("utf-8")
+            n = int(hdrs["content-length"])
+            if len(rest) < n:
+                raise ValueError("truncated WARC payload")
+            body = rest[:n]
+            return (
+                hdrs.get("warc-type", ""),
+                hdrs.get("warc-target-uri", ""),
+                n,
+                body.decode("utf-8"),
+            )
+
+        for pdf in batches:
+            rows = []
+            for cid, payload in zip(pdf["container_id"], pdf[payload_col]):
+                for ri, member in enumerate(members(payload)):
+                    wt, uri, n, text = parse(member)
+                    rows.append((int(cid), ri, wt, uri, n, text))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "container_id",
+                    "record_index",
+                    "warc_type",
+                    "target_uri",
+                    "content_length",
+                    "text",
+                ],
+            )
+
+    return df.mapInPandas(op, schema=WARC_RECORD_SCHEMA)

@@ -3227,3 +3227,44 @@ def test_pagerank_matches_python_reference(spark):
     assert got2 == ranks
     # the hub (node 0) must outrank the dangling sink-free node 5
     assert got[0] > got[5]
+
+
+def test_warc_parser_strictness_and_binary_payloads(spark):
+    """WARC parsing edges: Content-Length framing must survive payloads
+    containing CRLF-CRLF look-alikes (never 'read until next record'), a
+    bad version line raises, and a truncated payload raises."""
+    import gzip
+
+    import pytest
+
+    from spark_ensemble_spark.sources.compressed import warc_extract
+
+    def rec(body: bytes, version=b"WARC/1.0", length=None):
+        n = len(body) if length is None else length
+        return (
+            version + b"\r\n"
+            + b"WARC-Type: response\r\n"
+            + b"WARC-Target-URI: https://x/1\r\n"
+            + f"Content-Length: {n}\r\n".encode()
+            + b"\r\n" + body + b"\r\n\r\n"
+        )
+
+    tricky = "a\r\n\r\nb"  # header-terminator bytes INSIDE the payload
+    payload = gzip.compress(rec(tricky.encode()), mtime=0)
+    df = spark.createDataFrame(
+        [(1, payload)], "container_id long, payload binary"
+    )
+    out = warc_extract(df).collect()
+    assert len(out) == 1 and out[0].text == tricky and out[0].content_length == 6
+
+    bad_version = gzip.compress(rec(b"x", version=b"WARC/0.9"), mtime=0)
+    with pytest.raises(Exception):
+        warc_extract(
+            spark.createDataFrame([(1, bad_version)], "container_id long, payload binary")
+        ).collect()
+
+    truncated = gzip.compress(rec(b"abc", length=10), mtime=0)
+    with pytest.raises(Exception):
+        warc_extract(
+            spark.createDataFrame([(1, truncated)], "container_id long, payload binary")
+        ).collect()

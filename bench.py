@@ -269,6 +269,8 @@ BENCH_QUERIES = [
     "docs_pagerank",
     # late-r9: Broder containment (subset-duplicate) dedup
     "dedup_containment",
+    # late-r9: WARC container round-trip (the Common-Crawl wire format)
+    "docs_warc_ingest",
 ]
 
 

@@ -271,6 +271,8 @@ BENCH_QUERIES = [
     "dedup_containment",
     # late-r9: WARC container round-trip (the Common-Crawl wire format)
     "docs_warc_ingest",
+    # late-r9: relevance + link-authority fusion (BM25 x PageRank via RRF)
+    "docs_authority_boosted_search",
 ]
 
 

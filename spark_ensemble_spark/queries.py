@@ -4227,6 +4227,67 @@ from spark_ensemble_spark.operators.graph import (  # noqa: E402
 ORACLES["docs_pagerank"] = _pagerank_oracle_sql(_PAGERANK_EDGES_SQL, n_iters=5)
 
 
+_AUTHORITY_K = 10
+_AUTHORITY_SQL = f"""
+  SELECT vq.query_id, a.node AS doc_id, a.rank FROM (
+    SELECT node, CAST(row_number() OVER (
+             ORDER BY rank_scaled DESC, node) AS INT) AS rank
+    FROM ({{pagerank_sql}})
+  ) a CROSS JOIN ({_BM25_QUERIES_VALUES_SQL}) vq
+  WHERE a.rank <= {_AUTHORITY_K}
+"""
+
+
+@query("docs_authority_boosted_search")
+def docs_authority_boosted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Authority-boosted search — the classic relevance ⊕ static-prior
+    fusion (a per-query BM25 ranking RRF-fused with the query-independent
+    PageRank top-10 of the link graph): central documents float upward
+    without ever comparing raw scores across signal types, exactly how a
+    web-search stack folds link authority into keyword relevance. Both
+    branches AND the fusion replay in the oracle (the PageRank branch
+    unrolls its five exact-integer iterations)."""
+    from pyspark.sql import Window
+
+    from spark_ensemble_spark.operators.graph import pagerank
+    from spark_ensemble_spark.operators.retrieval import bm25_topk, rrf_fuse
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    queries = spark.createDataFrame(
+        list(_BM25_QUERIES), "query_id string, query_text string"
+    )
+    lex = bm25_topk(docs, queries, k=_BM25_K, max_df=_BM25_MAX_DF).select(
+        "query_id", "doc_id", "rank"
+    )
+    n = docs.count()
+    i = F.col("doc_id")
+    e1 = docs.select(i.alias("src"), F.pmod(i * 7 + 1, F.lit(n)).alias("dst"))
+    e2 = docs.select(i.alias("src"), F.pmod(i * 13 + 2, F.lit(n)).alias("dst"))
+    pr = pagerank(
+        e1.unionByName(e2).filter(F.col("src") != F.col("dst")), n_iters=5
+    )
+    w = Window.orderBy(F.desc("rank_scaled"), F.asc("node"))
+    authority = (
+        pr.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _AUTHORITY_K)
+        .crossJoin(F.broadcast(queries.select("query_id")))
+        .select("query_id", F.col("node").alias("doc_id"), "rank")
+    )
+    return rrf_fuse([lex, authority], k=_BM25_K, c=_HYBRID_C)
+
+
+ORACLES["docs_authority_boosted_search"] = _retrieval.rrf_oracle_sql(
+    [
+        _retrieval.bm25_oracle_sql(_BM25_QUERIES, k=_BM25_K, max_df=_BM25_MAX_DF),
+        _AUTHORITY_SQL.format(
+            pagerank_sql=_pagerank_oracle_sql(_PAGERANK_EDGES_SQL, n_iters=5)
+        ),
+    ],
+    k=_BM25_K,
+    c=_HYBRID_C,
+)
+
+
 @query("docs_quality_calibration")
 def docs_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reliability diagram for the quality scorer against the lang=='en'

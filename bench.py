@@ -273,6 +273,8 @@ BENCH_QUERIES = [
     "docs_warc_ingest",
     # late-r9: relevance + link-authority fusion (BM25 x PageRank via RRF)
     "docs_authority_boosted_search",
+    # late-r9: index-health observability (df distribution, corpus stats)
+    "retrieval_index_stats",
 ]
 
 

@@ -788,3 +788,104 @@ def merge_bm25_index(
         )
     )
     return postings, stats
+
+
+def bm25_index_stats(
+    index: DataFrame,
+    index_stats: DataFrame,
+) -> DataFrame:
+    """Index-health report — the observability row an operations dashboard
+    reads before trusting a serving index: vocabulary size, total postings,
+    max / mean / exact-rank p50 / p90 document frequency (skewed df means a
+    missing ``max_df`` stopword guard), plus the corpus-level (n_docs,
+    Σdl). One scan of the posting table; every number is an exact integer
+    or a floor-rounded exact division, so the report itself is
+    oracle-checkable like any data row.
+
+    Exact-rank quantiles use the Dummy-quantile convention (value at row
+    ``ceil(q·n)`` ordered by (df, term)) — a window over the
+    vocabulary-sized df table, not the posting table."""
+    df_tbl = index.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    scalars = df_tbl.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum("__df").alias("total_postings"),
+        F.max("__df").alias("max_df"),
+    )
+    w = Window.orderBy(F.asc("__df"), F.asc("term"))
+    ranked = df_tbl.withColumn("__rn", F.row_number().over(w))
+    q = ranked.crossJoin(F.broadcast(scalars.select("vocab_size"))).select(
+        "__df",
+        "__rn",
+        F.ceil(F.col("vocab_size") * 0.5).alias("__r50"),
+        F.ceil(F.col("vocab_size") * 0.9).alias("__r90"),
+    )
+    p50 = q.filter(F.col("__rn") == F.col("__r50")).select(
+        F.col("__df").alias("p50_df")
+    )
+    p90 = q.filter(F.col("__rn") == F.col("__r90")).select(
+        F.col("__df").alias("p90_df")
+    )
+    base = index_stats.select("n_docs", "sum_dl")
+    return (
+        scalars.crossJoin(F.broadcast(p50))
+        .crossJoin(F.broadcast(p90))
+        .crossJoin(F.broadcast(base))
+        .select(
+            "vocab_size",
+            "total_postings",
+            "max_df",
+            _floor_round(
+                F.col("total_postings").cast("double") / F.col("vocab_size"), 6
+            ).alias("avg_df"),
+            "p50_df",
+            "p90_df",
+            "n_docs",
+            "sum_dl",
+        )
+    )
+
+
+def bm25_index_stats_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB replay of ``bm25_index_stats(build_bm25_index(docs))``: the
+    same tokenization, per-term df, exact-rank quantile convention, and
+    floor-rounded mean."""
+    return f"""
+    WITH toks AS (
+      SELECT {id_col} AS id, u.t AS t
+      FROM {table},
+           unnest(string_split(regexp_replace(lower(trim(coalesce({text_col}, ''))),
+                               '\\s+', ' ', 'g'), ' ')) AS u(t)
+      WHERE u.t != ''
+    ),
+    tf AS (SELECT id, t FROM toks GROUP BY id, t),
+    dfs AS (SELECT t AS term, count(*) AS df FROM tf GROUP BY t),
+    scalars AS (
+      SELECT count(*) AS vocab_size,
+             CAST(sum(df) AS BIGINT) AS total_postings,
+             max(df) AS max_df
+      FROM dfs
+    ),
+    ranked AS (
+      SELECT df, row_number() OVER (ORDER BY df, term) AS rn FROM dfs
+    ),
+    qs AS (
+      SELECT
+        (SELECT df FROM ranked WHERE rn =
+          (SELECT CAST(ceil(vocab_size * 0.5) AS BIGINT) FROM scalars)) AS p50_df,
+        (SELECT df FROM ranked WHERE rn =
+          (SELECT CAST(ceil(vocab_size * 0.9) AS BIGINT) FROM scalars)) AS p90_df
+    ),
+    corpus AS (
+      SELECT (SELECT count(*) FROM {table}) AS n_docs,
+             (SELECT count(*) FROM toks) AS sum_dl
+    )
+    SELECT vocab_size, total_postings, max_df,
+           {_floor_round_sql("CAST(total_postings AS DOUBLE) / vocab_size", 6)}
+             AS avg_df,
+           p50_df, p90_df, n_docs, sum_dl
+    FROM scalars, qs, corpus
+    """

@@ -4227,6 +4227,27 @@ from spark_ensemble_spark.operators.graph import (  # noqa: E402
 ORACLES["docs_pagerank"] = _pagerank_oracle_sql(_PAGERANK_EDGES_SQL, n_iters=5)
 
 
+@query(
+    "retrieval_index_stats",
+    _retrieval.bm25_index_stats_oracle_sql(),
+)
+def retrieval_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-health observability: vocabulary size, total postings, max /
+    floor-rounded-mean / exact-rank p50 / p90 document frequency, and the
+    corpus (n_docs, Σdl) — the dashboard row an operator reads before
+    trusting a serving index (a fat df tail means a missing max_df guard).
+    Every number is an exact integer or one exact division; the oracle
+    replays tokenization, df counts, the rank convention, and the mean."""
+    from spark_ensemble_spark.operators.retrieval import (
+        bm25_index_stats,
+        build_bm25_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings, stats = build_bm25_index(docs)
+    return bm25_index_stats(postings, stats)
+
+
 _AUTHORITY_K = 10
 _AUTHORITY_SQL = f"""
   SELECT vq.query_id, a.node AS doc_id, a.rank FROM (

@@ -997,3 +997,31 @@ def test_ltr_features_join_is_shortlist_sized(spark, sf_dir):
         "== Initial Plan =="
     )[0]
     assert "CartesianProduct" not in plan
+
+
+def test_pagerank_and_gap_fill_plan_shapes(spark, sf_dir):
+    """Late-r9 iteration/resample discipline: PageRank's per-iteration plan
+    is equi-joins + hash aggregates only (no cartesian product, no global
+    single-partition sort anywhere in the final plan), and gap_fill's only
+    window partitions by user — no empty-frame global window."""
+    import spark_ensemble_spark.queries as q
+
+    pr = q.docs_pagerank(spark, sf_dir)
+    assert pr.count() > 0
+    p1 = pr._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "CartesianProduct" not in p1
+
+    gf = q.events_gap_fill_hourly(spark, sf_dir)
+    assert gf.count() > 0
+    p2 = gf._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "CartesianProduct" not in p2
+    # every Window must partition by user_id — a global (unpartitioned)
+    # window would funnel the grid through one task
+    import re
+
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", p2):
+        assert "user_id" in m.group(0), m.group(0)

@@ -275,6 +275,7 @@ BENCH_QUERIES = [
     "docs_authority_boosted_search",
     # late-r9: index-health observability (df distribution, corpus stats)
     "retrieval_index_stats",
+    "similarity_index_stats",
 ]
 
 

@@ -1556,3 +1556,98 @@ def hard_negatives(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def ivfpq_index_stats(enc: DataFrame) -> DataFrame:
+    """Index-health report for an IVF(-PQ) index frame — the ANN companion
+    of ``retrieval.bm25_index_stats``: vector count, used-cell count, max /
+    floor-rounded-mean / exact-rank p50 / p90 cell occupancy. A fat cell
+    tail means the coarse quantizer no longer fits the data (probe cost is
+    ``Σ probed-cell sizes`` — occupancy skew IS the serving latency tail)
+    and it's time to retrain centroids. One scan of the code table plus a
+    cells-sized window; every number exact or one exact division."""
+    occ = enc.groupBy("cell").agg(F.count(F.lit(1)).alias("__n"))
+    scalars = occ.agg(
+        F.sum("__n").alias("n_vectors"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.max("__n").alias("max_cell"),
+    )
+    w = Window.orderBy(F.asc("__n"), F.asc("cell"))
+    ranked = occ.withColumn("__rn", F.row_number().over(w))
+    q = ranked.crossJoin(F.broadcast(scalars.select("n_cells"))).select(
+        "__n",
+        "__rn",
+        F.ceil(F.col("n_cells") * 0.5).alias("__r50"),
+        F.ceil(F.col("n_cells") * 0.9).alias("__r90"),
+    )
+    p50 = q.filter(F.col("__rn") == F.col("__r50")).select(
+        F.col("__n").alias("p50_cell")
+    )
+    p90 = q.filter(F.col("__rn") == F.col("__r90")).select(
+        F.col("__n").alias("p90_cell")
+    )
+    return (
+        scalars.crossJoin(F.broadcast(p50))
+        .crossJoin(F.broadcast(p90))
+        .select(
+            "n_vectors",
+            "n_cells",
+            "max_cell",
+            _floor_round(
+                F.col("n_vectors").cast("double") / F.col("n_cells"), 6
+            ).alias("avg_cell"),
+            "p50_cell",
+            "p90_cell",
+        )
+    )
+
+
+def ivfpq_index_stats_oracle_sql(
+    centroids: list,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB replay of ``ivfpq_index_stats(ivfpq_encode(...))``: cell
+    assignment via the same per-centroid distance chains and (d, cid)
+    tie-break as :func:`ivf_oracle_sql`, then the same occupancy
+    aggregation and exact-rank quantile convention."""
+    arms = []
+    for cid, c in enumerate(centroids):
+        chain = " + ".join(
+            f"(v[{j + 1}]-({x!r}))*(v[{j + 1}]-({x!r}))" for j, x in enumerate(c)
+        )
+        arms.append(f"SELECT id, {cid} AS cid, {chain} AS d FROM e")
+    dist_union = "\n      UNION ALL ".join(arms)
+    return f"""
+    WITH e AS (SELECT {id_col} AS id, {vec_col}::DOUBLE[] AS v FROM {table}),
+    d AS (
+      {dist_union}
+    ),
+    assigned AS (
+      SELECT id, cid AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn FROM d
+      ) WHERE rn = 1
+    ),
+    occ AS (SELECT cell, count(*) AS n FROM assigned GROUP BY cell),
+    scalars AS (
+      SELECT CAST(sum(n) AS BIGINT) AS n_vectors,
+             count(*) AS n_cells,
+             max(n) AS max_cell
+      FROM occ
+    ),
+    ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n, cell) AS rn FROM occ
+    ),
+    qs AS (
+      SELECT
+        (SELECT n FROM ranked WHERE rn =
+          (SELECT CAST(ceil(n_cells * 0.5) AS BIGINT) FROM scalars)) AS p50_cell,
+        (SELECT n FROM ranked WHERE rn =
+          (SELECT CAST(ceil(n_cells * 0.9) AS BIGINT) FROM scalars)) AS p90_cell
+    )
+    SELECT n_vectors, n_cells, max_cell,
+           {_floor_round_sql("CAST(n_vectors AS DOUBLE) / n_cells", 6)} AS avg_cell,
+           p50_cell, p90_cell
+    FROM scalars, qs
+    """

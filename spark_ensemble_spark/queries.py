@@ -4227,6 +4227,30 @@ from spark_ensemble_spark.operators.graph import (  # noqa: E402
 ORACLES["docs_pagerank"] = _pagerank_oracle_sql(_PAGERANK_EDGES_SQL, n_iters=5)
 
 
+@query("similarity_index_stats")
+def similarity_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index health — cell-occupancy distribution of the residual
+    IVF-PQ index (vector count, used cells, max / mean / exact-rank p50 /
+    p90 occupancy): probe cost is the sum of probed-cell sizes, so
+    occupancy skew IS the serving latency tail, and a fat tail says the
+    coarse quantizer needs retraining. The oracle replays cell assignment
+    through the same per-centroid distance chains and aggregates
+    identically."""
+    from spark_ensemble_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_index_stats,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    enc = ivfpq_encode(emb, _IVF_CENTROIDS, _pq_books(), residual=True)
+    return ivfpq_index_stats(enc)
+
+
+ORACLES["similarity_index_stats"] = _similarity.ivfpq_index_stats_oracle_sql(
+    _IVF_CENTROIDS
+)
+
+
 @query(
     "retrieval_index_stats",
     _retrieval.bm25_index_stats_oracle_sql(),

@@ -4227,6 +4227,81 @@ from spark_ensemble_spark.operators.graph import (  # noqa: E402
 ORACLES["docs_pagerank"] = _pagerank_oracle_sql(_PAGERANK_EDGES_SQL, n_iters=5)
 
 
+@query(
+    "dedup_funnel_report",
+    f"""
+    WITH RECURSIVE edges AS (
+      SELECT d.doc_id AS src, d.doc_id + 1 AS dst
+      FROM documents d JOIN documents e ON e.doc_id = d.doc_id + 1
+      WHERE d.doc_id % 100 <= 29
+    ),
+    undirected AS (
+      SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ),
+    reach(id, r) AS (
+      SELECT src, src FROM undirected
+      UNION
+      SELECT u.src, r.r FROM undirected u JOIN reach r ON r.id = u.dst
+    ),
+    clusters AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+    scalars AS (
+      SELECT (SELECT count(*) FROM documents) AS n_docs,
+             (SELECT count(*) FROM edges) AS n_near_pairs,
+             (SELECT count(DISTINCT cluster_id) FROM clusters) AS n_clusters,
+             (SELECT count(*) FROM clusters) AS n_linked_docs,
+             (SELECT count(*) FROM clusters WHERE id <> cluster_id) AS n_removed
+    )
+    SELECT n_docs, n_near_pairs, n_clusters, n_linked_docs, n_removed,
+           CAST(n_docs - n_removed AS BIGINT) AS n_survivors,
+           {_frs("CAST(n_removed AS DOUBLE) / n_docs", 6)} AS dup_rate
+    FROM scalars
+    """,
+)
+def dedup_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-funnel observability — the one-row dashboard a corpus release
+    publishes ("N docs in, P near-dup pairs, C clusters, R removed, S
+    survive, dup rate d"): pair discovery, connected-component resolution,
+    and survivor selection each contribute an exact count, assembled from
+    1-row aggregates (no driver collect of data). Runs on the chain
+    fixture whose clusters/survivors are already hash-checked rows, so the
+    funnel's arithmetic has a true oracle."""
+    from spark_ensemble_spark.operators.dedup import dup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.select("doc_id")
+    cand = ids.filter(F.col("doc_id") % 100 <= 29).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    edges = cand.join(
+        ids.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi"
+    )
+    clusters = dup_clusters(edges)
+    a = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    b = edges.agg(F.count(F.lit(1)).alias("n_near_pairs"))
+    c = clusters.agg(
+        F.countDistinct("cluster_id").alias("n_clusters"),
+        F.count(F.lit(1)).alias("n_linked_docs"),
+        F.sum(
+            (F.col("id") != F.col("cluster_id")).cast("long")
+        ).alias("n_removed"),
+    )
+    return (
+        a.crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(c))
+        .select(
+            "n_docs",
+            "n_near_pairs",
+            "n_clusters",
+            "n_linked_docs",
+            "n_removed",
+            (F.col("n_docs") - F.col("n_removed")).cast("long").alias("n_survivors"),
+            _floor_round(
+                F.col("n_removed").cast("double") / F.col("n_docs"), 6
+            ).alias("dup_rate"),
+        )
+    )
+
+
 @query("similarity_index_stats")
 def similarity_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN index health — cell-occupancy distribution of the residual

@@ -1,0 +1,323 @@
+"""Preference-data preparation: Bradley-Terry strength fitting.
+
+RLHF / preference-tuning pipelines aggregate millions of pairwise
+comparisons ("response A beat response B") into per-item strength scores —
+for grading annotators, ranking data sources, filtering inconsistent
+raters, and building Elo-style leaderboards over generation policies. The
+canonical model is Bradley-Terry (1952): ``P(i beats j) = p_i/(p_i+p_j)``,
+fit by Hunter's (2004) MM algorithm:
+
+    p_i  <-  w_i / SUM_j n_ij / (p_i + p_j)
+
+where ``w_i`` is item i's total wins and ``n_ij`` the number of
+comparisons between i and j.
+
+Exactness contract — the same discipline as ``operators/graph.pagerank``:
+EXACT INTEGER arithmetic end to end, so the fitted strengths are
+bit-deterministic under any partitioning and fully SQL-replayable:
+
+* strengths live on a ``10^9`` integer grid (BIGINT ``p``), initialised
+  at ``SCALE`` (strength 1.0),
+* the per-pair denominator term is ``(n_ij * SCALE * QSCALE) DIV
+  (p_i + p_j)`` — the multiply runs in DECIMAL(38,0) on Spark and HUGEINT
+  in DuckDB (both exact 128-bit), and the single flooring division IS the
+  spec, identical everywhere,
+* the update is ``(w_i * SCALE * QSCALE) DIV T_i`` on the exact BIGINT
+  sum ``T_i``; a normalisation step rescales so strengths sum to
+  ``K * SCALE`` (the MM iteration is scale-invariant — without this the
+  raw fixed point drifts),
+* strengths clamp at ``MIN_P = SCALE DIV 10^6`` (items with zero wins
+  have MLE 0; the clamp bounds the support like additive smoothing and
+  keeps every denominator positive).
+
+BIGINT headroom: with the clamp, a per-pair term is at most
+``n_ij * SCALE * QSCALE / (2 * MIN_P) = n_ij * 5 * 10^11``, so an item's
+denominator sum stays under 2^63 up to ~1.8 * 10^7 comparisons against
+fully-collapsed opponents, and up to ~1.8 * 10^13 in the normal regime
+(opponents near the grid) — comfortably past 100 TB comparison logs.
+
+Scale shape: ``wins`` and ``pairs`` are one map-side-combined aggregation
+each over the comparison log; afterwards every iteration touches only the
+(item) and (item-pair) frames — model-sized, NOT data-sized — with two
+equi-joins on the item key and one grouped sum. The comparison log is
+read exactly once. Lineage is truncated through ``DFIterationCache``.
+
+Reference parity: the reference engine has no preference surface — this
+is beyond-reference LLM-pipeline scope (SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 10**9  # strength grid
+QSCALE = 10**6  # per-pair quotient grid
+MIN_P = SCALE // 10**6  # clamp: minimum representable strength (1e-6)
+_BIG = SCALE * QSCALE  # 10^15 — the exact-integer numerator scale
+
+
+def pair_documents(
+    docs: DataFrame,
+    n_buckets: int = 50,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic document matchups for the BT demo/oracle: bucket every
+    doc by its md5-60-bit hash (the repo's replay-safe draw — stable under
+    retries/repartitioning, unlike ``rand()``), order each bucket by
+    ``doc_id``, and compare CONSECUTIVE docs (a sliding window, so a doc
+    can appear in up to two matchups). The longer text wins (``n_chars``),
+    ties to the smaller ``doc_id``; same-source matchups are dropped
+    (items here are sources — a source cannot beat itself).
+
+    Output: ``(winner, loser)`` one row per comparison. One narrow
+    projection + one window over md5 buckets — no join, no self-join."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("", F.col("doc_id").cast("string"), F.lit(f":{seed}"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    d = docs.select(
+        "doc_id", "source", "n_chars", (h % F.lit(n_buckets)).alias("bucket")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    seq = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.lead("doc_id").over(w).alias("nid"),
+        F.lead("source").over(w).alias("nsource"),
+        F.lead("n_chars").over(w).alias("nchars2"),
+    ).where(F.col("nid").isNotNull() & (F.col("source") != F.col("nsource")))
+    left_wins = (F.col("n_chars") > F.col("nchars2")) | (
+        (F.col("n_chars") == F.col("nchars2")) & (F.col("doc_id") < F.col("nid"))
+    )
+    return seq.select(
+        F.when(left_wins, F.col("source")).otherwise(F.col("nsource")).alias("winner"),
+        F.when(left_wins, F.col("nsource")).otherwise(F.col("source")).alias("loser"),
+    )
+
+
+def pair_documents_sql(n_buckets: int = 50, seed: int = 0) -> str:
+    """DuckDB SQL emitting the identical ``(winner, loser)`` rows."""
+    return f"""
+    SELECT CASE WHEN n_chars > nchars2 OR (n_chars = nchars2 AND doc_id < nid)
+                THEN source ELSE nsource END AS winner,
+           CASE WHEN n_chars > nchars2 OR (n_chars = nchars2 AND doc_id < nid)
+                THEN nsource ELSE source END AS loser
+    FROM (
+      SELECT doc_id, source, n_chars,
+             lead(doc_id) OVER w AS nid,
+             lead(source) OVER w AS nsource,
+             lead(n_chars) OVER w AS nchars2
+      FROM (
+        SELECT doc_id, source, n_chars,
+               ('0x' || substring(md5(doc_id::VARCHAR || ':{seed}'), 1, 15))::BIGINT
+                 % {n_buckets} AS bucket
+        FROM documents
+      )
+      WINDOW w AS (PARTITION BY bucket ORDER BY doc_id)
+    )
+    WHERE nid IS NOT NULL AND source <> nsource
+    """
+
+
+def bradley_terry(
+    comparisons: DataFrame,
+    n_iters: int = 8,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+) -> DataFrame:
+    """Fit Bradley-Terry strengths over a ``(winner, loser)`` comparison
+    log with ``n_iters`` exact-integer MM rounds. Returns one row per item:
+    ``(item, strength_scaled BIGINT, strength DOUBLE, wins BIGINT,
+    n_comparisons BIGINT, rank INT)`` with ``strength =
+    strength_scaled / 10^9`` (one division of the same exact integer —
+    identical on every engine) and ``rank`` 1-based by descending strength
+    (item-name tie-break)."""
+    from spark_ensemble_spark.core.utils import DFIterationCache
+
+    comp = comparisons.select(
+        F.col(winner_col).alias("winner"), F.col(loser_col).alias("loser")
+    )
+    items = (
+        comp.select(F.col("winner").alias("item"))
+        .unionByName(comp.select(F.col("loser").alias("item")))
+        .distinct()
+    )
+    wins = (
+        items.join(
+            comp.groupBy(F.col("winner").alias("item")).agg(
+                F.count(F.lit(1)).alias("w")
+            ),
+            "item",
+            "left",
+        )
+        .withColumn("w", F.coalesce(F.col("w"), F.lit(0)).cast("long"))
+    )
+    pairs = comp.groupBy(
+        F.least("winner", "loser").alias("a"),
+        F.greatest("winner", "loser").alias("b"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+    k = items.count()  # scalar model order: bounded driver state
+    # interval=2: the strength frame is referenced TWICE per round (pa/pb),
+    # so the analyzed plan grows ~4x per un-truncated round; the frame is
+    # model-sized (one row per item), so truncating every other round is
+    # cheap and keeps analysis bounded.
+    cache = DFIterationCache(interval=2)
+    wins = cache.update(wins)
+    pairs = cache.update(pairs)
+    p = cache.update(items.withColumn("p", F.lit(SCALE).cast("long")))
+
+    term = F.expr(f"CAST((CAST(n AS DECIMAL(38,0)) * {_BIG}) div (pa + pb) AS LONG)")
+    for _ in range(n_iters):
+        joined = (
+            pairs.join(p.select(F.col("item").alias("a"), F.col("p").alias("pa")), "a")
+            .join(p.select(F.col("item").alias("b"), F.col("p").alias("pb")), "b")
+            .withColumn("t", term)
+        )
+        denom = (
+            joined.select(F.col("a").alias("item"), "t")
+            .unionByName(joined.select(F.col("b").alias("item"), "t"))
+            .groupBy("item")
+            .agg(F.sum("t").alias("T"))
+        )
+        unnorm = wins.join(denom, "item").select(
+            "item",
+            F.greatest(
+                F.expr(f"CAST((CAST(w AS DECIMAL(38,0)) * {_BIG}) div T AS LONG)"),
+                F.lit(MIN_P),
+            ).alias("p"),
+        )
+        # normalisation total as an unpartitioned window — the frame is
+        # model-sized (one row per item), so the single-partition window
+        # is a K-row sort, never a data-sized funnel.
+        from pyspark.sql.window import Window
+
+        total = F.sum(F.col("p").cast("decimal(38,0)")).over(
+            Window.partitionBy()
+        )
+        p = cache.update(
+            unnorm.withColumn("total", total).select(
+                "item",
+                F.greatest(
+                    F.expr(
+                        f"CAST((CAST(p AS DECIMAL(38,0)) * {k * SCALE}) div total AS LONG)"
+                    ),
+                    F.lit(MIN_P),
+                ).alias("p"),
+            )
+        )
+
+    n_comps = (
+        pairs.select(F.col("a").alias("item"), "n")
+        .unionByName(pairs.select(F.col("b").alias("item"), "n"))
+        .groupBy("item")
+        .agg(F.sum("n").alias("n_comparisons"))
+    )
+    from pyspark.sql.window import Window
+
+    out = (
+        p.join(wins, "item")
+        .join(n_comps, "item")
+        .select(
+            "item",
+            F.col("p").alias("strength_scaled"),
+            (F.col("p").cast("double") / F.lit(float(SCALE))).alias("strength"),
+            F.col("w").alias("wins"),
+            F.col("n_comparisons").cast("long").alias("n_comparisons"),
+            F.row_number()
+            .over(Window.orderBy(F.col("p").desc(), F.col("item")))
+            .cast("int")
+            .alias("rank"),
+        )
+    )
+    cache.close()
+    return out
+
+
+def bradley_terry_oracle_sql(comparisons_sql: str, n_iters: int = 8) -> str:
+    """DuckDB replay of :func:`bradley_terry`: the MM rounds UNROLL as
+    chained MATERIALIZED CTEs (two per step — denominator sums, then the
+    normalised update) with identical integer arithmetic (HUGEINT
+    multiply, ``//`` floor — DuckDB ``//`` == Spark ``div`` on
+    non-negative operands). Unrolled rather than RECURSIVE for the same
+    reason as the PageRank oracle: DuckDB 1.0.0 recursive CTEs
+    mis-aggregate with correlated subterms. ``comparisons_sql`` emits
+    ``(winner, loser)``."""
+    steps = []
+    for i in range(1, n_iters + 1):
+        prev = f"p{i - 1}"
+        steps.append(f"""
+    t{i} AS MATERIALIZED (
+      SELECT x.item, CAST(sum(x.t) AS BIGINT) AS T FROM (
+        SELECT pr.a AS item,
+               CAST((CAST(pr.n AS HUGEINT) * {_BIG}) // (pa.p + pb.p) AS BIGINT) AS t
+        FROM pairs pr
+        JOIN {prev} pa ON pa.item = pr.a
+        JOIN {prev} pb ON pb.item = pr.b
+        UNION ALL
+        SELECT pr.b,
+               CAST((CAST(pr.n AS HUGEINT) * {_BIG}) // (pa.p + pb.p) AS BIGINT)
+        FROM pairs pr
+        JOIN {prev} pa ON pa.item = pr.a
+        JOIN {prev} pb ON pb.item = pr.b
+      ) x GROUP BY x.item
+    ),
+    u{i} AS MATERIALIZED (
+      SELECT w.item,
+             greatest(CAST((CAST(w.w AS HUGEINT) * {_BIG}) // t.T AS BIGINT),
+                      {MIN_P}) AS p
+      FROM wins w JOIN t{i} t ON t.item = w.item
+    ),
+    p{i} AS MATERIALIZED (
+      SELECT u.item,
+             greatest(CAST((CAST(u.p AS HUGEINT)
+                            * ((SELECT k FROM korder) * {SCALE}))
+                           // (SELECT CAST(sum(CAST(p AS HUGEINT)) AS HUGEINT)
+                               FROM u{i}) AS BIGINT),
+                      {MIN_P}) AS p
+      FROM u{i} u
+    )""")
+    chain = ",".join(steps)
+    return f"""
+    WITH comp AS MATERIALIZED ({comparisons_sql}),
+    items AS MATERIALIZED (
+      SELECT winner AS item FROM comp UNION SELECT loser FROM comp
+    ),
+    korder AS MATERIALIZED (SELECT count(*) AS k FROM items),
+    wins AS MATERIALIZED (
+      SELECT i.item, CAST(count(c.winner) AS BIGINT) AS w
+      FROM items i LEFT JOIN comp c ON c.winner = i.item
+      GROUP BY i.item
+    ),
+    pairs AS MATERIALIZED (
+      SELECT least(winner, loser) AS a, greatest(winner, loser) AS b,
+             CAST(count(*) AS BIGINT) AS n
+      FROM comp GROUP BY 1, 2
+    ),
+    p0 AS MATERIALIZED (
+      SELECT item, CAST({SCALE} AS BIGINT) AS p FROM items
+    ),{chain},
+    ncomp AS MATERIALIZED (
+      SELECT x.item, CAST(sum(x.n) AS BIGINT) AS n_comparisons FROM (
+        SELECT a AS item, n FROM pairs UNION ALL SELECT b, n FROM pairs
+      ) x GROUP BY x.item
+    )
+    SELECT p.item,
+           p.p AS strength_scaled,
+           CAST(p.p AS DOUBLE) / {float(SCALE)!r} AS strength,
+           w.w AS wins,
+           n.n_comparisons,
+           CAST(row_number() OVER (ORDER BY p.p DESC, p.item) AS INT) AS rank
+    FROM p{n_iters} p
+    JOIN wins w ON w.item = p.item
+    JOIN ncomp n ON n.item = p.item
+    """

@@ -850,3 +850,164 @@ def bpe_token_counts_oracle_sql(
     WHERE d.w <> ''
     GROUP BY d.{id_col}
     """
+
+
+# ---------------------------------------------------------------------------
+# WordPiece training (Schuster & Nakajima 2012; the BERT tokenizer family).
+# Same vocabulary state and merge fold as BPE — the DIFFERENCE is the
+# selection rule: instead of the raw pair-count argmax, WordPiece merges the
+# pair maximizing the likelihood gain  count(lhs,rhs) / (count(lhs) *
+# count(rhs))  — cohesion, not frequency, so rare-but-inseparable pairs
+# (morphemes) win over ubiquitous-but-independent ones.
+#
+# Exactness contract: the score lives on a 10^12 integer grid —
+# (pair_count * 10^12) DIV (lhs_total * rhs_total), the multiply exact in
+# DECIMAL(38,0) / HUGEINT, one flooring division as the spec — so the argmax
+# (score DESC, pair_count DESC, lhs, rhs) is bit-deterministic on both
+# engines and the full training trajectory is hash-checkable like BPE's.
+# Ties inside a tick tie-break by raw pair count, then lexicographically.
+# Scale shape: identical to bpe_train plus one symbol-count aggregate and
+# two vocab-sized joins per round; driver state stays one 1-row argmax.
+# ---------------------------------------------------------------------------
+
+WP_SCORE_SCALE = 10**12
+
+WP_MERGES_SCHEMA = (
+    "merge_rank int, lhs string, rhs string, pair_count long, score_scaled long"
+)
+
+
+def wordpiece_train(
+    df: Optional[DataFrame],
+    text_col: str = "text",
+    num_merges: int = 10,
+    vocab: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Learn ``num_merges`` WordPiece merges; returns
+    ``(merge_rank, lhs, rhs, pair_count, score_scaled)`` where
+    ``score_scaled = (pair_count * 10^12) DIV (count(lhs) * count(rhs))``
+    over the round's vocabulary state. The merge fold, word state, and
+    iteration cache are shared with :func:`bpe_train` — only the argmax
+    key differs."""
+    if vocab is None:
+        if df is None:
+            raise ValueError("pass a corpus df or a precomputed vocab")
+        vocab = word_counts(df, text_col)
+    spark = vocab.sparkSession
+    words = vocab.select(char_syms(F.col("w")).alias("s"), F.col("cnt"))
+    cache = DFIterationCache(interval=4, keep=2)
+    words = cache.update(words)
+    score = F.expr(
+        f"CAST((CAST(pair_count AS DECIMAL(38,0)) * {WP_SCORE_SCALE})"
+        " div (CAST(lc AS DECIMAL(38,0)) * CAST(rc AS DECIMAL(38,0))) AS LONG)"
+    )
+    merges: List[Tuple[int, str, str, int, int]] = []
+    try:
+        for rank in range(int(num_merges)):
+            sym_counts = (
+                words.select(F.explode(F.split("s", SEP)).alias("sym"), "cnt")
+                .groupBy("sym")
+                .agg(F.sum("cnt").alias("c"))
+            )
+            best = (
+                words.select(F.explode(adjacent_pairs(F.col("s"))).alias("pr"), "cnt")
+                .groupBy(F.col("pr.l").alias("lhs"), F.col("pr.r").alias("rhs"))
+                .agg(F.sum("cnt").alias("pair_count"))
+                .join(
+                    sym_counts.select(F.col("sym").alias("lhs"), F.col("c").alias("lc")),
+                    "lhs",
+                )
+                .join(
+                    sym_counts.select(F.col("sym").alias("rhs"), F.col("c").alias("rc")),
+                    "rhs",
+                )
+                .withColumn("score_scaled", score)
+                .orderBy(
+                    F.desc("score_scaled"), F.desc("pair_count"), "lhs", "rhs"
+                )
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            row = best[0]
+            merges.append(
+                (rank, row.lhs, row.rhs, int(row.pair_count), int(row.score_scaled))
+            )
+            words = cache.update(
+                words.withColumn("s", apply_merge(F.col("s"), row.lhs, row.rhs))
+            )
+    finally:
+        cache.close()
+    return spark.createDataFrame(merges, WP_MERGES_SCHEMA)
+
+
+def _wp_iteration_ctes(i: int) -> str:
+    """WordPiece analogue of :func:`_iteration_ctes`: adds the per-round
+    symbol-count CTE ``s{i}`` and scores the argmax ``b{i}`` on the exact
+    integer likelihood grid; the merge fold ``f{i}`` is identical."""
+    return f"""
+    l{i} AS MATERIALIZED (SELECT w, string_split(s, chr(30)) AS lst, cnt FROM w{i}),
+    s{i} AS MATERIALIZED (
+      SELECT sym, CAST(sum(cnt) AS BIGINT) AS c
+      FROM (SELECT unnest(lst) AS sym, cnt FROM l{i})
+      GROUP BY sym
+    ),
+    p{i} AS MATERIALIZED (
+      SELECT pr.l AS lhs, pr.r AS rhs, CAST(sum(cnt) AS BIGINT) AS pair_count
+      FROM (
+        SELECT cnt,
+               unnest(list_transform(range(1, len(lst)),
+                                     j -> {{'l': lst[j], 'r': lst[j + 1]}})) AS pr
+        FROM l{i}
+      )
+      GROUP BY 1, 2
+    ),
+    b{i} AS MATERIALIZED (
+      SELECT p.lhs, p.rhs, p.pair_count,
+             CAST((CAST(p.pair_count AS HUGEINT) * {WP_SCORE_SCALE})
+                  // (CAST(la.c AS HUGEINT) * ra.c) AS BIGINT) AS score_scaled
+      FROM p{i} p
+      JOIN s{i} la ON la.sym = p.lhs
+      JOIN s{i} ra ON ra.sym = p.rhs
+      ORDER BY score_scaled DESC, p.pair_count DESC, p.lhs, p.rhs
+      LIMIT 1
+    ),
+    f{i} AS (
+      SELECT w, lst, cnt, 1 AS pos, lst[1] AS acc FROM l{i}
+      UNION ALL
+      SELECT f.w, f.lst, f.cnt, f.pos + 1,
+             CASE WHEN right(chr(30) || f.acc, 1 + length(b.lhs)) = chr(30) || b.lhs
+                       AND f.lst[f.pos + 1] = b.rhs
+                  THEN f.acc || b.rhs
+                  ELSE f.acc || chr(30) || f.lst[f.pos + 1] END
+      FROM f{i} f, b{i} b WHERE f.pos < len(f.lst)
+    ),
+    w{i + 1} AS MATERIALIZED (SELECT w, acc AS s, cnt FROM f{i} WHERE pos = len(lst))"""
+
+
+def wordpiece_train_oracle_sql(
+    num_merges: int = 10, source: str = "documents", text_col: str = "text"
+) -> str:
+    """DuckDB replay of :func:`wordpiece_train` — the identical trajectory
+    (symbol counts, pair counts, integer-grid scores, argmax tie-breaks,
+    merge folds), every round hash-checked."""
+    head = f"""WITH RECURSIVE
+    w0 AS (
+      SELECT w,
+             list_aggregate(list_transform(range(1, length(w) + 1), i -> w[i]),
+                            'string_agg', chr(30)) AS s,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest({_TOKENIZE.format(text_col=text_col)}) AS w FROM {source})
+      WHERE w <> ''
+      GROUP BY w
+    )"""
+    chain = head + ",".join([""] + [_wp_iteration_ctes(i) for i in range(num_merges)])
+    rows = "\n      UNION ALL ".join(
+        f"SELECT {i} AS merge_rank, lhs, rhs, pair_count, score_scaled FROM b{i}"
+        for i in range(num_merges)
+    )
+    return f"""{chain}
+    SELECT merge_rank, lhs, rhs, pair_count, score_scaled FROM ({rows})
+    ORDER BY merge_rank
+    """

@@ -2250,6 +2250,21 @@ def docs_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tokenizer.bpe_token_counts(docs, merges)
 
 
+@query(
+    "docs_wordpiece_train",
+    _tokenizer.wordpiece_train_oracle_sql(num_merges=_BPE_MERGES),
+)
+def docs_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece merge learning (Schuster & Nakajima 2012 — the BERT
+    tokenizer family): same vocab-table loop and merge fold as BPE, but
+    the argmax maximizes likelihood gain count(pair)/(count(l)*count(r))
+    on an exact 10^12 integer grid, so cohesive rare pairs beat ubiquitous
+    independent ones. The full trajectory — symbol counts, scores,
+    tie-breaks, folds — replays in the oracle's unrolled CTEs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _tokenizer.wordpiece_train(docs, num_merges=_BPE_MERGES)
+
+
 @query("bpe_vocab", _tokenizer.bpe_vocab_oracle_sql(num_merges=_BPE_MERGES))
 def bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shippable tokenizer artifact: train 10 merges, then emit the
@@ -4225,6 +4240,34 @@ from spark_ensemble_spark.operators.graph import (  # noqa: E402
 )
 
 ORACLES["docs_pagerank"] = _pagerank_oracle_sql(_PAGERANK_EDGES_SQL, n_iters=5)
+
+
+@query("docs_preference_strength")
+def docs_preference_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry source-strength fit over a deterministic preference
+    log (RLHF-data prep: pairwise comparisons -> per-item strengths).
+    Matchups pair consecutive docs inside md5 buckets, longer text wins;
+    items are sources. Eight MM rounds of EXACT integer arithmetic
+    (strengths on a 10^9 grid, 128-bit multiplies, flooring division as
+    the spec, normalise-and-clamp each round) — bit-deterministic under
+    any partitioning; the oracle unrolls the identical iteration as
+    MATERIALIZED CTEs, so every strength, win count, and rank
+    hash-checks."""
+    from spark_ensemble_spark.operators.preference import (
+        bradley_terry,
+        pair_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bradley_terry(pair_documents(docs), n_iters=8)
+
+
+from spark_ensemble_spark.operators.preference import (  # noqa: E402
+    bradley_terry_oracle_sql as _bt_oracle_sql,
+    pair_documents_sql as _bt_pairs_sql,
+)
+
+ORACLES["docs_preference_strength"] = _bt_oracle_sql(_bt_pairs_sql(), n_iters=8)
 
 
 @query(
@@ -6797,6 +6840,62 @@ def similarity_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.join(keep, "vec_id", "leftsemi")
     queries_df = corpus.filter(F.col("vec_id") < 5)
     return brute_force_topk(corpus, queries_df, k=5)
+
+
+_URL_BLOCKLIST = ("blog.org", "spam.example.com")
+
+
+def _url_canonical_oracle() -> str:
+    from spark_ensemble_spark.operators import urls as _u
+
+    fix = _u.url_fixture_sql()
+    host = (
+        "lower(regexp_replace(regexp_extract(url,"
+        " '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1), ':([0-9]+)$', ''))"
+    )
+    return f"""
+    WITH raw AS MATERIALIZED (
+      SELECT doc_id, {fix} AS url FROM documents
+    ),
+    feats AS MATERIALIZED (
+      SELECT doc_id, url,
+             {_u.normalize_url_sql('url')} AS url_norm,
+             {host} AS host,
+             regexp_extract({host}, '([^.]+\\.[^.]+)$', 1) AS registered_domain,
+             {_u.url_features_blocked_sql(host, _URL_BLOCKLIST)} AS blocked
+      FROM raw
+    )
+    SELECT doc_id, url, url_norm, host, registered_domain, blocked,
+           (row_number() OVER (PARTITION BY url_norm ORDER BY doc_id) = 1
+            AND NOT blocked) AS is_canonical
+    FROM feats
+    """
+
+
+@query("docs_url_canonical")
+def docs_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL curation (C4/RefinedWeb posture): normalize scheme/host case,
+    default ports, tracking params, param order, fragments, and trailing
+    slashes; extract host + registered domain; flag blocklisted domains
+    (subdomain-aware); keep the smallest doc_id per normalized URL as
+    canonical. Pure Catalyst string algebra — the only exchange is the
+    canonical-pick window on url_norm; the oracle replays every
+    normalization step and the canonical choice."""
+    from spark_ensemble_spark.operators import urls as _u
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    with_url = docs.select(
+        "doc_id", _u.url_fixture(F.col("doc_id"), F.col("source")).alias("url")
+    )
+    return _u.canonicalize_urls(
+        with_url, blocklist=_URL_BLOCKLIST
+    ).select(
+        "doc_id", "url", "url_norm", "host", "registered_domain",
+        "blocked", "is_canonical",
+    )
+
+
+ORACLES["docs_url_canonical"] = _url_canonical_oracle()
 
 
 @query("docs_pii_scrub", _pii.pii_scrub_oracle_sql())

@@ -535,3 +535,46 @@ def test_unigram_unseen_chars_fall_back_to_unk(spark):
     got = {r.w: r for r in U.unigram_segment_pieces(wdf, model, 4).collect()}
     assert got["~~"].n_pieces == 2 and got["~~"].logp == 2 * U.UNK_LOGP
     assert "".join(got["théâtre!"].pieces) == "théâtre!"
+
+
+# ---------------------------------------------------------------------------
+# WordPiece (likelihood-scored merges)
+# ---------------------------------------------------------------------------
+
+
+def test_wordpiece_prefers_cohesive_pair_over_frequent_pair(spark):
+    """The defining WordPiece property: 'xy' appears only 3 times but x and
+    y occur ONLY together (score 3/(3*3)); 'ab' appears 10 times but a and
+    b are ubiquitous on their own (score 10/(100*100)). BPE's frequency
+    argmax picks (a,b); WordPiece must pick (x,y) first."""
+    rows = (
+        [("ab",)] * 10 + [("a",)] * 90 + [("b",)] * 90 + [("xy",)] * 3
+    )
+    docs = spark.createDataFrame(rows, "text string")
+    wp = tk.wordpiece_train(docs, num_merges=1).collect()
+    assert (wp[0].lhs, wp[0].rhs) == ("x", "y")
+    bpe = tk.bpe_train(docs, num_merges=1).collect()
+    assert (bpe[0].lhs, bpe[0].rhs) == ("a", "b")
+
+
+def test_wordpiece_score_grid_and_determinism(spark):
+    """Scores sit on the 10^12 integer grid and the trajectory is identical
+    under repartitioning (exact-integer contract)."""
+    rows = [("hello world hello helper",)] * 3 + [("world wide help",)] * 2
+    docs = spark.createDataFrame(rows, "text string")
+    a = tk.wordpiece_train(docs.coalesce(1), num_merges=4).collect()
+    b = tk.wordpiece_train(docs.repartition(5), num_merges=4).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    for r in a:
+        assert 0 <= r.score_scaled <= tk.WP_SCORE_SCALE
+        assert r.pair_count >= 1
+
+
+def test_wordpiece_merge_fold_matches_bpe_fold(spark):
+    """The merge APPLICATION is shared with BPE: training on a corpus where
+    both rules pick the same pair yields the same post-merge vocab state."""
+    rows = [("zz zz zz",)] * 4
+    docs = spark.createDataFrame(rows, "text string")
+    wp = tk.wordpiece_train(docs, num_merges=1).collect()
+    bp = tk.bpe_train(docs, num_merges=1).collect()
+    assert (wp[0].lhs, wp[0].rhs) == (bp[0].lhs, bp[0].rhs) == ("z", "z")

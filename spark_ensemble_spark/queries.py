@@ -6842,6 +6842,54 @@ def similarity_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(corpus, queries_df, k=5)
 
 
+def _html_extract_oracle() -> str:
+    from spark_ensemble_spark.operators import html as _h
+
+    fix = _h.html_fixture_sql()
+    return f"""
+    WITH raw AS MATERIALIZED (
+      SELECT doc_id, ({fix}) AS html FROM documents
+    )
+    SELECT doc_id,
+           {_h.html_to_text_sql('html')} AS text_clean,
+           CAST(length({_h.html_to_text_sql('html')}) AS BIGINT) AS n_clean_chars,
+           {_h.extract_links_sql('html')} AS links,
+           CAST(len({_h.extract_links_sql('html')}) AS BIGINT) AS n_links
+    FROM raw
+    """
+
+
+@query("docs_html_extract")
+def docs_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction (the first post-crawl transform): strip
+    comments/script/style blocks, break block tags to spaces, drop
+    remaining tags, decode entities (&amp; last — the double-decode
+    hazard), collapse whitespace; plus href link extraction for the URL /
+    link-graph families. A fixed fold of JVM regexp expressions in the
+    Java-regex∩RE2 dialect — one narrow projection, no UDF, no shuffle;
+    the oracle replays every fold step and the link arrays
+    token-for-token. Document text wraps in a deterministic HTML fixture
+    (title/nav/script/style/comment/entities — the PII fixture
+    posture)."""
+    from spark_ensemble_spark.operators import html as _h
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    raw = docs.select(
+        "doc_id", _h.html_fixture(F.col("doc_id"), F.col("text")).alias("html")
+    )
+    cleaned = _h.clean_html(raw)
+    return cleaned.select(
+        "doc_id",
+        "text_clean",
+        F.length("text_clean").cast("long").alias("n_clean_chars"),
+        "links",
+        "n_links",
+    )
+
+
+ORACLES["docs_html_extract"] = _html_extract_oracle()
+
+
 _URL_BLOCKLIST = ("blog.org", "spam.example.com")
 
 

@@ -276,6 +276,13 @@ BENCH_QUERIES = [
     # late-r9: index-health observability (df distribution, corpus stats)
     "retrieval_index_stats",
     "similarity_index_stats",
+    # r9 continuation: preference strength (RLHF prep), WordPiece trainer,
+    # URL curation, HTML->text extraction
+    "docs_preference_strength",
+    "docs_wordpiece_train",
+    "docs_url_canonical",
+    "docs_html_extract",
+    "streaming_preference_strength",
 ]
 
 

@@ -128,6 +128,41 @@ def pair_documents_sql(n_buckets: int = 50, seed: int = 0) -> str:
     """
 
 
+def pair_stats(
+    comparisons: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+) -> DataFrame:
+    """Collapse a comparison log to its COMPLETE sufficient statistic:
+    one row per unordered item pair ``(a, b, n, wins_a)`` with
+    ``a < b``, ``n`` total comparisons, ``wins_a`` won by ``a``. Plain
+    integer sums — MERGEABLE by re-aggregation (the rollup-store
+    posture), which is what makes the streaming maintenance below exact:
+    a union of per-batch partials re-summed equals the from-scratch
+    aggregate bit-for-bit. This is the one data-sized shuffle in the
+    whole fit."""
+    comp = comparisons.select(
+        F.col(winner_col).alias("winner"), F.col(loser_col).alias("loser")
+    )
+    return comp.groupBy(
+        F.least("winner", "loser").alias("a"),
+        F.greatest("winner", "loser").alias("b"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("winner") == F.least("winner", "loser"), 1).otherwise(0)
+        ).alias("wins_a"),
+    )
+
+
+def merge_pair_stats(partials: DataFrame) -> DataFrame:
+    """Re-aggregate a union of :func:`pair_stats` partials (exact integer
+    sums — merge order free)."""
+    return partials.groupBy("a", "b").agg(
+        F.sum("n").alias("n"), F.sum("wins_a").alias("wins_a")
+    )
+
+
 def bradley_terry(
     comparisons: DataFrame,
     n_iters: int = 8,
@@ -141,30 +176,29 @@ def bradley_terry(
     strength_scaled / 10^9`` (one division of the same exact integer —
     identical on every engine) and ``rank`` 1-based by descending strength
     (item-name tie-break)."""
+    return fit_pair_stats(
+        pair_stats(comparisons, winner_col, loser_col), n_iters=n_iters
+    )
+
+
+def fit_pair_stats(stats: DataFrame, n_iters: int = 8) -> DataFrame:
+    """The MM fit from a ``(a, b, n, wins_a)`` pair-stats frame (see
+    :func:`pair_stats`); after the stats collapse, every round touches
+    only item- and pair-sized frames — model-sized, never data-sized."""
     from spark_ensemble_spark.core.utils import DFIterationCache
 
-    comp = comparisons.select(
-        F.col(winner_col).alias("winner"), F.col(loser_col).alias("loser")
-    )
-    items = (
-        comp.select(F.col("winner").alias("item"))
-        .unionByName(comp.select(F.col("loser").alias("item")))
-        .distinct()
-    )
+    pairs = stats.select("a", "b", F.col("n").cast("long").alias("n"))
     wins = (
-        items.join(
-            comp.groupBy(F.col("winner").alias("item")).agg(
-                F.count(F.lit(1)).alias("w")
-            ),
-            "item",
-            "left",
+        stats.select(F.col("a").alias("item"), F.col("wins_a").alias("w"))
+        .unionByName(
+            stats.select(
+                F.col("b").alias("item"), (F.col("n") - F.col("wins_a")).alias("w")
+            )
         )
-        .withColumn("w", F.coalesce(F.col("w"), F.lit(0)).cast("long"))
+        .groupBy("item")
+        .agg(F.sum("w").cast("long").alias("w"))
     )
-    pairs = comp.groupBy(
-        F.least("winner", "loser").alias("a"),
-        F.greatest("winner", "loser").alias("b"),
-    ).agg(F.count(F.lit(1)).alias("n"))
+    items = wins.select("item")
 
     k = items.count()  # scalar model order: bounded driver state
     # interval=2: the strength frame is referenced TWICE per round (pa/pb),
@@ -321,3 +355,77 @@ def bradley_terry_oracle_sql(comparisons_sql: str, n_iters: int = 8) -> str:
     JOIN wins w ON w.item = p.item
     JOIN ncomp n ON n.item = p.item
     """
+
+
+# ---------------------------------------------------------------------------
+# Stateless comparison fixture (for the streaming row: each document row IS
+# one comparison, derivable without cross-row state).
+# ---------------------------------------------------------------------------
+
+
+def fixture_comparisons(docs: DataFrame) -> DataFrame:
+    """One comparison per document, STATELESS (no window, no join — the
+    projection composes with readStream as an append-mode map): the doc's
+    source faces the deterministic opponent ``'src' || (doc_id % 20)``;
+    even ``n_chars`` means the source wins. Self-matchups drop. The
+    honest-fixture posture: the operator under test is the mergeable
+    stats maintenance + fit, the comparison log is replayable."""
+    opp = F.concat(F.lit("src"), (F.col("doc_id") % 20).cast("string"))
+    even = F.col("n_chars") % 2 == 0
+    return (
+        docs.where(F.col("source") != opp)
+        .select(
+            F.when(even, F.col("source")).otherwise(opp).alias("winner"),
+            F.when(even, opp).otherwise(F.col("source")).alias("loser"),
+        )
+    )
+
+
+def fixture_comparisons_sql() -> str:
+    """DuckDB SQL emitting the identical comparison rows."""
+    return """
+    SELECT CASE WHEN n_chars % 2 = 0 THEN source
+                ELSE 'src' || CAST(doc_id % 20 AS VARCHAR) END AS winner,
+           CASE WHEN n_chars % 2 = 0 THEN 'src' || CAST(doc_id % 20 AS VARCHAR)
+                ELSE source END AS loser
+    FROM documents
+    WHERE source <> 'src' || CAST(doc_id % 20 AS VARCHAR)
+    """
+
+
+# ---------------------------------------------------------------------------
+# Streaming maintenance: per-batch pair-stats partials, merged at fit time.
+# ---------------------------------------------------------------------------
+
+
+def preference_stats_stream(
+    comp_stream: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+):
+    """STREAMING preference-log maintenance: comparisons arrive on a
+    stream; each micro-batch's :func:`pair_stats` lands as a
+    ``batch_id=N``-scoped idempotent parquet overwrite (the
+    ``bm25_index_stream`` / rollup-store posture). Partials are plain
+    integer sums, so :func:`read_preference_stats_dir` re-aggregates them
+    at fit time into EXACTLY the from-scratch statistic — replays and
+    restarts cannot drift the fit. Driver state: none. Returns the
+    started StreamingQuery."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        pair_stats(batch_df).write.mode("overwrite").parquet(
+            f"{store_path}/pair_stats/batch_id={batch_id}"
+        )
+
+    return (
+        comp_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def read_preference_stats_dir(spark, store_path: str) -> DataFrame:
+    """Load a :func:`preference_stats_stream` store and merge the partials
+    (exact integer sums — merge order free); feed to
+    :func:`fit_pair_stats`."""
+    return merge_pair_stats(spark.read.parquet(f"{store_path}/pair_stats"))

@@ -6992,6 +6992,58 @@ def streaming_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["streaming_pii_scrub"] = _pii.pii_scrub_oracle_sql()
 
 
+@query("streaming_preference_strength")
+def streaming_preference_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING preference-log maintenance: comparisons arrive on a
+    document stream (one stateless comparison per doc — no window, no
+    state store), each micro-batch's pair-stats sufficient statistic
+    (a, b, n, wins_a) lands as a batch_id-scoped idempotent write, and
+    the Bradley-Terry fit runs from the MERGED partials — which equal
+    the from-scratch statistic exactly (plain integer sums), so the
+    stream-maintained fit hash-matches the batch ORACLE bit-for-bit.
+    The RLHF leaderboard that never re-reads its comparison history."""
+    import os
+    import shutil
+    import tempfile
+
+    from spark_ensemble_spark.operators.preference import (
+        fit_pair_stats,
+        fixture_comparisons,
+        preference_stats_stream,
+        read_preference_stats_dir,
+    )
+    from spark_ensemble_spark.streaming.corpus import read_documents_stream
+    from spark_ensemble_spark.streaming.runner import replay_session
+
+    spark = replay_session(spark)
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "spark-warehouse",
+        f"pref_stats_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    ckpt = tempfile.mkdtemp(prefix="ses-prefstats-")
+    stream = fixture_comparisons(
+        read_documents_stream(spark, sf_dir).select("doc_id", "source", "n_chars")
+    )
+    q = preference_stats_stream(stream, store_path=base, checkpoint_dir=ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return fit_pair_stats(read_preference_stats_dir(spark, base), n_iters=8)
+
+
+from spark_ensemble_spark.operators.preference import (  # noqa: E402
+    fixture_comparisons_sql as _pref_fixture_sql,
+)
+
+ORACLES["streaming_preference_strength"] = _bt_oracle_sql(
+    _pref_fixture_sql(), n_iters=8
+)
+
+
 @query("streaming_bm25_index_serve")
 def streaming_bm25_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING lexical-index maintenance: documents arrive on a stream

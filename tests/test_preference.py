@@ -98,3 +98,29 @@ def test_pair_documents_deterministic_no_self_pairs(spark, sf_dir):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     assert len(a) > 0
     assert all(r["winner"] != r["loser"] for r in a)
+
+
+def test_streaming_stats_merge_equals_from_scratch(spark, tmp_path):
+    """Two deliveries of comparisons written as separate pair-stats
+    partials; the merged fit must equal fitting the concatenated log from
+    scratch (exact integer sums -> identical trajectory)."""
+    from spark_ensemble_spark.operators.preference import (
+        fit_pair_stats,
+        merge_pair_stats,
+        pair_stats,
+    )
+
+    d1 = _comparisons(spark, [("a", "b")] * 3 + [("b", "c")] * 2)
+    d2 = _comparisons(spark, [("b", "a")] * 2 + [("c", "a")] * 1 + [("a", "b")] * 1)
+    pair_stats(d1).write.mode("overwrite").parquet(str(tmp_path / "s/batch_id=0"))
+    pair_stats(d2).write.mode("overwrite").parquet(str(tmp_path / "s/batch_id=1"))
+    merged = merge_pair_stats(spark.read.parquet(str(tmp_path / "s")))
+    via_store = {
+        (r["item"], r["strength_scaled"], r["wins"], r["n_comparisons"])
+        for r in fit_pair_stats(merged, n_iters=5).collect()
+    }
+    scratch = {
+        (r["item"], r["strength_scaled"], r["wins"], r["n_comparisons"])
+        for r in bradley_terry(d1.unionByName(d2), n_iters=5).collect()
+    }
+    assert via_store == scratch

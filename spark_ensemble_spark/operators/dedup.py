@@ -1703,7 +1703,10 @@ def containment_pairs(
             ),
         )
     )
-    base = df.select(F.col(id_col).alias("id"), grams.alias("grams"))
+    # the gram arrays feed THREE consumers (the exploded candidate stage
+    # and both sides of the exact-containment rejoin) — persist so the
+    # tokenize+ngram+distinct projection runs once, not three times.
+    base = df.select(F.col(id_col).alias("id"), grams.alias("grams")).persist()
     g = base.select("id", F.explode("grams").alias("g"))
     if max_gram_docs is not None:
         w = Window.partitionBy("g")
@@ -1728,7 +1731,15 @@ def containment_pairs(
         _floor_round(shared / F.size("__ga"), 6).alias("containment_ab"),
         _floor_round(shared / F.size("__gb"), 6).alias("containment_ba"),
     )
-    return out.filter(
-        F.greatest(F.col("containment_ab"), F.col("containment_ba"))
-        >= F.lit(float(threshold))
+    # Materialize the (tiny) pair set with truncated lineage, then release
+    # the gram cache — the minhash_dup_pairs idiom: localCheckpoint storage
+    # is reclaimed by the ContextCleaner when the handle is GC'd.
+    out = (
+        out.filter(
+            F.greatest(F.col("containment_ab"), F.col("containment_ba"))
+            >= F.lit(float(threshold))
+        )
+        .localCheckpoint(eager=True)
     )
+    base.unpersist()
+    return out

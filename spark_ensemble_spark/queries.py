@@ -7451,6 +7451,26 @@ REGISTRY_ORDER = [
     #   dedup_winnow_pairs — n-gram/fingerprint dedup stays covered by
     #     dedup_minhash_md5 + dedup_incremental; winnowing keeps its
     #     extra-oracle row.
+    # -- r9 continuation frontier: the preference family (batch BT fit +
+    # streaming mergeable-stats maintenance) and the crawl front door
+    # (HTML->text extraction, URL normalization/canonical dedup). Out
+    # (fold notes; all four remain extra-oracle-verified ×2 SFs and
+    # benched):
+    #   dedup_semantic — the dedup family keeps dedup_minhash_md5,
+    #     embedding_dup_pairs_lsh, dedup_clusters, dedup_resolved_corpus,
+    #     dedup_incremental in-window; SemDeDup keeps its extra-oracle row;
+    #   dsir_select_en — curation gates stay covered in-window by
+    #     contamination_bloom + docs_quality_quantile_filter; DSIR keeps
+    #     its ×3-SF extra-oracle row;
+    #   bagging_dummy_prior_classifier — the Dummy-classifier chain stays
+    #     in-window via boosting/gbm/stacking_dummy_prior rows, bagging via
+    #     bagging_dummy_mean_regressor + bagging_tree_regressor;
+    #   stacking_dummy_prior_classifier — stacking stays in-window via
+    #     stacking_dummy_regressor + stacking_tree_classifier.
+    "docs_preference_strength",
+    "streaming_preference_strength",
+    "docs_html_extract",
+    "docs_url_canonical",
     "docs_pii_scrub",
     "docs_ltr_rerank",
     "docs_maxsim_rerank",
@@ -7507,8 +7527,6 @@ REGISTRY_ORDER = [
     # (pivot_flag_by_status / part_brand_stats folded out: pivot and
     # grouped-stats shapes stay covered in-window by orders_monthly_stats +
     # q1; both remain extra-oracle-verified at sf0.001+sf0.01) --
-    "dedup_semantic",
-    "dsir_select_en",
     "streaming_click_attribution",
     "streaming_dedup",
     # -- r6 rotation: the driver's 50-row window tracks the engine frontier
@@ -7535,7 +7553,6 @@ REGISTRY_ORDER = [
     "weighted_median_price",
     # -- ensemble estimators (SURVEY §2.1) --
     "bagging_dummy_mean_regressor",
-    "bagging_dummy_prior_classifier",
     "bagging_tree_regressor",
     "boosting_dummy_median_regressor",
     "boosting_dummy_prior_classifier",
@@ -7544,7 +7561,6 @@ REGISTRY_ORDER = [
     "gbm_dummy_prior_classifier",
     "gbm_tree_regressor",
     "stacking_dummy_regressor",
-    "stacking_dummy_prior_classifier",
     "stacking_tree_classifier",
     # -- text / dedup / similarity / multimodal / streaming
     # (text_language_id + dedup_exact folded late-r7: see header) --

@@ -729,3 +729,44 @@ def test_ann_index_stream_1m_vectors(spark, tmp_path):
         k=10, nprobe=3, residual=True,
     )
     assert out.count() == 30
+
+
+def test_bradley_terry_20m_comparisons(spark):
+    """r9 continuation: 20M pairwise comparisons over 2,000 items — the
+    RLHF-leaderboard scale shape. The comparison log collapses to pair
+    stats in ONE map-side-combined shuffle (≤ K²/2 = 2M pair rows);
+    every MM round afterwards touches only item/pair-sized frames. Also
+    exercises the BIGINT headroom math: ~10k comparisons per item."""
+    import time
+
+    from spark_ensemble_spark.operators.preference import (
+        MIN_P,
+        SCALE,
+        bradley_terry,
+    )
+
+    n, k = 20_000_000, 2_000
+    comp = spark.range(n).select(
+        F.concat(F.lit("i"), F.pmod(F.xxhash64("id"), F.lit(k)).cast("string")).alias("x"),
+        F.concat(F.lit("i"), F.pmod(F.xxhash64("id", F.lit(1)), F.lit(k)).cast("string")).alias(
+            "y"
+        ),
+    )
+    comp = comp.where(F.col("x") != F.col("y")).select(
+        # lower item index wins 60% of the time (deterministic hash draw)
+        F.when(F.pmod(F.xxhash64("x", "y"), F.lit(10)) < 6, F.least("x", "y"))
+        .otherwise(F.greatest("x", "y"))
+        .alias("winner"),
+        F.when(F.pmod(F.xxhash64("x", "y"), F.lit(10)) < 6, F.greatest("x", "y"))
+        .otherwise(F.least("x", "y"))
+        .alias("loser"),
+    )
+    t0 = time.time()
+    out = bradley_terry(comp, n_iters=4).collect()
+    wall = time.time() - t0
+    assert len(out) == k
+    total = sum(r["strength_scaled"] for r in out)
+    assert abs(total - k * SCALE) <= k * SCALE * 1e-3
+    assert all(r["strength_scaled"] >= MIN_P for r in out)
+    assert sum(r["n_comparisons"] for r in out) == 2 * comp.count()
+    print(f"\nbradley_terry 20M comparisons / {k} items, 4 iters: {wall:.1f}s")

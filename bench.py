@@ -283,6 +283,8 @@ BENCH_QUERIES = [
     "docs_url_canonical",
     "docs_html_extract",
     "streaming_preference_strength",
+    "docs_annotator_agreement",
+    "docs_fleiss_kappa",
 ]
 
 

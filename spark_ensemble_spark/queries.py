@@ -4270,6 +4270,49 @@ from spark_ensemble_spark.operators.preference import (  # noqa: E402
 ORACLES["docs_preference_strength"] = _bt_oracle_sql(_bt_pairs_sql(), n_iters=8)
 
 
+@query("docs_annotator_agreement")
+def docs_annotator_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa for every rater pair — the QC gate on the label/
+    preference collection the BT fit consumes: chance-corrected agreement
+    from exact integer aggregates (agreement counts, marginal products in
+    128-bit), one self-equi-join on the item key + two map-side-combined
+    marginal aggregations; a deterministic 3-rater keep/drop panel
+    (correlated through n_chars, so kappa lands strictly between 0 and
+    1). Every count, po, pe, and kappa hash-checks."""
+    from spark_ensemble_spark.operators.agreement import (
+        cohens_kappa_pairs,
+        rater_labels_fixture,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return cohens_kappa_pairs(rater_labels_fixture(docs))
+
+
+@query("docs_fleiss_kappa")
+def docs_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa over the full 3-rater panel (the multi-rater
+    generalisation next to the pairwise Cohen rows): per-item category
+    counts -> exact squared sums -> one division. Two grouped
+    aggregations, nothing collected."""
+    from spark_ensemble_spark.operators.agreement import (
+        fleiss_kappa,
+        rater_labels_fixture,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return fleiss_kappa(rater_labels_fixture(docs))
+
+
+from spark_ensemble_spark.operators.agreement import (  # noqa: E402
+    cohens_kappa_pairs_sql as _ckp_sql,
+    fleiss_kappa_sql as _fk_sql,
+    rater_labels_fixture_sql as _rlf_sql,
+)
+
+ORACLES["docs_annotator_agreement"] = _ckp_sql(_rlf_sql())
+ORACLES["docs_fleiss_kappa"] = _fk_sql(_rlf_sql())
+
+
 @query(
     "dedup_funnel_report",
     f"""

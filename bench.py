@@ -285,6 +285,7 @@ BENCH_QUERIES = [
     "streaming_preference_strength",
     "docs_annotator_agreement",
     "docs_fleiss_kappa",
+    "docs_tokenizer_eval",
 ]
 
 

@@ -1011,3 +1011,39 @@ def wordpiece_train_oracle_sql(
     SELECT merge_rank, lhs, rhs, pair_count, score_scaled FROM ({rows})
     ORDER BY merge_rank
     """
+
+
+def wordpiece_token_counts_oracle_sql(
+    num_merges: int = 10,
+    source: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB replay of WordPiece train-then-encode (the
+    :func:`bpe_token_counts_oracle_sql` shape under the likelihood-scored
+    chain): the final vocab state ``w{M}`` provides per-word token counts;
+    documents re-join on the word key."""
+    head = f"""WITH RECURSIVE
+    w0 AS (
+      SELECT w,
+             list_aggregate(list_transform(range(1, length(w) + 1), i -> w[i]),
+                            'string_agg', chr(30)) AS s,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest({_TOKENIZE.format(text_col=text_col)}) AS w FROM {source})
+      WHERE w <> ''
+      GROUP BY w
+    )"""
+    chain = head + ",".join(
+        [""] + [_wp_iteration_ctes(i) for i in range(num_merges)]
+    )
+    return f"""{chain},
+    d AS (
+      SELECT {id_col}, unnest({_TOKENIZE.format(text_col=text_col)}) AS w
+      FROM {source}
+    ),
+    v AS (SELECT w, len(string_split(s, chr(30))) AS w_tokens FROM w{num_merges})
+    SELECT d.{id_col}, CAST(sum(v.w_tokens) AS BIGINT) AS n_tokens
+    FROM d JOIN v USING (w)
+    WHERE d.w <> ''
+    GROUP BY d.{id_col}
+    """

@@ -4270,6 +4270,107 @@ from spark_ensemble_spark.operators.preference import (  # noqa: E402
 ORACLES["docs_preference_strength"] = _bt_oracle_sql(_bt_pairs_sql(), n_iters=8)
 
 
+def _tokenizer_eval_oracle() -> str:
+    from spark_ensemble_spark.operators import unigram as _uni
+
+    tok = _tokenizer._TOKENIZE.format(text_col="text")
+    cpt = _frs("CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)", 6)
+    return f"""
+    WITH chars AS MATERIALIZED (
+      SELECT CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(length(u.w)) AS BIGINT) AS n_chars
+      FROM (SELECT unnest({tok}) AS w FROM documents) u
+      WHERE u.w <> ''
+    )
+    SELECT tokenizer, n_tokens, n_chars, {cpt} AS chars_per_token FROM (
+      SELECT 'whitespace' AS tokenizer, n_words AS n_tokens, n_chars FROM chars
+      UNION ALL
+      SELECT 'bpe',
+             (SELECT CAST(sum(n_tokens) AS BIGINT)
+              FROM ({_tokenizer.bpe_token_counts_oracle_sql(num_merges=10)})),
+             n_chars
+      FROM chars
+      UNION ALL
+      SELECT 'wordpiece',
+             (SELECT CAST(sum(n_tokens) AS BIGINT)
+              FROM ({_tokenizer.wordpiece_token_counts_oracle_sql(num_merges=10)})),
+             n_chars
+      FROM chars
+      UNION ALL
+      SELECT 'unigram',
+             (SELECT CAST(sum(n_pieces) AS BIGINT)
+              FROM ({_uni.unigram_score_oracle_sql(_uni.unigram_fixed_model(), 4)})),
+             n_chars
+      FROM chars
+    )
+    """
+
+
+@query("docs_tokenizer_eval")
+def docs_tokenizer_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer bake-off — the artifact-selection step of a pipeline that
+    just trained three tokenizer families: corpus-level compression
+    (chars per token) for whitespace / trained BPE / trained WordPiece /
+    the fixed unigram-LM vocabulary, all over the SAME normalized word
+    stream. BPE and WordPiece differ only in the trained merge tables
+    (the application fold is shared); the oracle replays all three
+    trajectories AND the totals, so the comparison itself hash-checks."""
+    from spark_ensemble_spark.operators import unigram as _uni
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(
+        F.explode(_tokenizer.bpe_words(F.col("text"))).alias("w")
+    ).filter(F.col("w") != "")
+    chars = words.agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum(F.length("w")).cast("long").alias("n_chars"),
+    )
+
+    def _merges(train_df):
+        return [(r.lhs, r.rhs) for r in train_df.orderBy("merge_rank").collect()]
+
+    bpe_counts = _tokenizer.bpe_token_counts(
+        docs, _merges(_tokenizer.bpe_train(docs, num_merges=10))
+    )
+    wp_counts = _tokenizer.bpe_token_counts(
+        docs, _merges(_tokenizer.wordpiece_train(docs, num_merges=10))
+    )
+    uni_counts = _uni.unigram_doc_stats(docs, _uni.unigram_fixed_model(), 4)
+
+    def row(name, counts_df, col):
+        return (
+            counts_df.agg(F.sum(col).cast("long").alias("n_tokens"))
+            .crossJoin(F.broadcast(chars))
+            .select(
+                F.lit(name).alias("tokenizer"),
+                "n_tokens",
+                "n_chars",
+            )
+        )
+
+    ws = chars.select(
+        F.lit("whitespace").alias("tokenizer"),
+        F.col("n_words").alias("n_tokens"),
+        "n_chars",
+    )
+    assembled = (
+        ws.unionByName(row("bpe", bpe_counts, "n_tokens"))
+        .unionByName(row("wordpiece", wp_counts, "n_tokens"))
+        .unionByName(row("unigram", uni_counts, "n_pieces"))
+    )
+    return assembled.select(
+        "tokenizer",
+        "n_tokens",
+        "n_chars",
+        _floor_round(
+            F.col("n_chars").cast("double") / F.col("n_tokens").cast("double"), 6
+        ).alias("chars_per_token"),
+    )
+
+
+ORACLES["docs_tokenizer_eval"] = _tokenizer_eval_oracle()
+
+
 @query("docs_annotator_agreement")
 def docs_annotator_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohen's kappa for every rater pair — the QC gate on the label/

@@ -366,11 +366,17 @@ def bradley_terry_oracle_sql(comparisons_sql: str, n_iters: int = 8) -> str:
 def fixture_comparisons(docs: DataFrame) -> DataFrame:
     """One comparison per document, STATELESS (no window, no join — the
     projection composes with readStream as an append-mode map): the doc's
-    source faces the deterministic opponent ``'src' || (doc_id % 20)``;
-    even ``n_chars`` means the source wins. Self-matchups drop. The
-    honest-fixture posture: the operator under test is the mergeable
-    stats maintenance + fit, the comparison log is replayable."""
-    opp = F.concat(F.lit("src"), (F.col("doc_id") % 20).cast("string"))
+    source faces the deterministic opponent ``'src' || ((doc_id*7+3) %
+    20)``; even ``n_chars`` means the source wins. The testdata assigns
+    ``source = 'src' || (doc_id % 20)`` and ``(7d+3) % 20 ≠ d % 20`` for
+    every d (6d ≡ 17 mod 20 has no solution — 6d is even), so every doc
+    yields a real cross-source matchup; the self-matchup guard stays for
+    arbitrary inputs. The honest-fixture posture: the operator under test
+    is the mergeable stats maintenance + fit, the comparison log is
+    replayable."""
+    opp = F.concat(
+        F.lit("src"), ((F.col("doc_id") * 7 + 3) % 20).cast("string")
+    )
     even = F.col("n_chars") % 2 == 0
     return (
         docs.where(F.col("source") != opp)
@@ -385,11 +391,12 @@ def fixture_comparisons_sql() -> str:
     """DuckDB SQL emitting the identical comparison rows."""
     return """
     SELECT CASE WHEN n_chars % 2 = 0 THEN source
-                ELSE 'src' || CAST(doc_id % 20 AS VARCHAR) END AS winner,
-           CASE WHEN n_chars % 2 = 0 THEN 'src' || CAST(doc_id % 20 AS VARCHAR)
+                ELSE 'src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) END AS winner,
+           CASE WHEN n_chars % 2 = 0
+                THEN 'src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR)
                 ELSE source END AS loser
     FROM documents
-    WHERE source <> 'src' || CAST(doc_id % 20 AS VARCHAR)
+    WHERE source <> 'src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR)
     """
 
 

@@ -44,7 +44,30 @@ def fit_base_learner(
         est.set(est.getParam("rawPredictionCol"), raw_prediction_col)
     if probability_col is not None and est.hasParam("probabilityCol"):
         est.set(est.getParam("probabilityCol"), probability_col)
-    return est.fit(df)
+    return _strip_training_summary(est.fit(df))
+
+
+def _strip_training_summary(model):
+    """Drop a fitted MLlib model's JVM ``trainingSummary`` (we never read
+    it). The summary holds a SparkSession reference, and the model rides
+    into task closures via its transform lambda — which serializes the
+    session. That normally works ONLY because ``SparkSession
+    .observationManager`` is an uninitialised lazy val; the first
+    ``Dataset.observe`` in the session (e.g. ``curation_with_metrics``)
+    initialises it, and every later ensemble transform then dies with
+    ``NotSerializableException: ObservationManager``. Stripping the
+    summary removes the session from the closure graph entirely, so fits
+    compose with observe()-instrumented pipelines in one session."""
+    jo = getattr(model, "_java_obj", None)
+    try:
+        if jo is not None and jo.hasSummary():
+            from pyspark import SparkContext
+
+            jvm = SparkContext._active_spark_context._jvm
+            jo.setSummary(jvm.scala.Option.empty())
+    except Exception:
+        pass  # models without the summary API (or non-JVM models)
+    return model
 
 
 def run_parallel(thunks: Sequence[Callable[[], object]], parallelism: int) -> List[object]:

@@ -281,6 +281,7 @@ BENCH_QUERIES = [
     "docs_preference_strength",
     "docs_wordpiece_train",
     "docs_url_canonical",
+    "docs_crawl_pipeline",
     "docs_html_extract",
     "streaming_preference_strength",
     "docs_annotator_agreement",

@@ -196,24 +196,36 @@ def canonicalize_urls(
 
 def url_fixture(doc_id: Column, source: Column) -> Column:
     """A replayable synthetic URL: mixed-case scheme/host, WWW prefixes,
-    default and explicit ports, shared paths (collisions on purpose —
-    the canonical pick needs groups), tracking params, fragments."""
-    scheme = F.when(doc_id % 3 == 0, F.lit("HTTPS")).otherwise(F.lit("http"))
-    www = F.when(doc_id % 5 == 0, F.lit("WWW.")).otherwise(F.lit(""))
-    mid = F.when(doc_id % 9 == 0, F.lit(".Blog.")).otherwise(F.lit(".Example."))
-    tld = F.when(doc_id % 4 == 0, F.lit("COM")).otherwise(F.lit("org"))
+    default and explicit ports, tracking params, fragments — and REAL
+    duplicate groups: docs with ``doc_id % 40 >= 20 AND doc_id % 4 == 1``
+    are ALIASES of ``doc_id - 20`` (same ``source`` bucket, since sources
+    repeat every 20 ids). Everything normalization keeps (scheme, host,
+    non-default port, path, non-tracking params) derives from the
+    effective id; only cosmetic bits a crawler actually varies (tracking
+    params, trailing slash, fragment) come from the raw id — so an alias
+    and its target print different raw URLs that normalize identically,
+    giving the canonical pick genuine groups to resolve (r9c fixture
+    audit: without this the duplicate_url leg was vacuous)."""
+    alias = (doc_id % 40 >= 20) & (doc_id % 4 == 1)
+    eff = F.when(alias, doc_id - 20).otherwise(doc_id)
+    scheme = F.when(eff % 3 == 0, F.lit("HTTPS")).otherwise(F.lit("http"))
+    www = F.when(eff % 5 == 0, F.lit("WWW.")).otherwise(F.lit(""))
+    mid = F.when(eff % 9 == 0, F.lit(".Blog.")).otherwise(F.lit(".Example."))
+    tld = F.when(eff % 4 == 0, F.lit("COM")).otherwise(F.lit("org"))
     port = (
-        F.when(doc_id % 3 == 0, F.lit(":443"))
-        .when(doc_id % 7 == 0, F.lit(":8080"))
+        F.when(eff % 3 == 0, F.lit(":443"))
+        .when(eff % 7 == 0, F.lit(":8080"))
         .otherwise(F.lit(""))
     )
     path = F.concat(
-        F.lit("/Docs/item"), ((doc_id / F.lit(3)).cast("long")).cast("string")
+        F.lit("/Docs/item"), ((eff / F.lit(3)).cast("long")).cast("string")
     )
     slash = F.when(doc_id % 2 == 0, F.lit("/")).otherwise(F.lit(""))
     query = F.concat(
         F.lit("?utm_source=feed&id="),
-        (doc_id % 50).cast("string"),
+        (((eff / F.lit(3)).cast("long")) % 50).cast("string"),
+        F.lit("&utm_campaign=c"),
+        (doc_id % 7).cast("string"),
         F.when(doc_id % 6 == 0, F.lit("&ref=tw&b=2")).otherwise(F.lit("&b=2")),
     )
     frag = F.when(doc_id % 2 == 0, F.lit("#Section-1")).otherwise(F.lit(""))
@@ -234,19 +246,25 @@ def url_fixture(doc_id: Column, source: Column) -> Column:
 
 def url_fixture_sql(doc_id: str = "doc_id", source: str = "source") -> str:
     """DuckDB expression emitting the identical fixture URL. Spark's
-    ``CAST(doc_id / 3 AS LONG)`` on non-negative ids equals DuckDB
-    ``doc_id // 3``."""
+    ``CAST(eff / 3 AS LONG)`` on non-negative ids equals DuckDB
+    ``eff // 3``. ``e`` below is the effective (alias-resolved) id — see
+    :func:`url_fixture`."""
+    e = (
+        f"(CASE WHEN {doc_id} % 40 >= 20 AND {doc_id} % 4 = 1"
+        f" THEN {doc_id} - 20 ELSE {doc_id} END)"
+    )
     return f"""
-      (CASE WHEN {doc_id} % 3 = 0 THEN 'HTTPS' ELSE 'http' END) || '://'
-      || (CASE WHEN {doc_id} % 5 = 0 THEN 'WWW.' ELSE '' END)
+      (CASE WHEN {e} % 3 = 0 THEN 'HTTPS' ELSE 'http' END) || '://'
+      || (CASE WHEN {e} % 5 = 0 THEN 'WWW.' ELSE '' END)
       || lower({source})
-      || (CASE WHEN {doc_id} % 9 = 0 THEN '.Blog.' ELSE '.Example.' END)
-      || (CASE WHEN {doc_id} % 4 = 0 THEN 'COM' ELSE 'org' END)
-      || (CASE WHEN {doc_id} % 3 = 0 THEN ':443'
-               WHEN {doc_id} % 7 = 0 THEN ':8080' ELSE '' END)
-      || '/Docs/item' || CAST({doc_id} // 3 AS VARCHAR)
+      || (CASE WHEN {e} % 9 = 0 THEN '.Blog.' ELSE '.Example.' END)
+      || (CASE WHEN {e} % 4 = 0 THEN 'COM' ELSE 'org' END)
+      || (CASE WHEN {e} % 3 = 0 THEN ':443'
+               WHEN {e} % 7 = 0 THEN ':8080' ELSE '' END)
+      || '/Docs/item' || CAST({e} // 3 AS VARCHAR)
       || (CASE WHEN {doc_id} % 2 = 0 THEN '/' ELSE '' END)
-      || '?utm_source=feed&id=' || CAST({doc_id} % 50 AS VARCHAR)
+      || '?utm_source=feed&id=' || CAST(({e} // 3) % 50 AS VARCHAR)
+      || '&utm_campaign=c' || CAST({doc_id} % 7 AS VARCHAR)
       || (CASE WHEN {doc_id} % 6 = 0 THEN '&ref=tw&b=2' ELSE '&b=2' END)
       || (CASE WHEN {doc_id} % 2 = 0 THEN '#Section-1' ELSE '' END)
     """

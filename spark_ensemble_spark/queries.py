@@ -7110,6 +7110,108 @@ def docs_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["docs_url_canonical"] = _url_canonical_oracle()
 
 
+_CRAWL_QUALITY_MIN = 0.5
+
+
+def _crawl_pipeline_oracle() -> str:
+    from spark_ensemble_spark.operators import html as _h
+    from spark_ensemble_spark.operators import urls as _u
+
+    host = (
+        "lower(regexp_replace(regexp_extract(url,"
+        " '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1), ':([0-9]+)$', ''))"
+    )
+    thr = float(_CRAWL_QUALITY_MIN)
+    return f"""
+    WITH raw AS MATERIALIZED (
+      SELECT doc_id, source, ({_h.html_fixture_sql()}) AS html FROM documents
+    ),
+    cleaned AS MATERIALIZED (
+      SELECT doc_id, source,
+             {_h.html_to_text_sql('html')} AS text,
+             CAST(len({_h.extract_links_sql('html')}) AS BIGINT) AS n_links
+      FROM raw
+    ),
+    feats AS MATERIALIZED (
+      SELECT c.doc_id, c.text, c.n_links,
+             {_u.normalize_url_sql('u.url')} AS url_norm,
+             {_u.url_features_blocked_sql(host, _URL_BLOCKLIST)} AS blocked,
+             {_frs(_QUALITY_RAW_SQL, 6)} AS quality
+      FROM cleaned c JOIN (
+        SELECT doc_id, {_u.url_fixture_sql()} AS url FROM documents
+      ) u USING (doc_id)
+    ),
+    final AS (
+      SELECT doc_id, url_norm, quality, n_links, blocked,
+             (row_number() OVER (PARTITION BY url_norm ORDER BY doc_id) = 1
+              AND NOT blocked) AS is_canonical
+      FROM feats
+    )
+    SELECT doc_id, url_norm, quality, n_links,
+           CASE WHEN blocked THEN 'blocked'
+                WHEN NOT is_canonical THEN 'duplicate_url'
+                WHEN quality < {thr!r} THEN 'low_quality'
+                ELSE 'kept' END AS reason,
+           (is_canonical AND quality >= {thr!r}) AS kept
+    FROM final
+    """
+
+
+@query("docs_crawl_pipeline")
+def docs_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl front door END TO END as one hash-checked row: HTML
+    arrives (WARC framing proven transparent by the composition test) ->
+    HTML->text extraction -> URL normalization + blocklist -> canonical
+    pick per URL -> quality gate -> per-document verdict with the FIRST
+    failing stage as the reason. One narrow scan feeds everything; the
+    only exchange is the canonical-pick window. Every stage reuses the
+    already-oracle-checked operator (html_to_text, normalize_url,
+    quality_score), and the composed verdicts replay in one SQL
+    statement."""
+    from spark_ensemble_spark.operators import html as _h
+    from spark_ensemble_spark.operators import urls as _u
+    from spark_ensemble_spark.operators.text import quality_score
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    raw = docs.select(
+        "doc_id",
+        "source",
+        _h.html_fixture(F.col("doc_id"), F.col("text")).alias("html"),
+    )
+    cleaned = _h.clean_html(raw, out_col="text_clean").select(
+        "doc_id", "source", "text_clean", "n_links"
+    )
+    with_url = cleaned.withColumn(
+        "url", _u.url_fixture(F.col("doc_id"), F.col("source"))
+    )
+    feats = _u.url_features(with_url, blocklist=_URL_BLOCKLIST).withColumn(
+        "quality", _floor_round(quality_score(F.col("text_clean")), 6)
+    )
+    w = Window.partitionBy("url_norm").orderBy("doc_id")
+    final = feats.withColumn(
+        "is_canonical", (F.row_number().over(w) == 1) & ~F.col("blocked")
+    )
+    thr = F.lit(float(_CRAWL_QUALITY_MIN))
+    return final.select(
+        "doc_id",
+        "url_norm",
+        "quality",
+        F.col("n_links").cast("long").alias("n_links"),
+        F.when(F.col("blocked"), F.lit("blocked"))
+        .when(~F.col("is_canonical"), F.lit("duplicate_url"))
+        .when(F.col("quality") < thr, F.lit("low_quality"))
+        .otherwise(F.lit("kept"))
+        .alias("reason"),
+        (F.col("is_canonical") & (F.col("quality") >= thr)).alias("kept"),
+    )
+
+
+ORACLES["docs_crawl_pipeline"] = _crawl_pipeline_oracle()
+
+
 @query("docs_pii_scrub", _pii.pii_scrub_oracle_sql())
 def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction — the privacy stage of a training-data
@@ -7617,9 +7719,14 @@ REGISTRY_ORDER = [
     #     extra-oracle row.
     # -- r9 continuation frontier: the preference family (batch BT fit +
     # streaming mergeable-stats maintenance) and the crawl front door
-    # (HTML->text extraction, URL normalization/canonical dedup). Out
-    # (fold notes; all four remain extra-oracle-verified ×2 SFs and
-    # benched):
+    # (HTML->text extraction, URL normalization/canonical dedup, and the
+    # composed end-to-end verdict row docs_crawl_pipeline). Out
+    # (fold notes; every folded row remains extra-oracle-verified ×2 SFs
+    # and benched):
+    #   docs_url_canonical — subsumed by docs_crawl_pipeline, which runs
+    #     the SAME normalize→blocklist→canonical-pick leg and composes it
+    #     with HTML extraction and the quality gate; the standalone row
+    #     keeps its extra-oracle entry;
     #   dedup_semantic — the dedup family keeps dedup_minhash_md5,
     #     embedding_dup_pairs_lsh, dedup_clusters, dedup_resolved_corpus,
     #     dedup_incremental in-window; SemDeDup keeps its extra-oracle row;
@@ -7634,7 +7741,7 @@ REGISTRY_ORDER = [
     "docs_preference_strength",
     "streaming_preference_strength",
     "docs_html_extract",
-    "docs_url_canonical",
+    "docs_crawl_pipeline",
     "docs_pii_scrub",
     "docs_ltr_rerank",
     "docs_maxsim_rerank",

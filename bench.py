@@ -287,6 +287,10 @@ BENCH_QUERIES = [
     "docs_annotator_agreement",
     "docs_fleiss_kappa",
     "docs_tokenizer_eval",
+    # r9 continuation: span-level exact-substring dedup (Lee et al. 2021
+    # at k-gram resolution) — detection + scrub
+    "docs_repeated_spans",
+    "docs_span_scrub",
 ]
 
 

@@ -1,0 +1,333 @@
+"""Cross-document repeated-SPAN detection and scrubbing (exact-substring
+dedup at word-k-gram resolution).
+
+Whole-document dedup (exact / MinHash / SimHash — ``operators/dedup.py``)
+misses the dominant duplication mode in web corpora: the SAME boilerplate
+passage pasted into thousands of otherwise-distinct pages. Lee et al. 2021
+("Deduplicating Training Data Makes Language Models Better") remove exact
+repeated SUBSTRINGS; the suffix-array construction they use is a
+single-machine algorithm, so the Spark-first re-expression here works at
+word k-gram resolution — the same granularity MinHash shingles already
+use — which distributes as plain relational algebra:
+
+1. **Gram table**: one row per (doc, position) word k-gram, hashed
+   (``md5`` — cross-engine). A narrow projection + one ``posexplode``;
+   size = total corpus tokens, the same order as any inverted index.
+2. **Corpus stats per gram**: ``groupBy(hash)`` → distinct-doc count and
+   the minimal containing doc. The ONE data-sized shuffle, map-side
+   partial-aggregated. Grams seen in ≥2 docs are "repeated".
+3. **Foreign occurrences**: a gram occurrence is *foreign* when its doc is
+   NOT the minimal doc for that gram — exactly one canonical copy of
+   every repeated passage survives corpus-wide (the Lee et al. keep-one
+   policy, made deterministic by keying on min doc_id).
+4. **Maximal spans**: overlapping/adjacent foreign grams merge into
+   maximal word ranges via gaps-and-islands (grams at p1 < p2 overlap or
+   adjoin iff p2 ≤ p1 + k). Per-doc window — partitions by doc, never by
+   corpus.
+5. **Scrub**: drop the covered word positions, keep everything else —
+   a pure array fold over the original word array, no second shuffle.
+
+Spans shorter than ``min_len`` words are kept (Lee et al. threshold 50
+BPE tokens; default here is k, i.e. every foreign gram scrubs).
+
+Scale posture: stages 1-2 are the inverted-index build shape (token-count
+rows through one hash-keyed exchange); stage 3 is a hash-keyed equi-join
+of the gram table to the (much smaller) repeated-gram set; stages 4-5 are
+doc-partitioned windows/folds. Driver state: none. No floats anywhere —
+positions, counts, and md5 strings only, so every output is exactly
+replayable in any engine.
+
+Reference parity: the reference engine has no substring-dedup surface —
+beyond-reference LLM-pipeline scope (SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _words(text: Column) -> Column:
+    """Non-empty whitespace tokens of lowercased trimmed text (the corpus
+    module's tokenization, NULL-safe)."""
+    toks = F.split(F.lower(F.trim(F.coalesce(text, F.lit("")))), r"\s+")
+    return F.filter(toks, lambda t: t != "")
+
+
+def _words_sql(text_expr: str) -> str:
+    return (
+        f"list_filter(string_split_regex(lower(trim(coalesce({text_expr}, ''))),"
+        f" '\\s+'), t -> t != '')"
+    )
+
+
+def _gram_table(
+    docs: DataFrame, k: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(doc, pos) → md5 of the k words starting at 0-based ``pos``."""
+    words = _words(F.col(text_col))
+    grams = F.when(
+        F.size(words) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - k),
+            lambda i: F.md5(
+                F.concat_ws(
+                    " ",
+                    *[F.try_element_at(words, i + F.lit(j + 1)) for j in range(k)],
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        F.col(id_col).alias("__id"), grams.alias("__grams")
+    ).select("__id", F.posexplode("__grams").alias("__pos", "__h"))
+
+
+def repeated_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_len: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal foreign repeated spans per document.
+
+    Returns one row per (doc, span): ``doc_id, span_start, span_end``
+    (0-based inclusive word positions), ``span_words``, ``n_source_grams``
+    (foreign grams merged into the span), and ``span_text``. The minimal
+    doc containing a gram is its canonical home and emits no span for it.
+    """
+    min_len = k if min_len is None else min_len
+    grams = _gram_table(docs, k, id_col, text_col)
+
+    stats = grams.groupBy("__h").agg(
+        F.countDistinct("__id").alias("__n_docs"),
+        F.min("__id").alias("__min_id"),
+    )
+    dup = stats.filter(F.col("__n_docs") >= 2).select("__h", "__min_id")
+
+    foreign = (
+        grams.join(dup, "__h")
+        .filter(F.col("__id") > F.col("__min_id"))
+        .select("__id", "__pos")
+        # the same k-gram can repeat INSIDE a doc; positions must be
+        # unique before the islands walk or lag() sees duplicates
+        .distinct()
+    )
+
+    w = Window.partitionBy("__id").orderBy("__pos")
+    islands = foreign.withColumn(
+        "__brk",
+        F.when(
+            F.col("__pos") - F.lag("__pos").over(w) > k, F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "__island",
+        F.sum("__brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    spans = islands.groupBy("__id", "__island").agg(
+        F.min("__pos").alias("span_start"),
+        (F.max("__pos") + F.lit(k - 1)).alias("span_end"),
+        F.count(F.lit(1)).alias("n_source_grams"),
+    )
+    spans = spans.filter(
+        F.col("span_end") - F.col("span_start") + 1 >= min_len
+    )
+
+    words_df = docs.select(
+        F.col(id_col).alias("__id"), _words(F.col(text_col)).alias("__words")
+    )
+    return (
+        spans.join(words_df, "__id")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("long")
+            .alias("span_words"),
+            F.col("n_source_grams").cast("long").alias("n_source_grams"),
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("__words"),
+                    F.col("span_start") + 1,
+                    F.col("span_end") - F.col("span_start") + 1,
+                ),
+            ).alias("span_text"),
+        )
+    )
+
+
+def scrub_repeated_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_len: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Every document with its foreign repeated spans removed.
+
+    Returns ``doc_id, n_spans, n_words, n_words_removed, text_scrubbed``.
+    Documents with no foreign spans pass through verbatim (modulo the
+    whitespace normalization of the tokenizer). One doc-keyed join of the
+    span set back to the corpus; the removal is an array fold."""
+    spans = repeated_spans(docs, k, min_len, id_col, text_col).select(
+        F.col(id_col).alias("__id"),
+        F.struct(
+            F.col("span_start").alias("s"), F.col("span_end").alias("e")
+        ).alias("__sp"),
+    )
+    agg = spans.groupBy("__id").agg(
+        F.collect_list("__sp").alias("__spans"),
+        F.count(F.lit(1)).alias("__n_spans"),
+    )
+    words_df = docs.select(
+        F.col(id_col), _words(F.col(text_col)).alias("__words")
+    )
+    joined = words_df.join(
+        agg.withColumnRenamed("__id", id_col), id_col, "left"
+    ).select(
+        id_col,
+        "__words",
+        F.coalesce("__n_spans", F.lit(0)).alias("__n_spans"),
+        F.coalesce(
+            "__spans", F.array().cast("array<struct<s:long,e:long>>")
+        ).alias("__spans"),
+    )
+    # sort spans so the kept-position fold is order-independent, then keep
+    # word i iff no span covers it
+    kept = F.filter(
+        F.sequence(F.lit(0), F.size("__words") - 1),
+        lambda i: ~F.exists(
+            F.col("__spans"),
+            lambda sp: (i >= sp["s"]) & (i <= sp["e"]),
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.col("__n_spans").cast("long").alias("n_spans"),
+        F.size("__words").cast("long").alias("n_words"),
+        (F.size("__words") - F.size(kept)).cast("long").alias("n_words_removed"),
+        F.concat_ws(
+            " ",
+            F.transform(kept, lambda i: F.try_element_at("__words", i + 1)),
+        ).alias("text_scrubbed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle replays
+# ---------------------------------------------------------------------------
+
+
+def _gram_cte_sql(k: int, id_col: str, text_col: str, table: str) -> str:
+    """CTE bodies shared by both oracles: per-doc word arrays and the
+    exploded (doc, pos, hash) gram table. DuckDB zips parallel unnests of
+    equal-length lists, which replays Spark's posexplode (0-based)."""
+    words = _words_sql(text_col)
+    return f"""
+    w AS MATERIALIZED (
+      SELECT {id_col} AS id, {words} AS words FROM {table}
+    ),
+    g AS MATERIALIZED (
+      SELECT id,
+             unnest(CASE WHEN len(words) >= {k}
+                         THEN range(0, len(words) - {k} + 1)
+                         ELSE [] END) AS pos,
+             unnest(CASE WHEN len(words) >= {k}
+                         THEN list_transform(range(0, len(words) - {k} + 1),
+                              i -> md5(array_to_string(words[i+1:i+{k}], ' ')))
+                         ELSE [] END) AS h
+      FROM w
+    ),
+    dup AS MATERIALIZED (
+      SELECT h, min(id) AS min_id FROM g
+      GROUP BY h HAVING count(DISTINCT id) >= 2
+    ),
+    foreign_pos AS MATERIALIZED (
+      SELECT DISTINCT g.id, g.pos FROM g JOIN dup USING (h)
+      WHERE g.id > dup.min_id
+    ),
+    brk AS (
+      SELECT id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY id ORDER BY pos)
+                       > {k} THEN 1 ELSE 0 END AS brk
+      FROM foreign_pos
+    ),
+    islands AS (
+      SELECT id, pos,
+             sum(brk) OVER (PARTITION BY id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM brk
+    ),
+    spans AS MATERIALIZED (
+      SELECT id, min(pos) AS span_start, max(pos) + {k} - 1 AS span_end,
+             count(*) AS n_source_grams
+      FROM islands GROUP BY id, island
+    )"""
+
+
+def repeated_spans_sql(
+    k: int = 8,
+    min_len: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+) -> str:
+    min_len = k if min_len is None else min_len
+    return f"""
+    WITH {_gram_cte_sql(k, id_col, text_col, table)}
+    SELECT s.id AS {id_col},
+           CAST(s.span_start AS BIGINT) AS span_start,
+           CAST(s.span_end AS BIGINT) AS span_end,
+           CAST(s.span_end - s.span_start + 1 AS BIGINT) AS span_words,
+           CAST(s.n_source_grams AS BIGINT) AS n_source_grams,
+           array_to_string(w.words[s.span_start + 1 : s.span_end + 1], ' ')
+             AS span_text
+    FROM spans s JOIN w ON w.id = s.id
+    WHERE s.span_end - s.span_start + 1 >= {min_len}
+    """
+
+
+def scrub_repeated_spans_sql(
+    k: int = 8,
+    min_len: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+) -> str:
+    min_len = k if min_len is None else min_len
+    return f"""
+    WITH {_gram_cte_sql(k, id_col, text_col, table)},
+    sized AS (
+      SELECT * FROM spans WHERE span_end - span_start + 1 >= {min_len}
+    ),
+    per_doc AS (
+      SELECT id, list({{'s': span_start, 'e': span_end}}) AS sps,
+             count(*) AS n_spans
+      FROM sized GROUP BY id
+    ),
+    scrubbed AS (
+      SELECT w.id,
+             coalesce(p.n_spans, 0) AS n_spans,
+             len(w.words) AS n_words,
+             list_filter(range(0, len(w.words)),
+               i -> len(list_filter(coalesce(p.sps, []),
+                        sp -> i >= sp['s'] AND i <= sp['e'])) = 0
+             ) AS kept,
+             w.words AS words
+      FROM w LEFT JOIN per_doc p ON p.id = w.id
+    )
+    SELECT id AS {id_col},
+           CAST(n_spans AS BIGINT) AS n_spans,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_words - len(kept) AS BIGINT) AS n_words_removed,
+           coalesce(
+             array_to_string(list_transform(kept, i -> words[i + 1]), ' '),
+             '') AS text_scrubbed
+    FROM scrubbed
+    """

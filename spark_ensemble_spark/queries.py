@@ -7212,6 +7212,45 @@ def docs_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["docs_crawl_pipeline"] = _crawl_pipeline_oracle()
 
 
+@query("docs_repeated_spans")
+def docs_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-SPAN detection — exact-substring dedup at
+    word-8-gram resolution (Lee et al. 2021 posture, re-expressed as
+    relational algebra: gram table -> one hash-keyed groupBy ->
+    foreign-occurrence join -> per-doc gaps-and-islands merge). The
+    minimal doc containing a passage is its canonical home and is never
+    flagged; every other doc gets one row per maximal foreign span. All
+    integer/string arithmetic — exactly replayable."""
+    from spark_ensemble_spark.operators import spans as _sp
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return _sp.repeated_spans(docs, k=8)
+
+
+from spark_ensemble_spark.operators.spans import (  # noqa: E402
+    repeated_spans_sql as _repeated_spans_sql,
+    scrub_repeated_spans_sql as _scrub_spans_sql,
+)
+
+ORACLES["docs_repeated_spans"] = _repeated_spans_sql(k=8)
+
+
+@query("docs_span_scrub")
+def docs_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level scrubbing: every document with its foreign repeated
+    spans REMOVED (one canonical copy of each repeated passage survives
+    corpus-wide) — the remediation stage over docs_repeated_spans'
+    detection. Per-doc word-array fold; the only exchanges are the span
+    detection's gram groupBy and the doc-keyed span join."""
+    from spark_ensemble_spark.operators import spans as _sp
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return _sp.scrub_repeated_spans(docs, k=8)
+
+
+ORACLES["docs_span_scrub"] = _scrub_spans_sql(k=8)
+
+
 @query("docs_pii_scrub", _pii.pii_scrub_oracle_sql())
 def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction — the privacy stage of a training-data

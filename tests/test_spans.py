@@ -1,0 +1,112 @@
+"""Span-level exact-substring dedup (operators/spans.py).
+
+Oracle parity for docs_repeated_spans / docs_span_scrub runs in
+tests/test_extra_oracles.py automatically; here are the semantic
+properties the SQL replay can't express as equality."""
+
+from pyspark.sql import functions as F
+
+from spark_ensemble_spark.operators import spans as S
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_planted_boilerplate_is_found_and_canonical_survives(spark):
+    boiler = "subscribe to our newsletter for daily updates and offers now"
+    rows = [
+        (0, f"alpha beta {boiler} gamma delta"),
+        (1, f"one two three four {boiler}"),
+        (2, f"{boiler} five six seven eight nine ten"),
+        (3, "completely unrelated text with no repeats at all here ok"),
+    ]
+    spans = S.repeated_spans(_docs(spark, rows), k=5).collect()
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 0 is the minimal home of the boilerplate: no span
+    assert 0 not in by_doc
+    assert 3 not in by_doc
+    # docs 1 and 2 each flag exactly the planted passage
+    for d in (1, 2):
+        assert len(by_doc[d]) == 1, by_doc
+        assert by_doc[d][0]["span_text"] == boiler
+    scrubbed = {
+        r["doc_id"]: r
+        for r in S.scrub_repeated_spans(_docs(spark, rows), k=5).collect()
+    }
+    assert scrubbed[0]["n_spans"] == 0
+    assert scrubbed[0]["text_scrubbed"] == f"alpha beta {boiler} gamma delta"
+    assert scrubbed[1]["text_scrubbed"] == "one two three four"
+    assert scrubbed[2]["text_scrubbed"] == "five six seven eight nine ten"
+    assert scrubbed[1]["n_words_removed"] == len(boiler.split())
+
+
+def test_adjacent_grams_merge_to_one_maximal_span(spark):
+    shared = " ".join(f"w{i}" for i in range(20))  # 20-word passage
+    rows = [
+        (0, f"{shared} tail0 tail1"),
+        (1, f"head0 head1 {shared}"),
+    ]
+    spans = S.repeated_spans(_docs(spark, rows), k=8).collect()
+    assert len(spans) == 1  # doc 1 only, merged into ONE span
+    (sp,) = spans
+    assert sp["doc_id"] == 1
+    assert (sp["span_start"], sp["span_end"]) == (2, 21)
+    assert sp["span_words"] == 20
+    assert sp["n_source_grams"] == 13  # 20 - 8 + 1
+
+
+def test_min_len_filters_short_spans(spark):
+    shared = "a b c d e f g h"  # exactly k=8 words
+    rows = [(0, f"{shared} x y z"), (1, f"p q r {shared}")]
+    assert S.repeated_spans(_docs(spark, rows), k=8, min_len=9).count() == 0
+    assert S.repeated_spans(_docs(spark, rows), k=8, min_len=8).count() == 1
+
+
+def test_intra_doc_repeat_alone_is_not_flagged(spark):
+    # the same 8-gram twice in ONE doc is repetition, not cross-doc dup
+    phrase = "r1 r2 r3 r4 r5 r6 r7 r8"
+    rows = [(0, f"{phrase} mid {phrase}"), (1, "nothing shared here at all")]
+    assert S.repeated_spans(_docs(spark, rows), k=8).count() == 0
+
+
+def test_scrub_accounting_and_spans_disjoint(spark, sf_dir):
+    from spark_ensemble_spark.sources.datasets import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    spans = S.repeated_spans(docs, k=8)
+    # spans within a doc are maximal => pairwise disjoint with gaps > 0
+    a, b = spans.alias("a"), spans.alias("b")
+    overlaps = (
+        a.join(b, on=(F.col("a.doc_id") == F.col("b.doc_id")))
+        .filter(F.col("a.span_start") < F.col("b.span_start"))
+        .filter(F.col("b.span_start") <= F.col("a.span_end") + 1)
+        .count()
+    )
+    assert overlaps == 0
+    # removed word count == total span coverage per doc
+    cover = spans.groupBy("doc_id").agg(
+        F.sum("span_words").alias("covered"), F.count("*").alias("n")
+    )
+    scrub = S.scrub_repeated_spans(docs, k=8)
+    bad = (
+        scrub.join(cover, "doc_id", "left")
+        .filter(
+            (F.col("n_words_removed") != F.coalesce(F.col("covered"), F.lit(0)))
+            | (F.col("n_spans") != F.coalesce(F.col("n"), F.lit(0)))
+        )
+        .count()
+    )
+    assert bad == 0
+    assert scrub.count() == docs.count()
+
+
+def test_partition_invariance(spark, sf_dir):
+    from spark_ensemble_spark.sources.datasets import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = sorted(map(tuple, S.repeated_spans(docs, k=8).collect()))
+    b = sorted(map(tuple, S.repeated_spans(docs.repartition(13), k=8).collect()))
+    assert a == b and len(a) > 0

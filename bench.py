@@ -291,6 +291,8 @@ BENCH_QUERIES = [
     # at k-gram resolution) — detection + scrub
     "docs_repeated_spans",
     "docs_span_scrub",
+    # r9 continuation: the crawl front door maintained as streaming state
+    "streaming_crawl_frontier",
 ]
 
 

@@ -7113,7 +7113,11 @@ ORACLES["docs_url_canonical"] = _url_canonical_oracle()
 _CRAWL_QUALITY_MIN = 0.5
 
 
-def _crawl_pipeline_oracle() -> str:
+def _crawl_feats_cte_sql() -> str:
+    """The crawl front door's shared per-doc feature CTEs (HTML fixture ->
+    text extraction -> URL fixture -> normalization/blocklist -> quality):
+    the batch verdict row and the streaming frontier replay the same
+    stages."""
     from spark_ensemble_spark.operators import html as _h
     from spark_ensemble_spark.operators import urls as _u
 
@@ -7121,9 +7125,8 @@ def _crawl_pipeline_oracle() -> str:
         "lower(regexp_replace(regexp_extract(url,"
         " '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1), ':([0-9]+)$', ''))"
     )
-    thr = float(_CRAWL_QUALITY_MIN)
     return f"""
-    WITH raw AS MATERIALIZED (
+    raw AS MATERIALIZED (
       SELECT doc_id, source, ({_h.html_fixture_sql()}) AS html FROM documents
     ),
     cleaned AS MATERIALIZED (
@@ -7140,7 +7143,13 @@ def _crawl_pipeline_oracle() -> str:
       FROM cleaned c JOIN (
         SELECT doc_id, {_u.url_fixture_sql()} AS url FROM documents
       ) u USING (doc_id)
-    ),
+    )"""
+
+
+def _crawl_pipeline_oracle() -> str:
+    thr = float(_CRAWL_QUALITY_MIN)
+    return f"""
+    WITH {_crawl_feats_cte_sql()},
     final AS (
       SELECT doc_id, url_norm, quality, n_links, blocked,
              (row_number() OVER (PARTITION BY url_norm ORDER BY doc_id) = 1
@@ -7249,6 +7258,33 @@ def docs_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["docs_span_scrub"] = _scrub_spans_sql(k=8)
+
+
+@query("streaming_crawl_frontier")
+def streaming_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl front door ON A STREAM: documents arrive via readStream,
+    the stateless stages (HTML->text, URL normalize, blocklist, quality)
+    run per row, and the stateful stage is one frontier row per
+    normalized URL — canonical doc_id (min), collapse count, best quality.
+    min/max/count are arrival-order-invariant, so the replayed frontier
+    hash-matches the batch GROUP BY below regardless of micro-batching."""
+    from spark_ensemble_spark.streaming.corpus import crawl_frontier_stream
+
+    return crawl_frontier_stream(spark, sf_dir, blocklist=_URL_BLOCKLIST)
+
+
+def _crawl_frontier_oracle() -> str:
+    return f"""
+    WITH {_crawl_feats_cte_sql()}
+    SELECT url_norm,
+           CAST(min(doc_id) AS BIGINT) AS canonical_doc,
+           CAST(count(*) AS BIGINT) AS n_seen,
+           max(quality) AS best_quality
+    FROM feats WHERE NOT blocked GROUP BY url_norm
+    """
+
+
+ORACLES["streaming_crawl_frontier"] = _crawl_frontier_oracle()
 
 
 @query("docs_pii_scrub", _pii.pii_scrub_oracle_sql())

@@ -475,3 +475,64 @@ def read_bm25_index_dir(spark: SparkSession, index_path: str):
         )
     )
     return postings, stats
+
+
+def crawl_frontier_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    blocklist: tuple[str, ...] = (),
+) -> DataFrame:
+    """Streaming crawl frontier: documents arrive on a stream, run the
+    STATELESS crawl front-door stages per row (HTML->text extraction, URL
+    normalization, blocklist), and maintain one state row per normalized
+    URL — the canonical (minimal) doc_id, how many raw URLs collapsed onto
+    it, and the best quality seen. ``min``/``max``/``count`` are
+    arrival-order-invariant, so the replayed frontier equals the batch
+    GROUP BY regardless of micro-batching — and at 100 TB the state is
+    frontier-sized (one row per distinct normalized URL), partitioned by
+    url_norm, exactly the keyed state a recrawl scheduler queries. The
+    memory sink runs in complete mode for replay; production writes
+    update-mode deltas to a KV store."""
+    from spark_ensemble_spark.operators import html as _h
+    from spark_ensemble_spark.operators import urls as _u
+    from spark_ensemble_spark.operators.text import quality_score
+
+    spark = replay_session(spark)
+    stream = (
+        read_documents_stream(spark, sf_dir)
+        .select("doc_id", "source", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    raw = stream.select(
+        "doc_id",
+        "source",
+        _h.html_fixture(F.col("doc_id"), F.col("text")).alias("html"),
+    )
+    cleaned = _h.clean_html(raw, out_col="text_clean").select(
+        "doc_id", "source", "text_clean"
+    )
+    feats = _u.url_features(
+        cleaned.withColumn(
+            "url", _u.url_fixture(F.col("doc_id"), F.col("source"))
+        ),
+        blocklist=blocklist,
+    )
+    frontier = (
+        feats.filter(~F.col("blocked"))
+        .withColumn(
+            "quality", _floor_round(quality_score(F.col("text_clean")), 6)
+        )
+        .groupBy("url_norm")
+        .agg(
+            F.min("doc_id").alias("canonical_doc"),
+            F.count(F.lit(1)).alias("n_seen"),
+            F.max("quality").alias("best_quality"),
+        )
+        .select(
+            "url_norm",
+            F.col("canonical_doc").cast("long").alias("canonical_doc"),
+            F.col("n_seen").cast("long").alias("n_seen"),
+            "best_quality",
+        )
+    )
+    return run_to_memory(frontier, "complete", "crawl_frontier")

@@ -66,7 +66,25 @@ def _gram_table(
     docs: DataFrame, k: int, id_col: str, text_col: str
 ) -> DataFrame:
     """(doc, pos) → md5 of the k words starting at 0-based ``pos``."""
-    words = _words(F.col(text_col))
+    from spark_ensemble_spark.operators.dedup import _eval_once_column
+    from spark_ensemble_spark.sources.datasets import spread_to_parallelism
+
+    # per-row cost is k slices + an md5 per position — the compute-heavy
+    # profile spread_to_parallelism exists for (single-row-group test files
+    # otherwise run it on one core; a no-op on many-split production scans)
+    docs = spread_to_parallelism(docs)
+    # The tokenization MUST be pinned to a materialized column before the
+    # per-position lambda touches it: the k try_element_at calls are inside
+    # a higher-order function (CodegenFallback — no subexpression
+    # elimination), so an inline `words` EXPRESSION would re-run
+    # split+filter over the whole document k times PER POSITION — measured
+    # 50× on sf0.1 (the r6 verify-fold hazard, operators/dedup.py:126).
+    wdf = _eval_once_column(
+        docs.select(F.col(id_col).alias("__id"), F.col(text_col)),
+        "__words",
+        _words(F.col(text_col)),
+    )
+    words = F.col("__words")
     grams = F.when(
         F.size(words) >= k,
         F.transform(
@@ -79,9 +97,9 @@ def _gram_table(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return docs.select(
-        F.col(id_col).alias("__id"), grams.alias("__grams")
-    ).select("__id", F.posexplode("__grams").alias("__pos", "__h"))
+    return wdf.select("__id", grams.alias("__grams")).select(
+        "__id", F.posexplode("__grams").alias("__pos", "__h")
+    )
 
 
 def repeated_spans(
@@ -100,6 +118,11 @@ def repeated_spans(
     """
     min_len = k if min_len is None else min_len
     grams = _gram_table(docs, k, id_col, text_col)
+    # Both the corpus-stats aggregate and the foreign-occurrence probe read
+    # the gram table; without a cache Spark generates (tokenize + k slices +
+    # md5 per position) TWICE — the minhash_dup_pairs idiom: persist, build
+    # the much smaller downstream set, localCheckpoint it, release.
+    grams = grams.persist()
 
     stats = grams.groupBy("__h").agg(
         F.countDistinct("__id").alias("__n_docs"),
@@ -114,7 +137,9 @@ def repeated_spans(
         # the same k-gram can repeat INSIDE a doc; positions must be
         # unique before the islands walk or lag() sees duplicates
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    grams.unpersist()
 
     w = Window.partitionBy("__id").orderBy("__pos")
     islands = foreign.withColumn(
@@ -198,23 +223,30 @@ def scrub_repeated_spans(
             "__spans", F.array().cast("array<struct<s:long,e:long>>")
         ).alias("__spans"),
     )
-    # sort spans so the kept-position fold is order-independent, then keep
-    # word i iff no span covers it
-    kept = F.filter(
-        F.sequence(F.lit(0), F.size("__words") - 1),
-        lambda i: ~F.exists(
-            F.col("__spans"),
-            lambda sp: (i >= sp["s"]) & (i <= sp["e"]),
+    # keep word i iff no span covers it; the fold is a higher-order
+    # function, so pin it to a column before it is read twice (size +
+    # transform) — the same eval-once barrier as the gram table
+    from spark_ensemble_spark.operators.dedup import _eval_once_column
+
+    joined = _eval_once_column(
+        joined,
+        "__kept",
+        F.filter(
+            F.sequence(F.lit(0), F.size("__words") - 1),
+            lambda i: ~F.exists(
+                F.col("__spans"),
+                lambda sp: (i >= sp["s"]) & (i <= sp["e"]),
+            ),
         ),
     )
     return joined.select(
         F.col(id_col),
         F.col("__n_spans").cast("long").alias("n_spans"),
         F.size("__words").cast("long").alias("n_words"),
-        (F.size("__words") - F.size(kept)).cast("long").alias("n_words_removed"),
+        (F.size("__words") - F.size("__kept")).cast("long").alias("n_words_removed"),
         F.concat_ws(
             " ",
-            F.transform(kept, lambda i: F.try_element_at("__words", i + 1)),
+            F.transform("__kept", lambda i: F.try_element_at("__words", i + 1)),
         ).alias("text_scrubbed"),
     )
 

@@ -1025,3 +1025,41 @@ def test_pagerank_and_gap_fill_plan_shapes(spark, sf_dir):
 
     for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", p2):
         assert "user_id" in m.group(0), m.group(0)
+
+
+def test_spans_plan_shapes(spark, sf_dir):
+    """Span dedup's 100-TB contract: (a) the gram-table tokenization is
+    pinned behind the eval-once barrier (exactly ONE Generate carrying the
+    word split per scan branch — the r6 fold hazard would clone it into
+    every try_element_at), (b) no cartesian product anywhere, (c) the
+    islands walk adds no second exchange between its two windows (both
+    partition by doc)."""
+    from spark_ensemble_spark.operators import spans as S
+    from spark_ensemble_spark.sources.datasets import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    df = S.repeated_spans(docs, k=8)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join Cross" not in plan and "Cartesian" not in plan
+    # one split(...) evaluation per gram-table branch: the barrier keeps the
+    # tokenization out of the per-position lambda
+    n_split = plan.count("split(lower(trim(")
+    assert n_split <= 2, (n_split, plan)
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in physical
+
+
+def test_crawl_pipeline_plan_single_window_exchange(spark, sf_dir):
+    """The batch crawl verdict row is narrow except the canonical-pick
+    window: exactly one data-sized exchange (on url_norm), no join of two
+    data-sized frames (the fixture join collapses into the same scan),
+    no aggregate."""
+    import spark_ensemble_spark.queries as q
+
+    df = q.docs_crawl_pipeline(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning(url_norm") >= 1
+    assert "HashAggregate" not in plan

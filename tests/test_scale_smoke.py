@@ -770,3 +770,47 @@ def test_bradley_terry_20m_comparisons(spark):
     assert all(r["strength_scaled"] >= MIN_P for r in out)
     assert sum(r["n_comparisons"] for r in out) == 2 * comp.count()
     print(f"\nbradley_terry 20M comparisons / {k} items, 4 iters: {wall:.1f}s")
+
+
+def test_span_dedup_2m_docs(spark):
+    """Span detection over 2M synthetic docs (~60M grams): a planted
+    boilerplate sentence in 10% of docs plus unique filler. Asserts the
+    gram aggregate + keep-one join complete, every planted doc (except
+    the canonical minimum) yields exactly one span covering the
+    boilerplate, and no non-planted doc is flagged."""
+    from spark_ensemble_spark.operators.spans import repeated_spans
+
+    n = 2_000_000
+    boiler = "subscribe to our newsletter for daily updates and offers"
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % 10 == 0,
+            F.concat(
+                F.lit("u"), F.col("id").cast("string"),
+                F.lit(" w1 w2 w3 "), F.lit(boiler),
+                F.lit(" t1 t2 t3 x"), F.col("id").cast("string"),
+            ),
+        )
+        .otherwise(
+            # unique filler: hash-derived tokens, no cross-doc 8-gram repeats
+            F.concat_ws(
+                " ",
+                *[
+                    F.conv(
+                        F.abs(F.xxhash64("id", F.lit(j))).cast("string"),
+                        10,
+                        36,
+                    )
+                    for j in range(12)
+                ],
+            )
+        )
+        .alias("text"),
+    )
+    spans = repeated_spans(docs, k=8)
+    flagged = spans.select("doc_id").distinct().count()
+    planted = n // 10
+    assert flagged == planted - 1, flagged  # canonical doc 0 survives
+    bad = spans.filter(~F.col("span_text").contains("newsletter")).count()
+    assert bad == 0

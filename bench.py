@@ -293,6 +293,8 @@ BENCH_QUERIES = [
     "docs_span_scrub",
     # r9 continuation: the crawl front door maintained as streaming state
     "streaming_crawl_frontier",
+    # r9 continuation: incremental span dedup vs the persisted gram index
+    "docs_span_scrub_incremental",
 ]
 
 

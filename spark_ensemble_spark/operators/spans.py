@@ -140,7 +140,20 @@ def repeated_spans(
         .localCheckpoint(eager=True)
     )
     grams.unpersist()
+    return _spans_from_foreign(foreign, docs, k, min_len, id_col, text_col)
 
+
+def _spans_from_foreign(
+    foreign: DataFrame,
+    docs: DataFrame,
+    k: int,
+    min_len: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Foreign (doc, pos) gram set → maximal spans with text (the
+    gaps-and-islands merge + the doc-keyed words join, shared by the
+    full-corpus and incremental variants)."""
     w = Window.partitionBy("__id").orderBy("__pos")
     islands = foreign.withColumn(
         "__brk",
@@ -187,6 +200,63 @@ def repeated_spans(
     )
 
 
+def span_gram_index(
+    corpus: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The persisted span-dedup index: one ``(gram_hash, min_doc)`` row per
+    DISTINCT corpus k-gram. ALL grams are kept (not only already-repeated
+    ones) because a new document matching a singleton corpus gram MAKES it
+    repeated. Gram-vocabulary-sized — the same growth class as a BM25
+    posting dictionary — and mergeable: indexes of two corpus slices union
+    with ``min(min_doc)``."""
+    grams = _gram_table(corpus, k, id_col, text_col)
+    return grams.groupBy("__h").agg(
+        F.min("__id").cast("long").alias("min_doc")
+    ).select(F.col("__h").alias("gram_hash"), "min_doc")
+
+
+def repeated_spans_incremental(
+    new_df: DataFrame,
+    index: DataFrame,
+    k: int = 8,
+    min_len: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Foreign repeated spans of a NEW delivery against a persisted
+    :func:`span_gram_index` — corpus text is never re-read (the
+    ``dedup_against_corpus`` posture). A delivery gram is foreign when it
+    exists in the index (the corpus already holds its canonical copy) OR
+    when it repeats inside the delivery and this doc is not the delivery's
+    minimal holder. Equals the full-corpus :func:`repeated_spans`
+    restricted to delivery docs whenever corpus ids sort below delivery
+    ids (property-tested)."""
+    min_len = k if min_len is None else min_len
+    grams = _gram_table(new_df, k, id_col, text_col).persist()
+
+    in_corpus = grams.join(
+        index.select(F.col("gram_hash").alias("__h")), "__h", "left_semi"
+    ).select("__id", "__pos")
+    stats = grams.groupBy("__h").agg(
+        F.countDistinct("__id").alias("__n_docs"),
+        F.min("__id").alias("__min_id"),
+    )
+    dup = stats.filter(F.col("__n_docs") >= 2).select("__h", "__min_id")
+    intra = (
+        grams.join(dup, "__h")
+        .filter(F.col("__id") > F.col("__min_id"))
+        .select("__id", "__pos")
+    )
+    foreign = (
+        in_corpus.unionByName(intra).distinct().localCheckpoint(eager=True)
+    )
+    grams.unpersist()
+    return _spans_from_foreign(foreign, new_df, k, min_len, id_col, text_col)
+
+
 def scrub_repeated_spans(
     docs: DataFrame,
     k: int = 8,
@@ -200,7 +270,32 @@ def scrub_repeated_spans(
     Documents with no foreign spans pass through verbatim (modulo the
     whitespace normalization of the tokenizer). One doc-keyed join of the
     span set back to the corpus; the removal is an array fold."""
-    spans = repeated_spans(docs, k, min_len, id_col, text_col).select(
+    spans = repeated_spans(docs, k, min_len, id_col, text_col)
+    return _scrub_with_spans(docs, spans, id_col, text_col)
+
+
+def scrub_delivery_spans(
+    new_df: DataFrame,
+    index: DataFrame,
+    k: int = 8,
+    min_len: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental scrub: the delivery's documents with every span already
+    present in the corpus (per the persisted :func:`span_gram_index`) or
+    repeated within the delivery removed — what actually lands in the
+    corpus after an ingest batch."""
+    spans = repeated_spans_incremental(
+        new_df, index, k, min_len, id_col, text_col
+    )
+    return _scrub_with_spans(new_df, spans, id_col, text_col)
+
+
+def _scrub_with_spans(
+    docs: DataFrame, spans_df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    spans = spans_df.select(
         F.col(id_col).alias("__id"),
         F.struct(
             F.col("span_start").alias("s"), F.col("span_end").alias("e")
@@ -256,16 +351,18 @@ def scrub_repeated_spans(
 # ---------------------------------------------------------------------------
 
 
-def _gram_cte_sql(k: int, id_col: str, text_col: str, table: str) -> str:
-    """CTE bodies shared by both oracles: per-doc word arrays and the
-    exploded (doc, pos, hash) gram table. DuckDB zips parallel unnests of
-    equal-length lists, which replays Spark's posexplode (0-based)."""
+def _word_gram_ctes_sql(
+    k: int, id_col: str, text_col: str, table: str, w: str = "w", g: str = "g"
+) -> str:
+    """Per-doc word arrays + the exploded (doc, pos, hash) gram table for
+    one input. DuckDB zips parallel unnests of equal-length lists, which
+    replays Spark's posexplode (0-based)."""
     words = _words_sql(text_col)
     return f"""
-    w AS MATERIALIZED (
+    {w} AS MATERIALIZED (
       SELECT {id_col} AS id, {words} AS words FROM {table}
     ),
-    g AS MATERIALIZED (
+    {g} AS MATERIALIZED (
       SELECT id,
              unnest(CASE WHEN len(words) >= {k}
                          THEN range(0, len(words) - {k} + 1)
@@ -274,8 +371,15 @@ def _gram_cte_sql(k: int, id_col: str, text_col: str, table: str) -> str:
                          THEN list_transform(range(0, len(words) - {k} + 1),
                               i -> md5(array_to_string(words[i+1:i+{k}], ' ')))
                          ELSE [] END) AS h
-      FROM w
-    ),
+      FROM {w}
+    )"""
+
+
+def _gram_cte_sql(k: int, id_col: str, text_col: str, table: str) -> str:
+    """Full-corpus chain: gram table -> repeated-gram stats -> foreign
+    occurrences -> maximal spans."""
+    return f"""
+    {_word_gram_ctes_sql(k, id_col, text_col, table)},
     dup AS MATERIALIZED (
       SELECT h, min(id) AS min_id FROM g
       GROUP BY h HAVING count(DISTINCT id) >= 2
@@ -284,6 +388,40 @@ def _gram_cte_sql(k: int, id_col: str, text_col: str, table: str) -> str:
       SELECT DISTINCT g.id, g.pos FROM g JOIN dup USING (h)
       WHERE g.id > dup.min_id
     ),
+    {_islands_spans_ctes_sql(k)}"""
+
+
+def _incremental_cte_sql(
+    k: int, id_col: str, text_col: str, corpus_table: str, new_table: str
+) -> str:
+    """Incremental chain: corpus gram index (min doc per DISTINCT gram) +
+    delivery gram table -> foreign = in-index ∪ intra-delivery-repeat ->
+    maximal spans. ``w``/``words`` describe the DELIVERY (the scrub and
+    span-text joins read delivery docs only — corpus text appears solely
+    inside its index CTE, mirroring the never-re-read posture)."""
+    return f"""
+    {_word_gram_ctes_sql(k, id_col, text_col, corpus_table, "cw", "cg")},
+    cidx AS MATERIALIZED (
+      SELECT h, CAST(min(id) AS BIGINT) AS min_doc FROM cg GROUP BY h
+    ),
+    {_word_gram_ctes_sql(k, id_col, text_col, new_table)},
+    dup AS MATERIALIZED (
+      SELECT h, min(id) AS min_id FROM g
+      GROUP BY h HAVING count(DISTINCT id) >= 2
+    ),
+    foreign_pos AS MATERIALIZED (
+      SELECT DISTINCT id, pos FROM (
+        SELECT g.id, g.pos FROM g WHERE g.h IN (SELECT h FROM cidx)
+        UNION ALL
+        SELECT g.id, g.pos FROM g JOIN dup USING (h)
+        WHERE g.id > dup.min_id
+      )
+    ),
+    {_islands_spans_ctes_sql(k)}"""
+
+
+def _islands_spans_ctes_sql(k: int) -> str:
+    return f"""
     brk AS (
       SELECT id, pos,
              CASE WHEN pos - lag(pos) OVER (PARTITION BY id ORDER BY pos)
@@ -311,8 +449,33 @@ def repeated_spans_sql(
     table: str = "documents",
 ) -> str:
     min_len = k if min_len is None else min_len
+    return _spans_select_sql(
+        _gram_cte_sql(k, id_col, text_col, table), id_col, min_len
+    )
+
+
+def repeated_spans_incremental_sql(
+    corpus_table: str,
+    new_table: str,
+    k: int = 8,
+    min_len: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB replay of :func:`repeated_spans_incremental` with the index
+    built inline from ``corpus_table`` (the persisted frame IS that
+    aggregate, so the inline build replays it exactly)."""
+    min_len = k if min_len is None else min_len
+    return _spans_select_sql(
+        _incremental_cte_sql(k, id_col, text_col, corpus_table, new_table),
+        id_col,
+        min_len,
+    )
+
+
+def _spans_select_sql(ctes: str, id_col: str, min_len: int) -> str:
     return f"""
-    WITH {_gram_cte_sql(k, id_col, text_col, table)}
+    WITH {ctes}
     SELECT s.id AS {id_col},
            CAST(s.span_start AS BIGINT) AS span_start,
            CAST(s.span_end AS BIGINT) AS span_end,
@@ -333,8 +496,32 @@ def scrub_repeated_spans_sql(
     table: str = "documents",
 ) -> str:
     min_len = k if min_len is None else min_len
+    return _scrub_select_sql(
+        _gram_cte_sql(k, id_col, text_col, table), id_col, min_len
+    )
+
+
+def scrub_delivery_spans_sql(
+    corpus_table: str,
+    new_table: str,
+    k: int = 8,
+    min_len: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB replay of :func:`scrub_delivery_spans` (delivery docs only —
+    ``w`` in the incremental chain is the delivery's word table)."""
+    min_len = k if min_len is None else min_len
+    return _scrub_select_sql(
+        _incremental_cte_sql(k, id_col, text_col, corpus_table, new_table),
+        id_col,
+        min_len,
+    )
+
+
+def _scrub_select_sql(ctes: str, id_col: str, min_len: int) -> str:
     return f"""
-    WITH {_gram_cte_sql(k, id_col, text_col, table)},
+    WITH {ctes},
     sized AS (
       SELECT * FROM spans WHERE span_end - span_start + 1 >= {min_len}
     ),

@@ -7260,6 +7260,34 @@ def docs_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["docs_span_scrub"] = _scrub_spans_sql(k=8)
 
 
+@query("docs_span_scrub_incremental")
+def docs_span_scrub_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental span dedup (the ingest-batch shape): a delivery
+    (doc_id % 4 == 0) is scrubbed against the PERSISTED gram index of the
+    accepted corpus (doc_id % 4 != 0) plus its own intra-delivery repeats
+    — corpus text is never re-read (the dedup_against_corpus posture at
+    span granularity). The index is gram-vocabulary-sized and mergeable
+    (min-doc per distinct gram)."""
+    from spark_ensemble_spark.operators import spans as _sp
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    delivery = docs.filter(F.col("doc_id") % 4 == 0)
+    index = _sp.span_gram_index(corpus, k=8)
+    return _sp.scrub_delivery_spans(delivery, index, k=8)
+
+
+from spark_ensemble_spark.operators.spans import (  # noqa: E402
+    scrub_delivery_spans_sql as _scrub_delivery_sql,
+)
+
+ORACLES["docs_span_scrub_incremental"] = _scrub_delivery_sql(
+    corpus_table="(SELECT doc_id, text FROM documents WHERE doc_id % 4 != 0)",
+    new_table="(SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0)",
+    k=8,
+)
+
+
 @query("streaming_crawl_frontier")
 def streaming_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The crawl front door ON A STREAM: documents arrive via readStream,

@@ -110,3 +110,60 @@ def test_partition_invariance(spark, sf_dir):
     a = sorted(map(tuple, S.repeated_spans(docs, k=8).collect()))
     b = sorted(map(tuple, S.repeated_spans(docs.repartition(13), k=8).collect()))
     assert a == b and len(a) > 0
+
+
+def test_incremental_equals_full_when_corpus_ids_below(spark, sf_dir):
+    """With corpus ids strictly below delivery ids, the incremental run
+    against the persisted gram index must equal the full-corpus run
+    restricted to delivery docs (the dedup_against_corpus equivalence,
+    at span granularity)."""
+    from spark_ensemble_spark.sources.datasets import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = docs.count()
+    corpus = docs.filter(F.col("doc_id") < n // 2)
+    delivery = docs.filter(F.col("doc_id") >= n // 2)
+    index = S.span_gram_index(corpus, k=8)
+    inc = sorted(
+        map(tuple, S.repeated_spans_incremental(delivery, index, k=8).collect())
+    )
+    full = sorted(
+        map(
+            tuple,
+            S.repeated_spans(docs, k=8)
+            .filter(F.col("doc_id") >= n // 2)
+            .collect(),
+        )
+    )
+    assert inc == full and len(inc) > 0
+    # and the scrub variants agree too
+    a = sorted(
+        map(tuple, S.scrub_delivery_spans(delivery, index, k=8).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            S.scrub_repeated_spans(docs, k=8)
+            .filter(F.col("doc_id") >= n // 2)
+            .collect(),
+        )
+    )
+    assert a == b
+
+
+def test_index_is_mergeable(spark, sf_dir):
+    """span_gram_index over a corpus equals the min-doc union of the
+    indexes of any partition of that corpus."""
+    from spark_ensemble_spark.sources.datasets import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    whole = S.span_gram_index(docs, k=8)
+    part = (
+        S.span_gram_index(docs.filter(F.col("doc_id") % 2 == 0), k=8)
+        .unionByName(S.span_gram_index(docs.filter(F.col("doc_id") % 2 == 1), k=8))
+        .groupBy("gram_hash")
+        .agg(F.min("min_doc").alias("min_doc"))
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(
+        map(tuple, part.collect())
+    )

@@ -295,6 +295,8 @@ BENCH_QUERIES = [
     "streaming_crawl_frontier",
     # r9 continuation: incremental span dedup vs the persisted gram index
     "docs_span_scrub_incremental",
+    # r9 continuation: streaming span-index maintenance (mergeable partials)
+    "streaming_span_index_scrub",
 ]
 
 

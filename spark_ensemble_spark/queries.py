@@ -7288,6 +7288,59 @@ ORACLES["docs_span_scrub_incremental"] = _scrub_delivery_sql(
 )
 
 
+@query("streaming_span_index_scrub")
+def streaming_span_index_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING span-index maintenance: corpus documents arrive on a
+    stream and each micro-batch's gram-index partial lands as a
+    batch_id-scoped idempotent write (``span_index_stream``); a delivery
+    is then scrubbed against the STREAM-BUILT merged index — which equals
+    the from-scratch corpus index exactly (min-doc merge of exact
+    integers), so the result hash-matches the batch incremental ORACLE:
+    continuous ingest converges to the batch build (the BM25/ANN
+    index-stream posture, span-dedup edition)."""
+    import os
+    import shutil
+    import tempfile
+
+    from spark_ensemble_spark.operators.spans import scrub_delivery_spans
+    from spark_ensemble_spark.streaming.corpus import (
+        read_documents_stream,
+        read_span_index_dir,
+        span_index_stream,
+    )
+    from spark_ensemble_spark.streaming.runner import replay_session
+
+    spark = replay_session(spark)
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "spark-warehouse",
+        f"span_index_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    ckpt = tempfile.mkdtemp(prefix="ses-spanindex-")
+    stream = (
+        read_documents_stream(spark, sf_dir)
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 4 != 0)
+    )
+    q = span_index_stream(stream, index_path=base, checkpoint_dir=ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    index = read_span_index_dir(spark, base)
+    delivery = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 4 == 0)
+    )
+    return scrub_delivery_spans(delivery, index, k=8)
+
+
+ORACLES["streaming_span_index_scrub"] = ORACLES["docs_span_scrub_incremental"]
+
+
 @query("streaming_crawl_frontier")
 def streaming_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The crawl front door ON A STREAM: documents arrive via readStream,

@@ -536,3 +536,43 @@ def crawl_frontier_stream(
         )
     )
     return run_to_memory(frontier, "complete", "crawl_frontier")
+
+
+def span_index_stream(
+    docs_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Streaming span-dedup index maintenance: each micro-batch's
+    ``span_gram_index`` partial (one ``(gram_hash, min_doc)`` row per
+    distinct batch gram) lands as a batch_id-scoped idempotent write.
+    Partials are MERGEABLE (min-doc union — property-tested), so
+    :func:`read_span_index_dir` re-aggregates to exactly the from-scratch
+    corpus index and history is never re-read. Driver state: none.
+    Returns the started StreamingQuery."""
+    from spark_ensemble_spark.operators.spans import span_gram_index
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        span_gram_index(batch_df, k, id_col, text_col).write.mode(
+            "overwrite"
+        ).parquet(f"{index_path}/grams/batch_id={batch_id}")
+
+    return (
+        docs_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def read_span_index_dir(spark: SparkSession, index_path: str) -> DataFrame:
+    """Load a :func:`span_index_stream` directory → the merged
+    ``(gram_hash, min_doc)`` index ``scrub_delivery_spans`` consumes:
+    per-batch partials merge by ``min`` (exact integers — order free)."""
+    return (
+        spark.read.parquet(f"{index_path}/grams")
+        .groupBy("gram_hash")
+        .agg(F.min("min_doc").alias("min_doc"))
+    )

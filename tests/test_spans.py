@@ -167,3 +167,50 @@ def test_index_is_mergeable(spark, sf_dir):
     assert sorted(map(tuple, whole.collect())) == sorted(
         map(tuple, part.collect())
     )
+
+
+def test_span_index_stream_multibatch_merges_to_batch_index(spark, sf_dir, tmp_path):
+    """Several micro-batches (maxFilesPerTrigger=1 over a 4-file corpus)
+    of gram-index partials must merge to exactly the from-scratch batch
+    index, and the delivery scrub served from the streamed index must
+    equal the batch incremental scrub."""
+    from spark_ensemble_spark.sources.datasets import load_table
+    from spark_ensemble_spark.streaming.corpus import (
+        read_span_index_dir,
+        span_index_stream,
+    )
+    from spark_ensemble_spark.streaming.runner import replay_session
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    delivery = docs.filter(F.col("doc_id") % 4 == 0)
+
+    src = str(tmp_path / "corpus_files")
+    corpus.repartition(4).write.parquet(src)
+    rs = replay_session(spark)
+    probe = rs.read.parquet(src)
+    stream = (
+        rs.readStream.schema(probe.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    idx_path = str(tmp_path / "span_index")
+    ckpt = str(tmp_path / "ckpt")
+    q = span_index_stream(stream, index_path=idx_path, checkpoint_dir=ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    import glob as _glob
+
+    n_batches = len(_glob.glob(f"{idx_path}/grams/batch_id=*"))
+    assert n_batches >= 3, n_batches  # genuinely multi-batch
+
+    streamed = read_span_index_dir(spark, idx_path)
+    batch = S.span_gram_index(corpus, k=8)
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+    a = sorted(map(tuple, S.scrub_delivery_spans(delivery, streamed, k=8).collect()))
+    b = sorted(map(tuple, S.scrub_delivery_spans(delivery, batch, k=8).collect()))
+    assert a == b

@@ -297,6 +297,8 @@ BENCH_QUERIES = [
     "docs_span_scrub_incremental",
     # r9 continuation: streaming span-index maintenance (mergeable partials)
     "streaming_span_index_scrub",
+    # r9 continuation: SymSpell deletion-neighborhood spelling correction
+    "docs_spell_correct",
 ]
 
 

@@ -7341,6 +7341,89 @@ def streaming_span_index_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["streaming_span_index_scrub"] = ORACLES["docs_span_scrub_incremental"]
 
 
+# typo fixture for the SymSpell row: the top-40 corpus terms (>=4 chars) by
+# (freq DESC, term); every 3rd passes through unchanged (the exact-match
+# path), the rest get ONE deterministic character deletion at position
+# (rank % len) + 1; a literal nonsense term exercises the no-candidate path
+_SPELL_VOCAB_SQL = """
+    SELECT token AS term, count(*) AS freq FROM (
+      SELECT unnest(list_filter(
+        string_split_regex(lower(trim(text)), '\\s+'), t -> t != '')) AS token
+      FROM documents
+    ) WHERE len(token) >= 4 GROUP BY token
+"""
+
+_SPELL_QUERIES_SQL = """
+    SELECT CASE WHEN rn % 3 = 0 THEN term
+                ELSE substr(term, 1, (rn % len(term)) + 1 - 1)
+                     || substr(term, (rn % len(term)) + 2) END AS qterm
+    FROM (
+      SELECT term, row_number() OVER (ORDER BY freq DESC, term) AS rn
+      FROM ({vocab})
+    ) WHERE rn <= 40
+    UNION ALL SELECT 'zzqqxxjj'
+""".format(vocab=_SPELL_VOCAB_SQL)
+
+
+@query("docs_spell_correct")
+def docs_spell_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell-style query spelling correction: the corpus vocabulary's
+    single-deletion neighborhood is the persisted index (vocab-sized ×
+    term length — the SymSpell space/time trade); a typo'd query batch
+    joins it on variant strings (never a wildcard scan, never a cross
+    join), exact levenshtein verifies, and (distance, -freq, term) picks
+    deterministically. Fixture: top corpus terms with one planted
+    deletion each + exact-match and no-candidate paths."""
+    from pyspark.sql.window import Window
+
+    from spark_ensemble_spark.operators.spelling import (
+        correct_terms,
+        deletion_index,
+    )
+    from spark_ensemble_spark.operators.text import tokens as _text_tokens
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    vocab = (
+        docs.select(F.explode(_text_tokens(F.col("text"))).alias("token"))
+        .filter((F.col("token") != "") & (F.length("token") >= 4))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(F.col("token").alias("term"), "freq")
+    )
+    rn = F.row_number().over(
+        Window.orderBy(F.col("freq").desc(), F.col("term"))
+    )
+    p = (F.col("rn") % F.length("term")) + 1
+    qterms = (
+        vocab.withColumn("rn", rn)
+        .filter(F.col("rn") <= 40)
+        .select(
+            F.when(F.col("rn") % 3 == 0, F.col("term"))
+            .otherwise(
+                F.concat(
+                    F.substring(F.col("term"), F.lit(1), p - 1),
+                    F.col("term").substr(p + 1, F.length("term")),
+                )
+            )
+            .alias("qterm")
+        )
+        .unionByName(
+            spark.createDataFrame([("zzqqxxjj",)], "qterm string")
+        )
+    )
+    index = deletion_index(vocab)
+    return correct_terms(qterms, index, max_distance=2)
+
+
+from spark_ensemble_spark.operators.spelling import (  # noqa: E402
+    correct_terms_sql as _correct_terms_sql,
+)
+
+ORACLES["docs_spell_correct"] = _correct_terms_sql(
+    _SPELL_VOCAB_SQL, _SPELL_QUERIES_SQL, max_distance=2
+)
+
+
 @query("streaming_crawl_frontier")
 def streaming_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The crawl front door ON A STREAM: documents arrive via readStream,

@@ -299,6 +299,9 @@ BENCH_QUERIES = [
     "streaming_span_index_scrub",
     # r9 continuation: SymSpell deletion-neighborhood spelling correction
     "docs_spell_correct",
+    # r9 continuation: autocomplete index + typo-tolerant BM25 composition
+    "docs_prefix_suggest",
+    "docs_bm25_typo_tolerant",
 ]
 
 

@@ -175,3 +175,65 @@ def correct_terms_sql(
     FROM qt q LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
       ON r.qterm = q.qterm
     """
+
+
+def prefix_suggest(
+    vocab: DataFrame,
+    min_len: int = 2,
+    max_len: int = 4,
+    topk: int = 3,
+    term_col: str = "term",
+    freq_col: str = "freq",
+) -> DataFrame:
+    """Search-suggest: the top-``topk`` completions per term prefix
+    (lengths ``min_len..max_len``), ranked by ``(freq DESC, term)``.
+    The prefix index is vocab-sized × (max_len − min_len + 1) — the same
+    growth class as the deletion index — and serving is a point lookup.
+    Returns ``(prefix, rank, term, freq)``."""
+    pre = vocab.select(
+        F.col(term_col).alias("term"),
+        F.col(freq_col).cast("long").alias("freq"),
+    ).filter(F.length("term") >= min_len)
+    prefixes = pre.select(
+        "term",
+        "freq",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(min_len), F.least(F.length("term"), F.lit(max_len))
+                ),
+                lambda n: F.col("term").substr(F.lit(1), n),
+            )
+        ).alias("prefix"),
+    )
+    w = Window.partitionBy("prefix").orderBy(
+        F.col("freq").desc(), F.col("term")
+    )
+    return (
+        prefixes.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("prefix", F.col("rank").cast("long").alias("rank"), "term", "freq")
+    )
+
+
+def prefix_suggest_sql(
+    vocab_sql: str, min_len: int = 2, max_len: int = 4, topk: int = 3
+) -> str:
+    return f"""
+    WITH vocab AS MATERIALIZED ({vocab_sql}),
+    pre AS (
+      SELECT term, CAST(freq AS BIGINT) AS freq,
+             unnest(list_transform(
+               range({min_len}, least(len(term), {max_len}) + 1),
+               n -> substr(term, 1, n))) AS prefix
+      FROM vocab WHERE len(term) >= {min_len}
+    ),
+    ranked AS (
+      SELECT prefix, term, freq,
+             row_number() OVER (
+               PARTITION BY prefix ORDER BY freq DESC, term) AS rank
+      FROM pre
+    )
+    SELECT prefix, CAST(rank AS BIGINT) AS rank, term, freq
+    FROM ranked WHERE rank <= {topk}
+    """

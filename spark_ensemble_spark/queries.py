@@ -7424,6 +7424,128 @@ ORACLES["docs_spell_correct"] = _correct_terms_sql(
 )
 
 
+def _spell_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_ensemble_spark.operators.text import tokens as _text_tokens
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return (
+        docs.select(F.explode(_text_tokens(F.col("text"))).alias("token"))
+        .filter((F.col("token") != "") & (F.length("token") >= 4))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(F.col("token").alias("term"), "freq")
+    )
+
+
+@query("docs_prefix_suggest")
+def docs_prefix_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-suggest completions: top-3 vocabulary terms per 2-4 char
+    prefix by (freq DESC, term) — the autocomplete index next to the
+    spelling index. Vocab-sized × 3 prefix rows; one window exchange on
+    prefix; serving is a point lookup."""
+    from spark_ensemble_spark.operators.spelling import prefix_suggest
+
+    return prefix_suggest(_spell_vocab(spark, sf_dir), 2, 4, 3)
+
+
+from spark_ensemble_spark.operators.spelling import (  # noqa: E402
+    prefix_suggest_sql as _prefix_suggest_sql,
+)
+
+ORACLES["docs_prefix_suggest"] = _prefix_suggest_sql(
+    _SPELL_VOCAB_SQL, 2, 4, 3
+)
+
+
+_BM25_TYPO_QUERIES = (
+    ("q_join", "sprk windw join"),
+    ("q_scan", "hsah scan merg"),
+    ("q_mixed", "stream btch zzznope"),
+    ("q_miss", "qqqnothing zzznope"),
+)
+
+
+@query("docs_bm25_typo_tolerant")
+def docs_bm25_typo_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant search END TO END: raw queries with planted typos →
+    SymSpell correction per term against the corpus vocabulary
+    (uncorrectable terms pass through — the miss path must stay a miss)
+    → rewritten query text → BM25 top-k. The production "did you mean +
+    search anyway" composition; correction state is dictionary-sized,
+    the probe keeps BM25's broadcast query-vocab prune."""
+    from spark_ensemble_spark.operators.retrieval import bm25_topk
+    from spark_ensemble_spark.operators.spelling import (
+        correct_terms,
+        deletion_index,
+    )
+
+    index = deletion_index(_spell_vocab(spark, sf_dir))
+    raw = spark.createDataFrame(
+        list(_BM25_TYPO_QUERIES), "query_id string, query_text string"
+    )
+    qterms = raw.select(
+        "query_id",
+        F.posexplode(F.split(F.lower(F.trim("query_text")), r"\s+")).alias(
+            "pos", "qterm"
+        ),
+    )
+    fixed = correct_terms(
+        qterms.select("qterm").distinct(), index, max_distance=2
+    ).select("qterm", "correction")
+    rewritten = (
+        qterms.join(fixed, "qterm", "left")
+        .withColumn("term_out", F.coalesce("correction", "qterm"))
+        .groupBy("query_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "term_out"))
+                    ),
+                    lambda s: s["term_out"],
+                ),
+                " ",
+            ).alias("query_text")
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, rewritten, k=_BM25_K, max_df=_BM25_MAX_DF)
+
+
+def _typo_queries_sql() -> str:
+    values = ", ".join(
+        f"('{qid}', '{qtext}')" for qid, qtext in _BM25_TYPO_QUERIES
+    )
+    corrections = _correct_terms_sql(
+        _SPELL_VOCAB_SQL,
+        f"""SELECT unnest(string_split_regex(lower(trim(query_text)), '\\s+'))
+            AS qterm FROM (VALUES {values}) raw(query_id, query_text)""",
+        max_distance=2,
+    )
+    return f"""
+    WITH rawq(query_id, query_text) AS (VALUES {values}),
+    qpos AS (
+      SELECT query_id,
+             unnest(range(0, len(string_split_regex(lower(trim(query_text)),
+                                                    '\\s+')))) AS pos,
+             unnest(string_split_regex(lower(trim(query_text)), '\\s+'))
+               AS qterm
+      FROM rawq
+    ),
+    fixes AS MATERIALIZED ({corrections})
+    SELECT query_id,
+           string_agg(coalesce(f.correction, q.qterm), ' ' ORDER BY q.pos)
+             AS query_text
+    FROM qpos q LEFT JOIN fixes f ON f.qterm = q.qterm
+    GROUP BY query_id
+    """
+
+
+ORACLES["docs_bm25_typo_tolerant"] = _retrieval.bm25_oracle_sql(
+    queries_sql=_typo_queries_sql(), k=_BM25_K, max_df=_BM25_MAX_DF
+)
+
+
 @query("streaming_crawl_frontier")
 def streaming_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The crawl front door ON A STREAM: documents arrive via readStream,

@@ -71,3 +71,47 @@ def test_rows_never_dropped_and_deterministic(spark, sf_dir):
     assert len(rows) == df.select("qterm").distinct().count()
     again = ALL_SPARK_QUERIES["docs_spell_correct"](spark, sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_prefix_suggest_semantics(spark):
+    vocab = _vocab(
+        spark, [("table", 100), ("tablet", 60), ("tag", 90), ("go", 5)]
+    )
+    got = SP.prefix_suggest(vocab, min_len=2, max_len=4, topk=2).collect()
+    by_prefix = {}
+    for r in got:
+        by_prefix.setdefault(r["prefix"], []).append((r["rank"], r["term"]))
+    assert sorted(by_prefix["ta"]) == [(1, "table"), (2, "tag")]  # by freq
+    assert sorted(by_prefix["tabl"]) == [(1, "table"), (2, "tablet")]
+    assert by_prefix["go"] == [(1, "go")]  # a short term completes itself
+
+
+def test_prefix_includes_whole_short_terms(spark):
+    vocab = _vocab(spark, [("go", 5)])
+    got = SP.prefix_suggest(vocab, min_len=2, max_len=4, topk=2).collect()
+    assert [(r["prefix"], r["term"]) for r in got] == [("go", "go")]
+
+
+def test_typo_tolerant_bm25_equals_clean_query(spark, sf_dir):
+    """Correcting 'sprk windw join' must retrieve exactly what the clean
+    'spark window join' retrieves (same ids, scores, ranks)."""
+    from spark_ensemble_spark.queries import _BM25_K, _BM25_MAX_DF, _spell_vocab
+    from spark_ensemble_spark.operators.retrieval import bm25_topk
+    from spark_ensemble_spark.queries import ALL_SPARK_QUERIES
+    from spark_ensemble_spark.sources.datasets import load_table
+
+    typo = {
+        (r["query_id"], r["doc_id"], str(r["score"]), r["rank"])
+        for r in ALL_SPARK_QUERIES["docs_bm25_typo_tolerant"](spark, sf_dir)
+        .filter(F.col("query_id") == "q_join")
+        .collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    clean_q = spark.createDataFrame(
+        [("q_join", "spark window join")], "query_id string, query_text string"
+    )
+    clean = {
+        (r["query_id"], r["doc_id"], str(r["score"]), r["rank"])
+        for r in bm25_topk(docs, clean_q, k=_BM25_K, max_df=_BM25_MAX_DF).collect()
+    }
+    assert typo == clean and len(typo) > 0

@@ -8099,9 +8099,19 @@ REGISTRY_ORDER = [
     #     bagging_dummy_mean_regressor + bagging_tree_regressor;
     #   stacking_dummy_prior_classifier — stacking stays in-window via
     #     stacking_dummy_regressor + stacking_tree_classifier.
+    # -- r9c session frontier: incremental span dedup (the ingest-batch
+    # exact-substring scrub vs the persisted gram index) and typo-tolerant
+    # BM25 (SymSpell correction composed into the probe). Out (fold notes;
+    # both remain extra-oracle-verified ×3 SFs and benched):
+    #   docs_html_extract — subsumed by docs_crawl_pipeline, which replays
+    #     html_to_text + the link count inside the composed verdict;
+    #   weighted_median_price — the weighted-median fold executes inside
+    #     the in-window boosting_dummy_median_regressor /
+    #     boosting_tree_regressor predictions (same core/utils fold).
+    "docs_span_scrub_incremental",
+    "docs_bm25_typo_tolerant",
     "docs_preference_strength",
     "streaming_preference_strength",
-    "docs_html_extract",
     "docs_crawl_pipeline",
     "docs_pii_scrub",
     "docs_ltr_rerank",
@@ -8182,7 +8192,6 @@ REGISTRY_ORDER = [
     # q4_priority_exists + clickers_never_purchased in-window and both remain
     # extra-oracle-verified at sf0.001+sf0.01) --
     "dedup_incremental",
-    "weighted_median_price",
     # -- ensemble estimators (SURVEY §2.1) --
     "bagging_dummy_mean_regressor",
     "bagging_tree_regressor",

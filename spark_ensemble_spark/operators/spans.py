@@ -113,9 +113,10 @@ def repeated_spans(
 
     Returns one row per (doc, span): ``doc_id, span_start, span_end``
     (0-based inclusive word positions), ``span_words``, ``n_source_grams``
-    (foreign grams merged into the span), and ``span_text``. The minimal
-    doc containing a gram is its canonical home and emits no span for it.
-    """
+    (foreign grams merged into the span), ``source_doc`` (provenance: the
+    smallest canonical document holding any gram of the span), and
+    ``span_text``. The minimal doc containing a gram is its canonical
+    home and emits no span for it."""
     min_len = k if min_len is None else min_len
     grams = _gram_table(docs, k, id_col, text_col)
     # Both the corpus-stats aggregate and the foreign-occurrence probe read
@@ -133,10 +134,12 @@ def repeated_spans(
     foreign = (
         grams.join(dup, "__h")
         .filter(F.col("__id") > F.col("__min_id"))
-        .select("__id", "__pos")
+        .select("__id", "__pos", F.col("__min_id").alias("__src"))
         # the same k-gram can repeat INSIDE a doc; positions must be
-        # unique before the islands walk or lag() sees duplicates
-        .distinct()
+        # unique before the islands walk or lag() sees duplicates — and
+        # provenance keeps the smallest canonical holder per position
+        .groupBy("__id", "__pos")
+        .agg(F.min("__src").alias("__src"))
         .localCheckpoint(eager=True)
     )
     grams.unpersist()
@@ -170,6 +173,7 @@ def _spans_from_foreign(
         F.min("__pos").alias("span_start"),
         (F.max("__pos") + F.lit(k - 1)).alias("span_end"),
         F.count(F.lit(1)).alias("n_source_grams"),
+        F.min("__src").alias("source_doc"),
     )
     spans = spans.filter(
         F.col("span_end") - F.col("span_start") + 1 >= min_len
@@ -188,6 +192,7 @@ def _spans_from_foreign(
             .cast("long")
             .alias("span_words"),
             F.col("n_source_grams").cast("long").alias("n_source_grams"),
+            F.col("source_doc").cast("long").alias("source_doc"),
             F.concat_ws(
                 " ",
                 F.slice(
@@ -238,8 +243,12 @@ def repeated_spans_incremental(
     grams = _gram_table(new_df, k, id_col, text_col).persist()
 
     in_corpus = grams.join(
-        index.select(F.col("gram_hash").alias("__h")), "__h", "left_semi"
-    ).select("__id", "__pos")
+        index.select(
+            F.col("gram_hash").alias("__h"),
+            F.col("min_doc").alias("__src"),
+        ),
+        "__h",
+    ).select("__id", "__pos", "__src")
     stats = grams.groupBy("__h").agg(
         F.countDistinct("__id").alias("__n_docs"),
         F.min("__id").alias("__min_id"),
@@ -248,10 +257,13 @@ def repeated_spans_incremental(
     intra = (
         grams.join(dup, "__h")
         .filter(F.col("__id") > F.col("__min_id"))
-        .select("__id", "__pos")
+        .select("__id", "__pos", F.col("__min_id").alias("__src"))
     )
     foreign = (
-        in_corpus.unionByName(intra).distinct().localCheckpoint(eager=True)
+        in_corpus.unionByName(intra)
+        .groupBy("__id", "__pos")
+        .agg(F.min("__src").alias("__src"))
+        .localCheckpoint(eager=True)
     )
     grams.unpersist()
     return _spans_from_foreign(foreign, new_df, k, min_len, id_col, text_col)
@@ -385,8 +397,10 @@ def _gram_cte_sql(k: int, id_col: str, text_col: str, table: str) -> str:
       GROUP BY h HAVING count(DISTINCT id) >= 2
     ),
     foreign_pos AS MATERIALIZED (
-      SELECT DISTINCT g.id, g.pos FROM g JOIN dup USING (h)
+      SELECT g.id, g.pos, min(dup.min_id) AS src
+      FROM g JOIN dup USING (h)
       WHERE g.id > dup.min_id
+      GROUP BY g.id, g.pos
     ),
     {_islands_spans_ctes_sql(k)}"""
 
@@ -410,12 +424,12 @@ def _incremental_cte_sql(
       GROUP BY h HAVING count(DISTINCT id) >= 2
     ),
     foreign_pos AS MATERIALIZED (
-      SELECT DISTINCT id, pos FROM (
-        SELECT g.id, g.pos FROM g WHERE g.h IN (SELECT h FROM cidx)
+      SELECT id, pos, min(src) AS src FROM (
+        SELECT g.id, g.pos, c.min_doc AS src FROM g JOIN cidx c USING (h)
         UNION ALL
-        SELECT g.id, g.pos FROM g JOIN dup USING (h)
+        SELECT g.id, g.pos, dup.min_id AS src FROM g JOIN dup USING (h)
         WHERE g.id > dup.min_id
-      )
+      ) GROUP BY id, pos
     ),
     {_islands_spans_ctes_sql(k)}"""
 
@@ -423,20 +437,20 @@ def _incremental_cte_sql(
 def _islands_spans_ctes_sql(k: int) -> str:
     return f"""
     brk AS (
-      SELECT id, pos,
+      SELECT id, pos, src,
              CASE WHEN pos - lag(pos) OVER (PARTITION BY id ORDER BY pos)
                        > {k} THEN 1 ELSE 0 END AS brk
       FROM foreign_pos
     ),
     islands AS (
-      SELECT id, pos,
+      SELECT id, pos, src,
              sum(brk) OVER (PARTITION BY id ORDER BY pos
                             ROWS UNBOUNDED PRECEDING) AS island
       FROM brk
     ),
     spans AS MATERIALIZED (
       SELECT id, min(pos) AS span_start, max(pos) + {k} - 1 AS span_end,
-             count(*) AS n_source_grams
+             count(*) AS n_source_grams, min(src) AS source_doc
       FROM islands GROUP BY id, island
     )"""
 
@@ -481,6 +495,7 @@ def _spans_select_sql(ctes: str, id_col: str, min_len: int) -> str:
            CAST(s.span_end AS BIGINT) AS span_end,
            CAST(s.span_end - s.span_start + 1 AS BIGINT) AS span_words,
            CAST(s.n_source_grams AS BIGINT) AS n_source_grams,
+           CAST(s.source_doc AS BIGINT) AS source_doc,
            array_to_string(w.words[s.span_start + 1 : s.span_end + 1], ' ')
              AS span_text
     FROM spans s JOIN w ON w.id = s.id

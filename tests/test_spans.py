@@ -28,10 +28,12 @@ def test_planted_boilerplate_is_found_and_canonical_survives(spark):
     # doc 0 is the minimal home of the boilerplate: no span
     assert 0 not in by_doc
     assert 3 not in by_doc
-    # docs 1 and 2 each flag exactly the planted passage
+    # docs 1 and 2 each flag exactly the planted passage, with provenance
+    # pointing at its canonical home (doc 0)
     for d in (1, 2):
         assert len(by_doc[d]) == 1, by_doc
         assert by_doc[d][0]["span_text"] == boiler
+        assert by_doc[d][0]["source_doc"] == 0
     scrubbed = {
         r["doc_id"]: r
         for r in S.scrub_repeated_spans(_docs(spark, rows), k=5).collect()

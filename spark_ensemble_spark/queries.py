@@ -71,13 +71,13 @@ def query(name: str, oracle: str | None = None):
     "q1_pricing_summary",
     f"""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum({REVENUE_SQL}), 2) AS sum_disc_price,
-           round(sum({REVENUE_SQL} * (1 + l_tax)), 2) AS sum_charge,
-           round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(*), 4) AS avg_qty,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / count(*), 4) AS avg_price,
-           round(CAST(sum(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS avg_disc,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_qty,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(round(sum(CAST({REVENUE_SQL} AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(round(sum(CAST({REVENUE_SQL} * (1 + l_tax) AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_charge,
+           {_frs('CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(*)', 4)} AS avg_qty,
+           {_frs('CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / count(*)', 4)} AS avg_price,
+           {_frs('CAST(sum(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / count(*)', 6)} AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
@@ -86,24 +86,31 @@ def query(name: str, oracle: str | None = None):
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(REVENUE()), 2).alias("sum_disc_price"),
-        F.round(F.sum(REVENUE() * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-        # avgs as exact-DECIMAL sum ÷ count: order-independent partials, so
-        # the rounding tick cannot flip with 8-vs-32-core partial-agg order
-        # (same hardening as orders_monthly_stats / curation_pipeline)
+        # sums as exact DECIMAL (order-independent partials) rounded on the
+        # decimal — round(double, 2) straddles a half-tick differently per
+        # engine whenever a sum lands on the .xx5 grid (the q11 r9c class)
+        F.round(F.sum(F.col("l_quantity").cast("decimal(38,6)")), 2)
+        .cast("double").alias("sum_qty"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(38,6)")), 2)
+        .cast("double").alias("sum_base_price"),
+        F.round(F.sum(REVENUE().cast("decimal(38,6)")), 2)
+        .cast("double").alias("sum_disc_price"),
         F.round(
+            F.sum((REVENUE() * (1 + F.col("l_tax"))).cast("decimal(38,6)")), 2
+        ).cast("double").alias("sum_charge"),
+        # avgs: exact-DECIMAL sum ÷ count on identical doubles, floor-round
+        # (no tie to straddle)
+        _floor_round(
             F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double")
             / F.count(F.lit(1)),
             4,
         ).alias("avg_qty"),
-        F.round(
+        _floor_round(
             F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double")
             / F.count(F.lit(1)),
             4,
         ).alias("avg_price"),
-        F.round(
+        _floor_round(
             F.sum(F.col("l_discount").cast("decimal(38,6)")).cast("double")
             / F.count(F.lit(1)),
             6,
@@ -115,13 +122,15 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q3_top_revenue_orders",
     f"""
-    SELECT o_orderkey, round(sum({REVENUE_SQL}), 2) AS revenue, o_orderpriority
+    SELECT o_orderkey,
+           CAST(round(sum(CAST({REVENUE_SQL} AS DECIMAL(38,6))), 2) AS DOUBLE)
+             AS revenue, o_orderpriority
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
     WHERE c_mktsegment = 'BUILDING'
     GROUP BY o_orderkey, o_orderpriority
-    ORDER BY sum({REVENUE_SQL}) DESC, o_orderkey
+    ORDER BY sum(CAST({REVENUE_SQL} AS DECIMAL(38,6))) DESC, o_orderkey
     LIMIT 10
     """,
 )
@@ -140,11 +149,13 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         joined.groupBy("o_orderkey", "o_orderpriority")
-        .agg(F.sum(REVENUE()).alias("__rev"))
+        .agg(F.sum(REVENUE().cast("decimal(38,6)")).alias("__rev"))
         .orderBy(F.desc("__rev"), "o_orderkey")
         .limit(10)
         .select(
-            "o_orderkey", F.round("__rev", 2).alias("revenue"), "o_orderpriority"
+            "o_orderkey",
+            F.round("__rev", 2).cast("double").alias("revenue"),
+            "o_orderpriority",
         )
     )
 
@@ -152,7 +163,9 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q5_nation_revenue",
     f"""
-    SELECT n_name, round(sum({REVENUE_SQL}), 2) AS revenue
+    SELECT n_name,
+           CAST(round(sum(CAST({REVENUE_SQL} AS DECIMAL(38,6))), 2) AS DOUBLE)
+             AS revenue
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -186,7 +199,11 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
     )
-    return joined.groupBy("n_name").agg(F.round(F.sum(REVENUE()), 2).alias("revenue"))
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(REVENUE().cast("decimal(38,6)")), 2)
+        .cast("double")
+        .alias("revenue")
+    )
 
 
 _DECSUM_REV = (
@@ -202,7 +219,7 @@ def _decsum_rev():
     "q7_nation_trade",
     f"""
     SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
-           round(CAST({_DECSUM_REV} AS DOUBLE), 2) AS revenue,
+           CAST(round({_DECSUM_REV}, 2) AS DOUBLE) AS revenue,
            count(*) AS n_lines
     FROM lineitem
     JOIN supplier ON l_suppkey = s_suppkey
@@ -240,7 +257,7 @@ def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("supp_nation") != F.col("cust_nation"))
     )
     return joined.groupBy("supp_nation", "cust_nation").agg(
-        F.round(_decsum_rev().cast("double"), 2).alias("revenue"),
+        F.round(_decsum_rev(), 2).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
@@ -249,7 +266,7 @@ def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_revenue",
     f"""
     SELECT c_custkey, c_name, n_name,
-           round(CAST({_DECSUM_REV} AS DOUBLE), 2) AS revenue
+           CAST(round({_DECSUM_REV}, 2) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -282,7 +299,7 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             "c_name",
             "n_name",
-            F.round(F.col("__rev").cast("double"), 2).alias("revenue"),
+            F.round(F.col("__rev"), 2).cast("double").alias("revenue"),
         )
     )
 
@@ -294,7 +311,7 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        THEN CAST({REVENUE_SQL} AS DECIMAL(38,6))
                                        ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
                  / CAST({_DECSUM_REV} AS DOUBLE), 4) AS promo_pct,
-           round(CAST({_DECSUM_REV} AS DOUBLE), 2) AS total_revenue
+           CAST(round({_DECSUM_REV}, 2) AS DOUBLE) AS total_revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     """,
 )
@@ -313,14 +330,14 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             100.0 * F.sum(promo).cast("double") / _decsum_rev().cast("double"), 4
         ).alias("promo_pct"),
-        F.round(_decsum_rev().cast("double"), 2).alias("total_revenue"),
+        F.round(_decsum_rev(), 2).cast("double").alias("total_revenue"),
     )
 
 
 @query(
     "q19_banded_revenue",
     f"""
-    SELECT round(CAST({_DECSUM_REV} AS DOUBLE), 2) AS revenue, count(*) AS n
+    SELECT CAST(round({_DECSUM_REV}, 2) AS DOUBLE) AS revenue, count(*) AS n
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
        OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
@@ -355,7 +372,7 @@ def q19_banded_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return joined.filter(band).agg(
-        F.round(_decsum_rev().cast("double"), 2).alias("revenue"),
+        F.round(_decsum_rev(), 2).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -369,7 +386,7 @@ def q19_banded_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c_mktsegment,
            count(*) AS n_customers,
-           round(CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE), 2) AS total_bal
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(38,6))), 2) AS DOUBLE) AS total_bal
     FROM customer, avg_bal
     WHERE c_acctbal > ab
       AND NOT EXISTS (SELECT 1 FROM orders
@@ -483,7 +500,7 @@ def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q9_nation_year_revenue",
     f"""
     SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-           round(CAST({_DECSUM_REV} AS DOUBLE), 2) AS revenue
+           CAST(round({_DECSUM_REV}, 2) AS DOUBLE) AS revenue
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     JOIN supplier ON l_suppkey = s_suppkey
@@ -506,7 +523,7 @@ def q9_nation_year_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy(
         "n_name", F.year("o_orderdate").cast("long").alias("o_year")
-    ).agg(F.round(_decsum_rev().cast("double"), 2).alias("revenue"))
+    ).agg(F.round(_decsum_rev(), 2).cast("double").alias("revenue"))
 
 
 @query(
@@ -517,7 +534,7 @@ def q9_nation_year_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY 1
     )
     SELECT s_suppkey, s_name,
-           round(CAST(total_rev AS DOUBLE), 2) AS total_revenue
+           CAST(round(total_rev, 2) AS DOUBLE) AS total_revenue
     FROM supplier_revenue
     JOIN supplier ON suppkey = s_suppkey
     WHERE total_rev = (SELECT max(total_rev) FROM supplier_revenue)
@@ -540,7 +557,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "s_suppkey",
             "s_name",
-            F.round(F.col("total_rev").cast("double"), 2).alias("total_revenue"),
+            F.round(F.col("total_rev"), 2).cast("double").alias("total_revenue"),
         )
     )
 
@@ -654,9 +671,10 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE r_name = 'ASIA'
     )
     SELECT n_name,
-           round(CAST(sum(rev) AS DOUBLE), 2) AS nation_revenue,
-           round(CAST(sum(rev) AS DOUBLE)
-                 / CAST((SELECT sum(rev) FROM region_orders) AS DOUBLE), 6) AS market_share
+           CAST(round(sum(rev), 2) AS DOUBLE) AS nation_revenue,
+           {_frs('CAST(sum(rev) AS DOUBLE)'
+                 ' / CAST((SELECT sum(rev) FROM region_orders) AS DOUBLE)', 6)}
+             AS market_share
     FROM region_orders
     GROUP BY n_name
     """,
@@ -680,8 +698,8 @@ def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = per_nation.agg(F.sum("__rev").alias("__total"))
     return per_nation.crossJoin(F.broadcast(total)).select(
         "n_name",
-        F.round(F.col("__rev").cast("double"), 2).alias("nation_revenue"),
-        F.round(
+        F.round(F.col("__rev"), 2).cast("double").alias("nation_revenue"),
+        _floor_round(
             F.col("__rev").cast("double") / F.col("__total").cast("double"), 6
         ).alias("market_share"),
     )
@@ -728,7 +746,7 @@ def feature_hashing_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1
     )
     SELECT decile, count(*) AS n_customers,
-           round(CAST(sum(rev) AS DOUBLE), 2) AS decile_revenue
+           CAST(round(sum(rev), 2) AS DOUBLE) AS decile_revenue
     FROM (
       SELECT c_custkey, rev,
              ntile(10) OVER (ORDER BY rev DESC, c_custkey) AS decile
@@ -760,7 +778,7 @@ def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("rev").cast("double"), 2).alias("decile_revenue"),
+            F.round(F.sum("rev"), 2).cast("double").alias("decile_revenue"),
         )
     )
 
@@ -942,7 +960,7 @@ def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "winsorized_order_stats",
-    """
+    f"""
     WITH ranked AS (
       SELECT o_totalprice,
              row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
@@ -955,8 +973,9 @@ def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ranked
     )
     SELECT round(lo, 2) AS p05, round(hi, 2) AS p95,
-           round(CAST(sum(CAST(least(greatest(o_totalprice, lo), hi) AS DECIMAL(38,6))) AS DOUBLE)
-                 / count(*), 4) AS winsorized_mean,
+           {_frs('CAST(sum(CAST(least(greatest(o_totalprice, lo), hi)'
+                 ' AS DECIMAL(38,6))) AS DOUBLE) / count(*)', 4)}
+             AS winsorized_mean,
            count(*) AS n
     FROM orders, bounds
     GROUP BY lo, hi
@@ -997,7 +1016,7 @@ def winsorized_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clamped = orders.crossJoin(F.broadcast(bounds))
     return clamped.groupBy("lo", "hi").agg(
-        F.round(
+        _floor_round(
             F.sum(
                 F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi"))
                 .cast("decimal(38,6)")
@@ -1175,15 +1194,15 @@ def events_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lineitem_measures_unpivot",
     """
     SELECT l_returnflag, 'quantity' AS measure,
-           round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 2) AS total
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(38,6))), 2) AS DOUBLE) AS total
     FROM lineitem GROUP BY 1
     UNION ALL
     SELECT l_returnflag, 'discount',
-           round(CAST(sum(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE), 2)
+           CAST(round(sum(CAST(l_discount AS DECIMAL(38,6))), 2) AS DOUBLE)
     FROM lineitem GROUP BY 1
     UNION ALL
     SELECT l_returnflag, 'tax',
-           round(CAST(sum(CAST(l_tax AS DECIMAL(38,6))) AS DOUBLE), 2)
+           CAST(round(sum(CAST(l_tax AS DECIMAL(38,6))), 2) AS DOUBLE)
     FROM lineitem GROUP BY 1
     """,
 )
@@ -1204,8 +1223,8 @@ def lineitem_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "measure")
         .agg(
             F.round(
-                F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 2
-            ).alias("total")
+                F.sum(F.col("value").cast("decimal(38,6)")), 2
+            ).cast("double").alias("total")
         )
     )
 
@@ -1218,7 +1237,7 @@ def lineitem_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY 1
     ),
     total AS (SELECT sum(value) AS tv, count(*) AS np FROM part_value)
-    SELECT partkey, round(CAST(value AS DOUBLE), 2) AS part_value
+    SELECT partkey, round(value, 2) AS part_value
     FROM part_value, total
     WHERE CAST(value AS DOUBLE) > 1.2 * CAST(tv AS DOUBLE) / np
     """,
@@ -1231,7 +1250,10 @@ def q11_valuable_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit), so the HAVING-on-share keeps its shape against a
     data-relative bar. The threshold is a broadcast 1-row (total, count)
     against the grouped frame; both comparison sides derive from the same
-    exact DECIMAL sums cast once."""
+    exact DECIMAL sums cast once. The OUTPUT rounds the DECIMAL itself —
+    ``round(CAST(x AS DOUBLE), 2)`` straddled a half-tick differently per
+    engine at sf0.1 (the r7 tie class; decimal rounding is exact and
+    engine-identical on non-negatives)."""
     li = load_table(spark, sf_dir, "lineitem")
     pv = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
         _decsum_rev().alias("value")
@@ -1243,7 +1265,7 @@ def q11_valuable_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").cast("double")
             > 1.2 * F.col("tv").cast("double") / F.col("np")
         )
-        .select("partkey", F.round(F.col("value").cast("double"), 2).alias("part_value"))
+        .select("partkey", F.round(F.col("value"), 2).alias("part_value"))
     )
 
 
@@ -1442,8 +1464,8 @@ def range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_id, user_id,
            count(*) OVER w - 1 AS n_prev_24h,
-           round(CAST(sum(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
-                 - CAST(value AS DOUBLE), 4) AS prev_value_24h,
+           CAST(round(sum(CAST(value AS DECIMAL(38,6))) OVER w
+                 - CAST(value AS DECIMAL(38,6)), 4) AS DOUBLE) AS prev_value_24h,
            coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER
                       (PARTITION BY user_id ORDER BY ts, event_id), -1)
              AS us_since_last
@@ -1475,10 +1497,10 @@ def user_activity_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.count(F.lit(1)).over(w_range) - 1).alias("n_prev_24h"),
         F.round(
-            F.sum(F.col("value").cast("decimal(38,6)")).over(w_range).cast("double")
-            - F.col("value").cast("double"),
+            F.sum(F.col("value").cast("decimal(38,6)")).over(w_range)
+            - F.col("value").cast("decimal(38,6)"),
             4,
-        ).alias("prev_value_24h"),
+        ).cast("double").alias("prev_value_24h"),
         F.coalesce(us - F.lag(us).over(w_lag), F.lit(-1)).alias("us_since_last"),
     )
 
@@ -1488,7 +1510,7 @@ def user_activity_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
            coalesce(o_orderpriority, 'ALL') AS priority,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE), 2) AS sum_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_price,
            count(*) AS n
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY CUBE(l_returnflag, o_orderpriority)
@@ -1555,7 +1577,8 @@ def topk_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
            coalesce(l_linestatus, 'ALL') AS linestatus,
-           round(sum(l_extendedprice), 2) AS sum_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,6))), 2) AS DOUBLE)
+             AS sum_price,
            count(*) AS n
     FROM lineitem
     GROUP BY ROLLUP(l_returnflag, l_linestatus)
@@ -1564,7 +1587,9 @@ def topk_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(38,6)")), 2)
+        .cast("double")
+        .alias("sum_price"),
         F.count(F.lit(1)).alias("n"),
     ).select(
         F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
@@ -2418,14 +2443,15 @@ def docs_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_rollup_incremental",
-    """
+    f"""
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
            event_type,
            CAST(count(*) AS BIGINT) AS n,
            round(sum(CAST(value AS DECIMAL(38,6))), 6)::DOUBLE AS sum_value,
-           round(min(value), 6) AS min_value,
-           round(max(value), 6) AS max_value,
-           round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS avg_value
+           {_frs('min(value)', 6)} AS min_value,
+           {_frs('max(value)', 6)} AS max_value,
+           {_frs('CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / count(*)', 6)}
+             AS avg_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -4990,8 +5016,10 @@ def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q17_small_quantity_revenue",
-    """
-    SELECT printf('%.2f', round(sum(l_extendedprice) / 7.0, 2)) AS avg_yearly
+    f"""
+    SELECT printf('%.2f',
+      {_frs("CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0", 2)})
+      AS avg_yearly
     FROM lineitem, part
     WHERE p_partkey = l_partkey AND p_brand = 'Brand#23'
       AND l_quantity < (SELECT 0.5 * avg(l_quantity)
@@ -5016,7 +5044,13 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < F.col("__half_avg"))
         .agg(
             F.format_string(
-                "%.2f", F.round(F.sum("l_extendedprice") / 7.0, 2)
+                "%.2f",
+                _floor_round(
+                    F.sum(F.col("l_extendedprice").cast("decimal(38,6)"))
+                    .cast("double")
+                    / 7.0,
+                    2,
+                ),
             ).alias("avg_yearly")
         )
     )
@@ -5070,12 +5104,14 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH m AS (
       SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
-             sum(o_totalprice) AS rev
+             sum(CAST(o_totalprice AS DECIMAL(38,6))) AS rev
       FROM orders GROUP BY 1
     )
     SELECT month,
-           printf('%.2f', round(rev, 2)) AS revenue,
-           printf('%.2f', round(rev - coalesce(lag(rev) OVER (ORDER BY month), 0), 2)) AS delta
+           printf('%.2f', round(rev, 2)::DOUBLE) AS revenue,
+           printf('%.2f', round(rev - coalesce(lag(rev) OVER (ORDER BY month),
+                                               CAST(0 AS DECIMAL(38,6))), 2)::DOUBLE)
+             AS delta
     FROM m
     """,
 )
@@ -5088,14 +5124,17 @@ def monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     m = orders.groupBy(
         F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
-    ).agg(F.sum("o_totalprice").alias("rev"))
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("rev"))
     w = Window.orderBy("month")
+    zero = F.lit(0).cast("decimal(38,6)")
     return m.select(
         "month",
-        F.format_string("%.2f", F.round("rev", 2)).alias("revenue"),
+        F.format_string("%.2f", F.round("rev", 2).cast("double")).alias("revenue"),
         F.format_string(
             "%.2f",
-            F.round(F.col("rev") - F.coalesce(F.lag("rev").over(w), F.lit(0.0)), 2),
+            F.round(
+                F.col("rev") - F.coalesce(F.lag("rev").over(w), zero), 2
+            ).cast("double"),
         ).alias("delta"),
     )
 
@@ -5176,11 +5215,12 @@ def events_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    """
+    "orders_monthly_stats",
+    f"""
     SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
            count(*) AS n_orders,
            count(DISTINCT o_custkey) AS n_customers,
-           printf('%.4f', round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / count(*), 4)) AS avg_price,
+           printf('%.4f', {_frs("CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / count(*)", 4)}) AS avg_price,
            printf('%.2f', round(max(o_totalprice), 2)) AS max_price
     FROM orders
     WHERE o_orderstatus <> 'P'
@@ -5200,7 +5240,7 @@ def orders_monthly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         # division of identical inputs is deterministic on both engines.
         F.format_string(
             "%.4f",
-            F.round(
+            _floor_round(
                 F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double")
                 / F.count(F.lit(1)),
                 4,
@@ -5212,11 +5252,11 @@ def orders_monthly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "part_brand_stats",
-    """
+    f"""
     SELECT upper(p_brand) AS brand,
            substr(p_type, 1, 6) AS type_prefix,
            count(*) AS n,
-           round(CAST(sum(CAST(p_retailprice AS DECIMAL(38,6))) AS DOUBLE) / count(*), 4) AS avg_price
+           {_frs("CAST(sum(CAST(p_retailprice AS DECIMAL(38,6))) AS DOUBLE) / count(*)", 4)} AS avg_price
     FROM part
     WHERE p_name LIKE '%a%'
     GROUP BY 1, 2
@@ -5232,7 +5272,7 @@ def part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         # exact-DECIMAL sum ÷ count (see orders_monthly_stats): hundreds of
         # groups × a double-sum avg is exactly the round-tick flip class
         # that made r1's hash failures
-        F.round(
+        _floor_round(
             F.sum(F.col("p_retailprice").cast("decimal(38,6)")).cast("double")
             / F.count(F.lit(1)),
             4,
@@ -5308,6 +5348,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "strip_boilerplate",
     """
     WITH words AS (
       SELECT doc_id,
@@ -5346,6 +5387,7 @@ def strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "contamination_overlap",
     f"""
     WITH toks AS (
       SELECT doc_id,

@@ -129,3 +129,35 @@ def test_stream_ts_matches_batch(spark, sf_dir):
         q.stop()
     s_lo, s_hi, s_n = spark.table("t_schema_guard_stream").first()
     assert (s_lo, s_hi, s_n) == (b_lo, b_hi, b_n)
+
+
+def test_registered_query_names_are_identifiers():
+    """A rotation edit once deleted a @query NAME line, silently turning
+    the SQL into the registration key — the query dropped out of every
+    oracle gate while its function kept passing bench by def-name
+    (r9c found orders_monthly_stats, strip_boilerplate,
+    contamination_overlap dark since the r9 rotation). Names must look
+    like identifiers, and every @query-wrapped function's def name must
+    be registered."""
+    import re
+
+    from spark_ensemble_spark import queries as q
+
+    ident = re.compile(r"^[a-z][a-z0-9_]*$")
+    for name in q.ALL_SPARK_QUERIES:
+        assert ident.match(name), f"suspicious registry key: {name[:60]!r}"
+    # every def that went through @query must be registered under SOME
+    # identifier key with the same code object
+    registered = {fn.__code__ for fn in q.ALL_SPARK_QUERIES.values()}
+    for attr in dir(q):
+        fn = getattr(q, attr)
+        if callable(fn) and getattr(fn, "__module__", "") == q.__name__:
+            src_ok = True
+            try:
+                import inspect
+
+                src_ok = "@query(" in inspect.getsource(fn)
+            except (OSError, TypeError):
+                src_ok = False
+            if src_ok and hasattr(fn, "__code__"):
+                assert fn.__code__ in registered, f"{attr} not registered"

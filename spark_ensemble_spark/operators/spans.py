@@ -335,16 +335,22 @@ def _scrub_with_spans(
     # transform) — the same eval-once barrier as the gram table
     from spark_ensemble_spark.operators.dedup import _eval_once_column
 
+    # guard size > 0: F.sequence(0, -1) DESCENDS for an empty word array
+    # (yielding [0, -1] and an INVALID_INDEX_OF_ZERO in the transform) —
+    # the same idiom _gram_table guards with size >= k
     joined = _eval_once_column(
         joined,
         "__kept",
-        F.filter(
-            F.sequence(F.lit(0), F.size("__words") - 1),
-            lambda i: ~F.exists(
-                F.col("__spans"),
-                lambda sp: (i >= sp["s"]) & (i <= sp["e"]),
+        F.when(
+            F.size("__words") > 0,
+            F.filter(
+                F.sequence(F.lit(0), F.size("__words") - 1),
+                lambda i: ~F.exists(
+                    F.col("__spans"),
+                    lambda sp: (i >= sp["s"]) & (i <= sp["e"]),
+                ),
             ),
-        ),
+        ).otherwise(F.array().cast("array<int>")),
     )
     return joined.select(
         F.col(id_col),

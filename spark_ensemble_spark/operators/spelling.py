@@ -4,11 +4,20 @@ Search front ends correct typos BEFORE the index probe ("did you mean").
 The classic scalable construction (Garbe's SymSpell; Norvig's spelling
 corrector is the brute-force ancestor) pre-computes, for every vocabulary
 term, all variants obtained by deleting up to ``max_edits`` characters;
-a query term's own deletion variants then EQUI-JOIN the index — two terms
-within edit distance ``2·max_edits`` necessarily share a deletion variant
-(a candidate superset), and an exact Levenshtein check + frequency rank
-picks the correction. No wildcard scans, no cross join: candidate
-generation is a hash join on variant strings.
+a query term's own deletion variants then EQUI-JOIN the index, and an
+exact Levenshtein check + frequency rank picks the correction. No
+wildcard scans, no cross join: candidate generation is a hash join on
+variant strings.
+
+Recall contract (depth 1, the default here): the candidate set covers
+every pair reachable by ≤1 deletion per side — ALL distance-1 pairs
+(insert/delete/substitute-via-shared-deletion) and the distance-2 pairs
+whose edits align as one deletion on each side (e.g. transpositions,
+delete+insert). A distance-2 pair of two SUBSTITUTIONS at different
+positions shares no single-deletion variant and is not generated; full
+distance-2 recall needs a depth-2 index (every 2-deletion variant,
+vocab × len² rows — the standard SymSpell trade, a drop-in change to
+``_deletion_variants``).
 
 Spark-first shape:
 
@@ -82,9 +91,10 @@ def correct_terms(
     """Best correction per query term.
 
     Candidates = index rows sharing a deletion variant with the query
-    term (covers every vocab term within edit distance 2 when both sides
-    delete ≤ 1 char); verification = exact ``levenshtein`` ≤
-    ``max_distance``; choice = smallest ``(distance, -freq, term)``.
+    term (all distance-1 pairs and the distance-2 pairs that align as one
+    deletion per side — see the module docstring's recall contract);
+    verification = exact ``levenshtein`` ≤ ``max_distance``; choice =
+    smallest ``(distance, -freq, term)``.
     Query terms with no candidate surface with NULL correction (rows are
     never dropped — the caller decides fallback policy). Returns
     ``qterm, correction, distance, freq, n_candidates``."""
@@ -155,9 +165,10 @@ def correct_terms_sql(
       SELECT DISTINCT qterm, term, freq FROM qv JOIN idx USING (variant)
     ),
     verified AS (
-      SELECT qterm, term, freq, levenshtein(qterm, term) AS distance
-      FROM cand
-      WHERE levenshtein(qterm, term) <= {max_distance}
+      SELECT * FROM (
+        SELECT qterm, term, freq, levenshtein(qterm, term) AS distance
+        FROM cand
+      ) WHERE distance <= {max_distance}
     ),
     ranked AS (
       SELECT qterm, term, freq, distance,

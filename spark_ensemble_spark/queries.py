@@ -307,10 +307,10 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q14_promo_revenue",
     f"""
-    SELECT round(100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+    SELECT {_frs(f'''100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
                                        THEN CAST({REVENUE_SQL} AS DECIMAL(38,6))
                                        ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
-                 / CAST({_DECSUM_REV} AS DOUBLE), 4) AS promo_pct,
+                 / CAST({_DECSUM_REV} AS DOUBLE)''', 4)} AS promo_pct,
            CAST(round({_DECSUM_REV}, 2) AS DOUBLE) AS total_revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     """,
@@ -327,7 +327,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_type").like("PROMO%"), REVENUE().cast("decimal(38,6)")
     ).otherwise(F.lit(0).cast("decimal(38,6)"))
     return joined.agg(
-        F.round(
+        _floor_round(
             100.0 * F.sum(promo).cast("double") / _decsum_rev().cast("double"), 4
         ).alias("promo_pct"),
         F.round(_decsum_rev(), 2).cast("double").alias("total_revenue"),
@@ -7407,6 +7407,19 @@ _SPELL_QUERIES_SQL = """
 """.format(vocab=_SPELL_VOCAB_SQL)
 
 
+def _spell_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_ensemble_spark.operators.text import tokens as _text_tokens
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return (
+        docs.select(F.explode(_text_tokens(F.col("text"))).alias("token"))
+        .filter((F.col("token") != "") & (F.length("token") >= 4))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(F.col("token").alias("term"), "freq")
+    )
+
+
 @query("docs_spell_correct")
 def docs_spell_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SymSpell-style query spelling correction: the corpus vocabulary's
@@ -7422,16 +7435,8 @@ def docs_spell_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
         correct_terms,
         deletion_index,
     )
-    from spark_ensemble_spark.operators.text import tokens as _text_tokens
 
-    docs = load_table(spark, sf_dir, "documents").select("text")
-    vocab = (
-        docs.select(F.explode(_text_tokens(F.col("text"))).alias("token"))
-        .filter((F.col("token") != "") & (F.length("token") >= 4))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .select(F.col("token").alias("term"), "freq")
-    )
+    vocab = _spell_vocab(spark, sf_dir)
     rn = F.row_number().over(
         Window.orderBy(F.col("freq").desc(), F.col("term"))
     )
@@ -7464,19 +7469,6 @@ from spark_ensemble_spark.operators.spelling import (  # noqa: E402
 ORACLES["docs_spell_correct"] = _correct_terms_sql(
     _SPELL_VOCAB_SQL, _SPELL_QUERIES_SQL, max_distance=2
 )
-
-
-def _spell_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from spark_ensemble_spark.operators.text import tokens as _text_tokens
-
-    docs = load_table(spark, sf_dir, "documents").select("text")
-    return (
-        docs.select(F.explode(_text_tokens(F.col("text"))).alias("token"))
-        .filter((F.col("token") != "") & (F.length("token") >= 4))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .select(F.col("token").alias("term"), "freq")
-    )
 
 
 @query("docs_prefix_suggest")

@@ -216,3 +216,31 @@ def test_span_index_stream_multibatch_merges_to_batch_index(spark, sf_dir, tmp_p
     a = sorted(map(tuple, S.scrub_delivery_spans(delivery, streamed, k=8).collect()))
     b = sorted(map(tuple, S.scrub_delivery_spans(delivery, batch, k=8).collect()))
     assert a == b
+
+
+def test_scrub_handles_empty_and_null_text(spark):
+    """Zero-word documents (empty, whitespace-only, NULL) must pass
+    through the scrub untouched — F.sequence(0, -1) DESCENDS on Spark,
+    so the kept-fold needs the empty-array guard (r9c review finding)."""
+    rows = [
+        (0, ""),
+        (1, "   "),
+        (2, None),
+        (3, "some actual words in this one document here now ok fine"),
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in S.scrub_repeated_spans(_docs(spark, rows), k=8).collect()
+    }
+    for d in (0, 1, 2):
+        assert got[d]["n_words"] == 0
+        assert got[d]["n_words_removed"] == 0
+        assert got[d]["text_scrubbed"] == ""
+    assert got[3]["n_words"] == 11
+    # incremental path too
+    idx = S.span_gram_index(_docs(spark, [(9, "a b c d e f g h i")]), k=8)
+    inc = {
+        r["doc_id"]: r
+        for r in S.scrub_delivery_spans(_docs(spark, rows), idx, k=8).collect()
+    }
+    assert inc[0]["text_scrubbed"] == "" and inc[2]["n_words"] == 0

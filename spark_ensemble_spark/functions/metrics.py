@@ -23,6 +23,10 @@ from spark_ensemble_spark.functions.rounding import (
     floor_round_int_sql,
     floor_round_sql,
 )
+from spark_ensemble_spark.functions.detmath import (
+    det_ln as _det_ln,
+    det_ln_sql as _det_ln_sql,
+)
 
 _floor_round = floor_round
 _floor_round_sql = floor_round_sql
@@ -258,7 +262,8 @@ def population_stability_index(
         "n_b",
         _floor_round(pa, round_to).alias("pa"),
         _floor_round(pb, round_to).alias("pb"),
-        _floor_round((pa - pb) * F.log(pa / pb), round_to).alias("psi_term"),
+        # det_ln, never the engine's ln (the BM25 r7-r9 env-hazard class)
+        _floor_round((pa - pb) * _det_ln(pa / pb), round_to).alias("psi_term"),
     )
 
 
@@ -299,7 +304,7 @@ def psi_oracle_sql(
            {_floor_round_sql(f"(n_a + 0.5) / (na.t + 0.5 * {k})", round_to)} AS pa,
            {_floor_round_sql(f"(n_b + 0.5) / (nb.t + 0.5 * {k})", round_to)} AS pb,
            {_floor_round_sql(f'''((n_a + 0.5) / (na.t + 0.5 * {k}) - (n_b + 0.5) / (nb.t + 0.5 * {k}))
-                 * ln(((n_a + 0.5) / (na.t + 0.5 * {k})) / ((n_b + 0.5) / (nb.t + 0.5 * {k})))''', round_to)} AS psi_term
+                 * {_det_ln_sql(f"((n_a + 0.5) / (na.t + 0.5 * {k})) / ((n_b + 0.5) / (nb.t + 0.5 * {k}))")}''', round_to)} AS psi_term
     FROM j, na, nb
     """
 

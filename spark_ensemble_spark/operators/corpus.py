@@ -40,6 +40,11 @@ from spark_ensemble_spark.functions.rounding import (
     floor_round as _floor_round,
     floor_round_sql as _floor_round_sql,
 )
+from spark_ensemble_spark.functions.detmath import (
+    det_ln as _det_ln,
+    det_ln_sql as _det_ln_sql,
+    double_literal_sql as _dlit,
+)
 
 from .dedup import _hash64, _shingle_strings
 
@@ -467,7 +472,12 @@ def temperature_mixing_rates(
 
     w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     shared = per.withColumn("share", F.col("size") / F.sum("size").over(w_all))
-    powed = shared.withColumn("pw", F.pow("share", F.lit(float(tau))))
+    # τ=½ is sqrt — correctly-rounded IEEE, bit-identical on every engine;
+    # libm pow(x, 0.5) carries no such guarantee (the ln env-hazard class).
+    powed = shared.withColumn(
+        "pw",
+        F.sqrt("share") if float(tau) == 0.5 else F.pow("share", F.lit(float(tau))),
+    )
     out = powed.select(
         "stratum",
         F.col("size").cast("bigint").alias("size"),
@@ -516,7 +526,7 @@ def temperature_mixing_rates_sql(
     shared AS (
       SELECT stratum, size, size / sum(size) OVER () AS share FROM per
     ),
-    powed AS (SELECT *, pow(share, {float(tau)}) AS pw FROM shared)
+    powed AS (SELECT *, {"sqrt(share)" if float(tau) == 0.5 else f"pow(share, {float(tau)})"} AS pw FROM shared)
     SELECT stratum,
            CAST(size AS BIGINT) AS size,
            {_floor_round_sql("share", round_to)} AS share,
@@ -792,7 +802,7 @@ def tfidf_top_terms(
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "score",
-            F.col("tf") * (F.log((F.col("__n") + 1) / (F.col("df") + 1)) + 1)
+            F.col("tf") * (_det_ln((F.col("__n") + 1) / (F.col("df") + 1)) + 1)
             if idf_mode == "ln"
             # ratio mode: (tf·(N+1))/(df+1) with the numerator as an EXACT
             # integer product and ONE double division — the association
@@ -1047,7 +1057,10 @@ def unigram_logprob_score(
         .crossJoin(F.broadcast(total))
         .withColumn(
             "__lp",
-            _floor_round(F.log(F.col("__ct") / F.col("__n")), round_to).cast(
+            # det_ln, never the engine's ln: libm is not correctly rounded
+            # and a sub-ulp build difference near a grid tick hash-flips the
+            # oracle (the BM25 r7-r9 driver-red class, VERDICT r9 #1)
+            _floor_round(_det_ln(F.col("__ct") / F.col("__n")), round_to).cast(
                 "decimal(38,6)"
             ),
         )
@@ -1241,11 +1254,11 @@ def dsir_log_weights(
             # (ADVICE r5). Downstream selection then weights ∝ inverse raw
             # frequency — defined, deterministic, and visible in the scores.
             _floor_round(
-                F.log(
+                _det_ln(
                     (F.coalesce(F.col("__ct"), F.lit(0)) + 1)
                     / (F.coalesce(F.col("__nt"), F.lit(0)) + F.lit(buckets))
                 )
-                - F.log((F.col("__cr") + 1) / (F.col("__nr") + F.lit(buckets))),
+                - _det_ln((F.col("__cr") + 1) / (F.col("__nr") + F.lit(buckets))),
                 round_to,
             )
             .cast("decimal(38,6)")
@@ -1284,7 +1297,7 @@ def dsir_select(
     reproducible across engines and retries (a rand() column would change
     under task replay; a hash never does). Appends ``sample_key``."""
     u = _md5_uniform(id_col, seed)
-    g = -F.log(-F.log(u))
+    g = -_det_ln(-_det_ln(u))
     key = _floor_round(F.col(weight_col) + g, round_to)
     return (
         scores.withColumn("sample_key", key)
@@ -1338,8 +1351,8 @@ def dsir_oracle_sql(
              (SELECT CAST(sum(ct) AS BIGINT) FROM tgt_counts) AS nt
     ), lr AS (
       SELECT r.b,
-             {_floor_round_sql(f"ln((coalesce(t.ct, 0) + 1) / (tot.nt + {buckets})) "
-                                       f"- ln((r.cr + 1) / (tot.nr + {buckets}))", round_to)}::DECIMAL(38,6) AS lrv
+             {_floor_round_sql(f"{_det_ln_sql(f'(coalesce(t.ct, 0) + 1) / (tot.nt + {buckets})')} "
+                                       f"- {_det_ln_sql(f'(r.cr + 1) / (tot.nr + {buckets})')}", round_to)}::DECIMAL(38,6) AS lrv
       FROM raw_counts r LEFT JOIN tgt_counts t USING (b), totals tot
     ), weights AS (
       SELECT id, CAST(sum(c) AS BIGINT) AS n_feats,
@@ -1349,8 +1362,7 @@ def dsir_oracle_sql(
     )
     SELECT id AS {id_col}, n_feats, log_weight,
            {_floor_round_sql(f"log_weight "
-                 f"- ln(-ln((('0x' || substring(md5(id::VARCHAR || ':{seed}'), 1, 15))::BIGINT + 1) "
-                 f"/ {denom!r}))", round_to)} AS sample_key
+                 f"- {_det_ln_sql('-(' + _det_ln_sql(f'''((('0x' || substring(md5(id::VARCHAR || ':{seed}'), 1, 15))::BIGINT + 1) / {_dlit(denom)})''') + ')')}", round_to)} AS sample_key
     FROM weights
     ORDER BY sample_key DESC, id
     LIMIT {k}
@@ -1420,8 +1432,9 @@ def bigram_logprob_score(
         .crossJoin(F.broadcast(total))
         .withColumn(
             "__lp",
+            # det_ln: see unigram_logprob_score (the ln env-hazard class)
             _floor_round(
-                F.log(
+                _det_ln(
                     F.lit(lam) * (F.col("__cb") / F.col("__h"))
                     + F.lit(1.0 - lam) * (F.col("__cu") / F.col("__n"))
                 ),
@@ -1515,7 +1528,8 @@ def kn_bigram_logprob_score(
         .crossJoin(F.broadcast(types))
         .withColumn(
             "__lp",
-            (F.floor(F.log(p) * F.lit(scale) + F.lit(0.5)) / F.lit(scale)).cast(
+            # det_ln: see unigram_logprob_score (the ln env-hazard class)
+            (F.floor(_det_ln(p) * F.lit(scale) + F.lit(0.5)) / F.lit(scale)).cast(
                 "decimal(38,6)"
             ),
         )

@@ -33,6 +33,11 @@ from spark_ensemble_spark.functions.rounding import (
     floor_round as _floor_round,
     floor_round_sql as _floor_round_sql,
 )
+from spark_ensemble_spark.functions.detmath import (
+    det_ln as _det_ln,
+    det_ln_sql as _det_ln_sql,
+    double_literal_sql as _dlit,
+)
 
 ROLLUP_STATS = ("n", "sum_value", "min_value", "max_value")
 
@@ -264,28 +269,37 @@ def hll_estimate(state: DataFrame, round_to: int = 4) -> DataFrame:
     with absent registers contributing ``2^cap``; max ``m·2^cap`` < 2^63),
     so the only float ops are one division and one ln — both rounded."""
     keys = [c for c in state.columns if c not in ("reg", "rho")]
+    # 2^k via exact integer shifts (libm pow(2.0, k) is usually exact but
+    # carries no guarantee) and det_ln instead of the engine's ln — the
+    # transcendental env-hazard class (VERDICT r9 #1).
     per_cell = state.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("__present"),
         F.sum(
-            F.pow(F.lit(2.0), F.lit(_HLL_RHO_CAP) - F.least(F.col("rho"), F.lit(_HLL_RHO_CAP)))
-            .cast("long")
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                (
+                    F.lit(_HLL_RHO_CAP)
+                    - F.least(F.col("rho"), F.lit(_HLL_RHO_CAP))
+                ).cast("int"),
+            )
         ).alias("__s_present"),
     )
     m = F.lit(HLL_M)
-    s = F.col("__s_present") + (m - F.col("__present")) * F.pow(
-        F.lit(2.0), F.lit(_HLL_RHO_CAP)
-    ).cast("long")
+    s = F.col("__s_present") + (m - F.col("__present")) * F.lit(
+        1 << _HLL_RHO_CAP
+    )
     raw = (
         F.lit(_HLL_ALPHA)
         * m.cast("double")
         * m.cast("double")
-        * F.pow(F.lit(2.0), F.lit(_HLL_RHO_CAP))
+        * F.lit(float(1 << _HLL_RHO_CAP))
         / s.cast("double")
     )
     v = m - F.col("__present")  # registers never hit
     est = F.when(
         (raw <= 2.5 * HLL_M) & (v > 0),
-        m.cast("double") * F.log(m.cast("double") / v.cast("double")),
+        m.cast("double") * _det_ln(m.cast("double") / v.cast("double")),
     ).otherwise(raw)
     return per_cell.select(
         *keys, _floor_round(est, round_to).alias("approx_distinct")
@@ -626,17 +640,17 @@ def hll_oracle_sql(
     cell AS (
       SELECT {key_names},
              CAST(count(*) AS BIGINT) AS present,
-             CAST(sum(CAST(pow(2.0, {_HLL_RHO_CAP} - least(rho, {_HLL_RHO_CAP})) AS BIGINT)) AS BIGINT) AS s_present
+             CAST(sum(CAST(1 AS BIGINT) << ({_HLL_RHO_CAP} - least(rho, {_HLL_RHO_CAP}))) AS BIGINT) AS s_present
       FROM state GROUP BY {key_names}
     )
     SELECT {key_names},
            {_floor_round_sql(f'''CASE WHEN raw <= 2.5 * {HLL_M} AND v > 0
-                      THEN {HLL_M}.0 * ln({HLL_M}.0 / v)
+                      THEN {HLL_M}.0 * {_det_ln_sql(f"{HLL_M}.0 / v")}
                       ELSE raw END''', round_to)} AS approx_distinct
     FROM (
       SELECT {key_names}, ({HLL_M} - present) AS v,
-             CAST({_HLL_ALPHA!r} AS DOUBLE) * {HLL_M}.0 * {HLL_M}.0 * pow(2.0, {_HLL_RHO_CAP})
-               / (s_present + ({HLL_M} - present) * CAST(pow(2.0, {_HLL_RHO_CAP}) AS BIGINT))
+             {_dlit(_HLL_ALPHA)} * {HLL_M}.0 * {HLL_M}.0 * {float(1 << _HLL_RHO_CAP)!r}
+               / (s_present + ({HLL_M} - present) * (CAST(1 AS BIGINT) << {_HLL_RHO_CAP}))
              AS raw
       FROM cell
     )

@@ -37,10 +37,13 @@ engine-stable ``floor(x·10^s + 0.5)/10^s`` idiom (queries.py q16 /
 ticks is engine-specific (Spark half-ups the shortest decimal repr, DuckDB
 nearbyints x·10^s), and the driver's DuckDB build proved it in round 7
 (CORRECTNESS_r07 hash-only fails on docs_bm25_topk/docs_hybrid_rrf).
-Additionally the ln-idf — the only transcendental — is itself floor-rounded
-onto a 10⁻⁶ grid BEFORE the tf-norm multiply, so a sub-ulp ``ln``
-difference between engine math libraries cannot push the product across a
-rounding tick: after gridding, both engines multiply bit-identical doubles.
+Additionally the idf — the only transcendental — is computed via
+``functions.detmath.det_ln`` (a fixed sequence of correctly-rounded IEEE
+ops, bit-identical on Spark/DuckDB/CPython) rather than the engine's
+``ln``: libm ``ln`` is not required to be correctly rounded, and a sub-ulp
+build difference near a rounding tick was the r7/r8/r9 driver-red class
+(VERDICT r9 "What's wrong" #1).  The 10⁻⁶ grid floor before the tf-norm
+multiply is kept as belt-and-suspenders.
 """
 
 from __future__ import annotations
@@ -56,6 +59,8 @@ __all__ = [
     "bm25_topk",
     "bm25_oracle_sql",
     "build_bm25_index",
+    "merge_bm25_index",
+    "remove_from_bm25_index",
     "rrf_fuse",
     "rrf_oracle_sql",
 ]
@@ -76,6 +81,11 @@ from spark_ensemble_spark.functions.rounding import (  # noqa: E402
     floor_round_int_sql,
     int_sum_to_decimal,
     int_sum_to_decimal_sql,
+)
+from spark_ensemble_spark.functions.detmath import (  # noqa: E402
+    det_ln,
+    det_ln_py,
+    det_ln_sql,
 )
 
 
@@ -160,9 +170,9 @@ def bm25_topk(
     ``score = Σ_terms fround(gidf(t) · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)),
     round_to)`` where ``fround(x,s) = floor(x·10^s+0.5)/10^s`` (the
     engine-stable half-up idiom — never ``round()``),
-    ``gidf(t) = fround(ln(1 + (N − df + 0.5)/(df + 0.5)), 6)`` (the
-    Lucene-style non-negative idf, grid-rounded before the multiply so a
-    sub-ulp ``ln`` difference cannot cross a tick) and ``dl/avgdl`` computed
+    ``gidf(t) = fround(det_ln(1 + (N − df + 0.5)/(df + 0.5)), 6)`` (the
+    Lucene-style non-negative idf via the deterministic ``det_ln`` — no
+    engine ``ln`` is ever evaluated) and ``dl/avgdl`` computed
     as ``(dl·N)/Σdl`` — exact integer product, ONE double division, so the
     normalization is bit-identical on any IEEE engine.
     """
@@ -272,19 +282,27 @@ def _bm25_scored(
     qdf = postings.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
     if max_df is not None:
         qdf = qdf.filter(F.col("__df") <= F.lit(max_df))
+    # idf is computed ONCE per query term on the vocab-sized qdf frame —
+    # and via det_ln, never the engine's ln: libm ln is not correctly
+    # rounded, and a sub-ulp build difference near a grid tick was the
+    # r7/r8/r9 driver-red class (VERDICT r9 #1).  det_ln is a fixed
+    # sequence of correctly-rounded IEEE ops, bit-identical on Spark,
+    # DuckDB, and CPython; the grid floor is kept as belt-and-suspenders.
+    qdf = qdf.crossJoin(F.broadcast(stats)).select(
+        "__t",
+        "__df",
+        _floor_round(
+            det_ln(
+                F.lit(1.0)
+                + (F.col("__n") - F.col("__df") + F.lit(0.5))
+                / (F.col("__df") + F.lit(0.5))
+            ),
+            _IDF_GRID,
+        ).alias("__idf"),
+    )
 
     n, sdl = F.col("__n"), F.col("__sdl")
     dl_ratio = (F.col("__dl") * n).cast("double") / sdl
-    # grid-round the ln BEFORE the multiply (engine math libraries may
-    # differ sub-ulp; after flooring onto the grid both engines multiply
-    # bit-identical doubles), then floor-round the product — never round().
-    idf = _floor_round(
-        F.log(
-            F.lit(1.0)
-            + (n - F.col("__df") + F.lit(0.5)) / (F.col("__df") + F.lit(0.5))
-        ),
-        _IDF_GRID,
-    )
     tf_norm = (F.col("__tf") * F.lit(k1 + 1.0)) / (
         F.col("__tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl_ratio)
     )
@@ -293,7 +311,7 @@ def _bm25_scored(
     # summed with native 64-bit arithmetic — order-insensitive EXACT, same
     # hash stability as the r8 per-row DECIMAL(38,s) sum at a fraction of
     # the per-row cost; one exact decimal unscale after the aggregate.
-    contrib_i = floor_round_int(idf * tf_norm, round_to)
+    contrib_i = floor_round_int(F.col("__idf") * tf_norm, round_to)
 
     matched = postings.join(F.broadcast(qdf), "__t").join(
         F.broadcast(qterms), "__t"
@@ -460,13 +478,12 @@ def bm25_oracle_sql(
         final = (
             f"SELECT query_id, id AS {id_col}, score FROM scores WHERE score > 0"
         )
-    gidf_sql = _floor_round_sql(
-        "ln(1.0 + (stats.n - qdf.df + 0.5) / (qdf.df + 0.5))", _IDF_GRID
-    )
+    # det_ln, not the engine's ln — see _bm25_scored (same arg spelling so
+    # the input double is bit-identical before the deterministic series).
     tf_norm_sql = f"""((tf.tf * {k1 + 1.0!r}) /
                   (tf.tf + {k1!r} * ({1.0 - b!r} + {b!r} *
                     (CAST(dl.dl * stats.n AS DOUBLE) / stats.sdl))))"""
-    contrib_sql = floor_round_int_sql(f"{gidf_sql} * {tf_norm_sql}", round_to)
+    contrib_sql = floor_round_int_sql(f"qdf.idf * {tf_norm_sql}", round_to)
     score_sql = int_sum_to_decimal_sql("sum(s)", round_to)
     return f"""
     WITH {q_cte},
@@ -491,10 +508,14 @@ def bm25_oracle_sql(
       WHERE u.t != ''
     ),
     qdf AS (
-      SELECT t, cnt AS df FROM (
+      SELECT t, cnt AS df,
+             {_floor_round_sql(det_ln_sql(
+                 "1.0 + (stats.n - cnt + 0.5) / (cnt + 0.5)"), _IDF_GRID)}
+               AS idf
+      FROM (
         SELECT t, count(*) AS cnt FROM tf
         WHERE t IN (SELECT t FROM qt) GROUP BY t
-      ) {df_filter}
+      ) CROSS JOIN stats {df_filter}
     ),
     contrib AS (
       SELECT qt.query_id, tf.id,
@@ -691,11 +712,11 @@ def bm25_query_model(
     model: dict = {}
     for r in rows:
         df_t = r["__df"]
-        # same floor-half-up idf grid as bm25_topk: CPython's math.log and
-        # an engine's ln() may differ sub-ulp; after gridding, the literal
-        # broadcast into the frozen projection matches the oracle's
-        # floor(ln(...)·10⁶+0.5)/10⁶ exactly.
-        raw = math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
+        # det_ln_py, not math.log: the frozen literal must match the
+        # engines' det_ln bit-for-bit (CPython floats are IEEE doubles
+        # with correctly-rounded arithmetic, so the same op sequence
+        # yields the same bits), then the same floor-half-up grid.
+        raw = det_ln_py(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
         idf = math.floor(raw * grid + 0.5) / grid
         model.setdefault(r["__qid"], []).append((r["__t"], idf))
     for terms in model.values():
@@ -785,6 +806,52 @@ def merge_bm25_index(
         .agg(
             F.sum("n_docs").alias("n_docs"),
             F.sum("sum_dl").alias("sum_dl"),
+        )
+    )
+    return postings, stats
+
+
+def remove_from_bm25_index(
+    index: DataFrame,
+    index_stats: DataFrame,
+    removed_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Tuple[DataFrame, DataFrame]:
+    """Takedown/recrawl-delete maintenance for a persisted BM25 index
+    (VERDICT r9 missing #3 — ``corpus_diff`` classifies removals but no
+    index consumed them): drop the removed documents' postings and
+    decrement the corpus stats, WITHOUT re-reading the indexed corpus.
+
+    ``removed_docs`` is the removed snapshot slice — ``(id, text)`` rows,
+    e.g. the ``removed`` side of ``corpus_diff`` joined back to the OLD
+    snapshot. Text (not just ids) is required because the stats decrement
+    needs each removed document's length, and a document with EMPTY text
+    holds no posting row to recover it from — ids alone cannot tell an
+    indexed empty document from a never-indexed id. Assumes every removed
+    id was indexed exactly once (the same disjointness contract as
+    :func:`merge_bm25_index`'s append side).
+
+    Plan shape: one anti-join of the posting table on the (broadcast)
+    removed-id set + one 1-row stats subtract — the index is never
+    re-tokenized, and serve-after-delete equals a from-scratch rebuild on
+    the post-delete corpus bit-for-bit (oracle row
+    ``docs_bm25_serve_after_delete``)."""
+    rem_ids = removed_docs.select(F.col(id_col)).distinct()
+    postings = index.join(F.broadcast(rem_ids), id_col, "left_anti")
+    _, rem_stats = build_bm25_index(removed_docs, text_col, id_col)
+    stats = (
+        index_stats.crossJoin(
+            F.broadcast(
+                rem_stats.select(
+                    F.col("n_docs").alias("__rn"),
+                    F.col("sum_dl").alias("__rdl"),
+                )
+            )
+        )
+        .select(
+            (F.col("n_docs") - F.col("__rn")).alias("n_docs"),
+            (F.col("sum_dl") - F.col("__rdl")).alias("sum_dl"),
         )
     )
     return postings, stats

@@ -25,6 +25,10 @@ from spark_ensemble_spark.functions.rounding import (
     floor_round as _floor_round,
     floor_round_sql as _frs,
 )
+from spark_ensemble_spark.functions.detmath import (
+    det_ln_sql as _dls,
+    double_literal_sql as _dblit,
+)
 from spark_ensemble_spark.operators import corpus as _corpus
 from spark_ensemble_spark.operators import dedup as _dedup
 from spark_ensemble_spark.operators import retrieval as _retrieval
@@ -2786,6 +2790,48 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_QUERIES_VALUES_SQL = "SELECT * FROM (VALUES " + ", ".join(
     f"('{qid}', '{qtext}')" for qid, qtext in _BM25_QUERIES
 ) + ") AS vq(query_id, query_text)"
+
+
+@query(
+    "docs_bm25_serve_after_delete",
+    _retrieval.bm25_oracle_sql(
+        _BM25_QUERIES,
+        k=_BM25_K,
+        max_df=_BM25_MAX_DF,
+        table="(SELECT * FROM documents WHERE doc_id % 5 != 0)",
+    ),
+)
+def docs_bm25_serve_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index TOMBSTONE maintenance (VERDICT r9 missing #3 — takedown /
+    recrawl-delete is a day-one production requirement): the persisted BM25
+    index is built over the FULL corpus, a removal wave (doc_id % 5 == 0,
+    the ``removed`` side of a corpus_diff) is consumed by
+    ``remove_from_bm25_index`` — one posting anti-join + a 1-row stats
+    decrement, the indexed corpus is never re-tokenized — and the query
+    batch is served from the maintained index. The ORACLE computes BM25
+    from scratch on the post-delete corpus: serve-after-delete must equal
+    the rebuild bit-for-bit (scores, ranks, tie-breaks)."""
+    from spark_ensemble_spark.operators.retrieval import (
+        bm25_topk,
+        build_bm25_index,
+        remove_from_bm25_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings, stats = build_bm25_index(docs)
+    removed = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+    postings, stats = remove_from_bm25_index(postings, stats, removed)
+    queries = spark.createDataFrame(
+        list(_BM25_QUERIES), "query_id string, query_text string"
+    )
+    return bm25_topk(
+        None,
+        queries,
+        k=_BM25_K,
+        max_df=_BM25_MAX_DF,
+        index=postings,
+        index_stats=stats,
+    )
 
 
 @query(
@@ -5751,7 +5797,7 @@ def docs_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
       SELECT p.id,
              p.c,
-             CAST({_frs("ln(f.ct * 1.0 / total.n)", 6)} AS DECIMAL(38,6)) AS lp
+             CAST({_frs(_dls("f.ct * 1.0 / total.n"), 6)} AS DECIMAL(38,6)) AS lp
       FROM per_doc p JOIN tf f USING (tok), total
     ),
     agg AS (
@@ -5800,7 +5846,7 @@ def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     total AS (SELECT CAST(sum(cu) AS BIGINT) AS n FROM uni),
     scored AS (
       SELECT p.id, p.c,
-             CAST({_frs("ln(0.7 * (b.cb / hist.h) + 0.30000000000000004 * (u.cu / total.n))", 6)}
+             CAST({_frs(_dls("0.7 * (b.cb / hist.h) + 0.30000000000000004 * (u.cu / total.n)"), 6)}
                   AS DECIMAL(38,6)) AS lp
       FROM per_doc p
       JOIN bi b USING (w1, w2)
@@ -5831,7 +5877,7 @@ def docs_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "docs_kn_bigram_logprob",
-    r"""
+    rf"""
     WITH toks AS (
       SELECT doc_id AS id,
              string_split(regexp_replace(lower(trim(coalesce(text, ''))), '\s+', ' ', 'g'), ' ') AS t
@@ -5851,8 +5897,8 @@ def docs_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     types AS (SELECT CAST(count(*) AS BIGINT) AS ty FROM bi),
     scored AS (
       SELECT p.id, p.c,
-             CAST(floor(ln(greatest(b.cb - 0.75, 0.0) / hist.h
-                           + 0.75 * hist.n1p / hist.h * (cont.cnt / types.ty))
+             CAST(floor({_dls("greatest(b.cb - 0.75, 0.0) / hist.h "
+                             "+ 0.75 * hist.n1p / hist.h * (cont.cnt / types.ty)")}
                         * 1000000.0 + 0.5) / 1000000.0
                   AS DECIMAL(38,6)) AS lp
       FROM per_doc p
@@ -6666,6 +6712,45 @@ ORACLES["similarity_ivfpq_topk"] = _similarity.ivfpq_oracle_sql(
 )
 
 
+@query("similarity_serve_after_delete")
+def similarity_serve_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-index TOMBSTONE maintenance (VERDICT r9 missing #3): the
+    persisted residual IVF-PQ code table is built over ALL vectors, a
+    takedown wave (vec_id >= 5 with vec_id % 6 == 0 — disjoint from the
+    query ids) is consumed by ``remove_from_ann_index`` — one anti-join on
+    the broadcast removed-id set, raw vectors never re-read, surviving
+    cells/codes untouched — and queries probe the maintained index. The
+    ORACLE runs the full IVF-PQ pipeline on the post-delete corpus:
+    serve-after-delete must equal the from-scratch re-encode bit-for-bit
+    (frozen quantizer literals make the two constructions identical)."""
+    from spark_ensemble_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_probe,
+        remove_from_ann_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    enc = ivfpq_encode(emb, _IVF_CENTROIDS, _pq_books(), residual=True)
+    removed = emb.filter(
+        (F.col("vec_id") >= 5) & (F.col("vec_id") % 6 == 0)
+    ).select("vec_id")
+    enc = remove_from_ann_index(enc, removed)
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return ivfpq_probe(
+        enc, queries_df, _IVF_CENTROIDS, _pq_books(), k=5, nprobe=3, residual=True
+    )
+
+
+ORACLES["similarity_serve_after_delete"] = _similarity.ivfpq_oracle_sql(
+    _IVF_CENTROIDS,
+    _similarity.pq_fixed_codebooks(dim=64, num_subspaces=8, num_codewords=16),
+    k=5,
+    nprobe=3,
+    residual=True,
+    table="(SELECT * FROM embeddings WHERE NOT (vec_id >= 5 AND vec_id % 6 = 0))",
+)
+
+
 @query("streaming_ann_topk")
 def streaming_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING vector search — the online leg of the ANN family: query
@@ -7330,6 +7415,42 @@ ORACLES["docs_span_scrub_incremental"] = _scrub_delivery_sql(
 )
 
 
+@query("docs_span_scrub_after_delete")
+def docs_span_scrub_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-index TOMBSTONE maintenance — the hard case of VERDICT r9
+    missing #3: the vocab-sized ``(gram, min_doc)`` index cannot consume a
+    removal because a gram whose CANONICAL holder is taken down needs a new
+    canonical RE-ELECTED among holders the min-collapse forgot. The
+    deletable layout is ``span_holder_index`` — the full (gram, holder)
+    relation, token-scale like a BM25 posting table — where removal is one
+    anti-join and ``span_index_view``'s min over SURVIVING holders
+    re-elects automatically. A delivery (doc_id % 4 == 0) is scrubbed
+    against the maintained index after a takedown wave (doc_id % 3 == 0)
+    hits the accepted corpus (doc_id % 4 != 0); the ORACLE scrubs against
+    an index built from scratch on the post-delete corpus — maintained
+    must equal rebuild bit-for-bit."""
+    from spark_ensemble_spark.operators import spans as _sp
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    delivery = docs.filter(F.col("doc_id") % 4 == 0)
+    holders = _sp.span_holder_index(corpus, k=8)
+    removed = corpus.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+    holders = _sp.remove_from_span_holder_index(holders, removed)
+    index = _sp.span_index_view(holders)
+    return _sp.scrub_delivery_spans(delivery, index, k=8)
+
+
+ORACLES["docs_span_scrub_after_delete"] = _scrub_delivery_sql(
+    corpus_table=(
+        "(SELECT doc_id, text FROM documents"
+        " WHERE doc_id % 4 != 0 AND doc_id % 3 != 0)"
+    ),
+    new_table="(SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0)",
+    k=8,
+)
+
+
 @query("streaming_span_index_scrub")
 def streaming_span_index_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING span-index maintenance: corpus documents arrive on a
@@ -7815,7 +7936,7 @@ def _docs_with_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM {docs} GROUP BY 1
     ),
     shared AS (SELECT stratum, size, size / sum(size) OVER () AS share FROM per),
-    powed AS (SELECT *, pow(share, 0.5) AS pw FROM shared)
+    powed AS (SELECT *, sqrt(share) AS pw FROM shared)
     SELECT stratum,
            CAST(size AS BIGINT) AS size,
            (floor((share) * 1000000.0 + 0.5) / 1000000.0) AS share,
@@ -7847,7 +7968,7 @@ def mixing_weights_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM {docs} GROUP BY 1
     ),
     shared AS (SELECT stratum, size, size / sum(size) OVER () AS share FROM per),
-    powed AS (SELECT *, pow(share, 0.5) AS pw FROM shared),
+    powed AS (SELECT *, sqrt(share) AS pw FROM shared),
     rates AS (
       SELECT stratum,
              (floor((least(1.0, 20000.0 * (pw / sum(pw) OVER ()) / size)) * 1000000.0 + 0.5) / 1000000.0) AS rate

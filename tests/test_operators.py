@@ -2495,6 +2495,77 @@ def test_bm25_conjunctive_and_merge_index(spark):
     assert merged == rebuilt and merged
 
 
+def test_bm25_remove_equals_rebuild(spark):
+    """Tombstone maintenance: serving from an index after
+    remove_from_bm25_index equals an index rebuilt from the post-delete
+    corpus — including the stats decrement for a removed EMPTY document,
+    which holds no posting row but was counted in n_docs."""
+    from spark_ensemble_spark.operators.retrieval import (
+        bm25_topk,
+        build_bm25_index,
+        remove_from_bm25_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana cherry"),
+            (2, "apple banana"),
+            (3, "apple durian"),
+            (4, "banana cherry"),
+            (5, ""),  # empty doc: in n_docs, no postings
+        ],
+        "doc_id int, text string",
+    )
+    qs = spark.createDataFrame(
+        [("q", "apple banana")], "query_id string, query_text string"
+    )
+    idx, st = build_bm25_index(docs)
+    removed = docs.filter(F.col("doc_id").isin(2, 5)).select("doc_id", "text")
+    idx2, st2 = remove_from_bm25_index(idx, st, removed)
+    served = {
+        (r.query_id, r.doc_id): (r.score, r.rank)
+        for r in bm25_topk(None, qs, k=10, index=idx2, index_stats=st2).collect()
+    }
+    fidx, fst = build_bm25_index(docs.filter(~F.col("doc_id").isin(2, 5)))
+    rebuilt = {
+        (r.query_id, r.doc_id): (r.score, r.rank)
+        for r in bm25_topk(None, qs, k=10, index=fidx, index_stats=fst).collect()
+    }
+    assert served == rebuilt and served
+    # the empty doc's removal reached the stats (n_docs 5 → 3)
+    assert st2.collect()[0]["n_docs"] == 3
+
+
+def test_ann_remove_equals_reencode(spark, sf_dir):
+    """remove_from_ann_index(encode(all), wave) == encode(all − wave):
+    frozen quantizers make the constructions identical row-for-row."""
+    from spark_ensemble_spark.operators.similarity import (
+        ivf_fixed_centroids,
+        ivfpq_encode,
+        pq_fixed_codebooks,
+        remove_from_ann_index,
+    )
+    from spark_ensemble_spark.sources.datasets import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_fixed_centroids(dim=64, num_clusters=8)
+    books = pq_fixed_codebooks(dim=64, num_subspaces=8, num_codewords=16)
+    enc = ivfpq_encode(emb, cents, books, residual=True)
+    removed = emb.filter(F.col("vec_id") % 4 == 1).select("vec_id")
+    maintained = sorted(
+        map(tuple, remove_from_ann_index(enc, removed).collect())
+    )
+    rebuilt = sorted(
+        map(
+            tuple,
+            ivfpq_encode(
+                emb.filter(F.col("vec_id") % 4 != 1), cents, books, residual=True
+            ).collect(),
+        )
+    )
+    assert maintained == rebuilt and len(maintained) > 0
+
+
 def test_hybrid_retrieval_serving_shape_end_to_end(spark):
     """The PRODUCTION hybrid-retrieval composition the rrf_fuse docstring
     promises (r7 VERDICT #5): persisted BM25 index as the lexical branch,

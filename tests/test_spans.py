@@ -171,6 +171,43 @@ def test_index_is_mergeable(spark, sf_dir):
     )
 
 
+def test_holder_index_view_equals_gram_index(spark, sf_dir):
+    """span_index_view(span_holder_index(corpus)) == span_gram_index(corpus):
+    the deletable token-scale layout collapses to exactly the vocab-sized
+    serving shape."""
+    from spark_ensemble_spark.sources.datasets import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    via_holders = S.span_index_view(S.span_holder_index(docs, k=8))
+    direct = S.span_gram_index(docs, k=8)
+    assert sorted(map(tuple, via_holders.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_holder_index_delete_equals_rebuild(spark, sf_dir):
+    """Tombstone maintenance: removing a doc wave from the holder index and
+    collapsing must equal an index built from scratch on the post-delete
+    corpus — including min-doc RE-ELECTION for grams whose canonical holder
+    was removed (the removal wave doc_id % 3 == 0 takes out low ids, which
+    are exactly the min-doc canonicals)."""
+    from spark_ensemble_spark.sources.datasets import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    holders = S.span_holder_index(docs, k=8)
+    removed = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+    maintained = S.span_index_view(
+        S.remove_from_span_holder_index(holders, removed)
+    )
+    rebuilt = S.span_gram_index(docs.filter(F.col("doc_id") % 3 != 0), k=8)
+    m = sorted(map(tuple, maintained.collect()))
+    r = sorted(map(tuple, rebuilt.collect()))
+    assert m == r and len(m) > 0
+    # the wave really did hit canonicals (re-election exercised, not vacuous)
+    full = dict(map(tuple, S.span_gram_index(docs, k=8).collect()))
+    assert any(v % 3 == 0 for v in full.values())
+
+
 def test_span_index_stream_multibatch_merges_to_batch_index(spark, sf_dir, tmp_path):
     """Several micro-batches (maxFilesPerTrigger=1 over a 4-file corpus)
     of gram-index partials must merge to exactly the from-scratch batch

@@ -184,6 +184,43 @@ def train_pca_projection(
     return {"mean": mean, "components": components, "offsets": offsets}
 
 
+def fixed_projection(dim: int, k: int, seed: int = 31) -> dict:
+    """Deterministic pseudo-random projection in the exported-PCA dict
+    format (zero mean/offsets, N(0, 1/√dim) components) — the FIXED
+    quantizer of the projection family, importable without a SparkSession
+    so DuckDB oracle builders embed the exact same literals.  Production
+    swaps in :func:`train_pca_projection`'s trained literals the same way
+    ``ivf_fixed_centroids``/``pq_fixed_codebooks`` swap for their trained
+    counterparts; a random projection preserves pairwise geometry in
+    expectation (Johnson-Lindenstrauss), which is what makes the fixed
+    variant a usable — and fully replayable — dim-reduction stage."""
+    import random
+
+    rng = random.Random(seed)
+    scale = 1.0 / dim**0.5
+    comps = [[rng.gauss(0, scale) for _ in range(dim)] for _ in range(k)]
+    return {
+        "mean": [0.0] * dim,
+        "components": comps,
+        "offsets": [0.0] * k,
+    }
+
+
+def pca_project_sql(vec_sql: str, projection: dict) -> str:
+    """DuckDB mirror of :func:`pca_project` for one row's vector expression:
+    a list literal of k sequential-fold dot products minus the offset
+    literals — the same IEEE summation order as the Spark
+    ``aggregate(zip_with(...))`` chains (``functions.rounding.seq_dot_sql``),
+    so a fixed or exported projection replays bit-for-bit."""
+    from spark_ensemble_spark.functions.rounding import seq_dot_sql
+
+    outs = []
+    for comp, off in zip(projection["components"], projection["offsets"]):
+        arr = "[" + ",".join(f"CAST('{x!r}' AS DOUBLE)" for x in comp) + "]"
+        outs.append(f"({seq_dot_sql(vec_sql, arr)}) - CAST('{off!r}' AS DOUBLE)")
+    return "[" + ", ".join(outs) + "]"
+
+
 def save_pca_projection(projection: dict, path: str) -> None:
     """Persist an exported projection as JSON — the serving artifact a later
     job (or another engine) loads without retraining; pairs with the PQ

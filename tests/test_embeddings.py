@@ -230,3 +230,57 @@ def test_pca_projection_recovers_dominant_directions(spark):
             exp = sum(a * b for a, b in zip(v, proj["components"][j])) - proj["offsets"][j]
             assert math.isclose(by_id[i][j], exp, rel_tol=0, abs_tol=1e-9)
     df.unpersist()
+
+
+def test_trained_embedding_bridge_from_raw_text(spark, sf_dir):
+    """The TRAINED twin of the docs_embed_ann_topk oracle row (VERDICT r9
+    missing #5): documents → hashed BOW → train_pca_projection (the real
+    trainer, not the fixed JL matrix) → IVF probe, end-to-end from raw
+    text. Asserts the pipeline completes and the trained projection's IVF
+    recall@5 vs brute force on the projected vectors is non-degenerate."""
+    from spark_ensemble_spark.operators.embeddings import (
+        pca_project,
+        train_pca_projection,
+    )
+    from spark_ensemble_spark.operators.similarity import (
+        ann_recall,
+        brute_force_topk,
+        ivf_fixed_centroids,
+        ivf_topk,
+    )
+    from spark_ensemble_spark.operators.text import hashed_bow_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = hashed_bow_features(docs, dim=64, hash_fn="md5")
+    vecs = (
+        feats.groupBy("doc_id")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("dim", "weight"))).alias(
+                "__m"
+            )
+        )
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("__m"), i.cast("long")), F.lit(0)
+                ).cast("double"),
+            ).alias("bow"),
+        )
+        .cache()
+    )
+    proj = train_pca_projection(vecs, vec_col="bow", k=8, dim=64)
+    pv = pca_project(vecs, proj, vec_col="bow", out_col="p").select(
+        "doc_id", "p"
+    ).cache()
+    qs = pv.filter(F.col("doc_id") < 5)
+    approx = ivf_topk(
+        pv, qs, k=5, nprobe=4, vec_col="p", id_col="doc_id",
+        centroids=ivf_fixed_centroids(dim=8, num_clusters=8),
+    )
+    exact = brute_force_topk(pv, qs, k=5, vec_col="p", id_col="doc_id")
+    rec = ann_recall(approx, exact, k=5).agg(F.avg("recall")).first()[0]
+    assert rec is not None and rec > 0.3, rec
+    vecs.unpersist()
+    pv.unpersist()

@@ -8325,6 +8325,39 @@ def classification_metrics_dummy_prior(spark: SparkSession, sf_dir: str) -> Data
 # ---------------------------------------------------------------------------
 
 REGISTRY_ORDER = [
+    # -- r10 frontier (VERDICT r9 next #4/#5/#7): index TOMBSTONES (the
+    # serve-after-delete == rebuild contract, the one lifecycle stage no
+    # persisted index had), the raw-text→ANN embedding bridge, and four
+    # families that had never been in-window — graph PageRank, WordPiece
+    # (tokenizer v2), WARC ingestion, and Broder containment dedup. Out
+    # (fold notes; every folded row remains extra-oracle-verified ×2 SFs
+    # and benched):
+    #   dedup_clusters — the inner CC stage of in-window
+    #     dedup_resolved_corpus (same dup_clusters fold + resolution);
+    #   text_analysis — narrow text-scoring projection class covered
+    #     in-window by docs_crawl_pipeline's composed quality gate +
+    #     docs_pii_scrub (same scan-speed projection shape);
+    #   q4_priority_exists — decorrelated EXISTS/anti-join family covered
+    #     in-window by dedup_incremental's corpus anti-join +
+    #     contamination_bloom's broadcast semi-probe; q1 + q5 keep the
+    #     relational core;
+    #   streaming_preference_strength — exact replay twin of in-window
+    #     docs_preference_strength (identical oracle; the folded
+    #     streaming_sessionize precedent);
+    #   streaming_ann_topk — exact replay twin of in-window
+    #     similarity_ivfpq_topk (identical oracle); streaming serving
+    #     machinery stays in-window via streaming_scored_events /
+    #     streaming_click_attribution / streaming_dedup;
+    #   events_asof_last_order — in-window green since r2; the as-of
+    #     union+last-value window program stays covered by
+    #     events_sessionize + streaming_click_attribution's interval
+    #     join, and the operator keeps its ×2-SF extra-oracle row.
+    "docs_bm25_serve_after_delete",
+    "docs_embed_ann_topk",
+    "docs_pagerank",
+    "docs_wordpiece_train",
+    "docs_warc_ingest",
+    "dedup_containment",
     # -- late-r9 frontier: the session's new operator families — PII
     # redaction (the privacy stage), learning-to-rank and late-interaction
     # MaxSim (the supervised and token-level rerankers next to RRF),
@@ -8378,13 +8411,11 @@ REGISTRY_ORDER = [
     "docs_span_scrub_incremental",
     "docs_bm25_typo_tolerant",
     "docs_preference_strength",
-    "streaming_preference_strength",
     "docs_crawl_pipeline",
     "docs_pii_scrub",
     "docs_ltr_rerank",
     "docs_maxsim_rerank",
     "multimodal_audio_frames",
-    "streaming_ann_topk",
     "docs_bm25_facets",
     # -- r9 frontier (VERDICT r8 #3): the two-stage ANN serving family
     # (binary-quantized Hamming shortlist + exact rerank), the deterministic
@@ -8431,7 +8462,6 @@ REGISTRY_ORDER = [
     "dedup_resolved_corpus",
     # -- previously outside the driver's 50-entry window (r2) --
     "events_sessionize",
-    "events_asof_last_order",
     # -- r5 continuation: SemDeDup + DSIR promoted into the driver window
     # (pivot_flag_by_status / part_brand_stats folded out: pivot and
     # grouped-stats shapes stay covered in-window by orders_monthly_stats +
@@ -8453,7 +8483,6 @@ REGISTRY_ORDER = [
     # -- relational core (q3_top_revenue_orders folded late-r7: see header) --
     "q1_pricing_summary",
     "q5_nation_revenue",
-    "q4_priority_exists",
     # -- new r5: incremental dedup + PQ ANN promoted into the driver window
     # (q17/q18 folded out: their decorrelated-subquery shapes stay covered by
     # q4_priority_exists + clickers_never_purchased in-window and both remain
@@ -8472,11 +8501,9 @@ REGISTRY_ORDER = [
     "stacking_tree_classifier",
     # -- text / dedup / similarity / multimodal / streaming
     # (text_language_id + dedup_exact folded late-r7: see header) --
-    "text_analysis",
     "dedup_minhash_md5",
     # -- late-r7: BPE train+encode promoted (dedup_ngram_jaccard folded:
     # see header) --
-    "dedup_clusters",
     "embedding_dup_pairs_lsh",
 ]
 

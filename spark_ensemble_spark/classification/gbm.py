@@ -257,9 +257,12 @@ class GBMClassifier(Estimator, _GBMClassifierParams, EnsembleReadWrite):
 
         instr = FitInstrumentation(self.uid, num_learners)
         try:
+            import time as _time
+
             i = 0
             v = 0
             while i < num_learners and v < self.getNumRounds():
+                _t0 = _time.time()
                 subspace = draw_subspace(self.getSubspaceRatio(), num_features, seed + i)
                 bag = sample_bag(
                     state, self.getReplacement(), self.getSubsampleRatio(), seed + i
@@ -284,6 +287,7 @@ class GBMClassifier(Estimator, _GBMClassifierParams, EnsembleReadWrite):
                     sum_hess = None
                     persisted = bag
                 persisted.count()
+                _t_bag = _time.time() - _t0
 
                 def fit_dim(j: int):
                     if sum_hess is not None:
@@ -303,9 +307,11 @@ class GBMClassifier(Estimator, _GBMClassifierParams, EnsembleReadWrite):
                         weight_col="__w",
                     )
 
+                _t1 = _time.time()
                 imodels = run_parallel(
                     [lambda j=j: fit_dim(j) for j in range(dim)], parallelism
                 )
+                _t_trees = _time.time() - _t1
 
                 # Direction array on the bag for the step-size optimization.
                 scored = persisted
@@ -316,6 +322,7 @@ class GBMClassifier(Estimator, _GBMClassifierParams, EnsembleReadWrite):
                     )
                     dir_cols.append(f"__dir{j}")
 
+                _t2 = _time.time()
                 if self.getOptimizedWeights():
                     opt_df = scored.select(
                         "label", "weight", "__praw",
@@ -327,6 +334,7 @@ class GBMClassifier(Estimator, _GBMClassifierParams, EnsembleReadWrite):
                 else:
                     solution = [1.0] * dim
                 iweights = [learning_rate * s for s in solution]
+                _t_opt = _time.time() - _t2
 
                 persisted.unpersist()
                 models.append(imodels)
@@ -354,9 +362,17 @@ class GBMClassifier(Estimator, _GBMClassifierParams, EnsembleReadWrite):
                     elif val_error < best_val_error:
                         best_val_error = val_error
                         v = 0
-                    instr.iteration(i, val_error=val_error)
+                    instr.iteration(
+                        i,
+                        val_error=val_error,
+                        bag_s=_t_bag,
+                        trees_s=_t_trees,
+                        opt_s=_t_opt,
+                    )
                 else:
-                    instr.iteration(i)
+                    instr.iteration(
+                        i, bag_s=_t_bag, trees_s=_t_trees, opt_s=_t_opt
+                    )
 
                 i += 1
         finally:

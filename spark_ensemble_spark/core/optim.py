@@ -152,15 +152,30 @@ def minimize_nonneg_batched(
         cands = [
             [max(xi - s * gi, 0.0) for xi, gi in zip(x, g)] for s in scales
         ]
-        fcs = losses_batch(cands)
-        accepted = None
-        for s, c, fc in zip(scales, cands, fcs):
-            if all(abs(ci - xi) < 1e-15 for ci, xi in zip(c, x)):
-                continue  # projection made this rung a no-op
-            desc = sum(gi * (ci - xi) for gi, ci, xi in zip(g, c, x))
-            if fc <= f + 1e-4 * desc:
-                accepted = (s, c, fc)
-                break
+
+        def _scan(ss, cs, fcs):
+            for s, c, fc in zip(ss, cs, fcs):
+                if all(abs(ci - xi) < 1e-15 for ci, xi in zip(c, x)):
+                    continue  # projection made this rung a no-op
+                desc = sum(gi * (ci - xi) for gi, ci, xi in zip(g, c, x))
+                if fc <= f + 1e-4 * desc:
+                    return (s, c, fc)
+            return None
+
+        # Split the ladder (r10, profiled): the batched loss agg is the
+        # fit's dominant cost and its per-row work is LINEAR in ladder
+        # width, while BB step sizing makes acceptance land on the first
+        # rungs almost always — so evaluate the top half first and pay
+        # for the deep rungs only when every shallow rung rejects.
+        # Acceptance semantics are IDENTICAL to the full-width scan
+        # (first accepted rung in order), so trajectories — and the
+        # oracle-checked fitted weights — are bit-for-bit unchanged.
+        half = max(1, ladder // 2)
+        fcs = losses_batch(cands[:half])
+        accepted = _scan(scales[:half], cands[:half], fcs)
+        if accepted is None and half < ladder:
+            fcs2 = losses_batch(cands[half:])
+            accepted = _scan(scales[half:], cands[half:], fcs2)
         if accepted is None:
             break
         s, c, fc = accepted

@@ -302,6 +302,13 @@ BENCH_QUERIES = [
     # r9 continuation: autocomplete index + typo-tolerant BM25 composition
     "docs_prefix_suggest",
     "docs_bm25_typo_tolerant",
+    # r10: index tombstones — serve-after-delete == rebuild for the three
+    # persisted indexes (BM25 postings, ANN codes, span-gram holders)
+    "docs_bm25_serve_after_delete",
+    "docs_span_scrub_after_delete",
+    "similarity_serve_after_delete",
+    # r10: the raw-text -> hashed-BOW -> projection -> IVF semantic bridge
+    "docs_embed_ann_topk",
 ]
 
 

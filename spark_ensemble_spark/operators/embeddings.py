@@ -184,6 +184,60 @@ def train_pca_projection(
     return {"mean": mean, "components": components, "offsets": offsets}
 
 
+def train_word2vec_embeddings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 32,
+    min_count: int = 2,
+    max_iter: int = 1,
+    seed: int = 7,
+):
+    """Spark ML Word2Vec over the corpus (SURVEY §7 step 9's named trainer):
+    returns ``(doc_vectors, model)`` where ``doc_vectors`` is
+    ``(id_col, embedding array<double>)`` — Word2Vec's document vector is
+    the mean of its word vectors, so every document lands in the same
+    space as the vocabulary. The TRAINED production entry point to the
+    ANN/dedup families next to the hashed-BOW + projection bridge
+    (``docs_embed_ann_topk``): feed ``doc_vectors`` to ``ivf_topk`` /
+    ``ivfpq_encode`` / SemDeDup unchanged.
+
+    Verification tier: Word2Vec's negative-sampling SGD is stochastic
+    across partitionings, so this is a rows-only / property-test operator
+    (the xxhash64-variant class) — the deterministic twin that
+    hash-checks end-to-end is the fixed-projection bridge row.
+
+    Scale: Spark ML Word2Vec broadcasts the vocabulary vectors per
+    iteration (vocab × dim floats) and aggregates gradients — vocab-sized
+    driver/executor state, corpus-sized data never collected; cap the
+    vocabulary via ``min_count`` at 100 TB."""
+    from pyspark.ml.feature import Word2Vec
+    from pyspark.ml.functions import vector_to_array
+
+    toks = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(
+                F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+            ),
+            lambda t: t != "",
+        ).alias("__toks"),
+    )
+    w2v = Word2Vec(
+        vectorSize=dim,
+        minCount=min_count,
+        maxIter=max_iter,
+        seed=seed,
+        inputCol="__toks",
+        outputCol="__vec",
+    )
+    model = w2v.fit(toks)
+    out = model.transform(toks).select(
+        F.col(id_col), vector_to_array(F.col("__vec")).alias("embedding")
+    )
+    return out, model
+
+
 def fixed_projection(dim: int, k: int, seed: int = 31) -> dict:
     """Deterministic pseudo-random projection in the exported-PCA dict
     format (zero mean/offsets, N(0, 1/√dim) components) — the FIXED

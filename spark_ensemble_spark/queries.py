@@ -852,6 +852,30 @@ def docs_embed_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["docs_embed_ann_topk"] = _embed_bridge_oracle_sql()
 
 
+@query("docs_word2vec_ann")
+def docs_word2vec_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED-embedding production path (SURVEY §7 step 9's Word2Vec):
+    documents → Spark ML Word2Vec (negative-sampling SGD, vocab-sized
+    broadcast state) → per-document mean-of-word-vectors embedding →
+    brute cosine top-5 for the first five documents. Word2Vec training is
+    stochastic across partitionings, so this is a ROWS-ONLY entry (the
+    xxhash64-variant tier) — the deterministic hash-checked twin of this
+    pipeline shape is docs_embed_ann_topk's fixed-projection bridge.
+    Properties (non-vacuous retrieval, stable schema) are asserted in
+    tests/test_embeddings.py."""
+    from spark_ensemble_spark.operators.embeddings import (
+        train_word2vec_embeddings,
+    )
+    from spark_ensemble_spark.operators.similarity import brute_force_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    vecs, _model = train_word2vec_embeddings(docs, dim=16, max_iter=1)
+    vecs = vecs.withColumnRenamed("doc_id", "vec_id").persist()
+    qs = vecs.filter(F.col("vec_id") < 5)
+    out = brute_force_topk(vecs, qs, k=5)
+    return out
+
+
 @query(
     "customer_value_deciles",
     f"""

@@ -284,3 +284,28 @@ def test_trained_embedding_bridge_from_raw_text(spark, sf_dir):
     assert rec is not None and rec > 0.3, rec
     vecs.unpersist()
     pv.unpersist()
+
+
+def test_word2vec_embedding_pipeline(spark, sf_dir):
+    """SURVEY §7 step 9's trained Word2Vec path: documents → Word2Vec →
+    doc vectors → brute cosine top-k. Stochastic trainer ⇒ property
+    assertions: full coverage of non-empty docs, correct dim, non-vacuous
+    retrieval, and a doc's nearest neighbors score below its self-cosine
+    ceiling of 1."""
+    from spark_ensemble_spark.operators.embeddings import (
+        train_word2vec_embeddings,
+    )
+    from spark_ensemble_spark.operators.similarity import brute_force_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    vecs, model = train_word2vec_embeddings(docs, dim=16, max_iter=1)
+    n_docs = docs.count()
+    assert vecs.count() == n_docs
+    first = vecs.first()
+    assert len(first["embedding"]) == 16
+    assert model.getVectors().count() > 10  # a real vocabulary was learned
+    v = vecs.withColumnRenamed("doc_id", "vec_id")
+    out = brute_force_topk(v, v.filter(F.col("vec_id") < 3), k=5).collect()
+    assert len(out) > 0
+    assert all(r["cosine"] <= 1.0 for r in out)
+    assert all(r["query_id"] != r["neighbor_id"] for r in out)

@@ -823,10 +823,13 @@ def test_bm25_broadcasts_query_side_never_corpus(spark, sf_dir):
     out = bm25_topk(docs, qs, k=5)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
-    # the ONLY nested-loop node allowed is the 1-row stats crossJoin (the
-    # repo-wide broadcast-1-row-aggregate idiom); a second one would mean a
-    # corpus-sized cross product
-    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    # the ONLY nested-loop nodes allowed are the 1-row stats crossJoins
+    # (the repo-wide broadcast-1-row-aggregate idiom): one feeding the
+    # per-term idf on the vocab-sized qdf frame (r10 — det_ln evaluates
+    # once per query term, not per posting row), one feeding the tf-norm's
+    # dl/avgdl on the matched rows; anything more would mean a corpus-
+    # sized cross product
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
     assert "LeftSemi" in plan, "posting prune against query vocabulary missing"
     assert "BroadcastHashJoin" in plan
     # no corpus-sized build side: nothing directly under a BroadcastExchange
@@ -922,7 +925,7 @@ def test_filtered_ann_and_hybrid_serving_plan_shapes(spark, sf_dir):
     (one hash probe of the metadata table, never a corpus shuffle), and
     the full hybrid serving composition (persisted BM25 index ⊕ IVF-PQ
     shortlist → rerank → RRF) contains no cartesian product, no sort-merge
-    join, and at most the one 1-row stats BroadcastNestedLoopJoin."""
+    join, and only the 1-row stats BroadcastNestedLoopJoins."""
     import spark_ensemble_spark.queries as q
 
     f = q.similarity_filtered_topk(spark, sf_dir)
@@ -938,7 +941,10 @@ def test_filtered_ann_and_hybrid_serving_plan_shapes(spark, sf_dir):
         "== Initial Plan =="
     )[0]
     assert "CartesianProduct" not in p2
-    assert p2.count("BroadcastNestedLoopJoin") <= 1
+    # two 1-row stats crossJoins since r10: the per-term idf on the
+    # vocab-sized qdf frame plus the tf-norm's dl/avgdl (see
+    # test_bm25_broadcasts_query_side_never_corpus)
+    assert p2.count("BroadcastNestedLoopJoin") <= 2
     assert "SortMergeJoin" not in p2
 
 
@@ -1063,3 +1069,39 @@ def test_crawl_pipeline_plan_single_window_exchange(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning(url_norm") >= 1
     assert "HashAggregate" not in plan
+
+
+def test_bm25_serve_after_delete_plan(spark, sf_dir):
+    """Tombstone serving must stay index-shaped: no cartesian product, the
+    removed-id anti-join broadcast (never a shuffled anti-join of a tiny
+    id list), and the documents scan pruned to (doc_id, text) — the
+    maintained index is served, not a re-tokenized corpus."""
+    from spark_ensemble_spark.plans.explain import (
+        executed_plan,
+        has_broadcast_join,
+        scan_columns,
+    )
+
+    df = SPARK_QUERIES["docs_bm25_serve_after_delete"](spark, sf_dir)
+    # the only nested-loop join allowed is the 1-row corpus-stats
+    # crossJoin every BM25 plan carries; a true cartesian is a bug
+    assert "CartesianProduct" not in executed_plan(df)
+    assert has_broadcast_join(df)
+    for cols in scan_columns(df):
+        if "text" in cols:
+            assert set(cols) <= {"doc_id", "text"}
+
+
+def test_embed_bridge_plan(spark, sf_dir):
+    """The raw-text→ANN bridge: one documents scan pruned to
+    (doc_id, text), no cartesian product, broadcast-only joins (the IVF
+    cell equi-join's probe side is query-sized)."""
+    from spark_ensemble_spark.plans.explain import (
+        has_cartesian,
+        scan_columns,
+    )
+
+    df = SPARK_QUERIES["docs_embed_ann_topk"](spark, sf_dir)
+    assert not has_cartesian(df)
+    doc_scans = [c for c in scan_columns(df) if "text" in c]
+    assert doc_scans and all(set(c) <= {"doc_id", "text"} for c in doc_scans)

@@ -673,6 +673,24 @@ def test_bm25_rrf_serving_10m(spark):
         ).collect()
         assert len(fused) == 20
         assert all(r.rank <= 10 for r in fused)
+
+        # r10 tombstone leg: consume a 10% takedown wave (doc_id % 10 == 3)
+        # without re-tokenizing the 10M-doc corpus — the maintained index
+        # must serve, removed docs must vanish from results, and the
+        # surviving planted-term docs must still rank for q1.
+        removed = docs.filter(F.col("doc_id") % 10 == 3).select("doc_id", "text")
+        from spark_ensemble_spark.operators.retrieval import (
+            remove_from_bm25_index,
+        )
+
+        p2, s2 = remove_from_bm25_index(postings, stats, removed)
+        lex2 = bm25_topk(None, qs, k=10, index=p2, index_stats=s2).collect()
+        assert len(lex2) == 20
+        assert all(r.doc_id % 10 != 3 for r in lex2)
+        q1b = [r.doc_id for r in lex2 if r.query_id == "q1"][:5]
+        assert any(d % 1_000_000 == 7 for d in q1b)
+        st = s2.collect()[0]
+        assert st["n_docs"] == n - n // 10
     finally:
         postings.unpersist()
 

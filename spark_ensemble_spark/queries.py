@@ -8042,6 +8042,44 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id")
 
 
+@query(
+    "dedup_incremental_after_delete",
+    _dedup.incremental_dedup_oracle_sql(
+        table="(SELECT * FROM documents WHERE doc_id % 5 = 0 OR doc_id % 3 != 0)",
+    ),
+)
+def dedup_incremental_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup served from a TOMBSTONE-maintained index (the
+    fourth persisted index of VERDICT r9 missing #3): the corpus signature
+    + fingerprint-HOLDER index is built once, a takedown wave
+    (doc_id % 3 == 0) is consumed by ``remove_from_dedup_index`` — two
+    anti-joins, corpus text never re-read; the holder layout (id, fp)
+    makes shared-fingerprint removals exact where the fp-only distinct
+    index could not express them — and the delivery dedups against the
+    maintained index. The ORACLE replays the full two-stage md5 pipeline
+    on the post-delete corpus: maintained must equal rebuild."""
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    sigs = _dedup.minhash_signatures(
+        corpus, "text", "doc_id", num_hashes=48, hash_fn="md5"
+    )
+    holders = _dedup.corpus_fingerprint_holders(corpus, "text", "doc_id")
+    removed = corpus.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+    m_sigs, m_holders = _dedup.remove_from_dedup_index(sigs, holders, removed)
+    out = _dedup.dedup_against_corpus(
+        new,
+        None,
+        "text",
+        "doc_id",
+        threshold=0.5,
+        hash_fn="md5",
+        corpus_signatures=m_sigs,
+        corpus_fingerprints=m_holders.select("__fp").distinct(),
+    )
+    return out.select("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Temperature-based source mixing (The Pile / XLM-R style): per-source
 # token shares -> tau-scaled mixing weights -> deterministic sampling rates,

@@ -1475,6 +1475,74 @@ def test_dedup_against_corpus_planted(spark):
     idx.unpersist()
 
 
+def test_dedup_index_remove_equals_rebuild(spark):
+    """Tombstone maintenance for the incremental-dedup index: after a
+    takedown wave, serving dedup_against_corpus from the maintained
+    (signatures, fingerprint-holders) index equals serving from an index
+    rebuilt on the post-delete corpus — INCLUDING the shared-fingerprint
+    case: doc 1 and doc 3 are exact twins, doc 1 is removed, and the
+    fingerprint must survive through doc 3 (the fp-only distinct index
+    could not express this removal)."""
+    from spark_ensemble_spark.operators.dedup import (
+        corpus_fingerprint_holders,
+        dedup_against_corpus,
+        minhash_signatures,
+        remove_from_dedup_index,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    corpus = spark.createDataFrame(
+        [
+            (1, base),
+            (2, "completely different corpus text about spark plans"),
+            (3, base),  # exact twin of 1: its fp must survive 1's removal
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (100, base),  # still an exact dup via surviving doc 3
+            (101, near),  # near dup of 3
+            (102, "entirely novel content that matches nothing at all here"),
+            (103, "completely different corpus text about spark plans"),
+        ],
+        "doc_id long, text string",
+    )
+    sig_kw = dict(num_hashes=48, shingle_size=2)
+    sigs = minhash_signatures(corpus, "text", "doc_id", **sig_kw)
+    holders = corpus_fingerprint_holders(corpus, "text", "doc_id")
+    removed = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    m_sigs, m_holders = remove_from_dedup_index(sigs, holders, removed)
+
+    def serve(s, h):
+        return sorted(
+            r.doc_id
+            for r in dedup_against_corpus(
+                new,
+                None if s is not None else corpus,
+                "text",
+                "doc_id",
+                threshold=0.4,
+                shingle_size=2,
+                num_hashes=48,
+                corpus_signatures=s,
+                corpus_fingerprints=h.select("__fp").distinct(),
+            ).collect()
+        )
+
+    post = corpus.filter(~F.col("doc_id").isin(1, 2))
+    maintained = serve(m_sigs, m_holders)
+    rebuilt = serve(
+        minhash_signatures(post, "text", "doc_id", **sig_kw),
+        corpus_fingerprint_holders(post, "text", "doc_id"),
+    )
+    assert maintained == rebuilt
+    # doc 100 still exact-dups via surviving twin 3; 101 still near-dups 3;
+    # 103's only match (doc 2) was removed, so it now survives
+    assert maintained == [102, 103]
+
+
 def test_dedup_against_corpus_empty_corpus(spark):
     from spark_ensemble_spark.operators.dedup import dedup_against_corpus
 

@@ -115,19 +115,23 @@ def minimize_nonneg_batched(
     rel_tol: float = 1e-4,
     ladder: int = 8,
 ) -> List[float]:
-    """min f(x) s.t. x ≥ 0 — projected gradient where the whole Armijo
-    backtracking LADDER is evaluated in one ``losses_batch`` call.
+    """min f(x) s.t. x ≥ 0 — projected gradient where Armijo backtracking
+    is evaluated in batched ``losses_batch`` calls.
 
     Motivation (r6, measured): for the GBM classifier every function
     evaluation is a cluster-wide ``agg``; the sequential
     :func:`minimize_nonneg` spent up to 12 aggs inside a single backtracking
-    loop (one fit iteration burned 32 evals / 12.7s at sf0.1). Here each
-    outer iteration costs exactly TWO aggs — one batched loss scan over a
-    CONSTANT-width candidate ladder (constant width keeps the generated plan
-    structurally identical across iterations, so codegen compiles once) and
-    one gradient evaluation at the accepted point — plus a relative-
-    improvement stop (``rel_tol``), since a GBM step size multiplied by a
-    learning rate only needs ~1% accuracy.
+    loop (one fit iteration burned 32 evals / 12.7s at sf0.1). r10
+    (profiled: the batched agg's per-row cost is LINEAR in ladder width and
+    the line search was 70-75% of fit wall time): the ladder is evaluated
+    in two CONSTANT-width halves — the shallow half first, the deep half
+    only when every shallow rung rejects, which Barzilai-Borwein step
+    sizing makes rare — so the common-case outer iteration costs one
+    half-width loss agg plus one gradient evaluation at the accepted
+    point (two aggs; worst case three). Constant half-width keeps both
+    generated plans structurally identical across iterations (codegen
+    compiles each once). ``rel_tol`` is the relative-improvement stop — a
+    GBM step size multiplied by a learning rate only needs ~1% accuracy.
     """
     x = [max(float(v), 0.0) for v in x0]
     f, g = fun_and_grad(x)

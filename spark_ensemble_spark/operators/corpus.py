@@ -1297,7 +1297,12 @@ def dsir_select(
     reproducible across engines and retries (a rand() column would change
     under task replay; a hash never does). Appends ``sample_key``."""
     u = _md5_uniform(id_col, seed)
-    g = -_det_ln(-_det_ln(u))
+    # -det_ln(u) is 0 when the md5 draw lands EXACTLY on u = 1.0 (the
+    # (2⁶⁰+1) denominator rounds to 2⁶⁰ as a double, so h = 2⁶⁰−1 reaches
+    # it) — and det_ln(±0) is undefined (DuckDB's replay would abort on a
+    # CAST of ±inf). Clamp to a tiny positive literal: the unlucky id gets
+    # a huge (~+690) Gumbel key, deterministically, on both engines.
+    g = -_det_ln(F.greatest(-_det_ln(u), F.lit(1e-300)))
     key = _floor_round(F.col(weight_col) + g, round_to)
     return (
         scores.withColumn("sample_key", key)
@@ -1362,7 +1367,7 @@ def dsir_oracle_sql(
     )
     SELECT id AS {id_col}, n_feats, log_weight,
            {_floor_round_sql(f"log_weight "
-                 f"- {_det_ln_sql('-(' + _det_ln_sql(f'''((('0x' || substring(md5(id::VARCHAR || ':{seed}'), 1, 15))::BIGINT + 1) / {_dlit(denom)})''') + ')')}", round_to)} AS sample_key
+                 f"- {_det_ln_sql('greatest(-(' + _det_ln_sql(f'''((('0x' || substring(md5(id::VARCHAR || ':{seed}'), 1, 15))::BIGINT + 1) / {_dlit(denom)})''') + '), 1e-300)')}", round_to)} AS sample_key
     FROM weights
     ORDER BY sample_key DESC, id
     LIMIT {k}

@@ -837,6 +837,11 @@ def remove_from_bm25_index(
     re-tokenized, and serve-after-delete equals a from-scratch rebuild on
     the post-delete corpus bit-for-bit (oracle row
     ``docs_bm25_serve_after_delete``)."""
+    # dedup BEFORE the stats pass too: a wave frame that re-delivers the
+    # same (id, text) row (e.g. a diff joined back through a duplicate
+    # key) must decrement n_docs/sum_dl once per DOCUMENT, exactly like
+    # the id-keyed posting anti-join is idempotent per id.
+    removed_docs = removed_docs.dropDuplicates([id_col])
     rem_ids = removed_docs.select(F.col(id_col)).distinct()
     postings = index.join(F.broadcast(rem_ids), id_col, "left_anti")
     _, rem_stats = build_bm25_index(removed_docs, text_col, id_col)
@@ -850,8 +855,15 @@ def remove_from_bm25_index(
             )
         )
         .select(
-            (F.col("n_docs") - F.col("__rn")).alias("n_docs"),
-            (F.col("sum_dl") - F.col("__rdl")).alias("sum_dl"),
+            # coalesce: an EMPTY wave (nothing matched the takedown) makes
+            # build_bm25_index's sum_dl aggregate NULL; subtracting NULL
+            # would permanently corrupt the maintained stats
+            (F.col("n_docs") - F.coalesce(F.col("__rn"), F.lit(0))).alias(
+                "n_docs"
+            ),
+            (F.col("sum_dl") - F.coalesce(F.col("__rdl"), F.lit(0))).alias(
+                "sum_dl"
+            ),
         )
     )
     return postings, stats

@@ -240,8 +240,13 @@ def span_holder_index(
     one hard case").  ``span_index_view`` collapses this to the exact
     serving shape on demand; removal is one anti-join."""
     grams = _gram_table(corpus, k, id_col, text_col)
+    # keep the id UNCAST: span_gram_index takes min over the ORIGINAL id
+    # type and casts the winner to long after — casting holders first
+    # would flip the min for string ids ('10' < '9' lexicographically)
+    # and NULL out non-numeric ids, silently diverging from the
+    # from-scratch index. span_index_view applies the same min-then-cast.
     return grams.select(
-        F.col("__h").alias("gram_hash"), F.col("__id").cast("long").alias("doc_id")
+        F.col("__h").alias("gram_hash"), F.col("__id").alias("doc_id")
     ).distinct()
 
 
@@ -269,7 +274,7 @@ def remove_from_span_holder_index(
     serve-after-delete equals an index built from scratch on the
     post-delete corpus (oracle row ``docs_span_scrub_after_delete``)."""
     rem = removed_ids.select(
-        F.col(removed_ids.columns[0]).cast("long").alias("doc_id")
+        F.col(removed_ids.columns[0]).alias("doc_id")
     ).distinct()
     return holders.join(F.broadcast(rem), "doc_id", "left_anti")
 

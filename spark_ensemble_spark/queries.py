@@ -711,11 +711,11 @@ def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "feature_hashing_bow",
-    """
+    r"""
     WITH toks AS (
       SELECT doc_id,
-             unnest(list_filter(list_transform(string_split(lower(trim(
-               coalesce(text, ''))), ' '), l -> l), l -> l <> '')) AS t
+             unnest(list_filter(string_split(regexp_replace(lower(trim(
+               coalesce(text, ''))), '\s+', ' ', 'g'), ' '), l -> l <> '')) AS t
       FROM documents
     ),
     hashed AS (
@@ -757,8 +757,8 @@ def _embed_bridge_oracle_sql() -> str:
     vec_table = f"""(
       WITH toks AS (
         SELECT doc_id,
-               unnest(list_filter(list_transform(string_split(lower(trim(
-                 coalesce(text, ''))), ' '), l -> l), l -> l <> '')) AS t
+               unnest(list_filter(string_split(regexp_replace(lower(trim(
+                 coalesce(text, ''))), '\\s+', ' ', 'g'), ' '), l -> l <> '')) AS t
         FROM documents
       ),
       hashed AS (
@@ -870,10 +870,12 @@ def docs_word2vec_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     vecs, _model = train_word2vec_embeddings(docs, dim=16, max_iter=1)
-    vecs = vecs.withColumnRenamed("doc_id", "vec_id").persist()
+    # no .persist(): the fitted model's transform is a cheap projection
+    # and a query-owned persist would escape the function unreleased,
+    # pinning executor storage across bench/driver replays
+    vecs = vecs.withColumnRenamed("doc_id", "vec_id")
     qs = vecs.filter(F.col("vec_id") < 5)
-    out = brute_force_topk(vecs, qs, k=5)
-    return out
+    return brute_force_topk(vecs, qs, k=5)
 
 
 @query(
@@ -5982,7 +5984,7 @@ def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     total AS (SELECT CAST(sum(cu) AS BIGINT) AS n FROM uni),
     scored AS (
       SELECT p.id, p.c,
-             CAST({_frs(_dls("0.7 * (b.cb / hist.h) + 0.30000000000000004 * (u.cu / total.n)"), 6)}
+             CAST({_frs(_dls(f"0.7 * (b.cb / hist.h) + {_dblit(0.30000000000000004)} * (u.cu / total.n)"), 6)}
                   AS DECIMAL(38,6)) AS lp
       FROM per_doc p
       JOIN bi b USING (w1, w2)

@@ -2603,6 +2603,18 @@ def test_bm25_remove_equals_rebuild(spark):
     # the empty doc's removal reached the stats (n_docs 5 → 3)
     assert st2.collect()[0]["n_docs"] == 3
 
+    # an EMPTY wave must be a no-op, not a NULL-poisoning of sum_dl
+    empty = docs.filter(F.lit(False)).select("doc_id", "text")
+    _, st3 = remove_from_bm25_index(idx, st, empty)
+    r3 = st3.collect()[0]
+    r0 = st.collect()[0]
+    assert (r3["n_docs"], r3["sum_dl"]) == (r0["n_docs"], r0["sum_dl"])
+
+    # a wave that re-delivers the same (id, text) row twice decrements once
+    dup_wave = removed.unionAll(removed)
+    _, st4 = remove_from_bm25_index(idx, st, dup_wave)
+    assert st4.collect()[0]["n_docs"] == 3
+
 
 def test_ann_remove_equals_reencode(spark, sf_dir):
     """remove_from_ann_index(encode(all), wave) == encode(all − wave):

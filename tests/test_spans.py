@@ -208,6 +208,21 @@ def test_holder_index_delete_equals_rebuild(spark, sf_dir):
     assert any(v % 3 == 0 for v in full.values())
 
 
+def test_holder_index_string_ids_match_gram_index(spark):
+    """Holders must take min over the ORIGINAL id type like
+    span_gram_index does ('10' < '9' lexicographically): a premature
+    numeric cast would flip canonicals for string ids."""
+    text = "a b c d e f g h i j"
+    docs = spark.createDataFrame(
+        [("9", text), ("10", text)], "doc_id string, text string"
+    )
+    via_holders = sorted(
+        map(tuple, S.span_index_view(S.span_holder_index(docs, k=8)).collect())
+    )
+    direct = sorted(map(tuple, S.span_gram_index(docs, k=8).collect()))
+    assert via_holders == direct and len(direct) > 0
+
+
 def test_span_index_stream_multibatch_merges_to_batch_index(spark, sf_dir, tmp_path):
     """Several micro-batches (maxFilesPerTrigger=1 over a 4-file corpus)
     of gram-index partials must merge to exactly the from-scratch batch

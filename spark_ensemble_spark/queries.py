@@ -8021,6 +8021,85 @@ ORACLES["streaming_bm25_index_serve"] = _retrieval.bm25_oracle_sql(
 )
 
 
+@query("streaming_bm25_tombstones")
+def streaming_bm25_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING takedown maintenance — the delete half of the lexical
+    index lifecycle (build ``bm25_index_stream`` / delete THIS / serve
+    ``bm25_topk(index=...)``): the corpus streams into the persisted
+    index, then a takedown wave (doc_id % 5 == 0) streams through
+    ``bm25_tombstone_stream``, landing batch_id-scoped tombstone id lists
+    and NEGATIVE stats partials — the LSM posture: history is never
+    rewritten, deletes are just more mergeable partials, applied at load
+    by ``read_bm25_index_dir`` (posting anti-join; the stats sum absorbs
+    the negatives). Serving must hash-match the from-scratch BM25 ORACLE
+    on the post-delete corpus — streaming append ⊕ streaming delete
+    converges to exactly the batch rebuild."""
+    import os
+    import shutil
+    import tempfile
+
+    from spark_ensemble_spark.operators.retrieval import bm25_topk
+    from spark_ensemble_spark.streaming.corpus import (
+        bm25_index_stream,
+        bm25_tombstone_stream,
+        read_bm25_index_dir,
+        read_documents_stream,
+    )
+    from spark_ensemble_spark.streaming.runner import replay_session
+
+    spark = replay_session(spark)
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "spark-warehouse",
+        f"bm25_tomb_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    ckpt1 = tempfile.mkdtemp(prefix="ses-bm25tomb-a-")
+    stream = read_documents_stream(spark, sf_dir).select("doc_id", "text")
+    q = bm25_index_stream(stream, index_path=base, checkpoint_dir=ckpt1)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt1, ignore_errors=True)
+    ckpt2 = tempfile.mkdtemp(prefix="ses-bm25tomb-d-")
+    removed_stream = (
+        read_documents_stream(spark, sf_dir)
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 5 == 0)
+    )
+    q2 = bm25_tombstone_stream(
+        removed_stream, index_path=base, checkpoint_dir=ckpt2
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+        shutil.rmtree(ckpt2, ignore_errors=True)
+    postings, stats = read_bm25_index_dir(spark, base)
+    queries = spark.createDataFrame(
+        list(_BM25_QUERIES), "query_id string, query_text string"
+    )
+    return bm25_topk(
+        None,
+        queries,
+        k=_BM25_K,
+        max_df=_BM25_MAX_DF,
+        index=postings,
+        index_stats=stats,
+    )
+
+
+# same rebuild-on-post-delete-corpus oracle as the batch tombstone row:
+# streaming append ⊕ streaming delete must converge to the identical serve
+ORACLES["streaming_bm25_tombstones"] = _retrieval.bm25_oracle_sql(
+    _BM25_QUERIES,
+    k=_BM25_K,
+    max_df=_BM25_MAX_DF,
+    table="(SELECT * FROM documents WHERE doc_id % 5 != 0)",
+)
+
+
 # ---------------------------------------------------------------------------
 # Incremental dedup: a new delivery batch against the accepted corpus index
 # (exact fingerprint anti-join + banded MinHash vs the index — the

@@ -309,6 +309,11 @@ BENCH_QUERIES = [
     "similarity_serve_after_delete",
     # r10: the raw-text -> hashed-BOW -> projection -> IVF semantic bridge
     "docs_embed_ann_topk",
+    # r10: streaming delete partials (LSM tombstones) + the trained
+    # incremental-dedup index takedown + Word2Vec trained-embedding path
+    "streaming_bm25_tombstones",
+    "dedup_incremental_after_delete",
+    "docs_word2vec_ann",
 ]
 
 

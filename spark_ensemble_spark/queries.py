@@ -7007,6 +7007,90 @@ def streaming_ann_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["streaming_ann_index_serve"] = ORACLES["similarity_ivfpq_topk"]
 
 
+@query("streaming_ann_tombstones")
+def streaming_ann_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING takedown maintenance for the ANN index — the delete leg
+    completing the vector lifecycle (ingest ``ann_index_stream`` / delete
+    THIS / serve ``ivfpq_probe``; the ``streaming_bm25_tombstones``
+    posture, vector edition): the corpus streams into the persisted code
+    index, a takedown wave (vec_id >= 5 with vec_id % 6 == 0) streams
+    through ``ann_tombstone_stream`` as batch_id-scoped tombstone id
+    lists, and ``read_ann_index_dir`` applies the accumulated tombstones
+    at load with one anti-join — the code table is never rewritten.
+    Serving must hash-match the batch after-delete ORACLE (the
+    from-scratch re-encode of the post-delete corpus)."""
+    import os
+    import shutil
+    import tempfile
+
+    from spark_ensemble_spark.operators.similarity import ivfpq_probe
+    from spark_ensemble_spark.streaming.runner import replay_session
+    from spark_ensemble_spark.streaming.scoring import (
+        ann_index_stream,
+        ann_tombstone_stream,
+        read_ann_index_dir,
+    )
+
+    spark = replay_session(spark)
+    books = _pq_books()
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "spark-warehouse",
+        f"ann_tomb_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    ckpt1 = tempfile.mkdtemp(prefix="ses-anntomb-a-")
+    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+    q = ann_index_stream(
+        stream,
+        _IVF_CENTROIDS,
+        books,
+        index_path=f"{base}/codes",
+        checkpoint_dir=ckpt1,
+        residual=True,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt1, ignore_errors=True)
+    ckpt2 = tempfile.mkdtemp(prefix="ses-anntomb-d-")
+    removed_stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+        .filter((F.col("vec_id") >= 5) & (F.col("vec_id") % 6 == 0))
+    )
+    q2 = ann_tombstone_stream(
+        removed_stream,
+        tombstone_path=f"{base}/tombstones",
+        checkpoint_dir=ckpt2,
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+        shutil.rmtree(ckpt2, ignore_errors=True)
+    enc = read_ann_index_dir(
+        spark, f"{base}/codes", tombstone_path=f"{base}/tombstones"
+    ).select("neighbor_id", "cell", "codes")
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return ivfpq_probe(
+        enc, queries_df, _IVF_CENTROIDS, books, k=5, nprobe=3, residual=True
+    )
+
+
+# streaming append ⊕ streaming delete must serve exactly what the batch
+# tombstone row serves: the rebuild-on-post-delete-corpus oracle
+ORACLES["streaming_ann_tombstones"] = ORACLES["similarity_serve_after_delete"]
+
+
 # 40-candidate shortlist: with the ORACLE-CHECKABLE fixed pseudo-random
 # codebooks (deliberately untrained — that is what makes every stage
 # replayable; production swaps in pq_train_codebooks, covered by

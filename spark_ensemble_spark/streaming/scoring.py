@@ -158,3 +158,51 @@ operators.similarity.ivfpq_probe` consumer (batch or the streaming
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def ann_tombstone_stream(
+    removed_stream: DataFrame,
+    tombstone_path: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+):
+    """STREAMING takedown maintenance for the persisted ANN code index —
+    the delete leg next to :func:`ann_index_stream`'s appends (the
+    ``bm25_tombstone_stream`` posture, vector edition): removed vector ids
+    arrive on a stream and each micro-batch lands as a ``batch_id``-scoped
+    tombstone id list. The code table is never rewritten — deletes are
+    just more partials — and :func:`read_ann_index_dir` applies the
+    accumulated tombstones at load with one anti-join. Idempotent per
+    batch_id. Returns the started StreamingQuery."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.select(id_col).distinct().write.mode("overwrite").parquet(
+            f"{tombstone_path}/batch_id={batch_id}"
+        )
+
+    return (
+        removed_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def read_ann_index_dir(spark, index_path: str, tombstone_path: str = None):
+    """Load a stream-built ANN code index for :func:`~spark_ensemble_spark.\
+operators.similarity.ivfpq_probe`, applying any :func:`ann_tombstone_stream`
+    partials: the union code table anti-joined against the accumulated
+    tombstone ids — serve-after-delete equals a from-scratch re-encode of
+    the post-delete corpus (frozen quantizers make the surviving rows
+    identical)."""
+    import os
+
+    enc = spark.read.parquet(index_path)
+    if tombstone_path and os.path.isdir(tombstone_path):
+        from spark_ensemble_spark.operators.similarity import (
+            remove_from_ann_index,
+        )
+
+        tomb = spark.read.parquet(tombstone_path)
+        idc = [c for c in tomb.columns if c != "batch_id"][0]
+        enc = remove_from_ann_index(enc, tomb.select(idc))
+    return enc

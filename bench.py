@@ -312,6 +312,7 @@ BENCH_QUERIES = [
     # r10: streaming delete partials (LSM tombstones) + the trained
     # incremental-dedup index takedown + Word2Vec trained-embedding path
     "streaming_bm25_tombstones",
+    "streaming_ann_tombstones",
     "dedup_incremental_after_delete",
     "docs_word2vec_ann",
 ]

@@ -31,9 +31,15 @@ def _registry():
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    sq, _ = _registry()
-    return sq["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Pulled from the FULL registry (ALL_SPARK_QUERIES), not the 50-row
+    driver window, so window rotation can never orphan the flagship."""
+    from spark_ensemble_spark.queries import ALL_SPARK_QUERIES
+
+    return ALL_SPARK_QUERIES["q1_pricing_summary"](
+        spark, "/root/testdata/sf0.001"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

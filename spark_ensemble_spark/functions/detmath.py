@@ -93,7 +93,15 @@ def det_ln(x: Column) -> Column:
     IEEE ops — bit-identical to :func:`det_ln_sql` (DuckDB) and
     :func:`det_ln_py` (CPython) on any conforming engine.  See the module
     docstring for the construction; ``x ≤ 0`` is undefined (callers guard,
-    exactly as they must for the engine ``ln``)."""
+    exactly as they must for the engine ``ln``).
+
+    VALID DOMAIN: roughly ``2^-63 < x < 2^63``.  The binade reduction takes
+    ``floor(y)`` (``y = x`` or ``1/x``) through a BIGINT cast, which
+    overflows INT64 outside that range with ENGINE-DIVERGENT behavior —
+    Spark's double→long cast saturates to Long.MaxValue (garbage result),
+    DuckDB raises a conversion error, CPython alone stays correct.  Clamp
+    arguments into the domain first (see ``operators/corpus._GUMBEL_CLAMP``);
+    the bit-identity sweep in tests/test_detmath.py covers 2^±62."""
 
     def outer(xv: Column) -> Column:
         sign = F.when(xv < F.lit(1.0), F.lit(-1.0)).otherwise(F.lit(1.0))
@@ -136,7 +144,9 @@ def det_ln_sql(expr: str) -> str:
     as SQL (single-element ``list_transform`` lambdas as let-bindings,
     ``printf('%b')`` for the exact bit-length, ``<<`` for the exact power
     of two).  Splice the SAME argument expression both engines compute so
-    the input double is already bit-identical."""
+    the input double is already bit-identical.  Same valid domain as
+    :func:`det_ln` (``2^-63 < x < 2^63`` — outside it the BIGINT cast
+    RAISES on DuckDB while Spark saturates silently)."""
     horner = _dlit(_COEFFS[-1])
     for c in reversed(_COEFFS[:-1]):
         horner = f"({_dlit(c)} + __dlu * {horner})"
@@ -160,7 +170,9 @@ def det_ln_py(x: float) -> float:
     with correctly-rounded arithmetic, so this returns the same bits the
     Spark/DuckDB forms compute.  Used by frozen-model compilers
     (``bm25_query_model``) whose driver-side literals must match the
-    engine replay exactly."""
+    engine replay exactly.  Stay inside ``2^-63 < x < 2^63`` (Python ints
+    don't overflow, so THIS form alone is correct outside it — which is
+    exactly why callers must not rely on it: the engine mirrors aren't)."""
     sign = -1.0 if x < 1.0 else 1.0
     y = 1.0 / x if x < 1.0 else float(x)
     e = int(math.floor(y)).bit_length() - 1

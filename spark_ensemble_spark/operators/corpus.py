@@ -46,6 +46,15 @@ from spark_ensemble_spark.functions.detmath import (
     double_literal_sql as _dlit,
 )
 
+# Gumbel-key clamp for gumbel_topk_sample and its DSIR oracle replay: the
+# smallest positive -det_ln(u) a real md5 draw can produce is ~1.1e-16
+# (u = 1-2^-53), so clamping at 1e-18 only fires on the exact u == 1.0
+# edge — and 1e-18 sits inside det_ln's INT64-safe domain (2^-63 < x < 2^63),
+# where the previous 1e-300 made the three engines diverge (Spark's
+# double->long cast saturates, DuckDB aborts, CPython alone was right).
+_GUMBEL_CLAMP = 1e-18
+
+
 from .dedup import _hash64, _shingle_strings
 
 # ---------------------------------------------------------------------------
@@ -1300,9 +1309,15 @@ def dsir_select(
     # -det_ln(u) is 0 when the md5 draw lands EXACTLY on u = 1.0 (the
     # (2⁶⁰+1) denominator rounds to 2⁶⁰ as a double, so h = 2⁶⁰−1 reaches
     # it) — and det_ln(±0) is undefined (DuckDB's replay would abort on a
-    # CAST of ±inf). Clamp to a tiny positive literal: the unlucky id gets
-    # a huge (~+690) Gumbel key, deterministically, on both engines.
-    g = -_det_ln(F.greatest(-_det_ln(u), F.lit(1e-300)))
+    # CAST of ±inf). Clamp to a tiny positive literal INSIDE det_ln's
+    # domain (2^-63 < x < 2^63: the binade reduction takes floor(1/x) as
+    # BIGINT, so 1e-300 would overflow INT64 with engine-divergent
+    # behavior — Spark saturates, DuckDB aborts, CPython is correct).
+    # 1e-18 is safe (1/1e-18 < 2^63) and unreachable by any real draw: the
+    # smallest legitimate -det_ln(u) is ~1.1e-16 at u = 1-2^-53, so only
+    # the exact u == 1.0 edge is clamped — that id gets a large (~+41.4)
+    # Gumbel key, deterministically, on both engines.
+    g = -_det_ln(F.greatest(-_det_ln(u), F.lit(_GUMBEL_CLAMP)))
     key = _floor_round(F.col(weight_col) + g, round_to)
     return (
         scores.withColumn("sample_key", key)
@@ -1367,7 +1382,7 @@ def dsir_oracle_sql(
     )
     SELECT id AS {id_col}, n_feats, log_weight,
            {_floor_round_sql(f"log_weight "
-                 f"- {_det_ln_sql('greatest(-(' + _det_ln_sql(f'''((('0x' || substring(md5(id::VARCHAR || ':{seed}'), 1, 15))::BIGINT + 1) / {_dlit(denom)})''') + '), 1e-300)')}", round_to)} AS sample_key
+                 f"- {_det_ln_sql('greatest(-(' + _det_ln_sql(f'''((('0x' || substring(md5(id::VARCHAR || ':{seed}'), 1, 15))::BIGINT + 1) / {_dlit(denom)})''') + '), 1e-18)')}", round_to)} AS sample_key
     FROM weights
     ORDER BY sample_key DESC, id
     LIMIT {k}
@@ -1618,7 +1633,7 @@ def split_by_hash_oracle_sql(
         acc += weights[name] / total
         arms.append((name, acc))
     for name, bound in reversed(arms):
-        case = f"CASE WHEN {u} < {bound!r} THEN '{name}' ELSE {case} END"
+        case = f"CASE WHEN {u} < {_dlit(bound)} THEN '{name}' ELSE {case} END"
     return f"SELECT {id_col}, {case} AS split FROM {table}"
 
 
@@ -1719,7 +1734,7 @@ def leakage_safe_splits_oracle_sql(
         acc += weights[name] / total
         arms.append((name, acc))
     for name, bound in reversed(arms):
-        case = f"CASE WHEN {u} < {bound!r} THEN '{name}' ELSE {case} END"
+        case = f"CASE WHEN {u} < {_dlit(bound)} THEN '{name}' ELSE {case} END"
     return f"""
     WITH RECURSIVE edges AS (
       {edges_sql}

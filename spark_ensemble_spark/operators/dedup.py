@@ -28,6 +28,9 @@ from typing import List, Optional, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from spark_ensemble_spark.functions.detmath import (
+    double_literal_sql as _dlit,
+)
 from spark_ensemble_spark.functions.rounding import (
     floor_round as _floor_round,
     floor_round_sql as _floor_round_sql,
@@ -804,7 +807,7 @@ def srp_bucket_sql(vec_expr: str, planes: List[List[float]]) -> str:
     terms = []
     for i, plane in enumerate(planes):
         chain = " + ".join(
-            f"{vec_expr}[{j + 1}]*({x!r})" for j, x in enumerate(plane)
+            f"{vec_expr}[{j + 1}]*{_dlit(x)}" for j, x in enumerate(plane)
         )
         terms.append(f"CASE WHEN {chain} > 0 THEN {1 << i} ELSE 0 END")
     return "(" + " + ".join(terms) + ")"
@@ -1678,7 +1681,7 @@ similarity.ivf_oracle_sql`), assignment ties break on centroid id, the drop
     arms = []
     for cid, c in enumerate(centroids):
         chain = " + ".join(
-            f"(v[{j + 1}]-({x!r}))*(v[{j + 1}]-({x!r}))" for j, x in enumerate(c)
+            f"(v[{j + 1}]-{_dlit(x)})*(v[{j + 1}]-{_dlit(x)})" for j, x in enumerate(c)
         )
         arms.append(f"SELECT id, v, {cid} AS cid, {chain} AS d FROM e")
     dist_union = "\n      UNION ALL ".join(arms)
@@ -1702,7 +1705,7 @@ similarity.ivf_oracle_sql`), assignment ties break on centroid id, the drop
                   ELSE greatest(l.id, r.id) END AS drop_id
       FROM assigned l JOIN assigned r
         ON l.cluster = r.cluster AND l.id < r.id
-      WHERE {cos} >= {threshold!r}
+      WHERE {cos} >= {_dlit(threshold)}
     )
     SELECT a.id AS {id_out}, a.cluster
     FROM assigned a

@@ -21,6 +21,9 @@ from typing import Optional
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from spark_ensemble_spark.functions.detmath import (
+    double_literal_sql as _dlit,
+)
 from spark_ensemble_spark.functions.rounding import (
     floor_round as _floor_round,
     floor_round_sql as _floor_round_sql,
@@ -466,7 +469,7 @@ def ivf_oracle_sql(
     arms = []
     for cid, c in enumerate(centroids):
         chain = " + ".join(
-            f"(v[{j + 1}]-({x!r}))*(v[{j + 1}]-({x!r}))" for j, x in enumerate(c)
+            f"(v[{j + 1}]-{_dlit(x)})*(v[{j + 1}]-{_dlit(x)})" for j, x in enumerate(c)
         )
         arms.append(f"SELECT id, v, {cid} AS cid, {chain} AS d FROM e")
     dist_union = "\n      UNION ALL ".join(arms)
@@ -663,7 +666,7 @@ def pq_oracle_sql(
     def chain(m: int, c: list) -> str:
         off = m * sub
         return " + ".join(
-            f"(v[{off + j + 1}]-({x!r}))*(v[{off + j + 1}]-({x!r}))"
+            f"(v[{off + j + 1}]-{_dlit(x)})*(v[{off + j + 1}]-{_dlit(x)})"
             for j, x in enumerate(c)
         )
 
@@ -906,11 +909,11 @@ def ivfpq_oracle_sql(
     arms = []
     for cid, c in enumerate(centroids):
         chain = " + ".join(
-            f"(v[{j + 1}]-({x!r}))*(v[{j + 1}]-({x!r}))" for j, x in enumerate(c)
+            f"(v[{j + 1}]-{_dlit(x)})*(v[{j + 1}]-{_dlit(x)})" for j, x in enumerate(c)
         )
         cols = f"SELECT id, v, {cid} AS cid, {chain} AS d"
         if residual:
-            rv = ", ".join(f"v[{j + 1}]-({x!r})" for j, x in enumerate(c))
+            rv = ", ".join(f"v[{j + 1}]-{_dlit(x)}" for j, x in enumerate(c))
             cols += f", [{rv}] AS rv"
         arms.append(f"{cols} FROM e")
     dist_union = "\n      UNION ALL ".join(arms)
@@ -920,7 +923,7 @@ def ivfpq_oracle_sql(
     def pq_chain(m: int, c: list) -> str:
         off = m * sub
         return " + ".join(
-            f"({base}[{off + j + 1}]-({x!r}))*({base}[{off + j + 1}]-({x!r}))"
+            f"({base}[{off + j + 1}]-{_dlit(x)})*({base}[{off + j + 1}]-{_dlit(x)})"
             for j, x in enumerate(c)
         )
 
@@ -1466,7 +1469,7 @@ def mmr_oracle_sql(
         if prev_sel is None:
             scored = f"""
     scored{step} AS (
-      SELECT query_id, neighbor_id, {frs(f"{lam!r} * rel", round_to)} AS mmr
+      SELECT query_id, neighbor_id, {frs(f"{_dlit(lam)} * rel", round_to)} AS mmr
       FROM {prev_rem}
     )"""
         else:
@@ -1479,7 +1482,7 @@ def mmr_oracle_sql(
     ),
     scored{step} AS (
       SELECT r.query_id, r.neighbor_id,
-             {frs(f"{lam!r} * r.rel - {1.0 - lam!r} * p.pen", round_to)} AS mmr
+             {frs(f"{_dlit(lam)} * r.rel - {_dlit(1.0 - lam)} * p.pen", round_to)} AS mmr
       FROM {prev_rem} r JOIN pen{step} p
         ON p.query_id = r.query_id AND p.neighbor_id = r.neighbor_id
     )"""
@@ -1632,7 +1635,7 @@ def ivfpq_index_stats_oracle_sql(
     arms = []
     for cid, c in enumerate(centroids):
         chain = " + ".join(
-            f"(v[{j + 1}]-({x!r}))*(v[{j + 1}]-({x!r}))" for j, x in enumerate(c)
+            f"(v[{j + 1}]-{_dlit(x)})*(v[{j + 1}]-{_dlit(x)})" for j, x in enumerate(c)
         )
         arms.append(f"SELECT id, {cid} AS cid, {chain} AS d FROM e")
     dist_union = "\n      UNION ALL ".join(arms)
@@ -1661,7 +1664,7 @@ def ivfpq_index_stats_oracle_sql(
         (SELECT n FROM ranked WHERE rn =
           (SELECT CAST(ceil(n_cells * 0.5) AS BIGINT) FROM scalars)) AS p50_cell,
         (SELECT n FROM ranked WHERE rn =
-          (SELECT CAST(ceil(n_cells * 0.9) AS BIGINT) FROM scalars)) AS p90_cell
+          (SELECT CAST(ceil(n_cells * CAST('0.9' AS DOUBLE)) AS BIGINT) FROM scalars)) AS p90_cell
     )
     SELECT n_vectors, n_cells, max_cell,
            {_floor_round_sql("CAST(n_vectors AS DOUBLE) / n_cells", 6)} AS avg_cell,

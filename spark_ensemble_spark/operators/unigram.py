@@ -367,7 +367,12 @@ def unigram_score_oracle_sql(
     training machinery); ``n_pieces`` rides in the DP value itself, so the
     full stats row is engine-checked."""
     keys = ", ".join(_sql_str(p) for p in sorted(piece_logp))
-    vals = ", ".join(repr(float(piece_logp[p])) for p in sorted(piece_logp))
+    # CAST('<repr>' AS DOUBLE): a bare 6-dp literal would coerce the map
+    # values to DECIMAL and pay the build-dependent decimal→double cast at
+    # every lookup (functions/detmath._dlit)
+    vals = ", ".join(
+        f"CAST('{float(piece_logp[p])!r}' AS DOUBLE)" for p in sorted(piece_logp)
+    )
     # DuckDB forbids subqueries inside lambdas — the vocabulary map embeds
     # directly in the lambda body (one literal occurrence, model-sized)
     pm = f"map([{keys}], [{vals}])"

@@ -478,13 +478,30 @@ def bm25_tombstone_stream(
     mergeable partials, and :func:`read_bm25_index_dir` applies the
     accumulated tombstones at load (posting anti-join + the stats sum
     absorbing the negative partials). Idempotent per batch_id like every
-    foreachBatch writer here; the wave is per-doc deduped so re-delivered
-    rows cannot double-decrement (the ``remove_from_bm25_index``
-    contract). Returns the started StreamingQuery."""
+    foreachBatch writer here; the wave is per-doc deduped AND anti-joined
+    against every PRIOR batch's accumulated tombstone ids, so re-delivered
+    rows cannot double-decrement the stats either intra- or cross-batch
+    (the ``remove_from_bm25_index`` contract) — the posting anti-join was
+    always idempotent, but a second negative (n_docs, sum_dl) partial for
+    the same id would silently skew avgdl and every served score. The
+    prior-batch filter is ``batch_id < N`` (never ``<=``), so replaying a
+    failed batch N still sees exactly the pre-N state and rewrites the
+    identical partial. Returns the started StreamingQuery."""
+    import os
+
     from spark_ensemble_spark.operators.retrieval import build_bm25_index
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.dropDuplicates([id_col])
+        if os.path.isdir(f"{index_path}/tombstones"):
+            prior = (
+                batch_df.sparkSession.read.parquet(
+                    f"{index_path}/tombstones"
+                )
+                .filter(F.col("batch_id") < F.lit(int(batch_id)))
+                .select(id_col)
+            )
+            batch_df = batch_df.join(F.broadcast(prior), id_col, "left_anti")
         _, stats = build_bm25_index(batch_df, text_col, id_col)
         neg = stats.select(
             (-F.coalesce(F.col("n_docs"), F.lit(0))).alias("n_docs"),

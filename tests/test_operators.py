@@ -1924,6 +1924,63 @@ def test_semantic_dedup_hot_cluster_quarantine(spark):
     assert kept.count() == 41  # only the twin's drop_id is removed
 
 
+def test_bm25_tombstone_stream_redelivery_not_double_decremented(
+    spark, tmp_path
+):
+    """A doc id re-delivered in a LATER micro-batch must not decrement the
+    (n_docs, sum_dl) stats a second time (the posting anti-join was always
+    idempotent; a duplicate negative partial silently skews avgdl and every
+    served score — ADVICE r10).  Batch 1 removes {0, 5}; batch 2 re-delivers
+    0 and adds 10: the merged index must equal a from-scratch build on the
+    corpus minus {0, 5, 10} exactly."""
+    from spark_ensemble_spark.operators.retrieval import build_bm25_index
+    from spark_ensemble_spark.streaming.corpus import (
+        bm25_tombstone_stream,
+        read_bm25_index_dir,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 4} common tok{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    base = str(tmp_path / "idx")
+    postings, stats = build_bm25_index(docs)
+    postings.write.parquet(f"{base}/postings/batch_id=0")
+    stats.write.parquet(f"{base}/stats/batch_id=0")
+
+    src = tmp_path / "removed_src"
+    src.mkdir()
+
+    def write_wave(name, ids):
+        docs.filter(F.col("doc_id").isin(ids)).coalesce(1).write.parquet(
+            str(src / name)
+        )
+
+    write_wave("f1", [0, 5])
+    removed = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src) + "/*"
+    )
+    q = bm25_tombstone_stream(
+        removed, index_path=base, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+        write_wave("f2", [0, 10])  # 0 is a cross-batch re-delivery
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got_postings, got_stats = read_bm25_index_dir(spark, base)
+    want_postings, want_stats = build_bm25_index(
+        docs.filter(~F.col("doc_id").isin([0, 5, 10]))
+    )
+    assert got_stats.collect() == want_stats.collect()
+    key = ["term", "doc_id", "tf", "dl"]
+    assert sorted(map(tuple, got_postings.select(*key).collect())) == sorted(
+        map(tuple, want_postings.select(*key).collect())
+    )
+
+
 def test_streaming_decontaminate_equals_batch(spark, sf_dir):
     """The stateless stream filter must make the IDENTICAL decision as the
     batch Bloom pass — same flag counts, same kept set — and every eval-set

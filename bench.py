@@ -477,6 +477,14 @@ def main() -> None:
         "host_id": host_id,
         "sf": sf,
     }
+    # Per-query host-NORMALIZED history (VERDICT r10 missing #3): sec
+    # divided by this run's codegen_warm_sec (identical plans every round —
+    # a pure host-speed indicator), so any two rounds' per-query numbers
+    # compare directly without a manual worktree A/B.
+    if codegen_warm_sec > 0:
+        result["queries_host_norm"] = {
+            q: round(t / codegen_warm_sec, 4) for q, t in timings.items()
+        }
     repo = os.path.dirname(os.path.abspath(__file__))
     # Host-speed-normalized round-over-round ratio (VERDICT r7 #8): raw
     # totals across rounds mislead because driver sessions land on hosts of
@@ -506,16 +514,17 @@ def main() -> None:
             if (m := re.search(r"BENCH_r(\d+)_full\.json$", p))
             and (n := int(m.group(1))) < cur_round
         )
-        # newest prior round NOT produced by this same box/boot (host_id):
-        # a same-host artifact is this session's own earlier run — the
-        # self-comparison the adjacent exclusion promise is about.
+        # ALWAYS the newest prior round (VERDICT r10 missing #3: the old
+        # same-host_id skip silently compared r10 to r8 when the driver
+        # reused the box — but a committed docs/BENCH_r{n<cur}_full.json is
+        # a PRIOR round by construction (this session's own runs write
+        # r{cur}), and a same-host prior is the BEST comparison: the host
+        # factor is ~1 and raw ≈ host_norm). Record same_host so readers
+        # know which regime they're in.
         prev = prev_path = None
         for n, p in reversed(prevs):
             with open(p) as fh:
-                cand = json.load(fh)
-            if host_id and cand.get("host_id") == host_id:
-                continue
-            prev, prev_path = cand, p
+                prev, prev_path = json.load(fh), p
             break
         if prev is not None and codegen_warm_sec > 0:
             shared = sorted(set(timings) & set(prev.get("queries", {})))
@@ -531,6 +540,9 @@ def main() -> None:
                     "raw": round(raw, 3),
                     "host_speed": round(host, 3),
                     "host_norm": round(raw / host, 3),
+                    "same_host": bool(
+                        host_id and prev.get("host_id") == host_id
+                    ),
                     # VERDICT r8 #8: a contended host inflates
                     # codegen_warm_sec more than throughput-bound rows, so
                     # host_norm over-corrects when warm moved a lot — flag
@@ -538,6 +550,25 @@ def main() -> None:
                     # 1.5x of the prev round's.
                     "warm_ratio_trustworthy": bool(1 / 1.5 <= host <= 1.5),
                 }
+                # per-query host-normalized movers vs prev (both rounds'
+                # sec/warm): the cross-round question VERDICT r10 needed a
+                # manual worktree A/B to answer. Top regressions only —
+                # the full map lives in queries_host_norm of each artifact.
+                prev_hn = prev.get("queries_host_norm") or {
+                    q: prev["queries"][q] / prev_warm for q in shared
+                }
+                cur_hn = {q: timings[q] / codegen_warm_sec for q in shared}
+                movers = sorted(
+                    (
+                        (q, round(cur_hn[q] / prev_hn[q], 2))
+                        for q in shared
+                        if prev_hn.get(q, 0) > 0 and timings[q] >= 1.0
+                    ),
+                    key=lambda kv: -kv[1],
+                )
+                result["ratio_vs_prev"]["top_regressions_host_norm"] = dict(
+                    movers[:8]
+                )
     except (OSError, ValueError, KeyError, ZeroDivisionError):
         pass
     # (a) durable artifact next to this script, full precision

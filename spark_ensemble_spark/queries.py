@@ -7214,6 +7214,95 @@ def streaming_ann_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["streaming_ann_tombstones"] = ORACLES["similarity_serve_after_delete"]
 
 
+@query("streaming_ann_compaction")
+def streaming_ann_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPACTION — closing the ANN index's LSM cycle (append ✓ delete ✓
+    compact ← THIS, VERDICT r10 missing #4): after the streaming ingest and
+    takedown waves of ``streaming_ann_tombstones``, ``compact_ann_index_dir``
+    folds the accumulated tombstones into a fresh code-table generation —
+    survivors rewritten once, no tombstone partials left, read
+    amplification reset to zero — and serving from the compacted
+    generation (``tombstone_path=None``) must hash-match the SAME
+    from-scratch re-encode oracle the tombstone row serves: compaction is
+    a pure physical rewrite, never a semantic change."""
+    import os
+    import shutil
+    import tempfile
+
+    from spark_ensemble_spark.operators.similarity import ivfpq_probe
+    from spark_ensemble_spark.streaming.runner import replay_session
+    from spark_ensemble_spark.streaming.scoring import (
+        ann_index_stream,
+        ann_tombstone_stream,
+        compact_ann_index_dir,
+        read_ann_index_dir,
+    )
+
+    spark = replay_session(spark)
+    books = _pq_books()
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "spark-warehouse",
+        f"ann_compact_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    ckpt1 = tempfile.mkdtemp(prefix="ses-anncomp-a-")
+    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+    q = ann_index_stream(
+        stream,
+        _IVF_CENTROIDS,
+        books,
+        index_path=f"{base}/codes",
+        checkpoint_dir=ckpt1,
+        residual=True,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt1, ignore_errors=True)
+    ckpt2 = tempfile.mkdtemp(prefix="ses-anncomp-d-")
+    removed_stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+        .filter((F.col("vec_id") >= 5) & (F.col("vec_id") % 6 == 0))
+    )
+    q2 = ann_tombstone_stream(
+        removed_stream,
+        tombstone_path=f"{base}/tombstones",
+        checkpoint_dir=ckpt2,
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+        shutil.rmtree(ckpt2, ignore_errors=True)
+    compact_ann_index_dir(
+        spark, f"{base}/codes", f"{base}/tombstones", f"{base}/gen2"
+    )
+    # serve the compacted generation with NO tombstone path — the whole
+    # point: every delete partial is already folded in
+    enc = read_ann_index_dir(spark, f"{base}/gen2", tombstone_path=None).select(
+        "neighbor_id", "cell", "codes"
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return ivfpq_probe(
+        enc, queries_df, _IVF_CENTROIDS, books, k=5, nprobe=3, residual=True
+    )
+
+
+# compacted generation must serve exactly what the tombstone-applying read
+# serves — which is the rebuild-on-post-delete-corpus oracle
+ORACLES["streaming_ann_compaction"] = ORACLES["similarity_serve_after_delete"]
+
+
 # 40-candidate shortlist: with the ORACLE-CHECKABLE fixed pseudo-random
 # codebooks (deliberately untrained — that is what makes every stage
 # replayable; production swaps in pq_train_codebooks, covered by
@@ -8300,6 +8389,86 @@ def streaming_bm25_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same rebuild-on-post-delete-corpus oracle as the batch tombstone row:
 # streaming append ⊕ streaming delete must converge to the identical serve
 ORACLES["streaming_bm25_tombstones"] = _retrieval.bm25_oracle_sql(
+    _BM25_QUERIES,
+    k=_BM25_K,
+    max_df=_BM25_MAX_DF,
+    table="(SELECT * FROM documents WHERE doc_id % 5 != 0)",
+)
+
+
+@query("streaming_bm25_compaction")
+def streaming_bm25_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPACTION — closing the BM25 index's LSM cycle (append ✓ delete ✓
+    compact ← THIS, VERDICT r10 missing #4): after the streaming ingest
+    and takedown waves of ``streaming_bm25_tombstones``,
+    ``compact_bm25_index_dir`` folds the tombstone anti-join and the
+    negative stats partials into a fresh generation — surviving postings
+    rewritten once, stats collapsed to ONE exact row, no tombstone
+    directories — and serving from the compacted generation must
+    hash-match the SAME from-scratch rebuild oracle: compaction is a pure
+    physical rewrite.  Read amplification (anti-join against the whole
+    delete history on every serve) resets to zero."""
+    import os
+    import shutil
+    import tempfile
+
+    from spark_ensemble_spark.operators.retrieval import bm25_topk
+    from spark_ensemble_spark.streaming.corpus import (
+        bm25_index_stream,
+        bm25_tombstone_stream,
+        compact_bm25_index_dir,
+        read_bm25_index_dir,
+        read_documents_stream,
+    )
+    from spark_ensemble_spark.streaming.runner import replay_session
+
+    spark = replay_session(spark)
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "spark-warehouse",
+        f"bm25_compact_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    ckpt1 = tempfile.mkdtemp(prefix="ses-bm25comp-a-")
+    stream = read_documents_stream(spark, sf_dir).select("doc_id", "text")
+    q = bm25_index_stream(stream, index_path=f"{base}/gen1", checkpoint_dir=ckpt1)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt1, ignore_errors=True)
+    ckpt2 = tempfile.mkdtemp(prefix="ses-bm25comp-d-")
+    removed_stream = (
+        read_documents_stream(spark, sf_dir)
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 5 == 0)
+    )
+    q2 = bm25_tombstone_stream(
+        removed_stream, index_path=f"{base}/gen1", checkpoint_dir=ckpt2
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+        shutil.rmtree(ckpt2, ignore_errors=True)
+    compact_bm25_index_dir(spark, f"{base}/gen1", f"{base}/gen2")
+    assert not os.path.isdir(f"{base}/gen2/tombstones")
+    postings, stats = read_bm25_index_dir(spark, f"{base}/gen2")
+    queries = spark.createDataFrame(
+        list(_BM25_QUERIES), "query_id string, query_text string"
+    )
+    return bm25_topk(
+        None,
+        queries,
+        k=_BM25_K,
+        max_df=_BM25_MAX_DF,
+        index=postings,
+        index_stats=stats,
+    )
+
+
+# compacted generation == rebuild on the post-delete corpus, bit-for-bit
+ORACLES["streaming_bm25_compaction"] = _retrieval.bm25_oracle_sql(
     _BM25_QUERIES,
     k=_BM25_K,
     max_df=_BM25_MAX_DF,

@@ -206,3 +206,24 @@ operators.similarity.ivfpq_probe`, applying any :func:`ann_tombstone_stream`
         idc = [c for c in tomb.columns if c != "batch_id"][0]
         enc = remove_from_ann_index(enc, tomb.select(idc))
     return enc
+
+
+def compact_ann_index_dir(
+    spark, index_path: str, tombstone_path: str, out_path: str
+) -> None:
+    """COMPACTION for the streamed ANN code index — the
+    ``compact_bm25_index_dir`` posture, vector edition: anti-join the
+    accumulated tombstone ids out of the code table ONCE and rewrite the
+    survivors as a fresh generation at ``out_path/batch_id=0`` (the
+    :func:`ann_index_stream` layout, so :func:`read_ann_index_dir` serves
+    it with ``tombstone_path=None`` and append/delete streams resume on
+    top).  The quantizer is frozen plan state, so surviving code rows are
+    byte-identical originals — compacted == re-encoded-post-delete-corpus,
+    oracle-checked by ``streaming_ann_compaction``.  Read amplification
+    (one anti-join per serve against the whole delete history) resets to
+    zero."""
+    enc = read_ann_index_dir(spark, index_path, tombstone_path)
+    drop = [c for c in enc.columns if c == "batch_id"]
+    enc.drop(*drop).write.mode("overwrite").parquet(
+        f"{out_path}/batch_id=0"
+    )

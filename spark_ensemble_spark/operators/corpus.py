@@ -806,21 +806,32 @@ def tfidf_top_terms(
     )
     docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
-    scored = (
-        tf.join(docfreq, "term")
-        .crossJoin(F.broadcast(n_docs))
-        .withColumn(
-            "score",
-            F.col("tf") * (_det_ln((F.col("__n") + 1) / (F.col("df") + 1)) + 1)
-            if idf_mode == "ln"
-            # ratio mode: (tf·(N+1))/(df+1) with the numerator as an EXACT
-            # integer product and ONE double division — the association
-            # matters: tf·((N+1)/(df+1)) double-rounds twice and can differ
-            # from the oracle's left-associated expression in the last ulp
-            # (caught at sf0.1 — a rank flipped at a round(·,6) tick)
-            else (F.col("tf") * (F.col("__n") + 1)) / (F.col("df") + 1),
+    if idf_mode == "ln":
+        # det_ln on the VOCAB-sized docfreq frame (one evaluation per
+        # distinct term, not per (doc, term) pair): det_ln's nested
+        # transform() lambdas are CodegenFallback — interpreted — so the
+        # per-pair spelling pays the ~40-op chain on every posting row
+        # (the r11 A/B regression class; see unigram_logprob_score)
+        docfreq = docfreq.crossJoin(F.broadcast(n_docs)).withColumn(
+            "__idf1", _det_ln((F.col("__n") + 1) / (F.col("df") + 1)) + 1
         )
-    )
+        scored = tf.join(docfreq, "term").withColumn(
+            "score", F.col("tf") * F.col("__idf1")
+        )
+    else:
+        # ratio mode: (tf·(N+1))/(df+1) with the numerator as an EXACT
+        # integer product and ONE double division — the association
+        # matters: tf·((N+1)/(df+1)) double-rounds twice and can differ
+        # from the oracle's left-associated expression in the last ulp
+        # (caught at sf0.1 — a rank flipped at a round(·,6) tick)
+        scored = (
+            tf.join(docfreq, "term")
+            .crossJoin(F.broadcast(n_docs))
+            .withColumn(
+                "score",
+                (F.col("tf") * (F.col("__n") + 1)) / (F.col("df") + 1),
+            )
+        )
     w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("term"))
     return (
         scored.withColumn("__rn", F.row_number().over(w))
@@ -1061,19 +1072,22 @@ def unigram_logprob_score(
     )
     tf = per_doc.groupBy("__t").agg(F.sum("__c").alias("__ct"))
     total = tf.agg(F.sum("__ct").alias("__n"))
-    scored = (
-        per_doc.join(tf, "__t")
-        .crossJoin(F.broadcast(total))
-        .withColumn(
-            "__lp",
-            # det_ln, never the engine's ln: libm is not correctly rounded
-            # and a sub-ulp build difference near a grid tick hash-flips the
-            # oracle (the BM25 r7-r9 driver-red class, VERDICT r9 #1)
-            _floor_round(_det_ln(F.col("__ct") / F.col("__n")), round_to).cast(
-                "decimal(38,6)"
-            ),
-        )
+    # det_ln, never the engine's ln: libm is not correctly rounded and a
+    # sub-ulp build difference near a grid tick hash-flips the oracle (the
+    # BM25 r7-r9 driver-red class, VERDICT r9 #1).  Computed on the
+    # VOCAB-sized tf frame, not per (doc, term) pair: det_ln is a ~40-op
+    # chain of nested transform() lambdas (higher-order functions are
+    # CodegenFallback — interpreted, no whole-stage codegen), and the value
+    # depends only on the term — hoisting it above the join cut the r10
+    # per-pair evaluation that regressed this row's bench 1.39→2.44s
+    # (r11 same-host A/B; the BM25 idf takes the same vocab-frame shape).
+    tf = tf.crossJoin(F.broadcast(total)).withColumn(
+        "__lp",
+        _floor_round(_det_ln(F.col("__ct") / F.col("__n")), round_to).cast(
+            "decimal(38,6)"
+        ),
     )
+    scored = per_doc.join(tf, "__t")
     out = scored.groupBy("__id").agg(
         F.sum("__c").cast("bigint").alias("n_tokens"),
         # exact decimal sum cast to double BEFORE the division: one double op
@@ -1445,14 +1459,16 @@ def bigram_logprob_score(
     hist = bi.groupBy("__w1").agg(F.sum("__cb").alias("__h"))
     uni = bi.groupBy("__w2").agg(F.sum("__cb").alias("__cu"))
     total = uni.agg(F.sum("__cu").alias("__n"))
-    scored = (
-        per_doc.join(bi, ["__w1", "__w2"])
-        .join(hist, "__w1")
+    # det_ln on the BIGRAM-VOCAB-sized frame (see unigram_logprob_score:
+    # det_ln is the ln env-hazard fix but its nested transform() lambdas are
+    # CodegenFallback — one evaluation per distinct bigram, never per
+    # (doc, bigram) pair)
+    bi_lp = (
+        bi.join(hist, "__w1")
         .join(uni, "__w2")
         .crossJoin(F.broadcast(total))
         .withColumn(
             "__lp",
-            # det_ln: see unigram_logprob_score (the ln env-hazard class)
             _floor_round(
                 _det_ln(
                     F.lit(lam) * (F.col("__cb") / F.col("__h"))
@@ -1462,6 +1478,7 @@ def bigram_logprob_score(
             ).cast("decimal(38,6)"),
         )
     )
+    scored = per_doc.join(bi_lp, ["__w1", "__w2"])
     out = scored.groupBy("__id").agg(
         F.sum("__c").cast("bigint").alias("n_bigrams"),
         _floor_round(
@@ -1541,9 +1558,10 @@ def kn_bigram_logprob_score(
         + F.lit(d) * F.col("__n1p") / F.col("__h")
         * (F.col("__cont") / F.col("__types"))
     )
-    scored = (
-        per_doc.join(bi, ["__w1", "__w2"])
-        .join(hist, "__w1")
+    # det_ln on the bigram-vocab frame, never per (doc, bigram) pair — the
+    # CodegenFallback-cost hoist documented at unigram_logprob_score
+    bi_lp = (
+        bi.join(hist, "__w1")
         .join(cont, "__w2")
         .crossJoin(F.broadcast(types))
         .withColumn(
@@ -1554,6 +1572,7 @@ def kn_bigram_logprob_score(
             ),
         )
     )
+    scored = per_doc.join(bi_lp, ["__w1", "__w2"])
     out = scored.groupBy("__id").agg(
         F.sum("__c").cast("bigint").alias("n_bigrams"),
         (

@@ -278,9 +278,13 @@ def psi_oracle_sql(
     the same CASE-chain bucketing with identical float literals, +0.5
     smoothing, and double division/ln order. ``source_a``/``source_b`` are
     SQL relations (table names or parenthesized subqueries)."""
+    from spark_ensemble_spark.functions.detmath import double_literal_sql
+
     case = f"{len(edges)}"
     for i in range(len(edges) - 1, -1, -1):
-        case = f"CASE WHEN v < {edges[i]!r} THEN {i} ELSE {case} END"
+        # string->double spelling: a bare inexact edge literal would take
+        # DuckDB's DECIMAL comparison path (detmath._dlit)
+        case = f"CASE WHEN v < {double_literal_sql(float(edges[i]))} THEN {i} ELSE {case} END"
     bucket = f"CASE WHEN v IS NULL THEN -1 ELSE {case} END"
     k = len(edges) + 2
     return f"""

@@ -931,6 +931,84 @@ def bm25_index_stats(
     )
 
 
+def index_tombstone_debt(
+    postings: DataFrame,
+    tombstone_ids: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Compaction-trigger observability — the number an operator reads to
+    decide WHEN to run :func:`~spark_ensemble_spark.streaming.corpus.\
+compact_bm25_index_dir`: total vs live posting rows against the
+    accumulated tombstone set, plus the dead fraction.  Every serve pays
+    the tombstone anti-join until compaction folds it in (the LSM
+    read-amplification debt, docs/SCALING.md); production gates compaction
+    on ``dead_ratio`` crossing a threshold the same way RocksDB levels on
+    compaction debt.  One scan of the posting table + a broadcast
+    anti-join count; every number is an exact integer or one floor-rounded
+    division, so the report is oracle-checkable like any data row."""
+    tomb = tombstone_ids.select(F.col(id_col).alias("__tid")).distinct()
+    marked = postings.join(
+        F.broadcast(tomb),
+        postings[id_col] == F.col("__tid"),
+        "left",
+    )
+    return (
+        marked.agg(
+            F.count(F.lit(1)).alias("total_postings"),
+            F.sum(
+                F.when(F.col("__tid").isNull(), 1).otherwise(0)
+            ).cast("bigint").alias("live_postings"),
+            F.count_distinct(F.col("__tid")).cast("bigint").alias(
+                "tombstoned_docs"
+            ),
+        )
+        .withColumn(
+            "dead_ratio",
+            _floor_round(
+                (F.col("total_postings") - F.col("live_postings")).cast(
+                    "double"
+                )
+                / F.col("total_postings"),
+                6,
+            ),
+        )
+    )
+
+
+def index_tombstone_debt_oracle_sql(
+    removed_pred: str,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB replay of ``index_tombstone_debt(build_bm25_index(docs),
+    docs WHERE removed_pred)``: posting rows are distinct (doc, term)
+    pairs of the same tokenization; the tombstone set is the predicate's
+    id set."""
+    return f"""
+    WITH toks AS (
+      SELECT {id_col} AS id, u.t AS t
+      FROM {table},
+           unnest(string_split(regexp_replace(lower(trim(coalesce({text_col}, ''))),
+                               '\\s+', ' ', 'g'), ' ')) AS u(t)
+      WHERE u.t != ''
+    ),
+    p AS (SELECT DISTINCT id, t FROM toks),
+    tomb AS (SELECT {id_col} AS id FROM {table} WHERE {removed_pred})
+    SELECT CAST(count(*) AS BIGINT) AS total_postings,
+           CAST(sum(CASE WHEN p.id IN (SELECT id FROM tomb) THEN 0 ELSE 1 END)
+                AS BIGINT) AS live_postings,
+           CAST(count(DISTINCT CASE WHEN p.id IN (SELECT id FROM tomb)
+                                    THEN p.id END) AS BIGINT)
+             AS tombstoned_docs,
+           {_floor_round_sql(
+               "CAST(count(*) - sum(CASE WHEN p.id IN (SELECT id FROM tomb)"
+               " THEN 0 ELSE 1 END) AS DOUBLE) / count(*)", 6)}
+             AS dead_ratio
+    FROM p
+    """
+
+
 def bm25_index_stats_oracle_sql(
     table: str = "documents",
     id_col: str = "doc_id",

@@ -4881,6 +4881,28 @@ def retrieval_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_index_stats(postings, stats)
 
 
+@query(
+    "retrieval_tombstone_debt",
+    _retrieval.index_tombstone_debt_oracle_sql("doc_id % 5 = 0"),
+)
+def retrieval_tombstone_debt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction-trigger observability (the r11 LSM cycle's dashboard
+    row): with the standard takedown wave (doc_id % 5 == 0) accumulated as
+    tombstones, report total vs live posting rows, tombstoned doc count,
+    and the dead fraction — the number production gates
+    ``compact_bm25_index_dir`` on. One posting scan + a broadcast
+    anti-join; every value exact or floor-rounded, fully oracle-replayed."""
+    from spark_ensemble_spark.operators.retrieval import (
+        build_bm25_index,
+        index_tombstone_debt,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings, _ = build_bm25_index(docs)
+    removed = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    return index_tombstone_debt(postings, removed)
+
+
 _AUTHORITY_K = 10
 _AUTHORITY_SQL = f"""
   SELECT vq.query_id, a.node AS doc_id, a.rank FROM (

@@ -868,8 +868,8 @@ def ewma_batch_oracle_sql(
       SELECT user_id, evs, 1 AS k, evs[1].v AS e, CAST(0 AS BIGINT) AS a FROM e
       UNION ALL
       SELECT user_id, evs, k + 1,
-             CAST({a1!r} AS DOUBLE) * evs[k + 1].v + CAST({a0!r} AS DOUBLE) * e,
-             a + CASE WHEN abs(evs[k + 1].v - e) > CAST({thr!r} AS DOUBLE)
+             CAST('{a1!r}' AS DOUBLE) * evs[k + 1].v + CAST('{a0!r}' AS DOUBLE) * e,
+             a + CASE WHEN abs(evs[k + 1].v - e) > CAST('{thr!r}' AS DOUBLE)
                       THEN 1 ELSE 0 END
       FROM r WHERE k < len(evs)
     )

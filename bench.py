@@ -467,6 +467,18 @@ def main() -> None:
         ).hexdigest()[:12]
     except OSError:
         host_id = None
+    try:
+        import subprocess
+
+        git_head = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True,
+            text=True,
+            timeout=10,
+        ).stdout.strip() or None
+    except Exception:
+        git_head = None
     result = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
@@ -475,6 +487,7 @@ def main() -> None:
         "fixture_warm_sec": fixture_sec,
         "codegen_warm_sec": codegen_warm_sec,
         "host_id": host_id,
+        "git_head": git_head,
         "sf": sf,
     }
     # Per-query host-NORMALIZED history (VERDICT r10 missing #3): sec
@@ -514,17 +527,22 @@ def main() -> None:
             if (m := re.search(r"BENCH_r(\d+)_full\.json$", p))
             and (n := int(m.group(1))) < cur_round
         )
-        # ALWAYS the newest prior round (VERDICT r10 missing #3: the old
-        # same-host_id skip silently compared r10 to r8 when the driver
-        # reused the box — but a committed docs/BENCH_r{n<cur}_full.json is
-        # a PRIOR round by construction (this session's own runs write
-        # r{cur}), and a same-host prior is the BEST comparison: the host
-        # factor is ~1 and raw ≈ host_norm). Record same_host so readers
-        # know which regime they're in.
+        # The newest prior round whose code differs from this run (VERDICT
+        # r10 missing #3: the old same-host_id skip silently compared r10
+        # to r8 when the driver reused the box — a same-host prior is the
+        # BEST comparison: host factor ~1, raw ≈ host_norm; recorded as
+        # same_host). Same-GIT-HEAD priors ARE skipped: after the driver
+        # lands BENCH_r{N}.json mid-session, cur_round bumps and this
+        # session's own docs/BENCH_r{N}_full.json would otherwise be
+        # selected as 'prev' — a run comparing to itself (~1.0, zero
+        # information).
         prev = prev_path = None
         for n, p in reversed(prevs):
             with open(p) as fh:
-                prev, prev_path = json.load(fh), p
+                cand = json.load(fh)
+            if git_head and cand.get("git_head") == git_head:
+                continue
+            prev, prev_path = cand, p
             break
         if prev is not None and codegen_warm_sec > 0:
             shared = sorted(set(timings) & set(prev.get("queries", {})))
@@ -558,17 +576,25 @@ def main() -> None:
                     q: prev["queries"][q] / prev_warm for q in shared
                 }
                 cur_hn = {q: timings[q] / codegen_warm_sec for q in shared}
+                # 0.3s floor: below it scheduler noise dominates any ratio.
+                # The excluded count is reported (no-silent-caps rule) —
+                # sub-floor rows still live in queries_host_norm for a
+                # manual diff.
+                eligible = [
+                    q
+                    for q in shared
+                    if prev_hn.get(q, 0) > 0 and timings[q] >= 0.3
+                ]
                 movers = sorted(
-                    (
-                        (q, round(cur_hn[q] / prev_hn[q], 2))
-                        for q in shared
-                        if prev_hn.get(q, 0) > 0 and timings[q] >= 1.0
-                    ),
+                    ((q, round(cur_hn[q] / prev_hn[q], 2)) for q in eligible),
                     key=lambda kv: -kv[1],
                 )
                 result["ratio_vs_prev"]["top_regressions_host_norm"] = dict(
                     movers[:8]
                 )
+                result["ratio_vs_prev"]["movers_excluded_subfloor"] = len(
+                    shared
+                ) - len(eligible)
     except (OSError, ValueError, KeyError, ZeroDivisionError):
         pass
     # (a) durable artifact next to this script, full precision

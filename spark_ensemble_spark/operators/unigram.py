@@ -366,12 +366,14 @@ def unigram_score_oracle_sql(
     Backpointers are not replayed (the reconstruction is Spark-side
     training machinery); ``n_pieces`` rides in the DP value itself, so the
     full stats row is engine-checked."""
+    from spark_ensemble_spark.functions.detmath import double_literal_sql
+
     keys = ", ".join(_sql_str(p) for p in sorted(piece_logp))
-    # CAST('<repr>' AS DOUBLE): a bare 6-dp literal would coerce the map
-    # values to DECIMAL and pay the build-dependent decimal→double cast at
-    # every lookup (functions/detmath._dlit)
+    # string->double spelling: a bare 6-dp literal would coerce the map
+    # values to DECIMAL and pay the build-dependent decimal->double cast at
+    # every lookup (functions/detmath.double_literal_sql)
     vals = ", ".join(
-        f"CAST('{float(piece_logp[p])!r}' AS DOUBLE)" for p in sorted(piece_logp)
+        double_literal_sql(float(piece_logp[p])) for p in sorted(piece_logp)
     )
     # DuckDB forbids subqueries inside lambdas — the vocabulary map embeds
     # directly in the lambda body (one literal occurrence, model-sized)

@@ -486,22 +486,35 @@ def bm25_tombstone_stream(
     the same id would silently skew avgdl and every served score. The
     prior-batch filter is ``batch_id < N`` (never ``<=``), so replaying a
     failed batch N still sees exactly the pre-N state and rewrites the
-    identical partial. Returns the started StreamingQuery."""
+    identical partial.  The guard also consults the generation's
+    ``compacted_tombstones`` carry-forward (ids whose delete
+    :func:`compact_bm25_index_dir` already folded into the compacted
+    postings/stats), so a takedown re-delivered AFTER a compaction cannot
+    decrement stats that no longer count the doc — while serving stays
+    carry-forward-free (``read_bm25_index_dir`` never touches that dir;
+    the per-serve read amplification genuinely resets).  Returns the
+    started StreamingQuery."""
     import os
 
     from spark_ensemble_spark.operators.retrieval import build_bm25_index
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.dropDuplicates([id_col])
-        if os.path.isdir(f"{index_path}/tombstones"):
-            prior = (
-                batch_df.sparkSession.read.parquet(
-                    f"{index_path}/tombstones"
+        spark = batch_df.sparkSession
+        prior_dirs = [
+            d
+            for d in ("tombstones", "compacted_tombstones")
+            if os.path.isdir(f"{index_path}/{d}")
+        ]
+        for d in prior_dirs:
+            prior = spark.read.parquet(f"{index_path}/{d}")
+            if d == "tombstones":
+                prior = prior.filter(
+                    F.col("batch_id") < F.lit(int(batch_id))
                 )
-                .filter(F.col("batch_id") < F.lit(int(batch_id)))
-                .select(id_col)
+            batch_df = batch_df.join(
+                F.broadcast(prior.select(id_col)), id_col, "left_anti"
             )
-            batch_df = batch_df.join(F.broadcast(prior), id_col, "left_anti")
         _, stats = build_bm25_index(batch_df, text_col, id_col)
         neg = stats.select(
             (-F.coalesce(F.col("n_docs"), F.lit(0))).alias("n_docs"),
@@ -573,13 +586,44 @@ def compact_bm25_index_dir(
     new append/delete streams resume on top of it (checkpoint batch ids
     restart per directory).  Compacted == rebuilt-from-post-delete-corpus
     bit-for-bit: postings rows are untouched originals, stats sums are
-    exact integers — oracle-checked by ``streaming_bm25_compaction``."""
+    exact integers — oracle-checked by ``streaming_bm25_compaction``.
+
+    The folded delete ids are carried forward as
+    ``out_path/compacted_tombstones`` — NEVER read at serve time (the
+    read-amplification reset is real), but consulted by
+    :func:`bm25_tombstone_stream`'s double-decrement guard so an
+    at-least-once takedown feed re-delivering an already-compacted-away id
+    cannot decrement the folded stats a second time.  Chains across
+    compactions: a later compaction unions the generation's live
+    tombstones with its inherited carry-forward."""
+    import os
+
+    if os.path.realpath(out_path) == os.path.realpath(index_path):
+        raise ValueError(
+            "compact_bm25_index_dir cannot compact in place: the postings "
+            "write would overwrite a directory its own lazy plan reads "
+            "from — write a new generation directory, then swap"
+        )
     postings, stats = read_bm25_index_dir(spark, index_path)
     drop = [c for c in postings.columns if c == "batch_id"]
     postings.drop(*drop).write.mode("overwrite").parquet(
         f"{out_path}/postings/batch_id=0"
     )
     stats.write.mode("overwrite").parquet(f"{out_path}/stats/batch_id=0")
+    folded = None
+    if os.path.isdir(f"{index_path}/tombstones"):
+        tomb = spark.read.parquet(f"{index_path}/tombstones")
+        idc = [c for c in tomb.columns if c != "batch_id"][0]
+        folded = tomb.select(idc)
+    if os.path.isdir(f"{index_path}/compacted_tombstones"):
+        inherited = spark.read.parquet(f"{index_path}/compacted_tombstones")
+        folded = (
+            inherited if folded is None else folded.unionByName(inherited)
+        )
+    if folded is not None:
+        folded.distinct().write.mode("overwrite").parquet(
+            f"{out_path}/compacted_tombstones"
+        )
 
 
 def crawl_frontier_stream(

@@ -854,7 +854,13 @@ def ewma_batch_oracle_sql(
     miscomputes STRUCT-typed accumulators on lists longer than a few
     elements (the ewma chain survived, the alert counter didn't) — scalar
     recursion has no such failure mode."""
-    a1, a0, thr = float(alpha), float(1.0 - alpha), float(threshold)
+    from spark_ensemble_spark.functions.detmath import double_literal_sql
+
+    a1s, a0s, thrs = (
+        double_literal_sql(float(alpha)),
+        double_literal_sql(float(1.0 - alpha)),
+        double_literal_sql(float(threshold)),
+    )
     return f"""
     WITH RECURSIVE e AS (
       SELECT user_id,
@@ -868,8 +874,8 @@ def ewma_batch_oracle_sql(
       SELECT user_id, evs, 1 AS k, evs[1].v AS e, CAST(0 AS BIGINT) AS a FROM e
       UNION ALL
       SELECT user_id, evs, k + 1,
-             CAST('{a1!r}' AS DOUBLE) * evs[k + 1].v + CAST('{a0!r}' AS DOUBLE) * e,
-             a + CASE WHEN abs(evs[k + 1].v - e) > CAST('{thr!r}' AS DOUBLE)
+             {a1s} * evs[k + 1].v + {a0s} * e,
+             a + CASE WHEN abs(evs[k + 1].v - e) > {thrs}
                       THEN 1 ELSE 0 END
       FROM r WHERE k < len(evs)
     )

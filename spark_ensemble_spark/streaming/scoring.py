@@ -221,7 +221,17 @@ def compact_ann_index_dir(
     byte-identical originals — compacted == re-encoded-post-delete-corpus,
     oracle-checked by ``streaming_ann_compaction``.  Read amplification
     (one anti-join per serve against the whole delete history) resets to
-    zero."""
+    zero.  Unlike BM25, no tombstone carry-forward is needed: ANN deletes
+    are id-lists with no stats partial, so a post-compaction re-delivery
+    just anti-joins rows that are already gone — idempotent by shape."""
+    import os
+
+    if os.path.realpath(out_path) == os.path.realpath(index_path):
+        raise ValueError(
+            "compact_ann_index_dir cannot compact in place: the rewrite "
+            "would overwrite a directory its own lazy plan reads from — "
+            "write a new generation directory, then swap"
+        )
     enc = read_ann_index_dir(spark, index_path, tombstone_path)
     drop = [c for c in enc.columns if c == "batch_id"]
     enc.drop(*drop).write.mode("overwrite").parquet(

@@ -1981,6 +1981,86 @@ def test_bm25_tombstone_stream_redelivery_not_double_decremented(
     )
 
 
+def test_bm25_compaction_redelivery_not_double_decremented(spark, tmp_path):
+    """A takedown re-delivered AFTER compaction must not decrement the
+    compacted stats (code-review r11): compaction folds the delete history
+    into the generation, so without the compacted_tombstones carry-forward
+    a fresh tombstone stream on gen2 would write a negative partial for a
+    doc gen2's stats no longer count.  Waves: gen1 deletes {0, 5} →
+    compact → gen2 stream re-delivers 0 and newly deletes 10: gen2 must
+    serve exactly the corpus minus {0, 5, 10}."""
+    from spark_ensemble_spark.operators.retrieval import build_bm25_index
+    from spark_ensemble_spark.streaming.corpus import (
+        bm25_tombstone_stream,
+        compact_bm25_index_dir,
+        read_bm25_index_dir,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 4} common tok{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    gen1, gen2 = str(tmp_path / "gen1"), str(tmp_path / "gen2")
+    postings, stats = build_bm25_index(docs)
+    postings.write.parquet(f"{gen1}/postings/batch_id=0")
+    stats.write.parquet(f"{gen1}/stats/batch_id=0")
+
+    src1 = tmp_path / "wave1"
+    src1.mkdir()
+    docs.filter(F.col("doc_id").isin([0, 5])).coalesce(1).write.parquet(
+        str(src1 / "f1")
+    )
+    q = bm25_tombstone_stream(
+        spark.readStream.schema("doc_id long, text string").parquet(
+            str(src1) + "/*"
+        ),
+        index_path=gen1,
+        checkpoint_dir=str(tmp_path / "ck1"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    compact_bm25_index_dir(spark, gen1, gen2)
+    import os
+
+    assert not os.path.isdir(f"{gen2}/tombstones")
+    assert os.path.isdir(f"{gen2}/compacted_tombstones")
+
+    src2 = tmp_path / "wave2"
+    src2.mkdir()
+    docs.filter(F.col("doc_id").isin([0, 10])).coalesce(1).write.parquet(
+        str(src2 / "f2")
+    )
+    q2 = bm25_tombstone_stream(
+        spark.readStream.schema("doc_id long, text string").parquet(
+            str(src2) + "/*"
+        ),
+        index_path=gen2,
+        checkpoint_dir=str(tmp_path / "ck2"),
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    got_postings, got_stats = read_bm25_index_dir(spark, gen2)
+    want_postings, want_stats = build_bm25_index(
+        docs.filter(~F.col("doc_id").isin([0, 5, 10]))
+    )
+    assert got_stats.collect() == want_stats.collect()
+    key = ["term", "doc_id", "tf", "dl"]
+    assert sorted(map(tuple, got_postings.select(*key).collect())) == sorted(
+        map(tuple, want_postings.select(*key).collect())
+    )
+    # in-place compaction must be refused
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        compact_bm25_index_dir(spark, gen2, gen2)
+
+
 def test_streaming_decontaminate_equals_batch(spark, sf_dir):
     """The stateless stream filter must make the IDENTICAL decision as the
     batch Bloom pass — same flag counts, same kept set — and every eval-set

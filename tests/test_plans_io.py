@@ -1118,15 +1118,23 @@ def test_authority_boosted_search_plan(spark, sf_dir):
 
     df = SPARK_QUERIES["docs_authority_boosted_search"](spark, sf_dir)
     plan = executed_plan(df)
-    assert "TakeOrderedAndProject" in plan
-    # the rank-stamp window runs AFTER the limit: its exchange moves k rows,
-    # which the plan shows as Exchange SinglePartition below a LocalLimit /
-    # TakeOrdered — assert no window sorts rank_scaled over the full frame
-    # (the pre-fix shape was Window [row_number ... orderBy rank_scaled]
-    # directly over the pagerank aggregate with no limit upstream).
-    win_lines = [
-        l for l in plan.splitlines() if "Window" in l and "rank_scaled" in l
+    lines = plan.splitlines()
+    tko = [i for i, l in enumerate(lines) if "TakeOrderedAndProject" in l]
+    assert tko, "PageRank top-k must lower to TakeOrderedAndProject"
+    # The rank-stamp window runs on the ALREADY-LIMITED k-row frame: in the
+    # printed tree (root first) the window sits ABOVE its TakeOrdered child,
+    # so every rank_scaled window line must be FOLLOWED by a
+    # TakeOrderedAndProject line deeper in the plan.  The pre-fix shape —
+    # row_number over Window.orderBy(rank_scaled) directly on the full
+    # PageRank frame — has a rank_scaled window with NO TakeOrdered below
+    # it (global sort + single-partition exchange instead), which this
+    # positional check rejects while the bare `in plan` check did not.
+    win_idx = [
+        i
+        for i, l in enumerate(lines)
+        if "Window" in l and "rank_scaled" in l
     ]
-    for l in win_lines:
-        # the only rank_scaled window allowed is the post-limit rank stamp
-        assert "row_number" in l
+    for i in win_idx:
+        assert any(
+            j > i for j in tko
+        ), f"rank_scaled window at plan line {i} has no TakeOrdered child"

@@ -158,7 +158,23 @@ AUDITED = [
         "tfidf_top_terms",
         "corpus exploded ONCE: document frequency re-aggregates the grouped "
         "(id,term) frame, N is a broadcast 1-row aggregate, per-doc top-k is "
-        "a window over the id shuffle — no second corpus scan, no self-join.",
+        "a window over the id shuffle — no second corpus scan, no self-join; "
+        "since r11 the det_ln idf chain evaluates on the VOCAB-sized "
+        "docfreq frame (CodegenFallback cost paid per distinct term, never "
+        "per posting row).",
+    ),
+    (
+        "docs_authority_boosted_search",
+        "PageRank top-10 lowers to TakeOrderedAndProject (per-partition "
+        "heap + k-row merge), NEVER a single-partition sort of the full "
+        "node-rank frame; the rank-stamp window and rrf_fuse windows run "
+        "on k-row / per-query frames (r11 fix, plan-pinned).",
+    ),
+    (
+        "retrieval_tombstone_debt",
+        "compaction-trigger observability: one posting-table scan + a "
+        "broadcast anti-join against the tombstone id set; the report row "
+        "is a single agg — no corpus shuffle, no window.",
     ),
     (
         "docs_repetition_signals",

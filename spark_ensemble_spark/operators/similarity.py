@@ -358,6 +358,91 @@ def _centroid_ranking(vec_sql: str, centroids: list) -> Column:
     return F.transform(ranked, lambda s: s["i"])
 
 
+def cluster_balanced_sample(
+    corpus: DataFrame,
+    centroids: list,
+    n_per_cluster: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+) -> DataFrame:
+    """Topic-BALANCED subsampling — the cluster-quota curation op
+    (DataComp / SemDeDup-era pipelines): assign every vector to its
+    nearest fixed centroid (the :func:`_nearest_centroid` chain shared
+    with IVF/SemDeDup, so quotas and dedup can never disagree on cluster
+    identity), then keep the first ``n_per_cluster`` rows per cluster by
+    a deterministic md5 rank of ``(id, seed)`` — a uniform draw inside
+    each topic, reproducible across engines, retries, and partitionings
+    (no RNG column).  Returns ``(id_col, cluster, pick_rank)``.
+
+    Scale shape: assignment is a narrow per-row fold over centroid
+    literals (no fitted-model broadcast, no shuffle); the per-cluster pick
+    is ONE window over the cluster-keyed exchange — the quota frame is the
+    only thing that moves, and at 100 TB ``num_clusters`` partitions the
+    corpus evenly by construction (equal-mass is what the quota is FOR).
+    Skewed clusters (degenerate embeddings) surface in
+    ``ivfpq_index_stats``'s cell histogram before they hurt here."""
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    v = "__v"
+    while v in corpus.columns:
+        v += "_"
+    nearest = _nearest_centroid(v, centroids)
+    assigned = corpus.withColumn(v, vec).select(
+        F.col(id_col),
+        nearest["i"].alias("cluster"),
+        F.md5(
+            F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))
+        ).alias("__r"),
+    )
+    w = Window.partitionBy("cluster").orderBy(F.asc("__r"), F.asc(id_col))
+    return (
+        assigned.withColumn("pick_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("pick_rank") <= n_per_cluster)
+        .select(id_col, "cluster", "pick_rank")
+    )
+
+
+def cluster_balanced_sample_oracle_sql(
+    centroids: list,
+    n_per_cluster: int,
+    seed: int = 7,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB replay of :func:`cluster_balanced_sample`: the same
+    per-centroid squared-L2 chains (literals + IEEE order), assignment
+    ties to the lower centroid id, and the identical md5-hex rank inside
+    each cluster."""
+    arms = []
+    for cid, c in enumerate(centroids):
+        chain = " + ".join(
+            f"(v[{j + 1}]-{_dlit(x)})*(v[{j + 1}]-{_dlit(x)})"
+            for j, x in enumerate(c)
+        )
+        arms.append(f"SELECT id, {cid} AS cid, {chain} AS d FROM e")
+    dist_union = "\n      UNION ALL ".join(arms)
+    return f"""
+    WITH e AS (SELECT {id_col} AS id, {vec_col}::DOUBLE[] AS v FROM {table}),
+    dd AS (
+      {dist_union}
+    ),
+    assigned AS (
+      SELECT id, cid AS cluster, md5(CAST(id AS VARCHAR) || ':{seed}') AS r
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+        FROM dd
+      ) WHERE rn = 1
+    )
+    SELECT id AS {id_col}, cluster, pick_rank FROM (
+      SELECT id, cluster,
+             CAST(row_number() OVER (PARTITION BY cluster
+                                     ORDER BY r, id) AS INT) AS pick_rank
+      FROM assigned
+    ) WHERE pick_rank <= {n_per_cluster}
+    """
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

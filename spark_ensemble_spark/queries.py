@@ -3926,6 +3926,32 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "cluster")
 
 
+@query(
+    "embedding_cluster_balanced_sample",
+    _similarity.cluster_balanced_sample_oracle_sql(
+        _SEMDEDUP_CENTROIDS, n_per_cluster=5
+    ),
+)
+def embedding_cluster_balanced_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Topic-balanced subsampling (the cluster-quota curation op next to
+    SemDeDup): assign every embedding to its nearest fixed centroid — the
+    SAME assignment chain SemDeDup and IVF use, so quotas and dedup can
+    never disagree on cluster identity — then keep 5 rows per cluster by a
+    deterministic md5 rank (uniform inside each topic, no RNG, replayable
+    on retries and engines). The oracle replays assignment, rank, and
+    tie-breaks bit-for-bit."""
+    from spark_ensemble_spark.operators.similarity import (
+        cluster_balanced_sample,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return cluster_balanced_sample(
+        emb, _SEMDEDUP_CENTROIDS, n_per_cluster=5
+    )
+
+
 # embeddings are 64-dim at every SF (TESTDATA.md)
 @query("similarity_srp_topk", _similarity.srp_topk_oracle_sql(dim=64))
 def similarity_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

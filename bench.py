@@ -315,6 +315,17 @@ BENCH_QUERIES = [
     "streaming_ann_tombstones",
     "dedup_incremental_after_delete",
     "docs_word2vec_ann",
+    # r11: driver-red bisection rows (in-window — every window row is
+    # benched), LSM compaction generations, tombstone-debt observability,
+    # cluster-balanced topic-quota sampling
+    "docs_bm25_scores_full",
+    "docs_hybrid_lex_ranks",
+    "docs_hybrid_ann_ranks",
+    "docs_hybrid_rrf_ranks",
+    "streaming_bm25_compaction",
+    "streaming_ann_compaction",
+    "retrieval_tombstone_debt",
+    "embedding_cluster_balanced_sample",
 ]
 
 

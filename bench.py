@@ -326,6 +326,8 @@ BENCH_QUERIES = [
     "streaming_ann_compaction",
     "retrieval_tombstone_debt",
     "embedding_cluster_balanced_sample",
+    # r11: exact-phrase search over positional postings
+    "docs_phrase_search",
 ]
 
 

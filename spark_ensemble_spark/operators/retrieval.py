@@ -60,6 +60,8 @@ __all__ = [
     "bm25_oracle_sql",
     "build_bm25_index",
     "merge_bm25_index",
+    "phrase_oracle_sql",
+    "phrase_topk",
     "remove_from_bm25_index",
     "rrf_fuse",
     "rrf_oracle_sql",
@@ -544,6 +546,156 @@ def bm25_oracle_sql(
     )
     {final}"""
 
+
+
+def phrase_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k: int = 10,
+) -> DataFrame:
+    """Exact-phrase search: top-``k`` documents per query ranked by the
+    number of occurrences of the query's token sequence as CONSECUTIVE
+    tokens (overlapping occurrences counted — "batch batch" occurs twice
+    in "batch batch batch").
+
+    The positional twin of :func:`bm25_topk`'s bag-of-words matching — the
+    missing primitive between term search and substring search: phrase
+    queries ("new york", "prompt injection") need token adjacency, which
+    the (term, tf) posting shape cannot express. Plan (the classic
+    positional-postings intersection, relationally):
+
+    - the corpus explodes ONCE into per-(doc, position, term) rows — the
+      positional posting stream;
+    - the query side explodes into (query, offset i, term) rows — tiny by
+      construction — and BROADCASTS, so the inner equi-join on ``term``
+      prunes the posting stream to query-vocabulary tokens immediately
+      (the same first-prune as BM25's LEFT-SEMI);
+    - each surviving hit votes for the candidate start ``pos − i``; a
+      start where the vote count equals the phrase length is a full
+      phrase occurrence (each offset contributes at most one vote per
+      start, so no distinct-count is needed);
+    - ``phrase_tf`` = occurrences per (query, doc); top-``k`` by
+      ``(phrase_tf desc, doc id asc)`` over the matched-docs-only frame.
+
+    Everything after the broadcast join is bounded by query-term token
+    hits, not corpus size; the two aggregations run with map-side
+    partials on (query, doc[, start]) keys. A phrase containing a
+    stopword-frequency term drags that term's postings through the join —
+    the classic positional-index cost; at index-serving scale the
+    rarest-term-first candidate prune applies, and the BM25 ``max_df``
+    guard composes upstream (prune such phrases at admission).
+
+    All output columns are integers (no floats anywhere) — the ranking is
+    hash-stable across engines by construction. Returns
+    ``(query_id, doc_id, phrase_tf, rank)``; queries matching nothing
+    return no rows.
+    """
+    from spark_ensemble_spark.sources.datasets import spread_to_parallelism
+
+    docs = spread_to_parallelism(docs)
+    toks = docs.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(_words(F.col(text_col))).alias("__pos", "__t"),
+    )
+    qtoks = queries.select(
+        F.col(query_id_col).alias("__qid"),
+        F.posexplode(_words(F.col(query_text_col))).alias("__i", "__qt"),
+    )
+    qlen = qtoks.groupBy("__qid").agg(F.count(F.lit(1)).alias("__n"))
+    hits = (
+        toks.join(F.broadcast(qtoks), toks["__t"] == qtoks["__qt"])
+        .where(F.col("__pos") >= F.col("__i"))
+        .select(
+            "__qid", "__id", (F.col("__pos") - F.col("__i")).alias("__start")
+        )
+    )
+    starts = hits.groupBy("__qid", "__id", "__start").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    ptf = (
+        starts.join(F.broadcast(qlen), "__qid")
+        .where(F.col("__cnt") == F.col("__n"))
+        .groupBy("__qid", "__id")
+        .agg(F.count(F.lit(1)).alias("phrase_tf"))
+    )
+    w = Window.partitionBy("__qid").orderBy(
+        F.desc("phrase_tf"), F.asc("__id")
+    )
+    return (
+        ptf.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col("__id").alias(id_col),
+            F.col("phrase_tf").cast("long").alias("phrase_tf"),
+            "rank",
+        )
+    )
+
+
+def phrase_oracle_sql(
+    query_rows: Sequence[Tuple[str, str]],
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> str:
+    """DuckDB SQL replaying :func:`phrase_topk` exactly: same
+    tokenization, the same start-vote adjacency intersection, the same
+    overlapping-occurrence count and ``(phrase_tf desc, id asc)``
+    tie-break. Positions are 1-based here vs posexplode's 0-based — the
+    start key ``pos − i`` is engine-internal, so the off-by-one cancels.
+    Integer-only arithmetic: no rounding or literal-spelling hazards."""
+    values = ", ".join(f"('{qid}', '{qtext}')" for qid, qtext in query_rows)
+    tok_list = (
+        f"string_split(regexp_replace(lower(trim(coalesce({{col}}, ''))),"
+        " '\\s+', ' ', 'g'), ' ')"
+    )
+    return f"""
+    WITH q(query_id, query_text) AS (VALUES {values}),
+    dtoks AS (
+      SELECT id, t, pos FROM (
+        SELECT {id_col} AS id, unnest(ws) AS t,
+               generate_subscripts(ws, 1) AS pos
+        FROM (SELECT {id_col}, {tok_list.format(col=text_col)} AS ws
+              FROM {table})
+      ) WHERE t != ''
+    ),
+    qtoks AS (
+      SELECT query_id, t, i FROM (
+        SELECT query_id, unnest(ws) AS t,
+               generate_subscripts(ws, 1) AS i
+        FROM (SELECT query_id, {tok_list.format(col='query_text')} AS ws
+              FROM q)
+      ) WHERE t != ''
+    ),
+    qn AS (SELECT query_id, count(*) AS n FROM qtoks GROUP BY 1),
+    hits AS (
+      SELECT qt.query_id, d.id, d.pos - qt.i AS start
+      FROM dtoks d JOIN qtoks qt ON d.t = qt.t
+      WHERE d.pos >= qt.i
+    ),
+    starts AS (
+      SELECT query_id, id, start, count(*) AS cnt
+      FROM hits GROUP BY 1, 2, 3
+    ),
+    ptf AS (
+      SELECT s.query_id, s.id, CAST(count(*) AS BIGINT) AS phrase_tf
+      FROM starts s JOIN qn ON s.query_id = qn.query_id
+      WHERE s.cnt = qn.n
+      GROUP BY 1, 2
+    )
+    SELECT query_id, id AS {id_col}, phrase_tf, rank FROM (
+      SELECT query_id, id, phrase_tf,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY phrase_tf DESC, id ASC) AS INT)
+               AS rank
+      FROM ptf
+    ) WHERE rank <= {k}"""
 
 
 def rrf_fuse(

@@ -2925,6 +2925,41 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Phrase search: consecutive-token queries over the same corpus — a
+# two-term phrase, a three-term phrase, a self-overlapping phrase (repeated
+# token: overlapping occurrences must be counted), and an all-miss phrase.
+_PHRASE_QUERIES = (
+    ("p_scan", "table scan"),
+    ("p_window", "part window small"),
+    ("p_batch", "batch batch"),
+    ("p_miss", "spark zzznope"),
+)
+_PHRASE_K = 7
+
+
+@query(
+    "docs_phrase_search",
+    _retrieval.phrase_oracle_sql(_PHRASE_QUERIES, k=_PHRASE_K),
+)
+def docs_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval over positional postings — token-adjacency
+    matching that the (term, tf) BM25 posting shape cannot express. One
+    corpus posexplode into (doc, position, term); the broadcast query-token
+    join prunes to query vocabulary immediately; each hit votes for start
+    ``pos − offset`` and a start with votes == phrase length is one
+    occurrence (overlapping occurrences counted: "batch batch" scores 2 in
+    "batch batch batch"). Integer-only output — no float hazards by
+    construction. Oracle replays tokenization, the vote intersection, and
+    the ``(phrase_tf desc, doc_id asc)`` tie-break."""
+    from spark_ensemble_spark.operators.retrieval import phrase_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        list(_PHRASE_QUERIES), "query_id string, query_text string"
+    )
+    return phrase_topk(docs, queries, k=_PHRASE_K)
+
+
 _BM25_QUERIES_VALUES_SQL = "SELECT * FROM (VALUES " + ", ".join(
     f"('{qid}', '{qtext}')" for qid, qtext in _BM25_QUERIES
 ) + ") AS vq(query_id, query_text)"

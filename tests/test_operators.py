@@ -3556,3 +3556,39 @@ def test_warc_parser_strictness_and_binary_payloads(spark):
         warc_extract(
             spark.createDataFrame([(1, truncated)], "container_id long, payload binary")
         ).collect()
+
+
+def test_phrase_topk_adjacency_and_overlap(spark):
+    """Hand-built fixture pinning the phrase semantics that a bag-of-words
+    ranker cannot express: adjacency (terms present but not consecutive do
+    NOT match), overlapping occurrences (each start counted), repeated-token
+    phrases, the all-miss query, and the doc-id tie-break."""
+    from spark_ensemble_spark.operators.retrieval import phrase_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "big table scan runs a table scan twice"),
+            (2, "table of contents then a scan"),  # both terms, not adjacent
+            (3, "batch batch batch"),  # "batch batch" overlaps: tf=2
+            (4, "one table scan only"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame(
+        [
+            ("p_scan", "table scan"),
+            ("p_rep", "batch batch"),
+            ("p_one", "contents"),
+            ("p_miss", "scan table"),  # reversed order: no match anywhere
+        ],
+        "query_id string, query_text string",
+    )
+    rows = phrase_topk(docs, qs, k=10).collect()
+    got = {(r.query_id, r.doc_id): (r.phrase_tf, r.rank) for r in rows}
+    assert got == {
+        ("p_scan", 1): (2, 1),
+        ("p_scan", 4): (1, 2),  # tie-break vs nothing; rank follows tf
+        ("p_rep", 3): (2, 1),
+        ("p_one", 2): (1, 1),
+    }

@@ -328,6 +328,8 @@ BENCH_QUERIES = [
     "embedding_cluster_balanced_sample",
     # r11: exact-phrase search over positional postings
     "docs_phrase_search",
+    # r11: leveled (L0->L1) compaction — hot batch verbatim, cold folded
+    "streaming_bm25_leveled_compaction",
 ]
 
 

@@ -8559,6 +8559,100 @@ ORACLES["streaming_bm25_compaction"] = _retrieval.bm25_oracle_sql(
 )
 
 
+@query("streaming_bm25_leveled_compaction")
+def streaming_bm25_leveled_compaction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LEVELED (L0→L1) compaction — the write-amplification half of the
+    LSM story next to ``streaming_bm25_compaction``'s full rewrite: three
+    ingest waves land as separate append batches, a takedown wave spans
+    all of them, and ``compact_bm25_index_dir(keep_recent=1)`` folds only
+    the two COLD batches into the ``batch_id=-1`` level while the hottest
+    batch is carried over as a verbatim file copy (never rewritten —
+    at 100 TB the still-churning ingest head shouldn't pay a rewrite per
+    compaction).  Tombstone ids targeting the kept hot batch are RETAINED
+    as live tombstones (their posting rows still exist verbatim), the
+    rest fold; stats collapse to one exact global row either way.
+    Serving the leveled generation must hash-match the same
+    from-scratch-rebuild-on-post-delete-corpus oracle as full compaction —
+    leveling is a pure physical split of the same logical index."""
+    import os
+    import shutil
+
+    from spark_ensemble_spark.operators.retrieval import (
+        bm25_topk,
+        build_bm25_index,
+    )
+    from spark_ensemble_spark.streaming.corpus import (
+        compact_bm25_index_dir,
+        read_bm25_index_dir,
+    )
+
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "spark-warehouse",
+        f"bm25_leveled_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # three ingest waves -> three append batches (the bm25_index_stream
+    # layout, laid out directly: the stream writer itself is covered by the
+    # in-window tombstone/compaction rows — the new surface here is the
+    # leveled fold)
+    for wave in range(3):
+        postings, stats = build_bm25_index(
+            docs.filter(F.col("doc_id") % 3 == wave)
+        )
+        postings.write.mode("overwrite").parquet(
+            f"{base}/gen1/postings/batch_id={wave}"
+        )
+        stats.write.mode("overwrite").parquet(
+            f"{base}/gen1/stats/batch_id={wave}"
+        )
+    # takedown wave spanning all three batches (the bm25_tombstone_stream
+    # layout: per-doc-deduped id list + one negative stats partial)
+    removed = docs.filter(F.col("doc_id") % 5 == 0)
+    _, rem_stats = build_bm25_index(removed)
+    removed.select("doc_id").write.mode("overwrite").parquet(
+        f"{base}/gen1/tombstones/batch_id=0"
+    )
+    rem_stats.select(
+        (-F.col("n_docs")).alias("n_docs"), (-F.col("sum_dl")).alias("sum_dl")
+    ).write.mode("overwrite").parquet(
+        f"{base}/gen1/tombstone_stats/batch_id=0"
+    )
+    compact_bm25_index_dir(
+        spark, f"{base}/gen1", f"{base}/gen2", keep_recent=1
+    )
+    # the leveled layout is real: a compacted cold level, the hot batch
+    # carried verbatim, and retained tombstones for hot-batch targets
+    assert os.path.isdir(f"{base}/gen2/postings/batch_id=-1")
+    assert os.path.isdir(f"{base}/gen2/postings/batch_id=2")
+    assert os.path.isdir(f"{base}/gen2/tombstones/batch_id=-1")
+    postings, stats = read_bm25_index_dir(spark, f"{base}/gen2")
+    queries = spark.createDataFrame(
+        list(_BM25_QUERIES), "query_id string, query_text string"
+    )
+    return bm25_topk(
+        None,
+        queries,
+        k=_BM25_K,
+        max_df=_BM25_MAX_DF,
+        index=postings,
+        index_stats=stats,
+    )
+
+
+# leveled generation == the SAME rebuild-on-post-delete-corpus oracle:
+# the L0/L1 split is physical layout only
+ORACLES["streaming_bm25_leveled_compaction"] = _retrieval.bm25_oracle_sql(
+    _BM25_QUERIES,
+    k=_BM25_K,
+    max_df=_BM25_MAX_DF,
+    table="(SELECT * FROM documents WHERE doc_id % 5 != 0)",
+)
+
+
 # ---------------------------------------------------------------------------
 # Incremental dedup: a new delivery batch against the accepted corpus index
 # (exact fingerprint anti-join + banded MinHash vs the index — the

@@ -566,8 +566,25 @@ def read_bm25_index_dir(spark: SparkSession, index_path: str):
     return postings, stats
 
 
+def _batch_dirs(path: str) -> list:
+    """Sorted ``batch_id`` values of the ``batch_id=N`` partition dirs
+    under ``path`` ([] when the dir does not exist)."""
+    import os
+
+    if not os.path.isdir(path):
+        return []
+    out = []
+    for d in os.listdir(path):
+        if d.startswith("batch_id="):
+            out.append(int(d.split("=", 1)[1]))
+    return sorted(out)
+
+
 def compact_bm25_index_dir(
-    spark: SparkSession, index_path: str, out_path: str
+    spark: SparkSession,
+    index_path: str,
+    out_path: str,
+    keep_recent: int = 0,
 ) -> None:
     """COMPACTION — the third leg of the LSM cycle (append
     :func:`bm25_index_stream` / delete :func:`bm25_tombstone_stream` /
@@ -575,18 +592,39 @@ def compact_bm25_index_dir(
     GENERATION at ``out_path`` — surviving postings rewritten once (the
     tombstone anti-join paid at compaction time instead of every read),
     the per-batch stats partials and negative delete partials collapsed
-    into ONE exact row, and NO tombstone directories — read amplification
-    resets to zero.  Without compaction every serve pays an anti-join
-    against the full delete history, which grows unboundedly with takedown
-    waves (VERDICT r10 missing #4).
+    into ONE exact row — read amplification resets.  Without compaction
+    every serve pays an anti-join against the full delete history, which
+    grows unboundedly with takedown waves (VERDICT r10 missing #4).
 
-    The output uses the exact :func:`bm25_index_stream` layout
-    (``postings/batch_id=0`` + ``stats/batch_id=0``), so
-    :func:`read_bm25_index_dir` serves a compacted generation unchanged and
-    new append/delete streams resume on top of it (checkpoint batch ids
-    restart per directory).  Compacted == rebuilt-from-post-delete-corpus
+    ``keep_recent=r`` is the LEVELED variant (L0→L1): the ``r``
+    highest-batch-id append batches — the hot level, the most recently
+    ingested and most likely still-churning data — are carried into the
+    new generation as verbatim file copies, never rewritten; only the
+    cold batches below them fold into the compacted ``batch_id=-1``
+    level.  This bounds WRITE amplification the way full compaction
+    bounds read amplification: at 100 TB a nightly full rewrite of the
+    whole posting store is the cost ceiling, while leveling rewrites
+    each posting once per level promotion.  A tombstone id whose target
+    lives in a kept hot batch cannot be folded (its posting rows are
+    copied verbatim), so those ids are RETAINED as a live tombstone list
+    at ``tombstones/batch_id=-1`` — below every batch id a fresh
+    checkpoint can produce, so :func:`bm25_tombstone_stream`'s
+    ``batch_id < N`` double-decrement guard keeps seeing them — next to
+    an empty ``tombstone_stats/batch_id=-1`` partial (their stats
+    decrement is already inside the collapsed stats row; the empty
+    frame keeps the read-side union well-formed).  ``keep_recent=0``
+    is exact full compaction: no hot level, no retained ids, no
+    tombstone directories in the output.
+
+    The compacted level lands at ``batch_id=-1`` (NOT 0): a new append
+    stream on the generation starts a fresh checkpoint at batch 0, and
+    its idempotent ``mode("overwrite")`` write of
+    ``postings/batch_id=0`` would silently replace a compacted level
+    stored there.  ``read_bm25_index_dir`` serves the generation
+    unchanged either way.  Compacted == rebuilt-from-post-delete-corpus
     bit-for-bit: postings rows are untouched originals, stats sums are
-    exact integers — oracle-checked by ``streaming_bm25_compaction``.
+    exact integers — oracle-checked by ``streaming_bm25_compaction`` /
+    ``streaming_bm25_leveled_compaction``.
 
     The folded delete ids are carried forward as
     ``out_path/compacted_tombstones`` — NEVER read at serve time (the
@@ -594,9 +632,10 @@ def compact_bm25_index_dir(
     :func:`bm25_tombstone_stream`'s double-decrement guard so an
     at-least-once takedown feed re-delivering an already-compacted-away id
     cannot decrement the folded stats a second time.  Chains across
-    compactions: a later compaction unions the generation's live
+    compactions: a later compaction unions the generation's folded
     tombstones with its inherited carry-forward."""
     import os
+    import shutil
 
     if os.path.realpath(out_path) == os.path.realpath(index_path):
         raise ValueError(
@@ -604,22 +643,81 @@ def compact_bm25_index_dir(
             "write would overwrite a directory its own lazy plan reads "
             "from — write a new generation directory, then swap"
         )
-    postings, stats = read_bm25_index_dir(spark, index_path)
-    drop = [c for c in postings.columns if c == "batch_id"]
-    postings.drop(*drop).write.mode("overwrite").parquet(
-        f"{out_path}/postings/batch_id=0"
-    )
-    stats.write.mode("overwrite").parquet(f"{out_path}/stats/batch_id=0")
-    folded = None
+    batch_ids = _batch_dirs(f"{index_path}/postings")
+    hot = batch_ids[len(batch_ids) - keep_recent:] if keep_recent > 0 else []
+    cold = [b for b in batch_ids if b not in set(hot)]
+
+    live_tomb = None
     if os.path.isdir(f"{index_path}/tombstones"):
         tomb = spark.read.parquet(f"{index_path}/tombstones")
         idc = [c for c in tomb.columns if c != "batch_id"][0]
-        folded = tomb.select(idc)
+        live_tomb = tomb.select(idc).distinct()
+
+    if cold:
+        cold_postings = spark.read.parquet(
+            *[f"{index_path}/postings/batch_id={b}" for b in cold]
+        )
+        idc_p = cold_postings.columns[1]  # (term, <id>, tf, dl)
+        if live_tomb is not None:
+            cold_postings = cold_postings.join(
+                F.broadcast(live_tomb.withColumnRenamed(
+                    live_tomb.columns[0], idc_p
+                )),
+                idc_p,
+                "left_anti",
+            )
+        cold_postings.write.mode("overwrite").parquet(
+            f"{out_path}/postings/batch_id=-1"
+        )
+    # hot level: verbatim file copy — "never rewritten" is literal (on a
+    # cluster this is a metastore/file move, not a data pass)
+    for b in hot:
+        shutil.copytree(
+            f"{index_path}/postings/batch_id={b}",
+            f"{out_path}/postings/batch_id={b}",
+        )
+
+    # stats are GLOBAL exact sums — collapse every append partial and (when
+    # a delete history exists) every negative partial into one row, no
+    # matter which level their postings ended up in
+    stats_df = spark.read.parquet(f"{index_path}/stats")
+    if live_tomb is not None:
+        stats_df = stats_df.unionByName(
+            spark.read.parquet(f"{index_path}/tombstone_stats").select(
+                "n_docs", "sum_dl"
+            ),
+            allowMissingColumns=True,
+        )
+    stats_df.agg(
+        F.sum("n_docs").alias("n_docs"), F.sum("sum_dl").alias("sum_dl")
+    ).write.mode("overwrite").parquet(f"{out_path}/stats/batch_id=-1")
+
+    retained = None
+    folded = None
+    if live_tomb is not None:
+        if hot:
+            hot_postings = spark.read.parquet(
+                *[f"{index_path}/postings/batch_id={b}" for b in hot]
+            )
+            hot_ids = hot_postings.select(
+                F.col(hot_postings.columns[1]).alias(live_tomb.columns[0])
+            ).distinct()
+            retained = live_tomb.join(hot_ids, live_tomb.columns[0], "left_semi")
+            folded = live_tomb.join(hot_ids, live_tomb.columns[0], "left_anti")
+        else:
+            folded = live_tomb
     if os.path.isdir(f"{index_path}/compacted_tombstones"):
         inherited = spark.read.parquet(f"{index_path}/compacted_tombstones")
         folded = (
             inherited if folded is None else folded.unionByName(inherited)
         )
+    if retained is not None and retained.limit(1).count() > 0:
+        retained.write.mode("overwrite").parquet(
+            f"{out_path}/tombstones/batch_id=-1"
+        )
+        spark.createDataFrame([], "n_docs bigint, sum_dl bigint").write.mode(
+            "overwrite"
+        ).parquet(f"{out_path}/tombstone_stats/batch_id=-1")
     if folded is not None:
         folded.distinct().write.mode("overwrite").parquet(
             f"{out_path}/compacted_tombstones"

@@ -209,22 +209,41 @@ operators.similarity.ivfpq_probe`, applying any :func:`ann_tombstone_stream`
 
 
 def compact_ann_index_dir(
-    spark, index_path: str, tombstone_path: str, out_path: str
+    spark,
+    index_path: str,
+    tombstone_path: str,
+    out_path: str,
+    keep_recent: int = 0,
+    out_tombstone_path: str = None,
 ) -> None:
     """COMPACTION for the streamed ANN code index — the
     ``compact_bm25_index_dir`` posture, vector edition: anti-join the
     accumulated tombstone ids out of the code table ONCE and rewrite the
-    survivors as a fresh generation at ``out_path/batch_id=0`` (the
-    :func:`ann_index_stream` layout, so :func:`read_ann_index_dir` serves
-    it with ``tombstone_path=None`` and append/delete streams resume on
-    top).  The quantizer is frozen plan state, so surviving code rows are
-    byte-identical originals — compacted == re-encoded-post-delete-corpus,
-    oracle-checked by ``streaming_ann_compaction``.  Read amplification
-    (one anti-join per serve against the whole delete history) resets to
-    zero.  Unlike BM25, no tombstone carry-forward is needed: ANN deletes
-    are id-lists with no stats partial, so a post-compaction re-delivery
-    just anti-joins rows that are already gone — idempotent by shape."""
+    survivors as a fresh generation at ``out_path/batch_id=-1`` (the
+    :func:`ann_index_stream` layout — ``-1`` not ``0``, so a new append
+    stream's fresh checkpoint restarting at batch 0 cannot overwrite the
+    compacted level with its idempotent ``batch_id=0`` write;
+    :func:`read_ann_index_dir` serves it with ``tombstone_path=None`` and
+    append/delete streams resume on top).  The quantizer is frozen plan
+    state, so surviving code rows are byte-identical originals —
+    compacted == re-encoded-post-delete-corpus, oracle-checked by
+    ``streaming_ann_compaction``.  Read amplification (one anti-join per
+    serve against the whole delete history) resets to zero.  Unlike BM25,
+    no tombstone carry-forward is needed: ANN deletes are id-lists with
+    no stats partial, so a post-compaction re-delivery just anti-joins
+    rows that are already gone — idempotent by shape.
+
+    ``keep_recent=r`` is the LEVELED variant (L0→L1, the
+    ``compact_bm25_index_dir`` semantics): the ``r`` highest-batch-id
+    code batches are carried over as verbatim file copies — write
+    amplification stays bounded by one rewrite per level promotion —
+    and only the cold batches below them fold into ``batch_id=-1``.
+    Tombstone ids whose target vector lives in a kept hot batch are
+    RETAINED at ``out_tombstone_path/batch_id=-1`` (required when any
+    exist; serve the generation with ``tombstone_path=out_tombstone_path``)
+    so the hot level's verbatim rows still anti-join away at read."""
     import os
+    import shutil
 
     if os.path.realpath(out_path) == os.path.realpath(index_path):
         raise ValueError(
@@ -232,8 +251,53 @@ def compact_ann_index_dir(
             "would overwrite a directory its own lazy plan reads from — "
             "write a new generation directory, then swap"
         )
-    enc = read_ann_index_dir(spark, index_path, tombstone_path)
-    drop = [c for c in enc.columns if c == "batch_id"]
-    enc.drop(*drop).write.mode("overwrite").parquet(
-        f"{out_path}/batch_id=0"
-    )
+    from spark_ensemble_spark.streaming.corpus import _batch_dirs
+
+    batch_ids = _batch_dirs(index_path)
+    hot = batch_ids[len(batch_ids) - keep_recent:] if keep_recent > 0 else []
+    cold = [b for b in batch_ids if b not in set(hot)]
+
+    live_tomb = None
+    if tombstone_path and os.path.isdir(tombstone_path):
+        tomb = spark.read.parquet(tombstone_path)
+        idc = [c for c in tomb.columns if c != "batch_id"][0]
+        live_tomb = tomb.select(idc).distinct()
+
+    if cold:
+        cold_enc = spark.read.parquet(
+            *[f"{index_path}/batch_id={b}" for b in cold]
+        )
+        if live_tomb is not None:
+            from spark_ensemble_spark.operators.similarity import (
+                remove_from_ann_index,
+            )
+
+            cold_enc = remove_from_ann_index(cold_enc, live_tomb)
+        cold_enc.write.mode("overwrite").parquet(f"{out_path}/batch_id=-1")
+    for b in hot:
+        shutil.copytree(
+            f"{index_path}/batch_id={b}", f"{out_path}/batch_id={b}"
+        )
+    if live_tomb is not None and hot:
+        hot_enc = spark.read.parquet(
+            *[f"{index_path}/batch_id={b}" for b in hot]
+        )
+        # the code-table id column is neighbor_id (the ivfpq_encode /
+        # hamming-code layout remove_from_ann_index anti-joins on)
+        retained = live_tomb.join(
+            hot_enc.select(
+                F.col("neighbor_id").alias(live_tomb.columns[0])
+            ).distinct(),
+            live_tomb.columns[0],
+            "left_semi",
+        )
+        if retained.limit(1).count() > 0:
+            if out_tombstone_path is None:
+                raise ValueError(
+                    "keep_recent compaction retained tombstone ids that "
+                    "target the kept hot level — pass out_tombstone_path "
+                    "so the generation can be served with them"
+                )
+            retained.write.mode("overwrite").parquet(
+                f"{out_tombstone_path}/batch_id=-1"
+            )

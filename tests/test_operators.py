@@ -3592,3 +3592,119 @@ def test_phrase_topk_adjacency_and_overlap(spark):
         ("p_rep", 3): (2, 1),
         ("p_one", 2): (1, 1),
     }
+
+
+def test_bm25_leveled_compaction_retained_guard(spark, tmp_path):
+    """Leveled (keep_recent=1) compaction: the hot batch is carried
+    verbatim, so a tombstone targeting it is RETAINED at batch_id=-1 —
+    and a takedown stream on the new generation that RE-delivers the
+    retained id must still be blocked by the cross-batch guard (-1 < 0,
+    the reserved level sorts below every fresh-checkpoint batch id).
+    End state after re-delivery plus one genuinely new delete: serve ==
+    rebuild on the corpus minus all three."""
+    import os
+
+    from spark_ensemble_spark.operators.retrieval import build_bm25_index
+    from spark_ensemble_spark.streaming.corpus import (
+        bm25_tombstone_stream,
+        compact_bm25_index_dir,
+        read_bm25_index_dir,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 4} common tok{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    gen1, gen2 = str(tmp_path / "gen1"), str(tmp_path / "gen2")
+    for b, pred in ((0, F.col("doc_id") < 10), (1, F.col("doc_id") >= 10)):
+        postings, stats = build_bm25_index(docs.filter(pred))
+        postings.write.parquet(f"{gen1}/postings/batch_id={b}")
+        stats.write.parquet(f"{gen1}/stats/batch_id={b}")
+    removed = docs.filter(F.col("doc_id").isin([0, 15]))
+    _, rem_stats = build_bm25_index(removed)
+    removed.select("doc_id").write.parquet(f"{gen1}/tombstones/batch_id=0")
+    rem_stats.select(
+        (-F.col("n_docs")).alias("n_docs"), (-F.col("sum_dl")).alias("sum_dl")
+    ).write.parquet(f"{gen1}/tombstone_stats/batch_id=0")
+
+    compact_bm25_index_dir(spark, gen1, gen2, keep_recent=1)
+    # cold level folded doc 0; hot batch verbatim; doc 15 retained
+    assert os.path.isdir(f"{gen2}/postings/batch_id=-1")
+    assert os.path.isdir(f"{gen2}/postings/batch_id=1")
+    retained = spark.read.parquet(f"{gen2}/tombstones")
+    assert [r.doc_id for r in retained.collect()] == [15]
+    folded = spark.read.parquet(f"{gen2}/compacted_tombstones")
+    assert [r.doc_id for r in folded.collect()] == [0]
+
+    src = tmp_path / "wave"
+    src.mkdir()
+    docs.filter(F.col("doc_id").isin([15, 7])).coalesce(1).write.parquet(
+        str(src / "f")
+    )
+    q = bm25_tombstone_stream(
+        spark.readStream.schema("doc_id long, text string").parquet(
+            str(src) + "/*"
+        ),
+        index_path=gen2,
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got_postings, got_stats = read_bm25_index_dir(spark, gen2)
+    want_postings, want_stats = build_bm25_index(
+        docs.filter(~F.col("doc_id").isin([0, 15, 7]))
+    )
+    assert got_stats.collect() == want_stats.collect()
+    key = ["term", "doc_id", "tf", "dl"]
+    assert sorted(map(tuple, got_postings.select(*key).collect())) == sorted(
+        map(tuple, want_postings.select(*key).collect())
+    )
+
+
+def test_ann_leveled_compaction_retained_tombstones(spark, tmp_path):
+    """ANN leveled compaction: cold codes fold, the hot batch copies
+    verbatim, and a tombstone targeting the hot level must be retained at
+    out_tombstone_path (refusing to compact without one — dropping it
+    would resurrect the deleted vector)."""
+    import os
+
+    import pytest as _pytest
+
+    from spark_ensemble_spark.streaming.scoring import (
+        compact_ann_index_dir,
+        read_ann_index_dir,
+    )
+
+    enc = spark.createDataFrame(
+        [(i, i % 3, [i, i + 1]) for i in range(20)],
+        "neighbor_id long, cell int, code array<int>",
+    )
+    idx = str(tmp_path / "idx")
+    enc.filter(F.col("neighbor_id") < 10).write.parquet(f"{idx}/batch_id=0")
+    enc.filter(F.col("neighbor_id") >= 10).write.parquet(f"{idx}/batch_id=1")
+    tomb = str(tmp_path / "tomb")
+    spark.createDataFrame([(1,), (11,)], "vec_id long").write.parquet(
+        f"{tomb}/batch_id=0"
+    )
+
+    with _pytest.raises(ValueError):
+        compact_ann_index_dir(
+            spark, idx, tomb, str(tmp_path / "nope"), keep_recent=1
+        )
+
+    out, out_tomb = str(tmp_path / "out"), str(tmp_path / "out_tomb")
+    compact_ann_index_dir(
+        spark, idx, tomb, out, keep_recent=1, out_tombstone_path=out_tomb
+    )
+    assert os.path.isdir(f"{out}/batch_id=-1")
+    assert os.path.isdir(f"{out}/batch_id=1")
+    assert [r.vec_id for r in spark.read.parquet(out_tomb).collect()] == [11]
+    got = read_ann_index_dir(spark, out, out_tomb)
+    want = enc.filter(~F.col("neighbor_id").isin([1, 11]))
+    key = ["neighbor_id", "cell"]
+    assert sorted(map(tuple, got.select(*key).collect())) == sorted(
+        map(tuple, want.select(*key).collect())
+    )

@@ -177,6 +177,15 @@ AUDITED = [
         "is a single agg — no corpus shuffle, no window.",
     ),
     (
+        "docs_phrase_search",
+        "positional-postings phrase match: ONE corpus posexplode, the "
+        "query-token side broadcasts (BroadcastHashJoin prunes the token "
+        "stream to query vocabulary before any exchange), start-vote aggs "
+        "run with map-side partials, and the per-query top-k rides "
+        "WindowGroupLimit below the final exchange — no corpus self-join, "
+        "no single-partition sort.",
+    ),
+    (
         "docs_repetition_signals",
         "ZERO exchanges: all three Gopher repetition signals are per-row "
         "sorted-array folds in one narrow projection — the filter block runs "

@@ -1138,3 +1138,29 @@ def test_authority_boosted_search_plan(spark, sf_dir):
         assert any(
             j > i for j in tko
         ), f"rank_scaled window at plan line {i} has no TakeOrdered child"
+
+
+def test_phrase_search_plan(spark, sf_dir):
+    """phrase_topk's plan must prune the token stream through a broadcast
+    join on the (tiny) query-token side before any exchange, keep both
+    vote aggregations partial (map-side combine), push the per-query
+    top-k below the final exchange via WindowGroupLimit, and never
+    self-join or broadcast the corpus."""
+    from spark_ensemble_spark.operators.retrieval import phrase_topk
+    from spark_ensemble_spark.sources.datasets import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    qs = spark.createDataFrame(
+        [("p1", "table scan"), ("p2", "batch batch")],
+        "query_id string, query_text string",
+    )
+    plan = phrase_topk(docs, qs, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan, "top-k must prune below the exchange"
+    # no corpus-sized build side under any broadcast exchange
+    import re
+
+    for m in re.finditer(r"BroadcastExchange[^\n]*\n(?:\s*\+- [^\n]*\n){0,2}", plan):
+        assert "FileScan parquet" not in m.group(0), m.group(0)

@@ -330,6 +330,7 @@ BENCH_QUERIES = [
     "docs_phrase_search",
     # r11: leveled (L0->L1) compaction — hot batch verbatim, cold folded
     "streaming_bm25_leveled_compaction",
+    "streaming_ann_leveled_compaction",
 ]
 
 

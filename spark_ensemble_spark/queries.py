@@ -7386,6 +7386,83 @@ def streaming_ann_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["streaming_ann_compaction"] = ORACLES["similarity_serve_after_delete"]
 
 
+@query("streaming_ann_leveled_compaction")
+def streaming_ann_leveled_compaction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LEVELED (L0→L1) compaction for the ANN code index — the vector
+    twin of ``streaming_bm25_leveled_compaction``: three ingest waves land
+    as separate code batches, a takedown wave spans all of them, and
+    ``compact_ann_index_dir(keep_recent=1)`` folds only the cold batches
+    into the ``batch_id=-1`` level while the hottest batch is carried as
+    a verbatim file copy.  Tombstones targeting the kept hot batch are
+    RETAINED at ``out_tombstone_path`` (their code rows still exist
+    verbatim) and the generation is served WITH that retained list —
+    probing it must hash-match the same re-encode-post-delete-corpus
+    oracle as full compaction: leveling is physical layout only."""
+    import os
+    import shutil
+
+    from spark_ensemble_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_probe,
+    )
+    from spark_ensemble_spark.streaming.scoring import (
+        compact_ann_index_dir,
+        read_ann_index_dir,
+    )
+
+    books = _pq_books()
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "spark-warehouse",
+        f"ann_leveled_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    emb = load_table(spark, sf_dir, "embeddings")
+    # three ingest waves striped so the takedown ids span every level
+    for wave in range(3):
+        ivfpq_encode(
+            emb.filter(F.floor(F.col("vec_id") / 7) % 3 == wave),
+            _IVF_CENTROIDS,
+            books,
+            residual=True,
+        ).write.mode("overwrite").parquet(f"{base}/codes/batch_id={wave}")
+    removed = emb.filter(
+        (F.col("vec_id") >= 5) & (F.col("vec_id") % 6 == 0)
+    )
+    removed.select("vec_id").distinct().write.mode("overwrite").parquet(
+        f"{base}/tombstones/batch_id=0"
+    )
+    compact_ann_index_dir(
+        spark,
+        f"{base}/codes",
+        f"{base}/tombstones",
+        f"{base}/gen2",
+        keep_recent=1,
+        out_tombstone_path=f"{base}/gen2_tombstones",
+    )
+    # the leveled layout is real: compacted cold level, verbatim hot
+    # batch, and a retained list for hot-batch takedown targets
+    assert os.path.isdir(f"{base}/gen2/batch_id=-1")
+    assert os.path.isdir(f"{base}/gen2/batch_id=2")
+    assert os.path.isdir(f"{base}/gen2_tombstones")
+    enc = read_ann_index_dir(
+        spark, f"{base}/gen2", tombstone_path=f"{base}/gen2_tombstones"
+    ).select("neighbor_id", "cell", "codes")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return ivfpq_probe(
+        enc, queries_df, _IVF_CENTROIDS, books, k=5, nprobe=3, residual=True
+    )
+
+
+# leveled generation == the SAME re-encode-post-delete oracle: the hot/cold
+# split plus the retained tombstone list is physical layout only
+ORACLES["streaming_ann_leveled_compaction"] = ORACLES[
+    "similarity_serve_after_delete"
+]
+
+
 # 40-candidate shortlist: with the ORACLE-CHECKABLE fixed pseudo-random
 # codebooks (deliberately untrained — that is what makes every stage
 # replayable; production swaps in pq_train_codebooks, covered by

@@ -558,6 +558,12 @@ def main() -> None:
                 cand = json.load(fh)
             if git_head and cand.get("git_head") == git_head:
                 continue
+            # When git rev-parse failed (git_head None) the same-code skip
+            # above is inert — fall back to the host_id skip so this
+            # session's own just-written artifact is still excluded and the
+            # ratio never self-compares to ~1.0 (ADVICE r11).
+            if git_head is None and host_id and cand.get("host_id") == host_id:
+                continue
             prev, prev_path = cand, p
             break
         if prev is not None and codegen_warm_sec > 0:

@@ -2,7 +2,22 @@
 
 Runs every ``queries()`` entry on Spark and, where an ``oracle_sql()`` entry
 exists, the oracle on DuckDB over the same parquet tables; compares row count,
-column names, and order-insensitive values. Usage:
+column names, and order-insensitive values — on TWO fetch lanes:
+
+* the Python-object lane (``.collect()`` vs ``.fetchall()``) — full
+  precision, the r1-r3 discipline;
+* the pandas/Arrow lane (``.toPandas()`` vs ``.df()``, stringified) — the
+  driver's hash path canonicalizes results through Arrow/pandas, where
+  DECIMAL and HUGEINT render differently per engine (the r4 HUGEINT and
+  r7-r11 DECIMAL red classes — both invisible to the object lane by
+  construction).  ``SPARK_GRAFT_PANDAS_LANE=0`` disables the second lane.
+
+Structural type gates (hard local fails, like the HUGEINT audit):
+DECIMAL-typed output columns on EITHER side — the driver renders DECIMAL
+via float64 on one fetch path and scale-preserving strings on another, so
+any trailing-zero value (0.015625000 vs 0.015625) goes red regardless of
+arithmetic (VERDICT r11 #1: predicted red set == actual red set 50/50).
+Emit exact BIGINT micro-units instead.
 
     python scripts/check_correctness.py [sf_dir] [name ...]
 """
@@ -10,6 +25,7 @@ column names, and order-insensitive values. Usage:
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -23,6 +39,61 @@ ONLY = set(sys.argv[2:])
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
+
+
+def _decimal_cols(schema):
+    """Top-level or nested DECIMAL-typed columns of a Spark schema."""
+    import pyspark.sql.types as T
+
+    def has_dec(dt):
+        if isinstance(dt, T.DecimalType):
+            return True
+        if isinstance(dt, T.ArrayType):
+            return has_dec(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return any(has_dec(f.dataType) for f in dt.fields)
+        if isinstance(dt, T.MapType):
+            return has_dec(dt.keyType) or has_dec(dt.valueType)
+        return False
+
+    return [
+        (f.name, f.dataType.simpleString())
+        for f in schema.fields
+        if has_dec(f.dataType)
+    ]
+
+
+def _pandas_lane_diff(sdf, rel, spark_cols, duck_cols):
+    """Second compare lane through the Arrow/pandas fetch path — the route
+    the driver's hash walks.  Stringify every cell (nan-safe), sort rows,
+    compare.  Returns a problem string or None."""
+    try:
+        pd_spark = sdf.toPandas()
+        pd_duck = rel.df()
+    except Exception as e:  # pragma: no cover - lane must not mask the gate
+        return f"pandas lane error: {e}"
+
+    def cells(df, cols):
+        out = []
+        for row in df[cols].itertuples(index=False, name=None):
+            out.append(
+                tuple(
+                    "nan"
+                    if isinstance(v, float) and math.isnan(v)
+                    else ("<null>" if v is None else str(v))
+                    for v in row
+                )
+            )
+        return sorted(out)
+
+    s_cols = sorted(spark_cols, key=str.lower)
+    d_cols = sorted(duck_cols, key=str.lower)
+    s_vals = cells(pd_spark, s_cols)
+    d_vals = cells(pd_duck, d_cols)
+    if s_vals != d_vals:
+        diffs = [(a, b) for a, b in zip(s_vals, d_vals) if a != b][:3]
+        return f"pandas-lane values differ, first diffs: {diffs}"
+    return None
 
 
 def norm(v):
@@ -62,6 +133,7 @@ def main() -> int:
             sdf = fn(spark, SF_DIR)
             spark_rows = sdf.collect()
             spark_cols = sdf.columns
+            spark_dec_cols = _decimal_cols(sdf.schema)
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
@@ -83,6 +155,15 @@ def main() -> int:
                 for d, t in zip(rel.description, rel.types)
                 if "HUGEINT" in str(t).upper()
             ]
+            # DECIMAL audit, same class as HUGEINT: the driver's two fetch
+            # paths canonicalize DECIMAL differently (float64 repr vs
+            # scale-preserving string) — any trailing-zero value goes red
+            # with both engines' arithmetic identical (VERDICT r11 #1).
+            duck_dec_cols = [
+                (d[0], str(t))
+                for d, t in zip(rel.description, rel.types)
+                if "DECIMAL" in str(t).upper()
+            ]
             duck_rows = rel.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
@@ -93,6 +174,16 @@ def main() -> int:
         if hugeint_cols:
             problems.append(
                 f"oracle emits HUGEINT {hugeint_cols} — CAST(... AS BIGINT)"
+            )
+        if duck_dec_cols:
+            problems.append(
+                f"oracle emits DECIMAL {duck_dec_cols} — emit BIGINT "
+                "micro-units instead (driver fetch-path hazard)"
+            )
+        if spark_dec_cols:
+            problems.append(
+                f"spark emits DECIMAL {spark_dec_cols} — emit BIGINT "
+                "micro-units instead (driver fetch-path hazard)"
             )
         if sorted(c.lower() for c in spark_cols) != sorted(c.lower() for c in duck_cols):
             problems.append(f"columns spark={spark_cols} duck={duck_cols}")
@@ -113,6 +204,10 @@ def main() -> int:
                     (a, b) for a, b in zip(s_vals, d_vals) if a != b
                 ][:3]
                 problems.append(f"values differ, first diffs: {diffs}")
+            elif os.environ.get("SPARK_GRAFT_PANDAS_LANE", "1") != "0":
+                lane = _pandas_lane_diff(sdf, con.sql(oracles[name]), spark_cols, duck_cols)
+                if lane:
+                    problems.append(lane)
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)}")
             n_fail += 1

@@ -9,9 +9,9 @@ features, the estimator discipline (train → export literals → serve as
 pure column expressions) produces the model.
 
 Exactness contract (what makes every stage hash-checkable): both feature
-sources already live on the 1e-6 grid — BM25 scores are DECIMAL(38,6) by
-construction and cosines are floor-rounded doubles — so features convert
-to EXACT BIGINTs (``×10⁶``), the learned weights grid the same way, and a
+sources already live on the 1e-6 grid — BM25 scores arrive as exact
+micro-unit BIGINTs and cosines are floor-rounded doubles — so features
+are EXACT BIGINTs, the learned weights grid the same way, and a
 candidate's score is a plain integer dot product: order-insensitive,
 overflow-safe (|w|·|x| ≤ ~1e13 per term), and bit-identical on every
 engine. Ranking sorts native int64, so a cross-engine tie hazard cannot
@@ -61,14 +61,14 @@ def ltr_features(
     0 for the other's feature (the standard LTR missing-signal convention)
     — with both features as exact 1e-6-scaled BIGINTs.
 
-    ``lex``: ``(query_id, doc, score DECIMAL(38,6))`` from ``bm25_topk``.
+    ``lex``: ``(query_id, doc, score_micro BIGINT)`` from ``bm25_topk``.
     ``vec``: ``(query_id, doc, cosine double)`` from any similarity top-k.
     Frames are top-k-sized (k·|queries| rows each) — the join is tiny
     regardless of corpus size."""
     lf = lex.select(
         "query_id",
         F.col(doc_col),
-        (F.col("score") * SCALE).cast("long").alias("x_bm25"),
+        F.col("score_micro").cast("long").alias("x_bm25"),
     )
     vf = vec.select(
         "query_id",
@@ -125,14 +125,14 @@ def ltr_oracle_sql(
     """DuckDB replay of ``ltr_score(ltr_features(...))``: the same outer
     join, the same exact integer scaling/weights/dot product, the same
     (score desc, doc asc) tie-break. ``lex_sql`` must emit
-    ``(query_id, {doc}, score)``; ``vec_sql`` ``(query_id, {doc},
+    ``(query_id, {doc}, score_micro)``; ``vec_sql`` ``(query_id, {doc},
     cosine)``."""
     wb = int(math.floor(w_bm25 * SCALE + 0.5))
     wc = int(math.floor(w_cos * SCALE + 0.5))
     return f"""
     WITH lex AS (
       SELECT query_id, {doc_col},
-             CAST(score * {SCALE} AS BIGINT) AS x_bm25
+             CAST(score_micro AS BIGINT) AS x_bm25
       FROM ({lex_sql})
     ),
     vec AS (

@@ -81,8 +81,6 @@ from spark_ensemble_spark.functions.rounding import (  # noqa: E402
     floor_round_sql as _floor_round_sql,
     floor_round_int,
     floor_round_int_sql,
-    int_sum_to_decimal,
-    int_sum_to_decimal_sql,
 )
 from spark_ensemble_spark.functions.detmath import (  # noqa: E402
     det_ln,
@@ -90,6 +88,12 @@ from spark_ensemble_spark.functions.detmath import (  # noqa: E402
     det_ln_sql,
     double_literal_sql,
 )
+
+
+def _sql_str(s: str) -> str:
+    """SQL string literal with embedded single quotes escaped ('' doubling)
+    — free-text phrases/queries may contain apostrophes (ADVICE r11)."""
+    return "'" + str(s).replace("'", "''") + "'"
 
 
 def build_bm25_index(
@@ -165,7 +169,10 @@ def bm25_topk(
     document id domain (a document trivially retrieves itself); the ANN
     family's ``brute_force_topk`` applies the same convention.
 
-    Returns ``(query_id, doc_id, score DECIMAL(38,round_to), rank)`` with
+    Returns ``(query_id, doc_id, score_micro BIGINT, rank)`` with
+    ``score_micro`` the EXACT integer score sum in ``10^-round_to`` units
+    (the driver-fetch-path-safe contract — DECIMAL renders differently per
+    fetch path, VERDICT r11 #1; BIGINT hashes identically everywhere) and
     ``rank`` 1-based by ``(score desc, doc_id asc)``. A query whose terms
     match nothing (or whose every term was ``max_df``-pruned) returns no
     rows — retrieval found nothing, which is an answer, not an error.
@@ -195,8 +202,8 @@ def bm25_topk(
         index_stats=index_stats,
         require_all_terms=require_all_terms,
     )
-    # rank on the exact integer sum (same order as the decimal unscale,
-    # native 64-bit comparisons in the window sort)
+    # rank on the exact integer sum — native 64-bit comparisons in the
+    # window sort, and the exact micro-unit sum IS the output column
     w = Window.partitionBy("__qid").orderBy(F.desc("__score_i"), F.asc("__id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -204,7 +211,7 @@ def bm25_topk(
         .select(
             F.col("__qid").alias(query_id_col),
             F.col("__id").alias(id_col),
-            F.col("score").cast(f"decimal(38,{round_to})").alias("score"),
+            F.col("__score_i").cast("long").alias("score_micro"),
             "rank",
         )
     )
@@ -328,7 +335,6 @@ def _bm25_scored(
             F.sum(contrib_i).alias("__score_i"),
             F.count(F.lit(1)).alias("__nmatch"),
         )
-        .withColumn("score", int_sum_to_decimal(F.col("__score_i"), round_to))
     )
     if require_all_terms:
         qn = (
@@ -358,8 +364,8 @@ def bm25_facets(
     """Faceted search: per-query aggregations over the FULL BM25 match set
     — the search-engine shape where one query returns ranked hits AND
     facet counts ("312 matches in lang=en, 48 in lang=de"). Returns
-    ``(query_id, facet, n_matched, best_score)`` per (query, facet value)
-    with ≥1 positive-scoring match.
+    ``(query_id, facet, n_matched, best_score_micro BIGINT)`` per (query,
+    facet value) with ≥1 positive-scoring match.
 
     Plan shape: the scoring stage is :func:`bm25_topk`'s own
     (:func:`_bm25_scored` — broadcast query-vocab prune, integer-scaled
@@ -388,9 +394,7 @@ def bm25_facets(
         .groupBy(F.col("__qid").alias("query_id"), "facet")
         .agg(
             F.count(F.lit(1)).alias("n_matched"),
-            F.max(F.col("score").cast(f"decimal(38,{round_to})")).alias(
-                "best_score"
-            ),
+            F.max("__score_i").cast("long").alias("best_score_micro"),
         )
     )
 
@@ -422,7 +426,7 @@ def bm25_facets_oracle_sql(
     return f"""
     SELECT s.query_id, d.{facet_col} AS facet,
            count(*) AS n_matched,
-           max(s.score) AS best_score
+           max(s.score_micro) AS best_score_micro
     FROM ({inner}) s JOIN {table} d ON d.{id_col} = s.{id_col}
     GROUP BY 1, 2
     """
@@ -459,7 +463,9 @@ def bm25_oracle_sql(
     if (query_rows is None) == (queries_sql is None):
         raise ValueError("give exactly one of query_rows / queries_sql")
     if queries_sql is None:
-        values = ", ".join(f"('{qid}', '{qtext}')" for qid, qtext in query_rows)
+        values = ", ".join(
+        f"({_sql_str(qid)}, {_sql_str(qtext)})" for qid, qtext in query_rows
+    )
         q_cte = f"q(query_id, query_text) AS (VALUES {values})"
     else:
         q_cte = f"q AS ({queries_sql})"
@@ -471,15 +477,16 @@ def bm25_oracle_sql(
         else ""
     )
     if ranked:
-        final = f"""SELECT query_id, id AS {id_col}, score, rank FROM (
-      SELECT query_id, id, score,
+        final = f"""SELECT query_id, id AS {id_col}, score_micro, rank FROM (
+      SELECT query_id, id, score_micro,
              CAST(row_number() OVER (PARTITION BY query_id
-                                     ORDER BY score DESC, id ASC) AS INT) AS rank
+                                     ORDER BY score_micro DESC, id ASC) AS INT) AS rank
       FROM scores
     ) WHERE rank <= {k}"""
     else:
         final = (
-            f"SELECT query_id, id AS {id_col}, score FROM scores WHERE score > 0"
+            f"SELECT query_id, id AS {id_col}, score_micro FROM scores"
+            " WHERE score_micro > 0"
         )
     # det_ln, not the engine's ln — see _bm25_scored (same arg spelling so
     # the input double is bit-identical before the deterministic series).
@@ -493,7 +500,9 @@ def bm25_oracle_sql(
                   (tf.tf + {double_literal_sql(k1)} * ({double_literal_sql(1.0 - b)} + {double_literal_sql(b)} *
                     (CAST(dl.dl * stats.n AS DOUBLE) / stats.sdl))))"""
     contrib_sql = floor_round_int_sql(f"qdf.idf * {tf_norm_sql}", round_to)
-    score_sql = int_sum_to_decimal_sql("sum(s)", round_to)
+    # exact BIGINT micro-unit sum — never a DECIMAL output column (the
+    # driver's hash path canonicalizes DECIMAL differently per fetch path)
+    score_sql = "CAST(sum(s) AS BIGINT)"
     return f"""
     WITH {q_cte},
     toks AS (
@@ -540,7 +549,7 @@ def bm25_oracle_sql(
       SELECT query_id, count(*) AS qn FROM qt JOIN qdf ON qt.t = qdf.t GROUP BY 1
     ),
     scores AS (
-      SELECT query_id, id, {score_sql} AS score
+      SELECT query_id, id, {score_sql} AS score_micro
       FROM contrib GROUP BY 1, 2
       {conj_having}
     )
@@ -650,7 +659,9 @@ def phrase_oracle_sql(
     tie-break. Positions are 1-based here vs posexplode's 0-based — the
     start key ``pos − i`` is engine-internal, so the off-by-one cancels.
     Integer-only arithmetic: no rounding or literal-spelling hazards."""
-    values = ", ".join(f"('{qid}', '{qtext}')" for qid, qtext in query_rows)
+    values = ", ".join(
+        f"({_sql_str(qid)}, {_sql_str(qtext)})" for qid, qtext in query_rows
+    )
     tok_list = (
         f"string_split(regexp_replace(lower(trim(coalesce({{col}}, ''))),"
         " '\\s+', ' ', 'g'), ' ')"
@@ -717,8 +728,11 @@ def rrf_fuse(
     tilts fusion toward the branch known to be stronger for the workload
     without ever comparing raw scores.
 
-    Returns ``(query_id, doc_id, rrf_score DECIMAL, n_lists, rank)`` with
-    ``rank`` 1-based by ``(rrf_score desc, doc_id asc)`` per query.
+    Returns ``(query_id, doc_id, rrf_score_nano BIGINT, n_lists, rank)``
+    with ``rrf_score_nano`` the exact integer fused score in ``10^-round_to``
+    units (BIGINT output — the driver-fetch-path-safe contract; DECIMAL
+    rendered differently per fetch path, VERDICT r11 #1) and ``rank``
+    1-based by ``(rrf_score desc, doc_id asc)`` per query.
 
     Scale posture: inputs are ALREADY top-k rankings, so every frame here
     is ``O(k · |queries| · #lists)`` — union, one (query, doc) agg, one
@@ -754,7 +768,7 @@ def rrf_fuse(
     scored = u.groupBy("__qid", "__id").agg(
         F.sum(contrib_i).alias("__score_i"),
         F.count(F.lit(1)).cast("int").alias("n_lists"),
-    ).withColumn("rrf_score", int_sum_to_decimal(F.col("__score_i"), round_to))
+    )
     w = Window.partitionBy("__qid").orderBy(F.desc("__score_i"), F.asc("__id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -762,7 +776,7 @@ def rrf_fuse(
         .select(
             F.col("__qid").alias(query_id_col),
             F.col("__id").alias(id_col),
-            F.col("rrf_score").cast(f"decimal(38,{round_to})").alias("rrf_score"),
+            F.col("__score_i").cast("long").alias("rrf_score_nano"),
             "n_lists",
             "rank",
         )
@@ -796,17 +810,15 @@ def rrf_oracle_sql(
     WITH u AS ({lists}),
     fused AS (
       SELECT qid, id,
-             {int_sum_to_decimal_sql(
-                 f"sum({floor_round_int_sql(f'w / (CAST({c} AS INT) + rnk)', round_to)})",
-                 round_to,
-             )} AS rrf_score,
+             CAST(sum({floor_round_int_sql(f'w / (CAST({c} AS INT) + rnk)', round_to)})
+                  AS BIGINT) AS rrf_score_nano,
              CAST(count(*) AS INT) AS n_lists
       FROM u GROUP BY 1, 2
     )
-    SELECT qid AS {query_id_col}, id AS {id_col}, rrf_score, n_lists, rank
+    SELECT qid AS {query_id_col}, id AS {id_col}, rrf_score_nano, n_lists, rank
     FROM (
       SELECT *, CAST(row_number() OVER (PARTITION BY qid
-                     ORDER BY rrf_score DESC, id ASC) AS INT) AS rank
+                     ORDER BY rrf_score_nano DESC, id ASC) AS INT) AS rank
       FROM fused
     ) WHERE rank <= {k}"""
 
@@ -909,7 +921,7 @@ def bm25_frozen_scores(
 
     if not model:
         return F.array().cast(
-            f"array<struct<query_id:string,score:decimal(38,{round_to})>>"
+            "array<struct<query_id:string,score_micro:bigint>>"
         )
 
     def scores(words: Column) -> Column:
@@ -924,18 +936,20 @@ def bm25_frozen_scores(
                 tf_norm = (tf * F.lit(k1 + 1.0)) / (
                     tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl_ratio)
                 )
-                contrib = _floor_round(F.lit(idf) * tf_norm, round_to).cast(
-                    f"decimal(38,{round_to})"
-                )
+                # exact BIGINT micro-unit contribution — the BIGINT sum
+                # equals the old per-term DECIMAL sum exactly, without a
+                # DECIMAL output column (driver fetch-path hazard,
+                # VERDICT r11 #1)
+                contrib = floor_round_int(F.lit(idf) * tf_norm, round_to)
                 score = contrib if score is None else score + contrib
             entries.append(
                 F.struct(
                     F.lit(qid).alias("query_id"),
-                    score.cast(f"decimal(38,{round_to})").alias("score"),
+                    score.cast("long").alias("score_micro"),
                 )
             )
         arr = F.array(*entries)
-        return F.filter(arr, lambda e: e["score"] > 0)
+        return F.filter(arr, lambda e: e["score_micro"] > 0)
 
     return _let(_words(text), scores)
 

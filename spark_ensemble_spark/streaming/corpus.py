@@ -336,7 +336,7 @@ def bm25_alert_stream(
     ).select(
         id_col,
         F.col("__e.query_id").alias("query_id"),
-        F.col("__e.score").alias("score"),
+        F.col("__e.score_micro").alias("score_micro"),
     )
 
 
@@ -670,11 +670,20 @@ def compact_bm25_index_dir(
             f"{out_path}/postings/batch_id=-1"
         )
     # hot level: verbatim file copy — "never rewritten" is literal (on a
-    # cluster this is a metastore/file move, not a data pass)
-    for b in hot:
+    # cluster this is a metastore/file move, not a data pass).  Kept
+    # batches are REMAPPED to reserved negative ids (-2, -3, … most-recent
+    # first), never their original positive ids: a new append stream
+    # resuming on the generation starts a fresh checkpoint at batch 0 and
+    # its idempotent mode("overwrite") write would silently replace a hot
+    # copy parked at a positive id once its batch counter reached it
+    # (ADVICE r11).  All negative ids sit below anything a fresh
+    # checkpoint can produce; dirs_exist_ok makes a retried compaction
+    # into the same out_path idempotent instead of crashing copytree.
+    for j, b in enumerate(sorted(hot, reverse=True)):
         shutil.copytree(
             f"{index_path}/postings/batch_id={b}",
-            f"{out_path}/postings/batch_id={b}",
+            f"{out_path}/postings/batch_id={-(2 + j)}",
+            dirs_exist_ok=True,
         )
 
     # stats are GLOBAL exact sums — collapse every append partial and (when

@@ -721,9 +721,11 @@ def gap_fill_hourly(
 
     Exactness: the hour key is pure integer arithmetic
     (``epoch_µs DIV 3600e6``, never a double division near a boundary),
-    bucket sums are DECIMAL(38,6) (order-independent — the sessionize
-    convention), and the carry-forward is ``last(ignorenulls)`` over a
-    rows-unbounded-preceding frame — all bit-replayable by the oracle.
+    bucket sums are exact BIGINT micro-units (value quantized once per row
+    by the DECIMAL(·,6) cast then unscaled — order-independent, and a
+    fetch-path-safe output type), and the carry-forward is
+    ``last(ignorenulls)`` over a rows-unbounded-preceding frame — all
+    bit-replayable by the oracle.
 
     Scale shape: one shuffle to the (user, hour) buckets, one per-user
     min/max agg, the grid explode is narrow (≤ span-hours rows per user),
@@ -734,10 +736,18 @@ def gap_fill_hourly(
     hour_s = F.expr(
         f"CAST((unix_micros({ts_col}) DIV 3600000000) * 3600 AS BIGINT)"
     )
+    # Per-row exact micro-units: the double→DECIMAL(·,6) cast quantizes
+    # (engine-identical, the sessionize convention), then ×10^6 is an
+    # integral decimal cast ONCE to BIGINT — the summed/filled output is a
+    # BIGINT column, never DECIMAL (driver fetch-path hazard, VERDICT r11
+    # #1).  DECIMAL(18,6) keeps the multiply inside exact decimal range on
+    # both engines (38,6 × 10^6 would overflow DuckDB's width cap).
     b = df.select(
         F.col(user_col).alias("user_id"),
         hour_s.alias("hour_start"),
-        F.col(value_col).cast("decimal(38,6)").alias("__v"),
+        (F.col(value_col).cast("decimal(18,6)") * F.lit(1000000))
+        .cast("long")
+        .alias("__v"),
     )
     actual = b.groupBy("user_id", "hour_start").agg(
         F.sum("__v").alias("bucket_value"),
@@ -762,7 +772,9 @@ def gap_fill_hourly(
         "user_id",
         "hour_start",
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
-        F.last("bucket_value", ignorenulls=True).over(w).alias("filled_value"),
+        F.last("bucket_value", ignorenulls=True)
+        .over(w)
+        .alias("filled_value_micro"),
         F.when(F.col("bucket_value").isNull(), 1)
         .otherwise(0)
         .cast("int")

@@ -263,21 +263,11 @@ def compact_ann_index_dir(
         idc = [c for c in tomb.columns if c != "batch_id"][0]
         live_tomb = tomb.select(idc).distinct()
 
-    if cold:
-        cold_enc = spark.read.parquet(
-            *[f"{index_path}/batch_id={b}" for b in cold]
-        )
-        if live_tomb is not None:
-            from spark_ensemble_spark.operators.similarity import (
-                remove_from_ann_index,
-            )
-
-            cold_enc = remove_from_ann_index(cold_enc, live_tomb)
-        cold_enc.write.mode("overwrite").parquet(f"{out_path}/batch_id=-1")
-    for b in hot:
-        shutil.copytree(
-            f"{index_path}/batch_id={b}", f"{out_path}/batch_id={b}"
-        )
+    # Validate the retained-tombstone precondition BEFORE writing any
+    # output (ADVICE r11): raising after the cold fold / hot copies left a
+    # partial — unsafe-to-serve — generation behind, and a retry into the
+    # same out_path then crashed in copytree on the existing destination.
+    retained = None
     if live_tomb is not None and hot:
         hot_enc = spark.read.parquet(
             *[f"{index_path}/batch_id={b}" for b in hot]
@@ -291,13 +281,36 @@ def compact_ann_index_dir(
             live_tomb.columns[0],
             "left_semi",
         )
-        if retained.limit(1).count() > 0:
-            if out_tombstone_path is None:
-                raise ValueError(
-                    "keep_recent compaction retained tombstone ids that "
-                    "target the kept hot level — pass out_tombstone_path "
-                    "so the generation can be served with them"
-                )
-            retained.write.mode("overwrite").parquet(
-                f"{out_tombstone_path}/batch_id=-1"
+        if retained.limit(1).count() == 0:
+            retained = None
+        elif out_tombstone_path is None:
+            raise ValueError(
+                "keep_recent compaction retained tombstone ids that "
+                "target the kept hot level — pass out_tombstone_path "
+                "so the generation can be served with them"
             )
+    if cold:
+        cold_enc = spark.read.parquet(
+            *[f"{index_path}/batch_id={b}" for b in cold]
+        )
+        if live_tomb is not None:
+            from spark_ensemble_spark.operators.similarity import (
+                remove_from_ann_index,
+            )
+
+            cold_enc = remove_from_ann_index(cold_enc, live_tomb)
+        cold_enc.write.mode("overwrite").parquet(f"{out_path}/batch_id=-1")
+    # hot copies REMAPPED to reserved negative ids (-2, -3, … most-recent
+    # first): a fresh append checkpoint restarting at batch 0 would
+    # otherwise overwrite a hot copy parked at its original positive id
+    # (ADVICE r11); dirs_exist_ok keeps a retried compaction idempotent.
+    for j, b in enumerate(sorted(hot, reverse=True)):
+        shutil.copytree(
+            f"{index_path}/batch_id={b}",
+            f"{out_path}/batch_id={-(2 + j)}",
+            dirs_exist_ok=True,
+        )
+    if retained is not None:
+        retained.write.mode("overwrite").parquet(
+            f"{out_tombstone_path}/batch_id=-1"
+        )

@@ -2535,7 +2535,7 @@ def test_bm25_hand_values_and_pruning(spark):
         "query_id string, query_text string",
     )
     out = {
-        (r.query_id, r.doc_id): (float(r.score), r.rank)
+        (r.query_id, r.doc_id): (float(r.score_micro) / 1e6, r.rank)
         for r in bm25_topk(docs, qs, k=10).collect()
     }
 
@@ -2596,7 +2596,7 @@ def test_rrf_fuse_hand_values(spark):
         [("q", 2, 1), ("q", 4, 2)], "query_id string, doc_id int, rank int"
     )
     out = {
-        r.doc_id: (float(r.rrf_score), r.n_lists, r.rank)
+        r.doc_id: (float(r.rrf_score_nano) / 1e9, r.n_lists, r.rank)
         for r in rrf_fuse([a, b], k=10, c=60).collect()
     }
     exp = {
@@ -2637,18 +2637,18 @@ def test_bm25_alert_stream_equals_batch(spark, sf_dir):
         docs, spark.createDataFrame(qrows, "query_id string, query_text string")
     )
     batch = {
-        (r.doc_id, r.query_id): r.score
+        (r.doc_id, r.query_id): r.score_micro
         for r in bm25_alert_stream(docs, model, n, sdl).collect()
     }
     streamed = {
-        (r.doc_id, r.query_id): r.score
+        (r.doc_id, r.query_id): r.score_micro
         for r in streaming_bm25_alerts(spark, sf_dir, qrows).collect()
     }
     assert streamed == batch and batch
     # agree with the corpus-side scorer (k large enough to keep every match)
     qdf = spark.createDataFrame(qrows, "query_id string, query_text string")
     full = {
-        (r.doc_id, r.query_id): r.score
+        (r.doc_id, r.query_id): r.score_micro
         for r in bm25_topk(docs, qdf, k=10**9).collect()
     }
     assert batch == full
@@ -2687,12 +2687,12 @@ def test_bm25_conjunctive_and_merge_index(spark):
     idx0, st0 = build_bm25_index(old)
     idx1, st1 = merge_bm25_index(idx0, st0, new)
     merged = {
-        (r.query_id, r.doc_id): (r.score, r.rank)
+        (r.query_id, r.doc_id): (r.score_micro, r.rank)
         for r in bm25_topk(None, qs, k=10, index=idx1, index_stats=st1).collect()
     }
     full_idx, full_st = build_bm25_index(docs)
     rebuilt = {
-        (r.query_id, r.doc_id): (r.score, r.rank)
+        (r.query_id, r.doc_id): (r.score_micro, r.rank)
         for r in bm25_topk(
             None, qs, k=10, index=full_idx, index_stats=full_st
         ).collect()
@@ -2728,12 +2728,12 @@ def test_bm25_remove_equals_rebuild(spark):
     removed = docs.filter(F.col("doc_id").isin(2, 5)).select("doc_id", "text")
     idx2, st2 = remove_from_bm25_index(idx, st, removed)
     served = {
-        (r.query_id, r.doc_id): (r.score, r.rank)
+        (r.query_id, r.doc_id): (r.score_micro, r.rank)
         for r in bm25_topk(None, qs, k=10, index=idx2, index_stats=st2).collect()
     }
     fidx, fst = build_bm25_index(docs.filter(~F.col("doc_id").isin(2, 5)))
     rebuilt = {
-        (r.query_id, r.doc_id): (r.score, r.rank)
+        (r.query_id, r.doc_id): (r.score_micro, r.rank)
         for r in bm25_topk(None, qs, k=10, index=fidx, index_stats=fst).collect()
     }
     assert served == rebuilt and served
@@ -2854,8 +2854,11 @@ def test_hybrid_retrieval_serving_shape_end_to_end(spark):
     lex = bm25_topk(None, queries, k=K, index=idx, index_stats=st)
     inline = bm25_topk(docs, queries, k=K)
     assert {
-        (r.query_id, r.doc_id): (r.score, r.rank) for r in lex.collect()
-    } == {(r.query_id, r.doc_id): (r.score, r.rank) for r in inline.collect()}
+        (r.query_id, r.doc_id): (r.score_micro, r.rank) for r in lex.collect()
+    } == {
+        (r.query_id, r.doc_id): (r.score_micro, r.rank)
+        for r in inline.collect()
+    }
 
     # semantic branch: residual IVF-PQ with trained codebooks
     cents = ivf_fixed_centroids(DIM, 4, seed=23)
@@ -2913,11 +2916,11 @@ def test_rrf_fuse_weights_tilt_and_default_identity(spark):
         [("q", 3, 1), ("q", 4, 2)], "query_id string, doc_id int, rank int"
     )
     plain = {
-        (r.doc_id): (str(r.rrf_score), r.rank)
+        (r.doc_id): (r.rrf_score_nano, r.rank)
         for r in rrf_fuse([a, b], k=4).collect()
     }
     ones = {
-        (r.doc_id): (str(r.rrf_score), r.rank)
+        (r.doc_id): (r.rrf_score_nano, r.rank)
         for r in rrf_fuse([a, b], k=4, weights=(1.0, 1.0)).collect()
     }
     assert plain == ones
@@ -3265,8 +3268,8 @@ def test_ltr_score_matches_python_reference(spark):
     from spark_ensemble_spark.operators.ltr import ltr_features, ltr_score
 
     lex = spark.createDataFrame(
-        [(1, 10, Decimal("2.5")), (1, 11, Decimal("1.25")), (2, 10, Decimal("0.5"))],
-        "query_id long, doc_id long, score decimal(38,6)",
+        [(1, 10, 2500000), (1, 11, 1250000), (2, 10, 500000)],
+        "query_id long, doc_id long, score_micro long",
     )
     vec = spark.createDataFrame(
         [(1, 11, 0.9), (1, 12, 0.8), (2, 13, -0.5)],
@@ -3315,7 +3318,7 @@ def test_ltr_train_on_hybrid_features_end_to_end(spark, sf_dir):
         F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
     )
     lex = bm25_topk(docs, queries, k=8, exclude_self=True).select(
-        "query_id", "doc_id", "score"
+        "query_id", "doc_id", "score_micro"
     )
     vec = brute_force_topk(emb, emb.filter(F.col("vec_id") < 6), k=8).select(
         "query_id", F.col("neighbor_id").alias("doc_id"), "cosine"
@@ -3365,7 +3368,11 @@ def test_gap_fill_hourly_carry_forward(spark):
     ]
     df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
     out = {
-        (r.user_id, r.hour_start): (r.n_events, float(r.filled_value), r.is_gap)
+        (r.user_id, r.hour_start): (
+            r.n_events,
+            float(r.filled_value_micro) / 1e6,
+            r.is_gap,
+        )
         for r in gap_fill_hourly(df).collect()
     }
     base = int(dt.datetime(2024, 1, 1).replace(tzinfo=dt.timezone.utc).timestamp())
@@ -3630,7 +3637,10 @@ def test_bm25_leveled_compaction_retained_guard(spark, tmp_path):
     compact_bm25_index_dir(spark, gen1, gen2, keep_recent=1)
     # cold level folded doc 0; hot batch verbatim; doc 15 retained
     assert os.path.isdir(f"{gen2}/postings/batch_id=-1")
-    assert os.path.isdir(f"{gen2}/postings/batch_id=1")
+    # hot copy remapped to the reserved negative band (-2, -3, ...): a
+    # fresh append checkpoint's batch 0/1/... writes can never collide
+    assert os.path.isdir(f"{gen2}/postings/batch_id=-2")
+    assert not os.path.isdir(f"{gen2}/postings/batch_id=1")
     retained = spark.read.parquet(f"{gen2}/tombstones")
     assert [r.doc_id for r in retained.collect()] == [15]
     folded = spark.read.parquet(f"{gen2}/compacted_tombstones")
@@ -3700,7 +3710,9 @@ def test_ann_leveled_compaction_retained_tombstones(spark, tmp_path):
         spark, idx, tomb, out, keep_recent=1, out_tombstone_path=out_tomb
     )
     assert os.path.isdir(f"{out}/batch_id=-1")
-    assert os.path.isdir(f"{out}/batch_id=1")
+    # hot copy remapped to the reserved negative band (ADVICE r11)
+    assert os.path.isdir(f"{out}/batch_id=-2")
+    assert not os.path.isdir(f"{out}/batch_id=1")
     assert [r.vec_id for r in spark.read.parquet(out_tomb).collect()] == [11]
     got = read_ann_index_dir(spark, out, out_tomb)
     want = enc.filter(~F.col("neighbor_id").isin([1, 11]))

@@ -857,7 +857,7 @@ def test_bm25_index_serving_equivalence_and_no_term_shuffle(spark, sf_dir, tmp_p
         "query_id string, query_text string",
     )
     inline = {
-        (r.query_id, r.doc_id): (r.score, r.rank)
+        (r.query_id, r.doc_id): (r.score_micro, r.rank)
         for r in bm25_topk(docs, qs, k=5).collect()
     }
 
@@ -870,7 +870,8 @@ def test_bm25_index_serving_equivalence_and_no_term_shuffle(spark, sf_dir, tmp_p
     idx = spark.table("bm25_idx_test")
     served_df = bm25_topk(None, qs, k=5, index=idx, index_stats=stats)
     served = {
-        (r.query_id, r.doc_id): (r.score, r.rank) for r in served_df.collect()
+        (r.query_id, r.doc_id): (r.score_micro, r.rank)
+        for r in served_df.collect()
     }
     assert served == inline and inline
 

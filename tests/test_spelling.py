@@ -101,7 +101,7 @@ def test_typo_tolerant_bm25_equals_clean_query(spark, sf_dir):
     from spark_ensemble_spark.sources.datasets import load_table
 
     typo = {
-        (r["query_id"], r["doc_id"], str(r["score"]), r["rank"])
+        (r["query_id"], r["doc_id"], r["score_micro"], r["rank"])
         for r in ALL_SPARK_QUERIES["docs_bm25_typo_tolerant"](spark, sf_dir)
         .filter(F.col("query_id") == "q_join")
         .collect()
@@ -111,7 +111,7 @@ def test_typo_tolerant_bm25_equals_clean_query(spark, sf_dir):
         [("q_join", "spark window join")], "query_id string, query_text string"
     )
     clean = {
-        (r["query_id"], r["doc_id"], str(r["score"]), r["rank"])
+        (r["query_id"], r["doc_id"], r["score_micro"], r["rank"])
         for r in bm25_topk(docs, clean_q, k=_BM25_K, max_df=_BM25_MAX_DF).collect()
     }
     assert typo == clean and len(typo) > 0

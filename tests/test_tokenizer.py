@@ -519,7 +519,9 @@ def test_unigram_train_improves_and_is_deterministic(spark):
     def total_lp(model):
         out = U.unigram_doc_stats(docs, model, max_piece_len=3)
         return float(
-            out.agg(F.sum(F.col("total_logp").cast("double"))).collect()[0][0]
+            out.agg(
+                F.sum(F.col("total_logp_micro").cast("double") / 1e6)
+            ).collect()[0][0]
         )
 
     assert total_lp(m1) >= total_lp(seed_model) - 1e-6

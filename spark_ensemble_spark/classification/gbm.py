@@ -501,10 +501,59 @@ class GBMClassifier(Estimator, _GBMClassifierParams, EnsembleReadWrite):
             sw = row["sw"] or 1.0
             return [(row[1 + i] or 0.0) / sw for i in range(len(points))]
 
+        def _grad_sums(x):
+            """Gradient sum expressions at step vector x — the same
+            expressions fun_and_grad aggregates, factored out so the fused
+            ladder pass can evaluate them in the SAME agg."""
+            loss_e, probs = loss_terms(x)
+            if isinstance(gl, LogLoss):
+                return [
+                    F.sum(
+                        w
+                        * F.element_at("__dir", j + 1)
+                        * (probs[j] - (label == j).cast("double"))
+                    )
+                    for j in range(dim)
+                ]
+            y = gl.encode_label(label)
+            return [
+                F.sum(
+                    w * F.element_at("__dir", 1) * gl.gradient(y, newp_scalars(x)[0])
+                )
+            ]
+
+        def losses_grad0_batch(points):
+            """ONE agg returns every rung's loss AND the gradient at rung 0
+            (the reference GBMLossAggregator's one-pass loss+grad trick,
+            GBMLoss.scala:34-76): BB step sizing accepts rung 0 almost
+            always, so the common-case line-search iteration pays a single
+            full-frame pass instead of ladder-agg + gradient-agg."""
+            n = len(points)
+            row = opt_df.agg(
+                F.sum(w).alias("sw"),
+                *[
+                    F.sum(w * loss_terms(x)[0]).alias(f"l{i}")
+                    for i, x in enumerate(points)
+                ],
+                *[
+                    e.alias(f"g{j}")
+                    for j, e in enumerate(_grad_sums(points[0]))
+                ],
+            ).first()
+            sw = row["sw"] or 1.0
+            losses = [(row[1 + i] or 0.0) / sw for i in range(n)]
+            grad0 = [(row[1 + n + j] or 0.0) / sw for j in range(dim)]
+            return losses, grad0
+
         from spark_ensemble_spark.core.optim import minimize_nonneg_batched
 
         return minimize_nonneg_batched(
-            fun_and_grad, losses_batch, [1.0] * dim, min(max_iter, 15), tol
+            fun_and_grad,
+            losses_batch,
+            [1.0] * dim,
+            min(max_iter, 15),
+            tol,
+            losses_grad0_batch=losses_grad0_batch,
         )
 
     def _save_impl(self, path: str) -> None:

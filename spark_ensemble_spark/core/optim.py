@@ -114,6 +114,9 @@ def minimize_nonneg_batched(
     tol: float = 1e-6,
     rel_tol: float = 1e-4,
     ladder: int = 8,
+    losses_grad0_batch: Callable[
+        [Sequence[Sequence[float]]], Tuple[List[float], List[float]]
+    ] = None,
 ) -> List[float]:
     """min f(x) s.t. x ≥ 0 — projected gradient where Armijo backtracking
     is evaluated in batched ``losses_batch`` calls.
@@ -132,6 +135,17 @@ def minimize_nonneg_batched(
     generated plans structurally identical across iterations (codegen
     compiles each once). ``rel_tol`` is the relative-improvement stop — a
     GBM step size multiplied by a learning rate only needs ~1% accuracy.
+
+    r12 (VERDICT r11 next #6 — the reference ``GBMLossAggregator``'s
+    one-pass loss+gradient trick, ``GBMLoss.scala:34-76``): pass
+    ``losses_grad0_batch`` — same contract as ``losses_batch`` but ALSO
+    returning the gradient evaluated at the FIRST candidate — and the
+    common-case outer iteration collapses to ONE full-frame agg: BB step
+    sizing accepts rung 0 almost always, and its gradient then rides in
+    the same pass instead of funding a second ``fun_and_grad`` scan.
+    Deeper-rung acceptance falls back to the separate gradient agg.
+    Acceptance order is untouched (the loss values are the identical
+    expressions), so trajectories are unchanged.
     """
     x = [max(float(v), 0.0) for v in x0]
     f, g = fun_and_grad(x)
@@ -158,12 +172,12 @@ def minimize_nonneg_batched(
         ]
 
         def _scan(ss, cs, fcs):
-            for s, c, fc in zip(ss, cs, fcs):
+            for j, (s, c, fc) in enumerate(zip(ss, cs, fcs)):
                 if all(abs(ci - xi) < 1e-15 for ci, xi in zip(c, x)):
                     continue  # projection made this rung a no-op
                 desc = sum(gi * (ci - xi) for gi, ci, xi in zip(g, c, x))
                 if fc <= f + 1e-4 * desc:
-                    return (s, c, fc)
+                    return (j, s, c, fc)
             return None
 
         # Split the ladder (r10, profiled): the batched loss agg is the
@@ -175,20 +189,32 @@ def minimize_nonneg_batched(
         # (first accepted rung in order), so trajectories — and the
         # oracle-checked fitted weights — are bit-for-bit unchanged.
         half = max(1, ladder // 2)
-        fcs = losses_batch(cands[:half])
+        grad0 = None
+        if losses_grad0_batch is not None:
+            fcs, grad0 = losses_grad0_batch(cands[:half])
+        else:
+            fcs = losses_batch(cands[:half])
         accepted = _scan(scales[:half], cands[:half], fcs)
         if accepted is None and half < ladder:
             fcs2 = losses_batch(cands[half:])
-            accepted = _scan(scales[half:], cands[half:], fcs2)
+            acc2 = _scan(scales[half:], cands[half:], fcs2)
+            accepted = (
+                None
+                if acc2 is None
+                else (acc2[0] + half, acc2[1], acc2[2], acc2[3])
+            )
         if accepted is None:
             break
-        s, c, fc = accepted
+        j, s, c, fc = accepted
         improved_enough = (f - fc) >= rel_tol * max(abs(f), 1e-12)
         x_prev, g_prev = x, g
         x, f = c, fc
         if not improved_enough:
             break
-        _, g = fun_and_grad(x)
+        if j == 0 and grad0 is not None:
+            g = grad0  # the fused pass already evaluated ∇f at rung 0
+        else:
+            _, g = fun_and_grad(x)
         step = s
     return x
 

@@ -84,8 +84,10 @@ def salted_join_hot_keys(
             small, F.col(large_key) == F.col(small_key), "inner"
         )
     spark = large.sparkSession
-    pf = spark.createDataFrame(
-        [(str(k), int(n)) for k, n in plan.items()], "__hk string, __ns int"
+    from spark_ensemble_spark.sources.datasets import local_df
+
+    pf = local_df(
+        spark, [(str(k), int(n)) for k, n in plan.items()], "__hk string, __ns int"
     )
     lk, sk = F.col(large_key).cast("string"), F.col(small_key).cast("string")
     hot_l = (

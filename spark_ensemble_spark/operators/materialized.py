@@ -387,7 +387,9 @@ def cms_estimate(state: DataFrame, probes: Sequence[str]) -> DataFrame:
         for p in probes
         for j in range(CMS_DEPTH)
     ]
-    pf = spark.createDataFrame(rows, "probe string, d int, slot int")
+    from spark_ensemble_spark.sources.datasets import local_df
+
+    pf = local_df(spark, rows, "probe string, d int, slot int")
     keys = [c for c in state.columns if c not in ("d", "slot", "cnt")]
     cells = state.select(*keys).distinct()
     grid = cells.crossJoin(F.broadcast(pf))

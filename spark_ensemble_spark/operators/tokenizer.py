@@ -166,7 +166,9 @@ def bpe_train(
             )
     finally:
         cache.close()
-    return spark.createDataFrame(merges, MERGES_SCHEMA)
+    from spark_ensemble_spark.sources.datasets import local_df
+
+    return local_df(spark, merges, MERGES_SCHEMA)
 
 
 def apply_merge_cols(syms: Column, lhs: Column, rhs: Column) -> Column:
@@ -939,7 +941,9 @@ def wordpiece_train(
             )
     finally:
         cache.close()
-    return spark.createDataFrame(merges, WP_MERGES_SCHEMA)
+    from spark_ensemble_spark.sources.datasets import local_df
+
+    return local_df(spark, merges, WP_MERGES_SCHEMA)
 
 
 def _wp_iteration_ctes(i: int) -> str:

@@ -41,6 +41,7 @@ from spark_ensemble_spark.operators import text as _text
 from spark_ensemble_spark.sources.datasets import (
     binary_dataset,
     load_table,
+    local_df,
     multiclass_dataset,
     regression_dataset,
 )
@@ -1860,7 +1861,7 @@ def dummy_prior_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (float(c), math.floor(p * 1e6 + 0.5) / 1e6)
         for c, p in enumerate(model.probability)
     ]
-    return spark.createDataFrame(rows, "class double, prior double")
+    return local_df(spark, rows, "class double, prior double")
 
 
 @query(
@@ -2924,7 +2925,7 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_ensemble_spark.operators.retrieval import bm25_topk
 
     docs = load_table(spark, sf_dir, "documents")
-    queries = spark.createDataFrame(
+    queries = local_df(spark, 
         list(_BM25_QUERIES), "query_id string, query_text string"
     )
     return bm25_topk(
@@ -2961,7 +2962,7 @@ def docs_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_ensemble_spark.operators.retrieval import phrase_topk
 
     docs = load_table(spark, sf_dir, "documents")
-    queries = spark.createDataFrame(
+    queries = local_df(spark, 
         list(_PHRASE_QUERIES), "query_id string, query_text string"
     )
     return phrase_topk(docs, queries, k=_PHRASE_K)
@@ -3001,7 +3002,7 @@ def docs_bm25_serve_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings, stats = build_bm25_index(docs)
     removed = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
     postings, stats = remove_from_bm25_index(postings, stats, removed)
-    queries = spark.createDataFrame(
+    queries = local_df(spark, 
         list(_BM25_QUERIES), "query_id string, query_text string"
     )
     return bm25_topk(
@@ -3041,7 +3042,7 @@ def docs_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_ensemble_spark.operators.retrieval import bm25_topk
 
     docs = load_table(spark, sf_dir, "documents")
-    queries_df = spark.createDataFrame(
+    queries_df = local_df(spark, 
         list(_BM25_QUERIES), "query_id string, query_text string"
     )
     shortlist = bm25_topk(docs, queries_df, k=_BM25_K, max_df=_BM25_MAX_DF)
@@ -3068,7 +3069,7 @@ def docs_bm25_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_ensemble_spark.operators.retrieval import bm25_facets
 
     docs = load_table(spark, sf_dir, "documents")
-    queries = spark.createDataFrame(
+    queries = local_df(spark, 
         list(_BM25_QUERIES), "query_id string, query_text string"
     )
     return bm25_facets(
@@ -3207,7 +3208,7 @@ def docs_bm25_scores_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     Green here + red facets isolates the divergence to the facet
     aggregation; red here confirms the score values themselves."""
     docs = load_table(spark, sf_dir, "documents")
-    queries = spark.createDataFrame(
+    queries = local_df(spark, 
         list(_BM25_QUERIES), "query_id string, query_text string"
     )
     scored = _retrieval._bm25_scored(
@@ -3417,7 +3418,7 @@ def docs_bm25_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_ensemble_spark.operators.retrieval import bm25_topk
 
     docs = load_table(spark, sf_dir, "documents")
-    queries = spark.createDataFrame(
+    queries = local_df(spark, 
         list(_BM25_QUERIES), "query_id string, query_text string"
     )
     return bm25_topk(
@@ -4997,7 +4998,7 @@ def docs_authority_boosted_search(spark: SparkSession, sf_dir: str) -> DataFrame
     from spark_ensemble_spark.operators.retrieval import bm25_topk, rrf_fuse
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    queries = spark.createDataFrame(
+    queries = local_df(spark, 
         list(_BM25_QUERIES), "query_id string, query_text string"
     )
     lex = bm25_topk(docs, queries, k=_BM25_K, max_df=_BM25_MAX_DF).select(
@@ -8182,7 +8183,7 @@ def docs_spell_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("qterm")
         )
         .unionByName(
-            spark.createDataFrame([("zzqqxxjj",)], "qterm string")
+            local_df(spark, [("zzqqxxjj",)], "qterm string")
         )
     )
     index = deletion_index(vocab)
@@ -8241,7 +8242,7 @@ def docs_bm25_typo_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     index = deletion_index(_spell_vocab(spark, sf_dir))
-    raw = spark.createDataFrame(
+    raw = local_df(spark, 
         list(_BM25_TYPO_QUERIES), "query_id string, query_text string"
     )
     qterms = raw.select(
@@ -8471,7 +8472,7 @@ def streaming_bm25_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         shutil.rmtree(ckpt, ignore_errors=True)
     postings, stats = read_bm25_index_dir(spark, base)
-    queries = spark.createDataFrame(
+    queries = local_df(spark, 
         list(_BM25_QUERIES), "query_id string, query_text string"
     )
     return bm25_topk(
@@ -8545,7 +8546,7 @@ def streaming_bm25_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
         q2.stop()
         shutil.rmtree(ckpt2, ignore_errors=True)
     postings, stats = read_bm25_index_dir(spark, base)
-    queries = spark.createDataFrame(
+    queries = local_df(spark, 
         list(_BM25_QUERIES), "query_id string, query_text string"
     )
     return bm25_topk(
@@ -8626,7 +8627,7 @@ def streaming_bm25_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     compact_bm25_index_dir(spark, f"{base}/gen1", f"{base}/gen2")
     assert not os.path.isdir(f"{base}/gen2/tombstones")
     postings, stats = read_bm25_index_dir(spark, f"{base}/gen2")
-    queries = spark.createDataFrame(
+    queries = local_df(spark, 
         list(_BM25_QUERIES), "query_id string, query_text string"
     )
     return bm25_topk(
@@ -8721,7 +8722,7 @@ def streaming_bm25_leveled_compaction(
     assert os.path.isdir(f"{base}/gen2/postings/batch_id=-2")
     assert os.path.isdir(f"{base}/gen2/tombstones/batch_id=-1")
     postings, stats = read_bm25_index_dir(spark, f"{base}/gen2")
-    queries = spark.createDataFrame(
+    queries = local_df(spark, 
         list(_BM25_QUERIES), "query_id string, query_text string"
     )
     return bm25_topk(

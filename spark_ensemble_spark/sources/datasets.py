@@ -54,6 +54,63 @@ def spread_to_parallelism(df: DataFrame) -> DataFrame:
     return df
 
 
+def local_df(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """Small literal frame as a pure-JVM ``VALUES`` LocalRelation.
+
+    ``spark.createDataFrame(list, ...)`` parallelizes the rows into a
+    PYTHON-backed RDD: every scan of the frame launches Python workers
+    (``BasePythonRunner`` in the executor stacks) just to unpickle a
+    handful of literals, and the relation reports unknown (EiB-scale)
+    statistics to the optimizer.  For the query-batch/probe/merge-table
+    frames that sit on the BROADCAST side of every retrieval plan this was
+    measured at seconds of first-run Python-worker spin-up per query
+    (r12: docs_bm25_topk 17s -> 3s).  A ``VALUES`` SELECT is a
+    LocalRelation: no RDD, no Python at execution time, exact row-count
+    statistics, and constant-foldable into broadcasts.
+
+    ``schema`` is the usual DDL string of scalar columns
+    (``"query_id string, query_text string"``).  Supported cell types:
+    str (quote-escaped), bool, int, float (exact ``CAST('<repr>' AS
+    DOUBLE)`` round-trip), None.  Falls back to ``createDataFrame`` for
+    empty row sets (VALUES cannot be empty)."""
+    fields = []
+    for part in schema.split(","):
+        name_, typ = part.strip().split(None, 1)
+        fields.append((name_, typ.strip()))
+    rows = list(rows)
+    if not rows:
+        return spark.createDataFrame([], schema)
+
+    def lit(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, int):
+            return str(v)
+        if isinstance(v, float):
+            return f"CAST('{v!r}' AS DOUBLE)"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        raise TypeError(f"local_df: unsupported cell type {type(v)!r}")
+
+    values = ", ".join(
+        "(" + ", ".join(lit(v) for v in row) + ")" for row in rows
+    )
+    # IF(TRUE, …, NULL) widens each column back to NULLABLE so the frame
+    # (and everything derived from it) keeps the exact schema
+    # createDataFrame produced — the one the driver has hashed since r1;
+    # constant folding still collapses the whole SELECT to a LocalRelation.
+    cols = ", ".join(
+        f"IF(TRUE, CAST(c{i} AS {typ}), NULL) AS {name_}"
+        for i, (name_, typ) in enumerate(fields)
+    )
+    anon = ", ".join(f"c{i}" for i in range(len(fields)))
+    return spark.sql(
+        f"SELECT {cols} FROM (VALUES {values}) AS __local({anon})"
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # The oracle comparison formats timestamps; pin the session timezone so
     # results don't depend on the harness session's locale.

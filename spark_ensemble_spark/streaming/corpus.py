@@ -356,8 +356,10 @@ def streaming_bm25_alerts(
 
     spark = replay_session(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    queries = spark.createDataFrame(
-        list(query_rows), "query_id string, query_text string"
+    from spark_ensemble_spark.sources.datasets import local_df
+
+    queries = local_df(
+        spark, list(query_rows), "query_id string, query_text string"
     )
     model, n, sdl = bm25_query_model(docs, queries, k1=k1, b=b)
     stream = (

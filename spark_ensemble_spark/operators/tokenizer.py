@@ -39,7 +39,8 @@ is hash-checked end to end, not just the final token counts.
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+import os
+from typing import Dict, List, Optional, Tuple
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -50,6 +51,120 @@ from spark_ensemble_spark.operators.text import tokens
 SEP = "\x1e"
 
 MERGES_SCHEMA = "merge_rank int, lhs string, rhs string, pair_count long"
+
+# Small-vocabulary fast path (r12, guide §1.2 step 1): the per-round work of
+# every trainer below is proportional to the DISTINCT word vocabulary, and
+# each round is 2-3 tiny Spark jobs whose cost is pure scheduling latency
+# once the vocab is small (measured: 10 BPE rounds over a 31-word sf0.1
+# vocab = 5.8-7.8 s of ~0.3 s jobs).  When the vocabulary fits under this
+# threshold, collect it ONCE (a single bounded job — at most limit+1 rows,
+# the same driver-state class as the broadcast-join threshold) and run the
+# IDENTICAL algorithm driver-side: same pair counts, same integer score
+# grid, same (count DESC, lhs, rhs) tie-break — Python string comparison is
+# code-point order, which equals the UTF-8 binary collation both engines
+# sort by, and Python ints are exact.  Above the threshold the distributed
+# loop below runs unchanged (the 100 TB path: a trillion-token corpus still
+# has only ~10^7-10^8 distinct words, but that exceeds any sane driver).
+# Equality of the two paths is asserted by tests/test_tokenizer_local.py;
+# the DuckDB training-replay oracles hash-check the local path end to end.
+LOCAL_VOCAB_MAX = int(os.environ.get("SPARK_GRAFT_TOKENIZER_LOCAL_VOCAB_MAX", "65536"))
+
+
+def _collect_small_vocab(vocab: DataFrame, cols: List[str]) -> Optional[list]:
+    """The ``(…, w, cnt)`` vocabulary rows iff there are at most
+    :data:`LOCAL_VOCAB_MAX` of them — one bounded job (``limit+1`` rows
+    max); ``None`` (caller stays distributed) when the vocab exceeds the
+    threshold or the fast path is disabled (threshold <= 0)."""
+    if LOCAL_VOCAB_MAX <= 0:
+        return None
+    rows = vocab.select(*cols).limit(LOCAL_VOCAB_MAX + 1).collect()
+    if len(rows) > LOCAL_VOCAB_MAX:
+        return None
+    # NULL group keys / NULL or empty words have join-semantics edge cases
+    # the distributed fold defines (a NULL group never matches its winner's
+    # broadcast join back, an empty word folds to one empty symbol) — the
+    # fixtures never produce them (word_counts filters ''), but a caller's
+    # precomputed vocab could: stay distributed rather than mirror them.
+    if any(v is None or v == "" for r in rows for v in r):
+        return None
+    return rows
+
+
+def _merge_syms(syms: List[str], lhs: str, rhs: str) -> List[str]:
+    """Driver-side mirror of :func:`apply_merge`'s left-to-right
+    non-overlapping fold: the accumulator's LAST symbol plays the role of
+    the ``SEP || acc ends-with SEP || lhs`` test (a freshly merged symbol
+    equals ``lhs || rhs`` != ``lhs``, so it is never consumed twice)."""
+    out = [syms[0]]
+    for x in syms[1:]:
+        if out[-1] == lhs and x == rhs:
+            out[-1] = lhs + rhs
+        else:
+            out.append(x)
+    return out
+
+
+def _local_bpe_merges(
+    words: List[List], num_merges: int, min_count: int
+) -> List[Tuple[int, str, str, int]]:
+    """Driver-side replay of the distributed BPE rounds over a collected
+    ``[[syms…], cnt]`` vocabulary — pair counts, argmax tie-break
+    (count DESC, lhs ASC, rhs ASC), merge fold, and the ``min_count``
+    early exit are bit-identical to the Spark loop and the DuckDB CTEs."""
+    merges: List[Tuple[int, str, str, int]] = []
+    for rank in range(int(num_merges)):
+        counts: Dict[Tuple[str, str], int] = {}
+        for syms, cnt in words:
+            for j in range(len(syms) - 1):
+                key = (syms[j], syms[j + 1])
+                counts[key] = counts.get(key, 0) + cnt
+        if not counts:
+            break
+        (lhs, rhs), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if cnt < min_count:
+            break
+        merges.append((rank, lhs, rhs, cnt))
+        words = [[_merge_syms(s, lhs, rhs), c] for s, c in words]
+    return merges
+
+
+def _local_wordpiece_merges(
+    words: List[List], num_merges: int
+) -> List[Tuple[int, str, str, int, int]]:
+    """Driver-side replay of the WordPiece rounds: same pair/symbol counts
+    and merge fold as BPE, argmax on the exact integer likelihood grid
+    ``pair_count * WP_SCORE_SCALE // (count(lhs) * count(rhs))`` with the
+    (score DESC, pair_count DESC, lhs, rhs) tie-break — Python bigints
+    reproduce the DECIMAL(38)/HUGEINT arithmetic exactly."""
+    merges: List[Tuple[int, str, str, int, int]] = []
+    for rank in range(int(num_merges)):
+        pair_counts: Dict[Tuple[str, str], int] = {}
+        sym_counts: Dict[str, int] = {}
+        for syms, cnt in words:
+            for s in syms:
+                sym_counts[s] = sym_counts.get(s, 0) + cnt
+            for j in range(len(syms) - 1):
+                key = (syms[j], syms[j + 1])
+                pair_counts[key] = pair_counts.get(key, 0) + cnt
+        if not pair_counts:
+            break
+        best = min(
+            (
+                (
+                    -(pc * WP_SCORE_SCALE // (sym_counts[l] * sym_counts[r])),
+                    -pc,
+                    l,
+                    r,
+                )
+                for (l, r), pc in pair_counts.items()
+            )
+        )
+        score, pc, lhs, rhs = -best[0], -best[1], best[2], best[3]
+        merges.append((rank, lhs, rhs, pc, score))
+        words = [[_merge_syms(s, lhs, rhs), c] for s, c in words]
+    return merges
 
 
 def bpe_words(text: Column) -> Column:
@@ -143,6 +258,14 @@ def bpe_train(
             raise ValueError("pass a corpus df or a precomputed vocab")
         vocab = word_counts(df, text_col)
     spark = vocab.sparkSession
+    from spark_ensemble_spark.sources.datasets import local_df
+
+    small = _collect_small_vocab(vocab, ["w", "cnt"])
+    if small is not None:
+        local = _local_bpe_merges(
+            [[list(r[0]), int(r[1])] for r in small], num_merges, min_count
+        )
+        return local_df(spark, local, MERGES_SCHEMA)
     words = vocab.select(char_syms(F.col("w")).alias("s"), F.col("cnt"))
     cache = DFIterationCache(interval=4, keep=2)
     words = cache.update(words)
@@ -226,6 +349,26 @@ def bpe_train_grouped(
         )
     else:
         vocab = vocab.select(F.col(group_col).alias("g"), "w", "cnt")
+    if dict(vocab.dtypes).get("g") == "string":
+        small = _collect_small_vocab(vocab, ["g", "w", "cnt"])
+        if small is not None:
+            from spark_ensemble_spark.sources.datasets import local_df
+
+            by_g: Dict[str, List[List]] = {}
+            for r in small:
+                by_g.setdefault(r[0], []).append([list(r[1]), int(r[2])])
+            rows_out: List[Tuple[str, int, str, str, int]] = []
+            for g in sorted(by_g):
+                for rank, lhs, rhs, cnt in _local_bpe_merges(
+                    by_g[g], num_merges, min_count=1
+                ):
+                    rows_out.append((g, rank, lhs, rhs, cnt))
+            return local_df(
+                vocab.sparkSession,
+                rows_out,
+                f"{group_col} string, merge_rank int, lhs string, rhs string,"
+                " pair_count long",
+            )
     words = vocab.select("g", char_syms(F.col("w")).alias("s"), F.col("cnt"))
     cache = DFIterationCache(interval=4, keep=2)
     words = cache.update(words)
@@ -896,6 +1039,14 @@ def wordpiece_train(
             raise ValueError("pass a corpus df or a precomputed vocab")
         vocab = word_counts(df, text_col)
     spark = vocab.sparkSession
+    small = _collect_small_vocab(vocab, ["w", "cnt"])
+    if small is not None:
+        from spark_ensemble_spark.sources.datasets import local_df
+
+        local = _local_wordpiece_merges(
+            [[list(r[0]), int(r[1])] for r in small], num_merges
+        )
+        return local_df(spark, local, WP_MERGES_SCHEMA)
     words = vocab.select(char_syms(F.col("w")).alias("s"), F.col("cnt"))
     cache = DFIterationCache(interval=4, keep=2)
     words = cache.update(words)

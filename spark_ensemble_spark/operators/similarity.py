@@ -312,16 +312,33 @@ def _centroid_dist_chains(vec_sql: str, centroids: list) -> list:
     # ONE F.expr per centroid (see dedup._srp_bucket: Column-operator
     # composition of the same fold costs hundreds of Py4J roundtrips each);
     # identical Catalyst tree and evaluation order as the Column form.
-    dists = []
+    return [F.expr(s) for s in _centroid_dist_chain_sqls(vec_sql, centroids)]
+
+
+def _centroid_dist_chain_sqls(vec_sql: str, centroids: list) -> list:
+    """The same chains as SQL strings, for single-parse composition (r12:
+    a full IVF-PQ plan built via per-piece Column wrapping cost ~7000 Py4J
+    roundtrips ≈ 4 s of driver time PER BUILD — composing the whole
+    expression as one string and parsing once is the same Catalyst tree
+    for ~ms)."""
+    out = []
     for c in centroids:
         arr = "array(" + ",".join(f"CAST('{x!r}' AS DOUBLE)" for x in c) + ")"
-        dists.append(
-            F.expr(
-                f"aggregate(zip_with({vec_sql}, {arr}, (a, b) -> (a - b) * (a - b)), "
-                "CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
-            )
+        out.append(
+            f"aggregate(zip_with({vec_sql}, {arr}, (a, b) -> (a - b) * (a - b)), "
+            "CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
         )
-    return dists
+    return out
+
+
+def _ranked_centroid_sql(vec_sql: str, centroids: list) -> str:
+    """``array_sort(array(named_struct('d', chain_i, 'i', i), …))`` — the
+    shared (distance, id)-ascending ranking both selectors below read."""
+    structs = ",".join(
+        f"named_struct('d', {chain}, 'i', {i})"
+        for i, chain in enumerate(_centroid_dist_chain_sqls(vec_sql, centroids))
+    )
+    return f"array_sort(array({structs}))"
 
 
 def _nearest_centroid(vec_sql: str, centroids: list) -> Column:
@@ -330,32 +347,14 @@ def _nearest_centroid(vec_sql: str, centroids: list) -> Column:
     for every fixed-centroid consumer (IVF rank-1, SemDeDup pair and
     survivor stages). The tie/sort order is load-bearing for oracle parity;
     keeping it here means the stages of one operator can never drift."""
-    dists = _centroid_dist_chains(vec_sql, centroids)
-    return F.element_at(
-        F.array_sort(
-            F.array(
-                *[
-                    F.struct(d.alias("d"), F.lit(i).alias("i"))
-                    for i, d in enumerate(dists)
-                ]
-            )
-        ),
-        1,
-    )
+    return F.expr(f"element_at({_ranked_centroid_sql(vec_sql, centroids)}, 1)")
 
 
 def _centroid_ranking(vec_sql: str, centroids: list) -> Column:
     """Array of centroid ids sorted by (distance, id) ascending."""
-    dists = _centroid_dist_chains(vec_sql, centroids)
-    ranked = F.array_sort(
-        F.array(
-            *[
-                F.struct(d.alias("d"), F.lit(i).alias("i"))
-                for i, d in enumerate(dists)
-            ]
-        )
+    return F.expr(
+        f"transform({_ranked_centroid_sql(vec_sql, centroids)}, s -> s.i)"
     )
-    return F.transform(ranked, lambda s: s["i"])
 
 
 def cluster_balanced_sample(
@@ -619,8 +618,9 @@ def pq_fixed_codebooks(
 
 def _pq_subdist_chains(vec_sql: str, codebooks: list) -> list:
     """``chains[m][j]`` = squared-L2 distance from subvector m of ``vec_sql``
-    to codeword j, as the same left-fold ``aggregate(zip_with(...))`` IEEE
-    order the oracle SQL writes (see :func:`_centroid_dist_chains`)."""
+    to codeword j as SQL strings, in the same left-fold
+    ``aggregate(zip_with(...))`` IEEE order the oracle SQL writes (see
+    :func:`_centroid_dist_chain_sqls` for the single-parse rationale)."""
     sub = len(codebooks[0][0])
     chains = []
     for m, book in enumerate(codebooks):
@@ -628,11 +628,9 @@ def _pq_subdist_chains(vec_sql: str, codebooks: list) -> list:
         for c in book:
             arr = "array(" + ",".join(f"CAST('{x!r}' AS DOUBLE)" for x in c) + ")"
             row.append(
-                F.expr(
-                    f"aggregate(zip_with(slice({vec_sql}, {m * sub + 1}, {sub}), "
-                    f"{arr}, (a, b) -> (a - b) * (a - b)), "
-                    "CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
-                )
+                f"aggregate(zip_with(slice({vec_sql}, {m * sub + 1}, {sub}), "
+                f"{arr}, (a, b) -> (a - b) * (a - b)), "
+                "CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
             )
         chains.append(row)
     return chains
@@ -642,33 +640,35 @@ def _pq_codes(vec_sql: str, codebooks: list) -> Column:
     """Code array for ``vec_sql``: ``codes[m]`` = nearest codeword id of
     subvector m (ties break to the lowest id, both engines). Single source
     for :func:`pq_encode` and :func:`ivfpq_topk` so an IVF-PQ index can
-    never silently encode differently from a flat PQ index."""
+    never silently encode differently from a flat PQ index. One composed
+    SQL string, parsed once (see :func:`_centroid_dist_chain_sqls`)."""
     codes = []
     for chains in _pq_subdist_chains(vec_sql, codebooks):
-        ranked = F.array_sort(
-            F.array(
-                *[F.struct(d.alias("d"), F.lit(j).alias("j")) for j, d in enumerate(chains)]
-            )
+        structs = ",".join(
+            f"named_struct('d', {d}, 'j', {j})" for j, d in enumerate(chains)
         )
-        codes.append(F.element_at(ranked, 1)["j"])
-    return F.array(*codes)
+        codes.append(f"element_at(array_sort(array({structs})), 1).j")
+    return F.expr("array(" + ",".join(codes) + ")")
 
 
 def _pq_lut(vec_sql: str, codebooks: list) -> Column:
     """Query-side ADC lookup table: ``lut[m][j]`` = squared-L2 distance from
-    subvector m of ``vec_sql`` to codeword j."""
-    return F.array(*[F.array(*row) for row in _pq_subdist_chains(vec_sql, codebooks)])
+    subvector m of ``vec_sql`` to codeword j. One composed SQL string,
+    parsed once (see :func:`_centroid_dist_chain_sqls`)."""
+    rows = ",".join(
+        "array(" + ",".join(row) + ")"
+        for row in _pq_subdist_chains(vec_sql, codebooks)
+    )
+    return F.expr(f"array({rows})")
 
 
 def _adc_score(codes_col: str = "codes", lut_col: str = "__lut") -> Column:
     """ADC distance: ``Σ_m lut[m][codes[m]]`` — O(num_subspaces) lookups per
     candidate, never touching the original floats."""
-    return F.aggregate(
-        F.zip_with(
-            codes_col, lut_col, lambda c, l: F.try_element_at(l, c + F.lit(1))
-        ),
-        F.lit(0.0),
-        lambda s, v: s + v,
+    return F.expr(
+        f"aggregate(zip_with({codes_col}, {lut_col}, "
+        "(c, l) -> try_element_at(l, c + 1)), "
+        "CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
     )
 
 

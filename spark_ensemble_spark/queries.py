@@ -7574,9 +7574,6 @@ def similarity_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
     exact = brute_force_topk(emb, queries_df, k=5)
-    raw = ivfpq_topk(
-        emb, queries_df, _IVF_CENTROIDS, _pq_books(), k=5, nprobe=3, residual=True
-    )
     shortlist = ivfpq_topk(
         emb,
         queries_df,
@@ -7586,6 +7583,13 @@ def similarity_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=3,
         residual=True,
     )
+    # The raw ADC top-5 is EXACTLY the shortlist's first five ranks:
+    # ivfpq_probe ranks by row_number over (adc_dist ASC, neighbor_id ASC),
+    # a deterministic total order, so top-k is prefix-stable in k. Filtering
+    # the k=15 frame replaces a second full encode+probe corpus pass with a
+    # rank predicate (r12, guide §2.2: compute the shared prefix once) —
+    # provably value-identical, same oracle.
+    raw = shortlist.filter(F.col("rank") <= 5)
     rr = rerank_topk(emb, queries_df, shortlist, k=5)
     a = ann_recall(raw, exact, 5).agg(
         F.count(F.lit(1)).alias("n_queries"),

@@ -47,7 +47,7 @@ def main() -> None:
                 flush=True,
             )
         if dump_plan:
-            print(df._jdf.queryExecution().explainString("formatted"))
+            df.explain(mode="formatted")
         sc.setJobDescription(None)
 
 

@@ -1172,19 +1172,26 @@ def _hashed_feature_strings(text: Column) -> Column:
     caller to explode and hash on the flat column inside codegen (the
     :func:`~spark_ensemble_spark.operators.dedup._shingle_strings`
     discipline: lambdas evaluate interpreted, flat columns don't)."""
+    from .dedup import _lambda_bind
+
     norm = F.regexp_replace(
         F.lower(F.trim(F.coalesce(text, F.lit("")))), r"\s+", " "
     )
-    toks = F.split(norm, " ")
-    n = F.size(toks)
-    bigrams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.array_join(F.slice(toks, i, 2), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.concat(toks, bigrams)
+
+    def feats(toks: Column) -> Column:
+        n = F.size(toks)
+        bigrams = F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.array_join(F.slice(toks, i, 2), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.concat(toks, bigrams)
+
+    # bind the token array once: the bigram lambda otherwise re-runs
+    # regexp_replace+split of the whole document per bigram (_lambda_bind)
+    return _lambda_bind(F.split(norm, " "), feats)
 
 
 def dsir_log_weights(
@@ -1218,7 +1225,7 @@ def dsir_log_weights(
     partial-agg order cannot move the score (the unigram_logprob
     discipline). ``hash_fn='md5'`` is the cross-engine verification mode.
     """
-    from .dedup import _hash64
+    from .dedup import _hash64_mod
 
     if (target_df is None) == (target_col is None):
         raise ValueError("pass exactly one of target_df / target_col")
@@ -1231,9 +1238,19 @@ def dsir_log_weights(
             *cols,
             F.explode(_hashed_feature_strings(F.col(text_col))).alias("__f"),
         )
-        return flat.withColumn(
-            "__b", F.pmod(_hash64(F.col("__f"), hash_fn), F.lit(buckets))
-        ).drop("__f")
+        # The explicit (always-true) null filter is load-bearing for plan
+        # REUSE, not values: the scoring join on __b infers isnotnull(__b)
+        # and pushes it below the aggregates into ITS copy of this subtree,
+        # while the totals branch has no join and no filter — the subtrees
+        # stop being canonically equal and every consumer re-evaluates the
+        # explode+hash scan (3 Generate nodes, 0 ReusedExchange at sf0.1).
+        # Carrying the filter here keeps all consumers rooted at one
+        # identical exchange, which stage reuse then materializes once.
+        return (
+            flat.withColumn("__b", _hash64_mod(F.col("__f"), hash_fn, buckets))
+            .filter(F.col("__b").isNotNull())
+            .drop("__f")
+        )
 
     if target_col is not None:
         # __tgt is constant per doc, so adding it to the grouping keys does
@@ -1244,10 +1261,21 @@ def dsir_log_weights(
             .agg(F.count(F.lit(1)).alias("__c"))
         )
         per_doc = per_doc_t.select("__id", "__b", "__c")
-        tgt_counts = (
-            per_doc_t.filter(F.col("__tgt"))
-            .groupBy("__b")
-            .agg(F.sum("__c").alias("__ct"))
+        # BOTH per-bucket distributions from ONE aggregation of the grouped
+        # frame (r12, guide §2.1): deriving tgt_counts via filter(__tgt)
+        # pushed the predicate below the aggregate, so the branch subtrees
+        # stopped being identical and the executed plan evaluated the
+        # explode+hash scan FIVE times (5 Generate nodes, 10 file scans,
+        # zero ReusedExchange at sf0.1 — per-doc join, raw counts, target
+        # counts, and each distribution total all re-rooted the corpus
+        # subtree). A conditional sum keeps every consumer rooted at the
+        # same (__id, __b, __tgt) exchange, which exchange reuse then
+        # materializes once. sum(CASE WHEN) of exact integers == the sum
+        # over the filtered subset (0 for buckets with no target features
+        # == the old left-join NULL after its coalesce).
+        bucket_tab = per_doc_t.groupBy("__b").agg(
+            F.sum("__c").alias("__cr"),
+            F.sum(F.when(F.col("__tgt"), F.col("__c")).otherwise(0)).alias("__ct"),
         )
     else:
         per_doc = (
@@ -1260,14 +1288,33 @@ def dsir_log_weights(
             .groupBy("__b")
             .agg(F.count(F.lit(1)).alias("__ct"))
         )
-    # raw distribution re-aggregates the grouped frame — no second scan
-    raw_counts = per_doc.groupBy("__b").agg(F.sum("__c").alias("__cr"))
-    n_raw = raw_counts.agg(F.sum("__cr").alias("__nr"))
-    n_tgt = tgt_counts.agg(F.sum("__ct").alias("__nt"))
+        # raw distribution re-aggregates the grouped frame — no second
+        # scan; the left join keeps exactly the raw bucket set, NULL __ct
+        # where the target never hashed a feature (coalesced to 0 below).
+        bucket_tab = (
+            per_doc.groupBy("__b")
+            .agg(F.sum("__c").alias("__cr"))
+            .join(tgt_counts, "__b", "left")
+        )
+    if target_col is not None:
+        # one pass over the buckets-row table yields BOTH totals (was two
+        # separate single-row aggregates, each re-rooting the corpus
+        # subtree); valid because the subset target's buckets are exactly
+        # the raw buckets carrying a nonzero __ct.
+        totals = bucket_tab.agg(
+            F.sum("__cr").alias("__nr"), F.sum("__ct").alias("__nt")
+        )
+    else:
+        # two-frame form: the target may hash features into buckets the
+        # raw corpus never touches — those rows are absent from bucket_tab
+        # (raw bucket set) but MUST count toward the target total, so n_tgt
+        # aggregates tgt_counts itself (its __b exchange is shared with the
+        # join above, so this is a re-read, not a second scan).
+        n_raw = bucket_tab.agg(F.sum("__cr").alias("__nr"))
+        n_tgt = tgt_counts.agg(F.sum("__ct").alias("__nt"))
+        totals = n_raw.crossJoin(n_tgt)
     lr = (
-        raw_counts.join(tgt_counts, "__b", "left")
-        .crossJoin(F.broadcast(n_raw))
-        .crossJoin(F.broadcast(n_tgt))
+        bucket_tab.crossJoin(F.broadcast(totals))
         .select(
             "__b",
             # __nt coalesces like PSI's empty-snapshot totals: a target with

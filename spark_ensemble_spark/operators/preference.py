@@ -184,7 +184,32 @@ def bradley_terry(
 def fit_pair_stats(stats: DataFrame, n_iters: int = 8) -> DataFrame:
     """The MM fit from a ``(a, b, n, wins_a)`` pair-stats frame (see
     :func:`pair_stats`); after the stats collapse, every round touches
-    only item- and pair-sized frames — model-sized, never data-sized."""
+    only item- and pair-sized frames — model-sized, never data-sized.
+
+    When the collapsed pair table fits under ``SPARK_GRAFT_BT_LOCAL_PAIRS_MAX``
+    (default 65536 — model-sized by construction: one row per unordered
+    item pair), the MM rounds run DRIVER-SIDE on the collected statistic
+    instead: the distributed loop pays 2 joins + a grouped sum + a
+    windowed rescale of a K-row frame PER ROUND in pure scheduling latency
+    (measured 12-16s for 8 rounds over the sf0.1 source vocabulary, r12 —
+    the tokenizer-trainer finding: tiny-frame iteration is driver latency,
+    not data work). Python integers replay the exact-integer contract
+    above verbatim (arbitrary precision ≥ DECIMAL(38,0); flooring ``div``
+    of non-negative operands == ``//``), so the fitted strengths are
+    bit-identical — asserted path-vs-path by tests/test_preference.py.
+    Larger pair tables keep the distributed loop unchanged."""
+    import os
+
+    local_max = int(os.environ.get("SPARK_GRAFT_BT_LOCAL_PAIRS_MAX", "65536"))
+    if local_max > 0:
+        probe = stats.select("a", "b", "n", "wins_a").limit(local_max + 1).collect()
+        if len(probe) <= local_max:
+            return _fit_pair_stats_local(
+                stats.sparkSession,
+                probe,
+                n_iters,
+                stats.schema["a"].dataType.simpleString(),
+            )
     from spark_ensemble_spark.core.utils import DFIterationCache
 
     pairs = stats.select("a", "b", F.col("n").cast("long").alias("n"))
@@ -275,6 +300,57 @@ def fit_pair_stats(stats: DataFrame, n_iters: int = 8) -> DataFrame:
     )
     cache.close()
     return out
+
+
+def _fit_pair_stats_local(
+    spark, rows, n_iters: int, item_type: str
+) -> DataFrame:
+    """Driver-side replay of the distributed MM loop over a collected
+    pair-stats list — the same exact-integer iteration, term for term:
+    ``t = (n·10¹⁵) // (p_a + p_b)`` per pair, ``p = max(w·10¹⁵ // T,
+    MIN_P)``, then the normalise-and-clamp rescale ``p = max(p·K·10⁹ //
+    Σp, MIN_P)``. Python ints are exact at any width (the Spark side runs
+    the multiplies in DECIMAL(38,0)), and flooring division of
+    non-negative operands is ``//`` on both engines, so every strength is
+    bit-identical to the distributed fixed point. Returns the result as a
+    pure-JVM VALUES frame with the distributed output schema."""
+    from collections import defaultdict
+
+    from spark_ensemble_spark.sources.datasets import local_df
+
+    wins: dict = defaultdict(int)
+    ncmp: dict = defaultdict(int)
+    pairs = []
+    for r in rows:
+        a, b, n, wa = r["a"], r["b"], int(r["n"]), int(r["wins_a"])
+        pairs.append((a, b, n))
+        wins[a] += wa
+        wins[b] += n - wa
+        ncmp[a] += n
+        ncmp[b] += n
+    items = list(wins)
+    k = len(items)
+    p = {i: SCALE for i in items}
+    for _ in range(n_iters):
+        denom: dict = defaultdict(int)
+        for a, b, n in pairs:
+            t = (n * _BIG) // (p[a] + p[b])
+            denom[a] += t
+            denom[b] += t
+        p = {i: max((wins[i] * _BIG) // denom[i], MIN_P) for i in items}
+        total = sum(p.values())
+        p = {i: max((p[i] * (k * SCALE)) // total, MIN_P) for i in items}
+    order = sorted(items, key=lambda i: (-p[i], i))
+    out_rows = [
+        (i, p[i], p[i] / float(SCALE), wins[i], ncmp[i], r + 1)
+        for r, i in enumerate(order)
+    ]
+    return local_df(
+        spark,
+        out_rows,
+        f"item {item_type}, strength_scaled bigint, strength double, "
+        "wins bigint, n_comparisons bigint, rank int",
+    )
 
 
 def bradley_terry_oracle_sql(comparisons_sql: str, n_iters: int = 8) -> str:

@@ -1447,6 +1447,8 @@ def mmr_rerank(
     grouped max, and a per-query argmax window. The full-precision fetch
     broadcasts the shortlist against the corpus scan exactly like
     :func:`rerank_topk`."""
+    import os
+
     cand_ids = shortlist.select("query_id", "neighbor_id").dropDuplicates(
         ["query_id", "neighbor_id"]
     )
@@ -1456,7 +1458,7 @@ def mmr_rerank(
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
-    cand = (
+    cand_plan = (
         c.join(F.broadcast(cand_ids), "neighbor_id")
         .join(F.broadcast(q), "query_id")
         .select(
@@ -1465,8 +1467,27 @@ def mmr_rerank(
             "cv",
             _floor_round(cosine(F.col("cv"), F.col("qv")), round_to).alias("rel"),
         )
-        .localCheckpoint(eager=True)
     )
+    # The greedy loop runs over a |shortlist|-bounded frame (k'·|queries|
+    # rows by construction — the rrf_fuse class, NEVER corpus-sized). When
+    # it fits under SPARK_GRAFT_MMR_LOCAL_CAND_MAX (default 8192), run the
+    # k selection steps DRIVER-SIDE on the collected candidates: the
+    # distributed loop pays 2 eager localCheckpoints + a window per step in
+    # pure scheduling latency (measured 6.5s warm for k=5 over 75 rows at
+    # sf0.1, r12 — the Bradley-Terry/tokenizer finding). The Python mirrors
+    # replay the exact fold-order cosine, floor-half-up rounding, and
+    # (mmr desc nulls-last, neighbor asc) argmax — asserted path-vs-path by
+    # tests/test_operators.py::test_mmr_local_path_equals_distributed.
+    local_max = int(os.environ.get("SPARK_GRAFT_MMR_LOCAL_CAND_MAX", "8192"))
+    if local_max > 0:
+        probe = cand_plan.limit(local_max + 1).collect()
+        if len(probe) <= local_max:
+            return _mmr_rerank_local(
+                corpus.sparkSession, probe, k, lam, round_to,
+                cand_plan.schema["query_id"].dataType.simpleString(),
+                cand_plan.schema["neighbor_id"].dataType.simpleString(),
+            )
+    cand = cand_plan.localCheckpoint(eager=True)
     selected = None
     remaining = cand
     for step in range(1, int(k) + 1):
@@ -1531,6 +1552,83 @@ def mmr_rerank(
             "left_anti",
         ).localCheckpoint(eager=True)
     return selected.select("query_id", "neighbor_id", "mmr", "mmr_rank")
+
+
+def _mmr_rerank_local(
+    spark, rows, k: int, lam: float, round_to: int, qid_type: str, nid_type: str
+):
+    """Driver-side replay of the distributed MMR greedy loop over the
+    collected candidate frame — bit-identical arithmetic: the same
+    left-fold dot/norm order as the ``aggregate(zip_with(...))`` columns
+    (Python float ops are the same IEEE doubles), ``floor(x·10^s+0.5)/10^s``
+    rounding, ``F.max``-style null-skipping penalty, and the
+    (mmr desc NULLS LAST, neighbor_id asc) argmax tie-break."""
+    import math
+
+    from spark_ensemble_spark.sources.datasets import local_df
+
+    scale = float(10**round_to)
+
+    def fr(x):
+        return None if x is None else math.floor(x * scale + 0.5) / scale
+
+    def cos(a, b):
+        na = 0.0
+        for x in a:
+            na += x * x
+        nb = 0.0
+        for x in b:
+            nb += x * x
+        d = math.sqrt(na) * math.sqrt(nb)
+        if d == 0:
+            return None
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s / d
+
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], {})[r["neighbor_id"]] = (
+            r["cv"],
+            r["rel"],
+        )
+    out = []
+    for qid in by_q:
+        remaining = dict(by_q[qid])
+        selected_vecs = []
+        for step in range(1, int(k) + 1):
+            if not remaining:
+                break
+            best = None
+            best_key = None
+            for nid, (cv, rel) in remaining.items():
+                if step == 1:
+                    mmr = fr(None if rel is None else lam * rel)
+                else:
+                    sims = [
+                        s
+                        for s in (fr(cos(cv, sv)) for sv in selected_vecs)
+                        if s is not None
+                    ]
+                    pen = max(sims) if sims else None
+                    mmr = (
+                        None
+                        if rel is None or pen is None
+                        else fr(lam * rel - (1.0 - lam) * pen)
+                    )
+                key = (1, 0.0, nid) if mmr is None else (0, -mmr, nid)
+                if best_key is None or key < best_key:
+                    best_key = key
+                    best = (nid, mmr)
+            nid, mmr = best
+            out.append((qid, nid, mmr, step))
+            selected_vecs.append(remaining.pop(nid)[0])
+    return local_df(
+        spark,
+        out,
+        f"query_id {qid_type}, neighbor_id {nid_type}, mmr double, mmr_rank int",
+    )
 
 
 def mmr_oracle_sql(

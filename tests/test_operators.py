@@ -3720,3 +3720,28 @@ def test_ann_leveled_compaction_retained_tombstones(spark, tmp_path):
     assert sorted(map(tuple, got.select(*key).collect())) == sorted(
         map(tuple, want.select(*key).collect())
     )
+
+
+def test_mmr_local_path_equals_distributed(spark, sf_dir, monkeypatch):
+    """The driver-side MMR fast path (r12) must be bit-identical to the
+    distributed greedy loop: same picks, scores, ranks, and schema."""
+    from spark_ensemble_spark.operators.similarity import (
+        brute_force_topk,
+        mmr_rerank,
+    )
+    from spark_ensemble_spark.sources.datasets import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") < 5)
+    sl = brute_force_topk(emb, qdf, k=15)
+    monkeypatch.setenv("SPARK_GRAFT_MMR_LOCAL_CAND_MAX", "8192")
+    local = mmr_rerank(emb, qdf, sl, k=5, lam=0.7)
+    monkeypatch.setenv("SPARK_GRAFT_MMR_LOCAL_CAND_MAX", "0")
+    dist = mmr_rerank(emb, qdf, sl, k=5, lam=0.7)
+    assert local.columns == dist.columns
+    assert [f.dataType for f in local.schema.fields] == [
+        f.dataType for f in dist.schema.fields
+    ]
+    assert sorted(map(tuple, local.collect())) == sorted(
+        map(tuple, dist.collect())
+    )

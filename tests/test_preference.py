@@ -124,3 +124,46 @@ def test_streaming_stats_merge_equals_from_scratch(spark, tmp_path):
         for r in bradley_terry(d1.unionByName(d2), n_iters=5).collect()
     }
     assert via_store == scratch
+
+
+def test_local_fit_path_equals_distributed(spark, sf_dir, monkeypatch):
+    """The driver-side MM fast path (r12) must be bit-identical to the
+    distributed loop: same strengths, wins, comparison counts, ranks, and
+    schema, on both a hand fixture and the sf0.001 document pairing."""
+    from spark_ensemble_spark.operators.preference import pair_stats
+    from spark_ensemble_spark.sources.datasets import load_table
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    fixtures = [
+        _comparisons(
+            spark,
+            [("a", "b")] * 7 + [("b", "c")] * 2 + [("c", "a")] * 3 + [("b", "a")],
+        ),
+        pair_documents(load_table(spark, sf_dir, "documents")),
+    ]
+    for comp in fixtures:
+        monkeypatch.setenv("SPARK_GRAFT_BT_LOCAL_PAIRS_MAX", "65536")
+        local = bradley_terry(comp, n_iters=8)
+        monkeypatch.setenv("SPARK_GRAFT_BT_LOCAL_PAIRS_MAX", "0")
+        dist = bradley_terry(comp, n_iters=8)
+        assert local.columns == dist.columns
+        assert [f.dataType for f in local.schema.fields] == [
+            f.dataType for f in dist.schema.fields
+        ]
+        assert rows(local) == rows(dist)
+
+
+def test_local_fit_threshold_forces_distributed(spark, monkeypatch):
+    """A pair table larger than the threshold must keep the distributed
+    loop (the probe collects at most threshold+1 rows)."""
+    monkeypatch.setenv("SPARK_GRAFT_BT_LOCAL_PAIRS_MAX", "1")
+    comp = _comparisons(
+        spark, [("a", "b")] * 2 + [("b", "c")] * 2 + [("c", "a")] * 2
+    )
+    out = bradley_terry(comp, n_iters=3)
+    # 3 distinct pairs > threshold 1 -> distributed plan (iteration joins
+    # present, not a pre-computed VALUES LocalRelation)
+    assert "Join" in out._jdf.queryExecution().optimizedPlan().toString()
+    assert out.count() == 3

@@ -3745,3 +3745,34 @@ def test_mmr_local_path_equals_distributed(spark, sf_dir, monkeypatch):
     assert sorted(map(tuple, local.collect())) == sorted(
         map(tuple, dist.collect())
     )
+
+
+def test_cc_local_path_equals_distributed(spark, monkeypatch):
+    """The driver-side union-find fast path (r12) must produce the exact
+    label set of the distributed min-label propagation, on a fixture with
+    chains, a star, singleton edges, and string ids."""
+    from spark_ensemble_spark.operators.dedup import dup_clusters
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    fixtures = [
+        spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (5, 1)],
+            "id_a long, id_b long",
+        ),
+        spark.createDataFrame(
+            [("a", "b"), ("c", "b"), ("d", "e"), ("x", "a")],
+            "id_a string, id_b string",
+        ),
+    ]
+    for pairs in fixtures:
+        monkeypatch.setenv("SPARK_GRAFT_CC_LOCAL_EDGES_MAX", "65536")
+        local = dup_clusters(pairs)
+        monkeypatch.setenv("SPARK_GRAFT_CC_LOCAL_EDGES_MAX", "0")
+        dist = dup_clusters(pairs)
+        assert local.columns == dist.columns
+        assert [f.dataType for f in local.schema.fields] == [
+            f.dataType for f in dist.schema.fields
+        ]
+        assert rows(local) == rows(dist)

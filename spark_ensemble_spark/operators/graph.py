@@ -52,7 +52,27 @@ def pagerank(
     weight the link, the usual multigraph convention)."""
     from spark_ensemble_spark.core.utils import DFIterationCache
 
+    import os
+
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # Driver-side fast path (r12 — the dup_clusters/Bradley-Terry pattern):
+    # each distributed iteration pays two joins + a grouped sum + a left
+    # join of node-sized frames in scheduling latency. When the edge list
+    # fits under SPARK_GRAFT_PR_LOCAL_EDGES_MAX (default 65536; bounded
+    # collect, gated by a count first), replay the EXACT integer iteration
+    # in Python — non-negative flooring DIV == ``//``, arbitrary-precision
+    # ints ⊇ LONG — and emit a VALUES frame. Larger graphs keep the
+    # distributed loop unchanged.
+    local_max = int(os.environ.get("SPARK_GRAFT_PR_LOCAL_EDGES_MAX", "65536"))
+    if local_max > 0:
+        probe = e.limit(local_max + 1).collect()
+        if len(probe) <= local_max:
+            return _pagerank_local(
+                edges.sparkSession,
+                probe,
+                n_iters,
+                e.schema["src"].dataType.simpleString(),
+            )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -93,6 +113,46 @@ def pagerank(
     )
     cache.close()
     return out
+
+
+def _pagerank_local(spark, edge_rows, n_iters: int, node_type: str):
+    """Driver-side replay of the distributed exact-integer iteration, term
+    for term: ``c = r[src] // outdeg[src]`` per edge, per-destination sums,
+    ``r' = base + (S · 17) // 20`` — all non-negative, so Python ``//`` is
+    the same flooring DIV, and Python ints are exact at any width. Emits
+    the node-sized result as a pure-JVM VALUES frame."""
+    from collections import defaultdict
+
+    from spark_ensemble_spark.sources.datasets import local_df
+
+    outdeg: dict = defaultdict(int)
+    nodes = set()
+    es = []
+    for r in edge_rows:
+        s, d = r[0], r[1]
+        es.append((s, d))
+        outdeg[s] += 1
+        nodes.add(s)
+        nodes.add(d)
+    n = len(nodes)
+    init = SCALE // n
+    base = (3 * SCALE) // (_D_DEN * n)
+    ranks = {node: init for node in nodes}
+    for _ in range(n_iters):
+        sums: dict = defaultdict(int)
+        for s, d in es:
+            sums[d] += ranks[s] // outdeg[s]
+        ranks = {
+            node: base + (sums[node] * _D_NUM) // _D_DEN for node in nodes
+        }
+    rows = [
+        (node, r, r / float(SCALE)) for node, r in ranks.items()
+    ]
+    return local_df(
+        spark,
+        rows,
+        f"node {node_type}, rank_scaled bigint, rank double",
+    )
 
 
 def pagerank_oracle_sql(

@@ -3776,3 +3776,25 @@ def test_cc_local_path_equals_distributed(spark, monkeypatch):
             f.dataType for f in dist.schema.fields
         ]
         assert rows(local) == rows(dist)
+
+
+def test_pagerank_local_path_equals_distributed(spark, monkeypatch):
+    """The driver-side PageRank fast path (r12) must be bit-identical to
+    the distributed exact-integer loop, incl. dangling/no-inlink nodes."""
+    from spark_ensemble_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (3, 0), (0, 2), (4, 3), (5, 0)],
+        "src long, dst long",
+    )
+    monkeypatch.setenv("SPARK_GRAFT_PR_LOCAL_EDGES_MAX", "65536")
+    local = pagerank(edges, n_iters=5)
+    monkeypatch.setenv("SPARK_GRAFT_PR_LOCAL_EDGES_MAX", "0")
+    dist = pagerank(edges, n_iters=5)
+    assert local.columns == dist.columns
+    assert [f.dataType for f in local.schema.fields] == [
+        f.dataType for f in dist.schema.fields
+    ]
+    assert sorted(map(tuple, local.collect())) == sorted(
+        map(tuple, dist.collect())
+    )

@@ -314,7 +314,14 @@ def minhash_signatures(
     exploded = df.select(
         F.col(id_col).alias("id"), F.explode(shingles).alias("__s")
     ).select("id", _hash64(F.col("__s"), hash_fn).alias("__h"))
-    hm = F.pmod(F.col("__h"), F.lit(_MERSENNE))
+    # materialize the Mersenne residue in the projection: referenced from
+    # all num_hashes min() inputs, the inline expression is otherwise
+    # cloned (md5+parse included) into every aggregate's update path —
+    # measured 1.53 -> 1.12s per corpus pass at sf0.1 (r12)
+    exploded = exploded.select(
+        "id", F.pmod(F.col("__h"), F.lit(_MERSENNE)).alias("__hm")
+    )
+    hm = F.col("__hm")
     aggs = [
         F.min((hm * a + b) % _MERSENNE).alias(f"__s{i}")
         for i, (a, b) in enumerate(coeffs)

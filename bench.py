@@ -7,11 +7,11 @@ Each query is materialized with a count-style action (no driver collect of
 data rows beyond small results). A short warm-up query absorbs JVM/codegen
 startup so per-query numbers reflect steady-state execution.
 
-Artifact contract (VERDICT r6 #1 — third iteration; even the r6 compact
-93-query line outgrew the driver's stdout tail window, so BENCH_r06 recorded
-``parsed: null``): the FINAL stdout line is now a TINY summary (<200 chars —
-metric/value/unit/sf/n_queries/warm line items and a pointer to the full map)
-that cannot outgrow any tail capture. The complete per-query result is
+Artifact contract (VERDICT r6 #1, revised per VERDICT r12 #2): the FINAL
+stdout line is a bounded summary (<1.9 KB, under the driver's measured
+2000-char tail window) whose ``queries`` map inlines per-query seconds for
+the driver's 50-query correctness window so PERF per_query/scaling populate;
+the full 198-row map cannot fit (5.7 KB). The complete per-query result is
 (a) written verbatim to ``bench_out.json`` next to this script, and
 (b) committed in-repo as ``docs/BENCH_r{N}_full.json`` (round inferred from
 the existing BENCH_r*.json artifacts) so per-query history survives rounds.
@@ -641,11 +641,24 @@ def main() -> None:
         print(f"[bench] wrote {full_path}", file=sys.stderr)
     except OSError:
         pass
-    # (c) FINAL stdout line: tiny summary only. The r5 full line and even the
-    # r6 compact 93-query line both outgrew the driver's stdout tail window
-    # (BENCH_r06 parsed: null, 67/93 rows survived, head + total lost). <200
-    # chars cannot outgrow any tail capture; the per-query map lives in the
-    # files above.
+    # (c) FINAL stdout line. VERDICT r12 #2: the driver computes per-query
+    # regressions / geomean / scaling ONLY from this line's "queries" map, so
+    # a bare file pointer left PERF per_query empty. But the driver's tail
+    # capture is EXACTLY 2000 chars (every BENCH_r*.json artifact:
+    # tail_len=2000; the r6 full line outgrew it and lost head + total —
+    # parsed: null), and the full 198-row map is 5.7 KB. Resolution: inline
+    # the per-query seconds for the DRIVER'S 50-query correctness window
+    # (deterministic subset, measured 1464 chars; total line ~1.8 KB), keep
+    # the complete map in bench_out.json / docs/BENCH_r{N}_full.json, and
+    # report how many rows were left to the files (no-silent-caps rule).
+    # A hard 1900-char guard trims trailing window entries if the window
+    # ever grows — the guard has never fired at the current window size.
+    try:
+        from spark_ensemble_spark.queries import SPARK_QUERIES
+
+        window_names = [n for n in SPARK_QUERIES if n in timings]
+    except Exception:
+        window_names = []
     summary = {
         "metric": result["metric"],
         "value": round(result["value"], 2),
@@ -654,10 +667,18 @@ def main() -> None:
         "n_queries": len(timings),
         "codegen_warm_sec": round(codegen_warm_sec, 1),
         "fixture_warm_sec": round(fixture_sec, 1),
-        "queries": {"__full__": "bench_out.json"},
+        "queries": {n: round(timings[n], 2) for n in window_names},
+        "queries_full": "bench_out.json",
+        "queries_not_inlined": len(timings) - len(window_names),
     }
     if "ratio_vs_prev" in result:
         summary["per_row_ratio_vs_prev"] = result["ratio_vs_prev"]["host_norm"]
+    while len(json.dumps(summary, separators=(",", ":"))) > 1900 and summary[
+        "queries"
+    ]:
+        dropped = next(reversed(summary["queries"]))
+        del summary["queries"][dropped]
+        summary["queries_not_inlined"] += 1
     sys.stdout.flush()
     print(json.dumps(summary, separators=(",", ":")))
     sys.stdout.flush()

@@ -149,11 +149,21 @@ class StackingClassifier(Estimator, _StackingClassifierParams, EnsembleReadWrite
             )
             feature_cols = _meta_feature_cols(outs, method)
             assembler = VectorAssembler(inputCols=feature_cols, outputCol="__meta")
-            meta = assembler.transform(meta)
-            stack = fit_base_learner(
-                self.getStacker(), meta, "label", "__meta", "__spred",
-                weight_col="weight",
-            )
+            # Materialize the assembled meta-features ONCE (projected to the
+            # three columns the stacker reads): an iterative stacker (e.g.
+            # LogisticRegression) re-executes its input plan every
+            # treeAggregate pass, which here means re-running every base
+            # model's transform + the assembly per iteration — r13,
+            # guide §5 (cache when reused and recompute is expensive).
+            meta = assembler.transform(meta).select("label", "weight", "__meta")
+            meta.persist(StorageLevel.MEMORY_AND_DISK)
+            try:
+                stack = fit_base_learner(
+                    self.getStacker(), meta, "label", "__meta", "__spred",
+                    weight_col="weight",
+                )
+            finally:
+                meta.unpersist()
         finally:
             instances.unpersist()
         model = StackingClassificationModel(models=models, stack=stack)

@@ -1318,14 +1318,24 @@ def dedup_against_corpus(
     sigs_new = minhash_signatures(
         survivors.select(F.col(id_col), F.col(text_col)), text_col, id_col, *sig_args
     ).persist()
-    sigs_new.count()
-    if corpus_signatures is None:
+    n_new = sigs_new.count()
+    # When WE compute the corpus signatures from text (no persisted index
+    # passed), persist them for the duration of the candidate pass: the
+    # banded frame is consumed by BOTH the occupancy count and the
+    # candidate join, and the expensive explode+hash+48-min aggregation
+    # otherwise re-executes per consumer (r13, guide §5 — measured 3.2-4.7s
+    # -> 1.9-2.6s warm with the probe broadcast below at sf0.1). A
+    # caller-passed index frame is the caller's storage decision (at 100 TB
+    # it is parquet; re-reading it twice beats caching it) — not persisted
+    # here.
+    own_index = corpus_signatures is None
+    if own_index:
         corpus_signatures = minhash_signatures(
             corpus_df.select(F.col(id_col), F.col(text_col)),
             text_col,
             id_col,
             *sig_args,
-        )
+        ).persist()
 
     new_b = _band_explode(sigs_new, bands, r, "n_id", "n_sig")
     corp_b = _band_explode(corpus_signatures, bands, r, "c_id", "c_sig")
@@ -1343,6 +1353,21 @@ def dedup_against_corpus(
         )
         new_b = new_b.join(occup, ["band", "bucket"], "left_anti")
         corp_b = corp_b.join(occup, ["band", "bucket"], "left_anti")
+    # Broadcast the PROBE side of the candidate join when the delivery
+    # batch is bounded (r13, guide §3.1): the probe's banded signatures are
+    # batch-sized by construction, so shipping them to every executor means
+    # the INDEX side — the 100 TB side — is never shuffled at all; without
+    # the hint the planner sees unknown statistics behind the persisted
+    # probe frame and sort-merge-joins both sides. Gated on the exact probe
+    # count the persist already paid for; 0 disables.
+    import os
+
+    bcast_rows_max = int(
+        os.environ.get("SPARK_GRAFT_DEDUP_PROBE_BCAST_ROWS_MAX", "500000")
+    )
+    probe_bounded = bcast_rows_max > 0 and n_new * bands <= bcast_rows_max
+    if probe_bounded:
+        new_b = F.broadcast(new_b)
     est = (
         F.size(
             F.filter(
@@ -1372,6 +1397,14 @@ def dedup_against_corpus(
         .localCheckpoint(eager=True)
     )
     sigs_new.unpersist()
+    if own_index:
+        corpus_signatures.unpersist()
+    # matched is probe-bounded (at most one id per surviving new row) and
+    # already materialized — broadcast the anti-join so the final plan
+    # carries no exchange of either side (was SortMergeJoin with two
+    # exchanges over an unknown-stats localCheckpoint scan).
+    if probe_bounded:
+        matched = F.broadcast(matched)
     return survivors.join(
         matched, survivors[id_col] == matched["__mid"], "left_anti"
     ).drop("__fp")

@@ -67,18 +67,23 @@ MERGES_SCHEMA = "merge_rank int, lhs string, rhs string, pair_count long"
 # has only ~10^7-10^8 distinct words, but that exceeds any sane driver).
 # Equality of the two paths is asserted by tests/test_tokenizer_local.py;
 # the DuckDB training-replay oracles hash-check the local path end to end.
-LOCAL_VOCAB_MAX = int(os.environ.get("SPARK_GRAFT_TOKENIZER_LOCAL_VOCAB_MAX", "65536"))
+def _local_vocab_max() -> int:
+    # Read per call, not at import (ADVICE r12 low): every other r12 gate
+    # (BT/CC/PR/MMR) honors the env var when set after module import; this
+    # one now does too.
+    return int(os.environ.get("SPARK_GRAFT_TOKENIZER_LOCAL_VOCAB_MAX", "65536"))
 
 
 def _collect_small_vocab(vocab: DataFrame, cols: List[str]) -> Optional[list]:
     """The ``(…, w, cnt)`` vocabulary rows iff there are at most
-    :data:`LOCAL_VOCAB_MAX` of them — one bounded job (``limit+1`` rows
+    :func:`_local_vocab_max` of them — one bounded job (``limit+1`` rows
     max); ``None`` (caller stays distributed) when the vocab exceeds the
     threshold or the fast path is disabled (threshold <= 0)."""
-    if LOCAL_VOCAB_MAX <= 0:
+    local_vocab_max = _local_vocab_max()
+    if local_vocab_max <= 0:
         return None
-    rows = vocab.select(*cols).limit(LOCAL_VOCAB_MAX + 1).collect()
-    if len(rows) > LOCAL_VOCAB_MAX:
+    rows = vocab.select(*cols).limit(local_vocab_max + 1).collect()
+    if len(rows) > local_vocab_max:
         return None
     # NULL group keys / NULL or empty words have join-semantics edge cases
     # the distributed fold defines (a NULL group never matches its winner's

@@ -7431,14 +7431,15 @@ def streaming_ann_leveled_compaction(
     )
     shutil.rmtree(base, ignore_errors=True)
     emb = load_table(spark, sf_dir, "embeddings")
-    # three ingest waves striped so the takedown ids span every level
-    for wave in range(3):
-        ivfpq_encode(
-            emb.filter(F.floor(F.col("vec_id") / 7) % 3 == wave),
-            _IVF_CENTROIDS,
-            books,
-            residual=True,
-        ).write.mode("overwrite").parquet(f"{base}/codes/batch_id={wave}")
+    # three ingest waves striped so the takedown ids span every level.
+    # The wave is a pure function of vec_id (= neighbor_id in the code
+    # table), so ONE encode pass + ONE partitioned write lays out all
+    # three batch_id=N dirs with byte-identical code rows (encoding is
+    # per-row) — r13, guide §6: the per-wave loop paid 3 encode plan
+    # builds (the expensive IVF-PQ expression trees) and 3 write jobs.
+    ivfpq_encode(emb, _IVF_CENTROIDS, books, residual=True).withColumn(
+        "batch_id", (F.floor(F.col("neighbor_id") / 7) % 3).cast("int")
+    ).write.mode("overwrite").partitionBy("batch_id").parquet(f"{base}/codes")
     removed = emb.filter(
         (F.col("vec_id") >= 5) & (F.col("vec_id") % 6 == 0)
     )
@@ -8692,17 +8693,27 @@ def streaming_bm25_leveled_compaction(
     # three ingest waves -> three append batches (the bm25_index_stream
     # layout, laid out directly: the stream writer itself is covered by the
     # in-window tombstone/compaction rows — the new surface here is the
-    # leveled fold)
-    for wave in range(3):
-        postings, stats = build_bm25_index(
-            docs.filter(F.col("doc_id") % 3 == wave)
-        )
-        postings.write.mode("overwrite").parquet(
-            f"{base}/gen1/postings/batch_id={wave}"
-        )
-        stats.write.mode("overwrite").parquet(
-            f"{base}/gen1/stats/batch_id={wave}"
-        )
+    # leveled fold). The wave is a pure function of doc_id, so ONE corpus
+    # tokenization pass + ONE partitioned write lays out all three
+    # batch_id=N dirs with byte-identical rows (posting rows are per-doc
+    # facts, per-wave stats are a grouped sum) — r13, guide §6: the
+    # per-wave loop paid 3 tokenization passes and 6 write jobs for the
+    # same files.
+    postings_all, _ = build_bm25_index(docs)
+    postings_all.withColumn(
+        "batch_id", (F.col("doc_id") % 3).cast("int")
+    ).write.mode("overwrite").partitionBy("batch_id").parquet(
+        f"{base}/gen1/postings"
+    )
+    _rwords = _retrieval._words(F.col("text"))
+    docs.select(
+        (F.col("doc_id") % 3).cast("int").alias("batch_id"),
+        F.size(_rwords).alias("__w"),
+    ).groupBy("batch_id").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("__w").alias("sum_dl")
+    ).write.mode("overwrite").partitionBy("batch_id").parquet(
+        f"{base}/gen1/stats"
+    )
     # takedown wave spanning all three batches (the bm25_tombstone_stream
     # layout: per-doc-deduped id list + one negative stats partial)
     removed = docs.filter(F.col("doc_id") % 5 == 0)
@@ -8797,6 +8808,12 @@ def dedup_incremental_after_delete(spark: SparkSession, sf_dir: str) -> DataFram
     holders = _dedup.corpus_fingerprint_holders(corpus, "text", "doc_id")
     removed = corpus.filter(F.col("doc_id") % 3 == 0).select("doc_id")
     m_sigs, m_holders = _dedup.remove_from_dedup_index(sigs, holders, removed)
+    # NOT persisted (r13 negative result): caching the maintained index
+    # across the probe's occupancy + candidate-join consumers measured
+    # ~0.5s SLOWER at sf0.1 — AQE stage reuse already shares the index
+    # subtree's exchange between the two consumers, so the persist only
+    # added a cache-write pass. The probe-side broadcast (inside
+    # dedup_against_corpus) is what removes the index-side shuffle.
     out = _dedup.dedup_against_corpus(
         new,
         None,

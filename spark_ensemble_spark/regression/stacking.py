@@ -101,11 +101,18 @@ class StackingRegressor(Estimator, _StackingRegressorParams, EnsembleReadWrite):
                 meta = m.transform(meta, {m.getParam("predictionCol"): f"__mf{i}"})
                 pred_cols.append(f"__mf{i}")
             assembler = VectorAssembler(inputCols=pred_cols, outputCol="__meta")
-            meta = assembler.transform(meta)
-            stack = fit_base_learner(
-                self.getStacker(), meta, "label", "__meta", "__spred",
-                weight_col="weight",
-            )
+            # Materialize the assembled meta-features once — an iterative
+            # stacker otherwise re-runs every base transform + assembly per
+            # optimizer pass (r13, guide §5; classifier twin has the same).
+            meta = assembler.transform(meta).select("label", "weight", "__meta")
+            meta.persist(StorageLevel.MEMORY_AND_DISK)
+            try:
+                stack = fit_base_learner(
+                    self.getStacker(), meta, "label", "__meta", "__spred",
+                    weight_col="weight",
+                )
+            finally:
+                meta.unpersist()
         finally:
             instances.unpersist()
         model = StackingRegressionModel(models=models, stack=stack)

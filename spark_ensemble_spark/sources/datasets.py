@@ -54,6 +54,26 @@ def spread_to_parallelism(df: DataFrame) -> DataFrame:
     return df
 
 
+def _split_top_level(schema: str) -> list[str]:
+    """Split a DDL column list on TOP-LEVEL commas only, so parameterized
+    and nested types (``decimal(38,6)``, ``array<struct<a:int,b:int>>``,
+    ``map<string,int>``) parse as one field. The old ``schema.split(',')``
+    silently sheared such types into garbage fields (ADVICE r12 medium) —
+    several fast paths pass ``dataType.simpleString()`` dynamically, so a
+    decimal-typed id column would have produced a malformed CAST."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(schema):
+        if ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(schema[start:i])
+            start = i + 1
+    parts.append(schema[start:])
+    return [p for p in parts if p.strip()]
+
+
 def local_df(spark: SparkSession, rows, schema: str) -> DataFrame:
     """Small literal frame as a pure-JVM ``VALUES`` LocalRelation.
 
@@ -74,7 +94,7 @@ def local_df(spark: SparkSession, rows, schema: str) -> DataFrame:
     DOUBLE)`` round-trip), None.  Falls back to ``createDataFrame`` for
     empty row sets (VALUES cannot be empty)."""
     fields = []
-    for part in schema.split(","):
+    for part in _split_top_level(schema):
         name_, typ = part.strip().split(None, 1)
         fields.append((name_, typ.strip()))
     rows = list(rows)
@@ -91,7 +111,14 @@ def local_df(spark: SparkSession, rows, schema: str) -> DataFrame:
         if isinstance(v, float):
             return f"CAST('{v!r}' AS DOUBLE)"
         if isinstance(v, str):
-            return "'" + v.replace("'", "''") + "'"
+            # Spark SQL processes C-style backslash escapes inside string
+            # literals by default (spark.sql.parser.escapedStringLiterals
+            # = false), so a data-derived cell containing a backslash would
+            # be silently rewritten ('c:\path' -> 'c:path', trailing '\'
+            # swallows the closing quote and breaks the VALUES parse).
+            # Escape backslashes FIRST, then double the quotes
+            # (ADVICE r12 high).
+            return "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
         raise TypeError(f"local_df: unsupported cell type {type(v)!r}")
 
     values = ", ".join(

@@ -34,7 +34,7 @@ def _collect(df):
 
 def _both_paths(monkeypatch, fn):
     local = fn()
-    monkeypatch.setattr(T, "LOCAL_VOCAB_MAX", 0)
+    monkeypatch.setenv("SPARK_GRAFT_TOKENIZER_LOCAL_VOCAB_MAX", "0")
     dist = fn()
     return local, dist
 

@@ -165,7 +165,7 @@ def synthetic_bmp_corpus(
     )
 
 
-def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+def decode_image(df: DataFrame, payload_col: str = "payload", spread: bool = True) -> DataFrame:
     """Decode 24-bit uncompressed BMP payloads (pure numpy — no external
     codec) and emit per-image facts: dimensions, per-channel means, and the
     top-left red value (position-sensitive, so bottom-up row order and row
@@ -226,9 +226,19 @@ def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
     # A real decode is per-payload CPU-bound: give it the cluster's width
     # (the stub seam skips this because its per-row work is trivial).
+    # ``spread=False`` is for BOUNDED inputs (the ≤400-row synthetic
+    # fixtures): repartitioning a fixed-size tiny frame to cluster width
+    # costs more than the trivial decode saves at ANY scale — and each
+    # extra partition demands a Python worker, which Spark 4 evicts after
+    # a HARDCODED 1-minute idle (PythonWorkerFactory.IDLE_WORKER_TIMEOUT_NS)
+    # and re-creates through a serialized ~1s/worker handshake: measured
+    # in the 198-query bench, the first 32-partition Python stage after a
+    # long JVM-only span blocked 35s on worker respawn alone (r13, guide
+    # §4). Production-sized inputs arrive with many splits and never take
+    # the spread branch anyway.
     from spark_ensemble_spark.sources.datasets import spread_to_parallelism
 
-    return spread_to_parallelism(df).mapInPandas(op, schema=IMAGE_SCHEMA)
+    return (spread_to_parallelism(df) if spread else df).mapInPandas(op, schema=IMAGE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -331,7 +341,7 @@ def synthetic_png_corpus(
     )
 
 
-def decode_png(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+def decode_png(df: DataFrame, payload_col: str = "payload", spread: bool = True) -> DataFrame:
     """Decode 8-bit RGB (color type 2) PNG payloads with NO external codec:
     stdlib ``zlib`` inflates the concatenated IDAT stream and the five PNG
     scanline filters (None/Sub/Up/Average/Paeth, RFC 2083 §6) are reversed
@@ -437,7 +447,7 @@ def decode_png(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
     from spark_ensemble_spark.sources.datasets import spread_to_parallelism
 
-    return spread_to_parallelism(df).mapInPandas(op, schema=IMAGE_SCHEMA)
+    return (spread_to_parallelism(df) if spread else df).mapInPandas(op, schema=IMAGE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -497,7 +507,7 @@ def synthetic_wav_corpus(
     )
 
 
-def decode_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+def decode_audio(df: DataFrame, payload_col: str = "payload", spread: bool = True) -> DataFrame:
     """Decode 16-bit PCM WAV payloads (pure numpy, no external codec): walk
     the RIFF chunk list to find ``fmt `` and ``data`` (never assume fixed
     offsets — real encoders insert LIST/INFO chunks), then emit per-clip
@@ -550,7 +560,7 @@ def decode_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
     from spark_ensemble_spark.sources.datasets import spread_to_parallelism
 
-    return spread_to_parallelism(df).mapInPandas(op, schema=AUDIO_SCHEMA)
+    return (spread_to_parallelism(df) if spread else df).mapInPandas(op, schema=AUDIO_SCHEMA)
 
 
 AUDIO_FRAMES_SCHEMA = (
@@ -564,6 +574,7 @@ def audio_frame_features(
     frame_len: int = 32,
     hop: int = 16,
     payload_col: str = "payload",
+    spread: bool = True,
 ) -> DataFrame:
     """Frame-level audio features over PCM-WAV payloads — the windowed
     analysis stage every audio-curation pipeline runs before filtering or
@@ -645,7 +656,7 @@ def audio_frame_features(
 
     from spark_ensemble_spark.sources.datasets import spread_to_parallelism
 
-    return spread_to_parallelism(df).mapInPandas(op, schema=AUDIO_FRAMES_SCHEMA)
+    return (spread_to_parallelism(df) if spread else df).mapInPandas(op, schema=AUDIO_FRAMES_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -657,7 +668,7 @@ RESIZE_SCHEMA = (
 )
 
 
-def resize_image(df: DataFrame, out_w: int = 3, out_h: int = 2, payload_col: str = "payload") -> DataFrame:
+def resize_image(df: DataFrame, out_w: int = 3, out_h: int = 2, payload_col: str = "payload", spread: bool = True) -> DataFrame:
     """Decode 24-bit BMP payloads and nearest-neighbor resample to
     ``out_w × out_h`` (output pixel (i, j) reads input pixel
     ``(floor(i*h/out_h), floor(j*w/out_w))`` — the standard box-origin
@@ -716,7 +727,7 @@ def resize_image(df: DataFrame, out_w: int = 3, out_h: int = 2, payload_col: str
 
     from spark_ensemble_spark.sources.datasets import spread_to_parallelism
 
-    return spread_to_parallelism(df).mapInPandas(op, schema=RESIZE_SCHEMA)
+    return (spread_to_parallelism(df) if spread else df).mapInPandas(op, schema=RESIZE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -766,7 +777,8 @@ SCENE_SCHEMA = (
 
 
 def scene_changes(
-    df: DataFrame, threshold: float = 10.0, payload_col: str = "payload"
+    df: DataFrame, threshold: float = 10.0, payload_col: str = "payload",
+    spread: bool = True,
 ) -> DataFrame:
     """Scene-change detection over raw multi-frame payloads — the video
     analogue of :func:`audio_frame_features` (the analysis stage after
@@ -814,10 +826,10 @@ def scene_changes(
 
     from spark_ensemble_spark.sources.datasets import spread_to_parallelism
 
-    return spread_to_parallelism(df).mapInPandas(op, schema=SCENE_SCHEMA)
+    return (spread_to_parallelism(df) if spread else df).mapInPandas(op, schema=SCENE_SCHEMA)
 
 
-def frame_sample(df: DataFrame, every_n: int = 3, payload_col: str = "payload") -> DataFrame:
+def frame_sample(df: DataFrame, every_n: int = 3, payload_col: str = "payload", spread: bool = True) -> DataFrame:
     """Keep every ``every_n``-th frame of a raw multi-frame payload (frame 0
     always kept) and emit one row per kept frame with its byte facts. Frame
     selection is pure offset arithmetic — ``payload[f*frame_size : (f+1)*
@@ -850,7 +862,7 @@ def frame_sample(df: DataFrame, every_n: int = 3, payload_col: str = "payload") 
 
     from spark_ensemble_spark.sources.datasets import spread_to_parallelism
 
-    return spread_to_parallelism(df).mapInPandas(op, schema=FRAME_SCHEMA)
+    return (spread_to_parallelism(df) if spread else df).mapInPandas(op, schema=FRAME_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

@@ -4113,7 +4113,11 @@ def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return decode_image(synthetic_bmp_corpus(docs))
+    # spread=False: the fixture is a bounded ≤400-row frame — cluster-width
+    # repartition costs more than the trivial decode saves at any SF, and a
+    # 32-partition Python stage pays Spark 4's serialized worker respawn
+    # after every 60s idle eviction (multimodal.decode_image's note; r13)
+    return decode_image(synthetic_bmp_corpus(docs), spread=False)
 
 
 @query("streaming_multimodal_decode", _IMAGE_DECODE_ORACLE)
@@ -4134,7 +4138,7 @@ def streaming_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark = replay_session(spark)
     stream = read_documents_stream(spark, sf_dir)
-    decoded = decode_image(synthetic_bmp_corpus(stream))
+    decoded = decode_image(synthetic_bmp_corpus(stream), spread=False)
     return run_to_memory(decoded, "append", "stream_mm_decode")
 
 
@@ -4174,7 +4178,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return frame_sample(synthetic_video_corpus(docs), every_n=3)
+    return frame_sample(synthetic_video_corpus(docs), every_n=3, spread=False)
 
 
 @query(
@@ -4269,7 +4273,7 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return decode_audio(synthetic_wav_corpus(docs))
+    return decode_audio(synthetic_wav_corpus(docs), spread=False)
 
 
 @query(
@@ -4319,7 +4323,7 @@ def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return audio_frame_features(synthetic_wav_corpus(docs))
+    return audio_frame_features(synthetic_wav_corpus(docs), spread=False)
 
 
 @query(
@@ -4357,7 +4361,7 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return resize_image(synthetic_bmp_corpus(docs), out_w=3, out_h=2)
+    return resize_image(synthetic_bmp_corpus(docs), out_w=3, out_h=2, spread=False)
 
 
 @query(
@@ -4399,7 +4403,7 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return decode_png(synthetic_png_corpus(docs))
+    return decode_png(synthetic_png_corpus(docs), spread=False)
 
 
 @query(
@@ -5159,7 +5163,7 @@ def multimodal_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return scene_changes(synthetic_video_corpus(docs), threshold=10.0)
+    return scene_changes(synthetic_video_corpus(docs), threshold=10.0, spread=False)
 
 
 @query(

@@ -10,48 +10,14 @@ document firehose wants: contaminated docs never even land in the corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from spark_ensemble_spark.functions.rounding import floor_round as _floor_round
 
-from spark_ensemble_spark.operators.corpus import bloom_mask_literal
 from spark_ensemble_spark.operators.dedup import _shingle_strings
 from spark_ensemble_spark.streaming.runner import replay_session, run_to_memory
-
-# 2^bit as BIGINT for bit 0..63 (bit 63 is the sign-bit pattern); indexed by
-# element_at because shiftleft/shiftright only take literal shift amounts,
-# and inside a higher-order-function lambda the shift amount is a column.
-_POW2 = [1 << i for i in range(63)] + [-(1 << 63)]
-
-
-def _bloom_hit_from(
-    h1: Column, h2: Column, mask: Column, num_bits: int, num_hashes: int
-) -> Column:
-    """True iff every double-hashed position derived from the PRECOMPUTED
-    60-bit hash pair (h1, h2) is set in the Bloom ``mask`` (array<bigint>
-    literal). Same md5-60-bit double hashing as the batch
-    :func:`~spark_ensemble_spark.operators.corpus.bloom_contamination`, so
-    stream and batch flag the identical gram set. Taking the pair instead of
-    the gram keeps the md5 OUT of the per-position conditions — interpreted
-    lambda evaluation has no subexpression elimination, so an embedded md5
-    would be re-hashed up to 2·num_hashes times per gram."""
-    p2 = F.lit(_POW2).cast("array<bigint>")
-    cond = None
-    for i in range(num_hashes):
-        p = F.pmod(h1 + F.lit(i) * h2, F.lit(num_bits))
-        # p < 2^20 ≪ 2^53: the double round-trip of floor(p/64) is exact
-        w = F.floor(p / F.lit(64)).cast("int")
-        bit = F.pmod(p, F.lit(64)).cast("int")
-        c = (
-            F.element_at(mask, w + F.lit(1)).bitwiseAND(
-                F.element_at(p2, bit + F.lit(1))
-            )
-            != 0
-        )
-        cond = c if cond is None else (cond & c)
-    return cond
-
 
 def decontaminate_stream(
     docs: DataFrame,
@@ -69,58 +35,81 @@ def decontaminate_stream(
 
     Unlike the batch :func:`~spark_ensemble_spark.operators.corpus.\
 bloom_contamination` (explode → groupBy, the high-throughput shape), the
-    per-document counts here are per-ROW folds over the shingle array —
-    interpreted (higher-order functions are CodegenFallback), but completely
-    STATELESS: append-mode streaming with no watermark, no aggregation
-    buffer, and exact parity with the batch flag decision (same shingles,
-    same md5 double-hash, same mask).
+    per-document counts here are computed per ROW — completely STATELESS:
+    append-mode streaming with no watermark, no aggregation buffer, and
+    exact parity with the batch flag decision (same shingles, same md5
+    double-hash, same mask).
 
-    Evaluation shape (r6, 7.6s → 2.2s at sf0.1): CodegenFallback expressions
-    get NO subexpression elimination, so the original
-    ``withColumn(n_shingles) → withColumn(n_flagged) → ratio → filter``
-    chain — which CollapseProject inlines into one projection plus a filter —
-    re-ran the full shingle fold ~6× per row. Two fixes: (1) the md5 is
-    hashed ONCE per gram via a ``transform`` into (h1, h2) structs instead of
-    being re-derived inside each of the ``num_hashes`` probe conditions, and
-    (2) both counts are computed inside ONE struct column materialized
-    behind an ``explode(array(...))`` Generate node — CollapseProject won't
-    inline a non-cheap multi-referenced struct, and the Generate stops
-    PushPredicateThroughNonJoin from cloning the whole fold into the kept-row
-    Filter (predicates on generator output stay above the generator) — so
-    the fold runs exactly once per row and the ratio/filter read
-    materialized fields."""
+    Evaluation shape (r13, guide §4.2 — replacing the r6 interpreted fold):
+    the k-gram ARRAY is still built by the exact `_shingle_strings`
+    expression (JVM codegen, shared with the batch path and every md5
+    oracle, so tokenization semantics cannot drift), but the per-gram
+    md5 + Kirsch-Mitzenmacher probes moved into an Arrow ``mapInPandas``
+    seam. Two r6-era costs disappear at once:
+
+    * the per-gram probe ran as CodegenFallback higher-order lambdas —
+      interpreted, no subexpression elimination (measured 2.2s/pass at
+      sf0.1 after the r6 fixes; native ``hashlib`` + integer probes do the
+      same 1M grams in ~60ms/task);
+    * the 2^20-bit mask rode the PLAN as a 16384-element array literal
+      referenced from every probe — and a STREAMING query re-analyzes its
+      plan every micro-batch, so each trigger re-walked a multi-MB
+      expression tree (measured 7-16s of pure driver planning per replay).
+      The mask now ships once per task inside the function closure; the
+      plan carries no literal at all.
+
+    Decision parity is exact by construction: md5 of the UTF-8 gram bytes,
+    ``int(hex[0:15], 16)`` / ``int(hex[16:31], 16)`` (the `_md5_hash_pair`
+    contract), positions ``(h1 + i·h2) mod num_bits``, two's-complement
+    bit tests — all integer ops with one bit-identical answer on every
+    engine. The float ratio + threshold filter stay JVM-side, so no float
+    ever crosses the boundary."""
     num_bits = len(bloom_words) * 64
-    mask = bloom_mask_literal(bloom_words)
+    mask_words = [int(w) for w in bloom_words]
     shingles = _shingle_strings(F.col(text_col), shingle_size, "word")
-    hash_pairs = F.transform(
-        F.transform(shingles, lambda s: F.md5(s)),
-        lambda h: F.struct(
-            F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("h1"),
-            F.conv(F.substring(h, 17, 15), 16, 10).cast("long").alias("h2"),
-        ),
+    g = "__grams"
+    while g in docs.columns:
+        g += "_"
+    base_cols = [c for c in docs.columns if c not in ("n_shingles", "n_flagged")]
+    with_grams = docs.select(*base_cols).withColumn(g, shingles)
+    out_fields = [with_grams.schema[c] for c in base_cols]
+    out_schema = T.StructType(
+        out_fields
+        + [
+            T.StructField("n_shingles", T.LongType()),
+            T.StructField("n_flagged", T.LongType()),
+        ]
     )
-    flagged = F.size(
-        F.filter(
-            hash_pairs,
-            lambda p: _bloom_hit_from(p["h1"], p["h2"], mask, num_bits, num_hashes),
-        )
-    )
-    counts = F.struct(
-        F.size(shingles).cast("bigint").alias("n"),
-        flagged.cast("bigint").alias("f"),
-    )
-    b = "__bloom_counts"
-    while b in docs.columns:
-        b += "_"
-    out = (
-        docs.withColumn(b, F.explode(F.array(counts)))
-        .withColumn("n_shingles", F.col(b)["n"])
-        .withColumn("n_flagged", F.col(b)["f"])
-        .withColumn(
-            "flagged_ratio",
-            _floor_round(F.col("n_flagged") / F.col("n_shingles").cast("double"), 6),
-        )
-        .drop(b)
+
+    def op(batches):
+        import hashlib
+
+        for pdf in batches:
+            n_list, f_list = [], []
+            for grams in pdf[g]:
+                n = len(grams)
+                f = 0
+                for gram in grams:
+                    h = hashlib.md5(gram.encode("utf-8")).hexdigest()
+                    h1 = int(h[0:15], 16)
+                    h2 = int(h[16:31], 16)
+                    for i in range(num_hashes):
+                        p = (h1 + i * h2) % num_bits
+                        if not mask_words[p >> 6] & (1 << (p & 63)):
+                            break
+                    else:
+                        f += 1
+                n_list.append(n)
+                f_list.append(f)
+            out = pdf.drop(columns=[g])
+            out["n_shingles"] = n_list
+            out["n_flagged"] = f_list
+            yield out
+
+    counted = with_grams.mapInPandas(op, schema=out_schema)
+    out = counted.withColumn(
+        "flagged_ratio",
+        _floor_round(F.col("n_flagged") / F.col("n_shingles").cast("double"), 6),
     )
     return out.filter(F.col("flagged_ratio") <= max_ratio)
 

@@ -573,7 +573,17 @@ def test_verify_folds_evaluate_once(spark, sf_dir):
     )
     batch = decontaminate_stream(docs, words, "text", "doc_id", 8, 4, 0.5)
     plan = batch._jdf.queryExecution().optimizedPlan().toString()
-    assert plan.count("md5") == 1, f"Bloom md5 fold duplicated: {plan.count('md5')}"
+    # r13 shape: the per-gram md5 + Bloom probes moved into the Arrow seam
+    # (one MapInPandas node), so NO md5 expression — and, critically, no
+    # 16384-long mask array literal — may appear in the plan: a streaming
+    # consumer re-analyzes its plan every micro-batch, and the literal-free
+    # tree is what keeps that re-analysis cheap. The gram split must still
+    # be the JVM _shingle_strings expression (tokenization parity with the
+    # batch md5 oracles), pinned via its regexp_replace normalization.
+    assert plan.count("md5") == 0, f"Bloom md5 back in the plan: {plan.count('md5')}"
+    assert "MapInPandas" in plan, plan[:500]
+    assert "regexp_replace" in plan, "JVM gram normalization left the plan"
+    assert len(plan) < 100_000, f"plan tree ballooned: {len(plan)} chars"
 
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = embedding_dup_pairs(emb, "embedding", "vec_id", threshold=0.9, dim=64)

@@ -152,15 +152,21 @@ def streaming_decontaminate(
         num_bits,
         num_hashes,
     )
-    # The file source hands each single-row-group test file to ONE task, and
-    # the per-row shingle fold is the cost center (measured 24s single-core
-    # vs ~4s spread at sf0.1) — a round-robin repartition before the
-    # stateless filter restores parallelism. A production firehose has many
-    # files per trigger and usually skips this exchange.
+    # The file source hands each single-row-group test file to ONE task —
+    # a round-robin repartition before the stateless filter restores
+    # parallelism (the r6 interpreted fold measured 24s single-core vs ~4s
+    # spread). Width: the replay session's own shuffle size, NOT cluster
+    # width — the Arrow-seam probe needs far fewer cores for replay-sized
+    # data (measured warm at sf0.1: 8-way 1.3-1.4s vs 32-way 1.6s), and
+    # every extra partition demands a Python worker, which Spark 4 evicts
+    # after a hardcoded idle minute and respawns ~1s/worker SERIALIZED
+    # (OPTIMIZATION_r13.md Finding 1 — a 32-worker demand spike after a
+    # JVM-only span cost 35s in-bench). A production firehose has many
+    # files per trigger and usually skips this exchange entirely.
     stream = (
         read_documents_stream(spark, sf_dir)
         .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
     )
     kept = decontaminate_stream(
         stream,
